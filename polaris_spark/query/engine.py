@@ -1,0 +1,221 @@
+"""Top-k BM25 query engine over the segmented index.
+
+Query lifecycle (the rebuild of reference search/CodeSearchImpl.java:71-92 +
+sourcedb/SourceDbImpl.java:131-163, re-expressed Spark-first):
+
+1. tokenize the query with the SAME tokenizer spec as the build (shared
+   Python implementation), dedupe terms (set semantics, documented),
+2. prune: candidate posting rows live only in ``bucket = crc32(term) % B``
+   parquet partitions (directory-level pruning) and are further filtered by
+   ``term IN (...)`` (parquet row-group min/max pruning — rows are term-sorted
+   within each segment file),
+3. aggregate per-term df from the candidate rows themselves (no separate
+   dictionary read on the hot path) → idf map, broadcast by closure,
+4. score per shard: decode delta+varint postings in a numpy kernel, accumulate
+   ``idf × impact`` per doc with a FIXED association order (terms processed in
+   lexicographic order — bit-identical to the oracle), per-shard top-k,
+5. global merge: ``ORDER BY score DESC, doc_id ASC LIMIT k`` over ≤ k×shards
+   rows (the analog of the reference's SearchMixer top-n re-sort — implemented
+   score-DESCENDING; the reference sorts ascending, a bug we do not replicate,
+   SearchMixer.java:54-61).
+
+Two physically different, logically identical paths:
+- ``search()``        — driver path: collect the (pruned, tiny) candidate rows
+                        and score in-process. Low latency; right when
+                        candidate bytes are small.
+- ``search_df()``     — distributed path: groupBy(shard).applyInPandas with
+                        per-shard top-k heaps + global sort-limit. Right at
+                        cluster scale where one term's postings are GBs.
+Both run the SAME kernel function, so results are identical by construction.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import zlib
+
+import numpy as np
+import pandas as pd
+
+from ..tokenizer import tokenize
+from ..index.codec import decode_ints
+
+RESULT_SCHEMA = "doc_id bigint, score double, n_match int"
+
+
+def _idf(N: int, df: int) -> float:
+    return math.log(1.0 + (N - df + 0.5) / (df + 0.5))
+
+
+def score_shard(
+    pdf: pd.DataFrame,
+    idf: dict[str, float],
+    avgdl: float,
+    k1: float,
+    b: float,
+    k: int | None,
+    mode: str,
+    n_query_terms: int,
+) -> pd.DataFrame:
+    """Exact BM25 accumulation over one shard's candidate posting rows.
+
+    Terms are processed in sorted order; each doc's score is the sequential
+    float64 sum of its per-term contributions in that order — the same
+    association as the numpy oracle, so scores match bit-for-bit.
+    """
+    if pdf.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="float64"),
+                             "n_match": pd.Series(dtype="int32")})
+    pdf = pdf.sort_values("term", kind="mergesort")
+    decoded = []  # (term, docs, tfs, dls)
+    for row in pdf.itertuples(index=False):
+        docs = decode_ints(row.doc_ids, delta=True)
+        decoded.append((row.term, docs, decode_ints(row.tfs), decode_ints(row.dls)))
+    all_docs = np.unique(np.concatenate([d[1] for d in decoded]))
+    scores = np.zeros(len(all_docs), dtype=np.float64)
+    nmatch = np.zeros(len(all_docs), dtype=np.int32)
+    for term, docs, tfs, dls in decoded:  # sorted term order == oracle order
+        w = idf[term]
+        impact = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+        idx = np.searchsorted(all_docs, docs)
+        scores[idx] += w * impact
+        nmatch[idx] += 1
+    if mode == "and":
+        keep = nmatch == n_query_terms
+        all_docs, scores, nmatch = all_docs[keep], scores[keep], nmatch[keep]
+    if k is not None and len(all_docs) > k:
+        # top-k by (score desc, doc_id asc)
+        order = np.lexsort((all_docs, -scores))[:k]
+        all_docs, scores, nmatch = all_docs[order], scores[order], nmatch[order]
+    return pd.DataFrame({"doc_id": all_docs.astype(np.int64),
+                         "score": scores,
+                         "n_match": nmatch.astype(np.int32)})
+
+
+class SearchEngine:
+    def __init__(self, spark, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "_stats.json")) as f:
+            self.stats = json.load(f)
+        self.post_root = os.path.join(index_dir, "postings")
+        self.dict_path = os.path.join(index_dir, "dictionary")
+        self.doc_map_path = os.path.join(index_dir, "doc_map")
+
+    # ------------------------------------------------------------ helpers
+
+    def query_terms(self, query: str) -> list[str]:
+        return sorted(set(tokenize(query)))
+
+    def _buckets(self, terms: list[str]) -> list[int]:
+        nb = self.stats["n_buckets"]
+        return sorted({zlib.crc32(t.encode("utf-8")) % nb for t in terms})
+
+    def _candidates(self, terms: list[str]):
+        from pyspark.sql import functions as F
+
+        posts = self.spark.read.parquet(self.post_root)
+        return posts.where(
+            F.col("bucket").isin(self._buckets(terms)) & F.col("term").isin(terms)
+        )
+
+    def _idf_map(self, cand_pdf_or_df) -> dict[str, float]:
+        """df per term aggregated across shards → idf."""
+        N = self.stats["N"]
+        if isinstance(cand_pdf_or_df, pd.DataFrame):
+            dfs = cand_pdf_or_df.groupby("term")["df"].sum().to_dict()
+        else:
+            from pyspark.sql import functions as F
+
+            rows = cand_pdf_or_df.groupBy("term").agg(F.sum("df").alias("df")).collect()
+            dfs = {r["term"]: r["df"] for r in rows}
+        return {t: _idf(N, int(d)) for t, d in dfs.items()}
+
+    # ------------------------------------------------------------- search
+
+    def search(self, query: str, k: int | None = 10, mode: str = "or") -> list[dict]:
+        """Driver-path search: candidate rows are collected (they are small
+        after bucket+term pruning) and scored in-process. Returns
+        [{doc_id, score, n_match}] ordered by (score desc, doc_id asc)."""
+        terms = self.query_terms(query)
+        if not terms:
+            return []  # reference behavior: unparseable/empty query → empty
+        cand = self._candidates(terms).toPandas()
+        if cand.empty:
+            return []
+        idf = self._idf_map(cand)
+        parts = [
+            score_shard(g, idf, self.stats["avgdl"], self.stats["k1"],
+                        self.stats["b"], k, mode, len(terms))
+            for _, g in cand.groupby("shard", sort=True)
+        ]
+        res = pd.concat(parts, ignore_index=True)
+        res = res.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
+        if k is not None:
+            res = res.head(k)
+        return res.to_dict("records")
+
+    def search_df(self, query: str, k: int | None = 10, mode: str = "or"):
+        """Distributed search: per-shard kernels + global sort-limit merge.
+        Returns a DataFrame (doc_id, score, n_match)."""
+        from pyspark.sql import functions as F
+
+        terms = self.query_terms(query)
+        empty = self.spark.createDataFrame([], RESULT_SCHEMA)
+        if not terms:
+            return empty
+        cand = self._candidates(terms).cache()
+        try:
+            idf = self._idf_map(cand)
+        finally:
+            pass
+        if not idf:
+            return empty
+        stats = self.stats
+        nq = len(terms)
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            return score_shard(pdf, idf, stats["avgdl"], stats["k1"], stats["b"], k, mode, nq)
+
+        scored = cand.groupBy("shard").applyInPandas(kernel, RESULT_SCHEMA)
+        out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        return out.limit(k) if k is not None else out
+
+    def search_with_payload(self, query: str, k: int = 10, mode: str = "or"):
+        """Top-k joined back to doc identity (broadcast join of the tiny
+        top-k side — the analog of reference SearchMixer.java:63-77 point
+        lookups)."""
+        from pyspark.sql import functions as F
+
+        topk = self.search_df(query, k, mode)
+        doc_map = self.spark.read.parquet(self.doc_map_path)
+        return (
+            doc_map.join(F.broadcast(topk), "doc_id")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+
+    # --------------------------------------------------------- completion
+
+    def complete(self, prefix: str, n: int = 20):
+        """Case-insensitive prefix completion over the dictionary, plus the
+        acronym path (rebuild of reference typedb/TypeDbImpl.java:82-104:
+        three SHOULD PrefixQuery clauses over lowercased name / simple-name /
+        acronym fields; acronym = concatenated uppercase chars,
+        TypeDbWriterImpl.java:77-86). Ranked by df desc (term asc tiebreak)."""
+        from pyspark.sql import functions as F
+
+        dic = self.spark.read.parquet(self.dict_path)
+        p = prefix.lower()
+        acro = F.regexp_replace(F.col("term"), "[^A-Z]", "")
+        cond = F.lower(F.col("term")).startswith(p) | (
+            (F.length(acro) > 1) & acro.startswith(prefix.upper())
+        )
+        return (
+            dic.where(cond)
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(n)
+            .select("term", "df", "cf")
+        )
