@@ -200,18 +200,23 @@ class SearchEngine:
     # --------------------------------------------------------- completion
 
     def complete(self, prefix: str, n: int = 20):
-        """Case-insensitive prefix completion over the dictionary, plus the
-        acronym path (rebuild of reference typedb/TypeDbImpl.java:82-104:
-        three SHOULD PrefixQuery clauses over lowercased name / simple-name /
-        acronym fields; acronym = concatenated uppercase chars,
+        """Case-insensitive prefix completion over the dictionary — the
+        rebuild of reference typedb/TypeDbImpl.java:82-104: three SHOULD
+        PrefixQuery clauses over (a) lowercased full name, (b) simple-name
+        parts (TypeCaseInsensitive analog: any camel/sep part of the term),
+        (c) acronym (= concatenated uppercase chars,
         TypeDbWriterImpl.java:77-86). Ranked by df desc (term asc tiebreak)."""
         from pyspark.sql import functions as F
+
+        from ..tokenizer import parts_col
 
         dic = self.spark.read.parquet(self.dict_path)
         p = prefix.lower()
         acro = F.regexp_replace(F.col("term"), "[^A-Z]", "")
-        cond = F.lower(F.col("term")).startswith(p) | (
-            (F.length(acro) > 1) & acro.startswith(prefix.upper())
+        cond = (
+            F.lower(F.col("term")).startswith(p)
+            | F.exists(parts_col(F.col("term")), lambda s: F.lower(s).startswith(p))
+            | ((F.length(acro) > 1) & acro.startswith(prefix.upper()))
         )
         return (
             dic.where(cond)

@@ -100,6 +100,20 @@ def tokens_col(col):
     return F.coalesce(F.concat(base, subs), empty)
 
 
+def parts_col(col):
+    """Spark Column: array<string> of a token's camel/sep parts (spec step 2,
+    without the >1-part condition). Used by prefix completion's simple-name
+    analog (reference typedb TypeCaseInsensitive field)."""
+    from pyspark.sql import functions as F
+
+    if isinstance(col, str):
+        col = F.col(col)
+    s = F.regexp_replace(col, CAMEL1[0], "$1 $2")
+    s = F.regexp_replace(s, CAMEL2[0], "$1 $2")
+    s = F.regexp_replace(s, SEPS_PATTERN, " ")
+    return F.filter(F.split(s, " "), lambda x: x != F.lit(""))
+
+
 @lru_cache(maxsize=1)
 def _pandas_tokenize_udf():
     """Arrow-vectorized pandas UDF variant of the tokenizer (same Python spec).
