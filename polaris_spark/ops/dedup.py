@@ -1,0 +1,190 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+All hashing is md5-based so the SAME signatures are computable in Spark
+(built-in ``md5``/``concat`` — JVM-side), DuckDB (oracle gate) and Python.
+No engine-specific hash (xxhash64/hash) crosses an implementation boundary.
+
+Scale notes: the candidate-pair generators are LSH-banded (MinHash) or
+shingle-join based — at 10^12 docs the shingle join is the shuffle to watch;
+band-bucket joins bound it to colliding buckets only. Exact dedup is a single
+hash-aggregate. The verify step (exact Jaccard on candidates) touches only
+candidate pairs.
+"""
+
+from __future__ import annotations
+
+N_SHINGLE = 3        # word n-gram size
+MINHASH_K = 16       # signature length
+LSH_BANDS = 4        # bands of r = K/BANDS rows
+SIMHASH_BITS = 16    # md5-hex nibbles used (16 nibbles = 64 bits via 4b/nibble)
+
+
+def _ws_tokens(col):
+    from pyspark.sql import functions as F
+
+    return F.filter(F.split(col, r"\s+"), lambda x: x != F.lit(""))
+
+
+def shingles_col(text_col, n: int = N_SHINGLE):
+    """Distinct word n-gram shingles of lowercased text (array<string>).
+    Docs with fewer than n words yield their full token join (single shingle)
+    so every non-empty doc has at least one shingle."""
+    from pyspark.sql import functions as F
+
+    toks = _ws_tokens(F.lower(text_col))
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(k > 0, F.array_distinct(grams)).otherwise(
+        F.expr("CAST(array() AS array<string>)")
+    )
+
+
+def exact_dup_groups(docs, text_col="text", id_col="doc_id"):
+    """(fingerprint, n_dups, min_doc_id) per identical-text group."""
+    from pyspark.sql import functions as F
+
+    fp = F.md5(F.col(text_col).cast("binary")).alias("fp")
+    return (
+        docs.select(fp, F.col(id_col))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_doc_id"))
+    )
+
+
+def doc_shingles(docs, text_col="text", id_col="doc_id", n: int = N_SHINGLE):
+    from pyspark.sql import functions as F
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles_col(F.col(text_col), n)).alias("shingle")
+    )
+
+
+def jaccard_pairs(docs, text_col="text", id_col="doc_id", threshold=0.5, n=N_SHINGLE):
+    """Exact n-gram Jaccard over all pairs sharing ≥1 shingle.
+
+    (shingle equi-join → pair intersection counts → set-size join). At scale,
+    restrict with MinHash LSH candidates first; this operator is the exact
+    verifier. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b."""
+    from pyspark.sql import functions as F
+
+    sh = doc_shingles(docs, text_col, id_col, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(docs, text_col="text", id_col="doc_id", k=MINHASH_K, n=N_SHINGLE):
+    """(doc_id, seed, minhash) — minhash[i] = min over shingles of
+    md5(i || '|' || shingle) (lexicographic min of hex strings; uniform)."""
+    from pyspark.sql import functions as F
+
+    sh = doc_shingles(docs, text_col, id_col, n)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed")
+    return (
+        sh.select("doc_id", "shingle", seeds)
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle")).cast("binary")).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(docs, text_col="text", id_col="doc_id",
+                        k=MINHASH_K, bands=LSH_BANDS, n=N_SHINGLE):
+    """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
+    band_hash = md5 of the band's concatenated minhashes; the bucket join is
+    the only pair-producing operation (bounded by true collisions)."""
+    from pyspark.sql import functions as F
+
+    r = k // bands
+    sig = minhash_signatures(docs, text_col, id_col, k, n)
+    bandt = (
+        sig.withColumn("band", (F.col("seed") / r).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list(
+            F.concat_ws(":", F.col("seed").cast("string"), F.col("minhash"))
+        ))).cast("binary")).alias("band_hash"))
+    )
+    a, b = bandt.alias("a"), bandt.alias("b")
+    return (
+        a.join(b, ["band", "band_hash"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash_col(text_col, id_col_unused=None):
+    """64-bit SimHash as a hex string, portable construction:
+    bit j of term t = 1 iff first hex char of md5(j || '|' || t) >= '8';
+    simhash bit j = 1 iff Σ_t tf(t) * (2*bit_j(t) - 1) > 0.
+    Implemented over whitespace tokens (lowercased)."""
+    from pyspark.sql import functions as F
+
+    toks = _ws_tokens(F.lower(text_col))
+
+    def _vote(j):
+        jl = str(j)
+
+        def step(acc, t):
+            bit = F.substring(
+                F.md5(F.concat_ws("|", F.lit(jl), t).cast("binary")), 1, 1
+            ) >= F.lit("8")
+            return acc + F.when(bit, F.lit(1)).otherwise(F.lit(-1))
+
+        return F.aggregate(toks, F.lit(0), step)
+
+    bits = [F.when(_vote(j) > 0, F.lit(1)).otherwise(F.lit(0)) for j in range(SIMHASH_BITS)]
+    # pack bits (MSB first) into a hex string, nibble by nibble
+    nibbles = []
+    for i in range(0, SIMHASH_BITS, 4):
+        v = bits[i] * 8 + bits[i + 1] * 4 + bits[i + 2] * 2 + bits[i + 3]
+        nibbles.append(F.lower(F.hex(v.cast("int"))))
+    return F.concat(*nibbles)
+
+
+# --------------------------------------------------------- DuckDB mirrors
+
+def duckdb_shingles(col_sql: str, n: int = N_SHINGLE) -> str:
+    toks = f"list_filter(string_split_regex(lower({col_sql}), '\\s+'), x -> x != '')"
+    grams = (
+        f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 1) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))"
+    )
+    return f"CASE WHEN len({toks}) > 0 THEN list_distinct({grams}) ELSE [] END"
+
+
+def duckdb_minhash_sql(table: str, id_col: str, text_col: str, k=MINHASH_K, n=N_SHINGLE) -> str:
+    """SQL producing (doc_id, seed, minhash)."""
+    return f"""
+WITH sh AS (
+  SELECT {id_col} AS doc_id, unnest({duckdb_shingles(text_col, n)}) AS shingle
+  FROM {table}
+), seeded AS (
+  SELECT doc_id, seed, md5(seed::VARCHAR || '|' || shingle) AS h
+  FROM sh CROSS JOIN (SELECT unnest(range(0, {k})) AS seed)
+)
+SELECT doc_id, seed, min(h) AS minhash FROM seeded GROUP BY doc_id, seed
+"""

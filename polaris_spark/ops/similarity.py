@@ -1,0 +1,115 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`cosine_topk` — brute-force exact cosine top-k, fully Spark-native
+  (``zip_with`` + ``aggregate``; JVM-side, no Python). The baseline.
+- :func:`ivf_topk` — IVF-style scale path: embeddings are pre-bucketed by
+  nearest centroid; queries probe only the closest ``nprobe`` buckets. With
+  ``nprobe == n_centroids`` results are exactly the brute-force ones (tested);
+  smaller nprobe trades recall for a ~n_centroids/nprobe scan reduction —
+  at 10^12 vectors the bucketed table is partitioned by centroid id so a
+  probe is a partition-pruned scan.
+
+Scores are rounded to 6dp for cross-engine (DuckDB) comparison.
+"""
+
+from __future__ import annotations
+
+
+def _dot(a, b):
+    from pyspark.sql import functions as F
+
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double"),
+    )
+
+
+def _norm(a):
+    from pyspark.sql import functions as F
+
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double"))
+    )
+
+
+def cosine_sim_col(vec_col, query: list[float]):
+    from pyspark.sql import functions as F
+
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return _dot(vec_col, q) / (_norm(vec_col) * _norm(q))
+
+
+def cosine_topk(emb, query: list[float], k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Exact top-k by cosine similarity: (vec_id, sim) ordered
+    (sim desc, vec_id asc)."""
+    from pyspark.sql import functions as F
+
+    return (
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.round(cosine_sim_col(F.col(vec_col), query), 6).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def assign_centroids(emb, centroids: list[list[float]],
+                     vec_col: str = "embedding", id_col: str = "vec_id"):
+    """(vec_id, centroid_id, embedding): nearest centroid by cosine
+    (ties → lowest id). Centroids are a driver-side list (broadcast by
+    closure) — at scale they come from a sampled k-means job."""
+    from pyspark.sql import functions as F
+
+    best_id, best_sim = F.lit(0), cosine_sim_col(F.col(vec_col), centroids[0])
+    for cid in range(1, len(centroids)):
+        sim = cosine_sim_col(F.col(vec_col), centroids[cid])
+        improved = sim > best_sim
+        best_id = F.when(improved, F.lit(cid)).otherwise(best_id)
+        best_sim = F.when(improved, sim).otherwise(best_sim)
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        best_id.alias("centroid_id"),
+        F.col(vec_col).alias("embedding"),
+    )
+
+
+def ivf_topk(emb, centroids: list[list[float]], query: list[float],
+             k: int = 10, nprobe: int = 2,
+             vec_col: str = "embedding", id_col: str = "vec_id"):
+    """IVF search: rank centroids by cosine to the query, scan the nprobe
+    nearest buckets, exact cosine inside."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    qa = np.asarray(query, dtype=np.float64)
+    cn = np.asarray(centroids, dtype=np.float64)
+    sims = cn @ qa / (np.linalg.norm(cn, axis=1) * np.linalg.norm(qa))
+    probe = np.argsort(-sims)[:nprobe].tolist()
+    assigned = assign_centroids(emb, centroids, vec_col, id_col)
+    return (
+        assigned.where(F.col("centroid_id").isin(probe))
+        .select(
+            "vec_id",
+            F.round(cosine_sim_col(F.col("embedding"), query), 6).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+# --------------------------------------------------------- DuckDB mirror
+
+def duckdb_cosine_topk_sql(table: str, id_col: str, vec_col: str,
+                           query: list[float], k: int = 10) -> str:
+    q = "[" + ", ".join(repr(float(x)) for x in query) + "]::DOUBLE[]"
+    vec = f"{vec_col}::DOUBLE[]"
+    dot = f"list_sum(list_transform(list_zip({vec}, {q}), p -> p[1] * p[2]))"
+    n1 = f"sqrt(list_sum(list_transform({vec}, x -> x * x)))"
+    n2 = f"sqrt(list_sum(list_transform({q}, x -> x * x)))"
+    return (
+        f"SELECT {id_col} AS vec_id, round({dot} / ({n1} * {n2}), 6) AS sim "
+        f"FROM {table} ORDER BY sim DESC, vec_id ASC LIMIT {k}"
+    )

@@ -1,0 +1,148 @@
+"""Text-analysis operators for training-data pipelines.
+
+All are pure Spark-native column expressions (JVM-side, whole-stage codegen,
+no Python in the hot path) with DuckDB-SQL mirrors used by the correctness
+gate. Semantics are defined HERE (both implementations follow this spec):
+
+- token_count:     whitespace tokens (split on \\s+) and engine terms
+                   (tokenizer spec base+sub tokens).
+- quality:         length/alpha/punct/stopword ratios → quality score in
+                   [0,1]: 0.25*cap(n_ws/100) + 0.25*alpha_ratio +
+                   0.25*(1-punct_ratio) + 0.25*stop_ratio, rounded 4dp.
+- langid:          argmax over per-language stopword hit counts on lowercased
+                   whitespace tokens; ties + zero hits → 'und'. Deterministic
+                   tiebreak: language list order.
+- fingerprint:     md5 of the normalized text (lowercase, collapse all \\s+
+                   runs to single spaces, trim) — a portable stand-in for a
+                   rolling-hash document fingerprint.
+"""
+
+from __future__ import annotations
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "de", "que", "por"],
+}
+LANGS = ["en", "de", "fr", "es"]  # fixed tiebreak order
+
+
+def _ws_tokens_col(col):
+    from pyspark.sql import functions as F
+
+    return F.filter(F.split(col, r"\s+"), lambda x: x != F.lit(""))
+
+
+def token_count_cols(text_col):
+    """(n_ws_tokens, n_terms) columns."""
+    from pyspark.sql import functions as F
+
+    from ..tokenizer import tokens_col
+
+    return (
+        F.size(_ws_tokens_col(text_col)).alias("n_ws_tokens"),
+        F.size(tokens_col(text_col)).alias("n_terms"),
+    )
+
+
+def quality_cols(text_col):
+    from pyspark.sql import functions as F
+
+    n_chars = F.length(text_col)
+    alpha = F.length(F.regexp_replace(text_col, "[^A-Za-z]", ""))
+    punct = F.length(F.regexp_replace(text_col, r"[^.,;:!?(){}\[\]\"'`]", ""))
+    ws = _ws_tokens_col(text_col)
+    n_ws = F.size(ws)
+    stop_hits = F.size(F.filter(ws, lambda w: F.lower(w).isin(STOPWORDS["en"])))
+    safe = lambda num, den: F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
+    alpha_ratio = safe(alpha, n_chars)
+    punct_ratio = safe(punct, n_chars)
+    stop_ratio = safe(stop_hits, n_ws)
+    quality = F.round(
+        0.25 * F.least(n_ws.cast("double") / 100.0, F.lit(1.0))
+        + 0.25 * alpha_ratio
+        + 0.25 * (1.0 - punct_ratio)
+        + 0.25 * stop_ratio,
+        4,
+    )
+    return (
+        n_chars.alias("n_chars_calc"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def langid_col(text_col):
+    """Predicted language code ('und' when no stopword hits)."""
+    from pyspark.sql import functions as F
+
+    ws = _ws_tokens_col(text_col)
+
+    def _hits(lang):
+        words = STOPWORDS[lang]
+        return F.size(F.filter(ws, lambda w: F.lower(w).isin(words)))
+
+    hits = {lang: _hits(lang) for lang in LANGS}
+    best = F.greatest(*[hits[L] for L in LANGS])
+    out = F.lit("und")
+    # first language (in LANGS order) achieving the max wins
+    for lang in reversed(LANGS):
+        out = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def fingerprint_col(text_col):
+    from pyspark.sql import functions as F
+
+    norm = F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " "))
+    return F.md5(norm.cast("binary"))
+
+
+# ------------------------------------------------------------ DuckDB mirrors
+
+def duckdb_ws_tokens(col_sql: str) -> str:
+    return f"list_filter(string_split_regex({col_sql}, '\\s+'), x -> x != '')"
+
+
+def _duck_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def duckdb_quality_sql(col_sql: str) -> str:
+    ws = duckdb_ws_tokens(col_sql)
+    n_chars = f"length({col_sql})"
+    alpha = f"length(regexp_replace({col_sql}, '[^A-Za-z]', '', 'g'))"
+    punct = f"length(regexp_replace({col_sql}, '[^.,;:!?(){{}}\\[\\]\"''`]', '', 'g'))"
+    n_ws = f"len({ws})"
+    stop = f"len(list_filter({ws}, w -> list_contains({_duck_list(STOPWORDS['en'])}, lower(w))))"
+    safe = lambda num, den: f"(CASE WHEN {den} > 0 THEN {num}::DOUBLE / {den} ELSE 0.0 END)"
+    alpha_r, punct_r, stop_r = safe(alpha, n_chars), safe(punct, n_chars), safe(stop, n_ws)
+    quality = (
+        f"round(0.25 * least({n_ws}::DOUBLE / 100.0, 1.0) + 0.25 * {alpha_r} "
+        f"+ 0.25 * (1.0 - {punct_r}) + 0.25 * {stop_r}, 4)"
+    )
+    return (
+        f"{n_chars} AS n_chars_calc, round({alpha_r}, 4) AS alpha_ratio, "
+        f"round({punct_r}, 4) AS punct_ratio, round({stop_r}, 4) AS stop_ratio, "
+        f"{quality} AS quality"
+    )
+
+
+def duckdb_langid_sql(col_sql: str) -> str:
+    ws = duckdb_ws_tokens(col_sql)
+    hits = {
+        L: f"len(list_filter({ws}, w -> list_contains({_duck_list(STOPWORDS[L])}, lower(w))))"
+        for L in LANGS
+    }
+    best = "greatest(" + ", ".join(hits[L] for L in LANGS) + ")"
+    expr = "'und'"
+    for lang in reversed(LANGS):
+        expr = f"CASE WHEN {hits[lang]} = {best} AND {best} > 0 THEN '{lang}' ELSE {expr} END"
+    return expr
+
+
+def duckdb_fingerprint_sql(col_sql: str) -> str:
+    return f"md5(trim(regexp_replace(lower({col_sql}), '\\s+', ' ', 'g')))"

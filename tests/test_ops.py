@@ -1,0 +1,134 @@
+"""Training-data ops: Spark implementation vs DuckDB mirror on real testdata
+(sf0.001 documents/embeddings) — a local rehearsal of the driver's gate."""
+
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    c.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'")
+    return c
+
+
+def _cmp(spark_df, duck_rows, key=None):
+    got = sorted(map(tuple, spark_df.collect()))
+    exp = sorted(map(tuple, duck_rows))
+    assert len(got) == len(exp), f"{len(got)} vs {len(exp)}"
+    assert got == exp
+
+
+def test_exact_dup_groups(spark, docs, con):
+    from polaris_spark.ops.dedup import exact_dup_groups
+
+    _cmp(
+        exact_dup_groups(docs),
+        con.execute(
+            "SELECT md5(text) fp, count(*) n, min(doc_id) k FROM documents GROUP BY 1"
+        ).fetchall(),
+    )
+
+
+def test_minhash_signatures(spark, docs, con):
+    from polaris_spark.ops.dedup import duckdb_minhash_sql, minhash_signatures
+
+    _cmp(
+        minhash_signatures(docs, k=8),
+        con.execute(duckdb_minhash_sql("documents", "doc_id", "text", k=8)).fetchall(),
+    )
+
+
+def test_jaccard_pairs_runs(spark, docs):
+    from polaris_spark.ops.dedup import jaccard_pairs
+
+    # synthetic corpus has no near-dups at this threshold; assert plumbing
+    out = jaccard_pairs(docs, threshold=0.8).collect()
+    assert isinstance(out, list)
+
+
+def test_lsh_candidates_subset_consistency(spark, docs):
+    from polaris_spark.ops.dedup import jaccard_pairs, lsh_candidate_pairs
+
+    # every truly-identical pair must be an LSH candidate (here: none exist,
+    # so just check the op runs and yields no self-pairs)
+    cands = lsh_candidate_pairs(docs.limit(100)).collect()
+    assert all(r["doc_a"] < r["doc_b"] for r in cands)
+
+
+def test_cosine_topk_vs_duckdb(spark, con):
+    from polaris_spark.ops.similarity import cosine_topk, duckdb_cosine_topk_sql
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = con.execute("SELECT embedding FROM embeddings WHERE vec_id = 0").fetchone()[0]
+    got = [(r["vec_id"], r["sim"]) for r in cosine_topk(emb, q, k=10).collect()]
+    exp = con.execute(duckdb_cosine_topk_sql("embeddings", "vec_id", "embedding", q, 10)).fetchall()
+    assert got == [tuple(r) for r in exp]
+
+
+def test_ivf_full_probe_equals_bruteforce(spark, con):
+    from polaris_spark.ops.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = con.execute("SELECT embedding FROM embeddings WHERE vec_id < 4 ORDER BY vec_id").fetchall()
+    centroids = [list(r[0]) for r in rows]
+    q = centroids[1]
+    brute = [(r["vec_id"], r["sim"]) for r in cosine_topk(emb, q, k=10).collect()]
+    full = [(r["vec_id"], r["sim"]) for r in ivf_topk(emb, centroids, q, k=10, nprobe=4).collect()]
+    assert brute == full
+    # reduced probe returns a subset ranking, same ordering rules
+    part = [(r["vec_id"], r["sim"]) for r in ivf_topk(emb, centroids, q, k=10, nprobe=1).collect()]
+    assert len(part) <= 10 and part == sorted(part, key=lambda t: (-t[1], t[0]))
+
+
+def test_quality_and_langid_and_fp_vs_duckdb(spark, docs, con):
+    from pyspark.sql import functions as F
+
+    from polaris_spark.ops.text import (
+        duckdb_fingerprint_sql,
+        duckdb_langid_sql,
+        duckdb_quality_sql,
+        fingerprint_col,
+        langid_col,
+        quality_cols,
+    )
+
+    got = docs.select(F.col("doc_id"), *quality_cols(F.col("text")),
+                      langid_col(F.col("text")).alias("lang_pred"),
+                      fingerprint_col(F.col("text")).alias("fp"))
+    exp = con.execute(
+        f"SELECT doc_id, {duckdb_quality_sql('text')}, {duckdb_langid_sql('text')} AS lang_pred, "
+        f"{duckdb_fingerprint_sql('text')} AS fp FROM documents"
+    ).fetchall()
+    _cmp(got, exp)
+
+
+def test_token_counts_vs_duckdb(spark, docs, con):
+    from pyspark.sql import functions as F
+
+    from polaris_spark.ops.text import duckdb_ws_tokens, token_count_cols
+    from polaris_spark.tokenizer import duckdb_tokens_sql
+
+    got = docs.select("doc_id", *token_count_cols(F.col("text")))
+    exp = con.execute(
+        f"SELECT doc_id, len({duckdb_ws_tokens('text')}) AS n_ws_tokens, "
+        f"len({duckdb_tokens_sql('text')}) AS n_terms FROM documents"
+    ).fetchall()
+    _cmp(got, exp)
+
+
+def test_simhash_runs(spark, docs):
+    from pyspark.sql import functions as F
+
+    from polaris_spark.ops.dedup import simhash_col
+
+    rows = docs.limit(20).select("doc_id", simhash_col(F.col("text")).alias("sh")).collect()
+    assert all(len(r["sh"]) == 4 for r in rows)  # 16 bits → 4 hex nibbles
