@@ -246,7 +246,10 @@ def build_index(
     doc_stats_path = os.path.join(index_dir, "doc_stats")
     if not (resume and _done(man_dir, "doc_stats")):
         tf_all = spark.read.parquet(tf_path)
-        tf_all.select("doc_id", "dl").dropDuplicates(["doc_id"]).write.mode(
+        # every doc gets a dl row — zero-token docs too (N/avgdl must count them)
+        dm = spark.read.parquet(doc_map_path).select("doc_id")
+        dls = tf_all.select("doc_id", "dl").dropDuplicates(["doc_id"])
+        dm.join(dls, "doc_id", "left").fillna(0, subset=["dl"]).write.mode(
             "overwrite"
         ).parquet(doc_stats_path)
         sum_dl = spark.read.parquet(doc_stats_path).agg(F.sum("dl")).collect()[0][0] or 0

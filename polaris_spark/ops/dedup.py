@@ -121,7 +121,7 @@ def lsh_candidate_pairs(docs, text_col="text", id_col="doc_id",
     r = k // bands
     sig = minhash_signatures(docs, text_col, id_col, k, n)
     bandt = (
-        sig.withColumn("band", (F.col("seed") / r).cast("int"))
+        sig.withColumn("band", F.floor(F.col("seed") / r).cast("int"))
         .groupBy("doc_id", "band")
         .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list(
             F.concat_ws(":", F.col("seed").cast("string"), F.col("minhash"))
