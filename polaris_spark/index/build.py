@@ -220,8 +220,12 @@ def build_index(
     if not (resume and _done(man_dir, "doc_map")):
         dm = docs.select("doc_id", *[c for c in id_cols if c != "doc_id"])
         dm.write.mode("overwrite").parquet(doc_map_path)
-        n_docs = spark.read.parquet(doc_map_path).count()
-        n_distinct = spark.read.parquet(doc_map_path).select("doc_id").distinct().count()
+        row = (
+            spark.read.parquet(doc_map_path)
+            .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("nd"))
+            .collect()[0]
+        )
+        n_docs, n_distinct = row["n"], row["nd"]
         if n_docs != n_distinct:
             raise ValueError(
                 f"doc_id collision: {n_docs} docs, {n_distinct} distinct ids"
@@ -239,7 +243,7 @@ def build_index(
             .partitionBy("chunk")
             .parquet(tf_path)
         )
-        _mark(man_dir, "tf", {"rows": spark.read.parquet(tf_path).count()})
+        _mark(man_dir, "tf", {})
 
     # ---- doc_stats + global stats ---------------------------------------
     stats_path = os.path.join(index_dir, "_stats.json")

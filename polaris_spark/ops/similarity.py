@@ -100,6 +100,61 @@ def ivf_topk(emb, centroids: list[list[float]], query: list[float],
     )
 
 
+def embedding_neardup_pairs(emb, threshold: float = 0.95,
+                            vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cos ≥ threshold).
+
+    Brute-force O(n²) pair join — the EXACT verifier. At scale, feed it
+    :func:`srp_candidate_pairs` candidates instead of the full cross join."""
+    from pyspark.sql import functions as F
+
+    a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea"))
+    b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    return (
+        pairs.select("vec_a", "vec_b", F.round(cos, 6).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def srp_signature_col(vec_col, planes):
+    """Signed-random-projection (SimHash-for-vectors) signature: bit i =
+    sign(v · plane_i), packed into a bit string. ``planes`` is a seeded
+    numpy (n_bits, dim) matrix generated driver-side (deterministic)."""
+    from pyspark.sql import functions as F
+
+    bits = []
+    for p in planes:
+        d = _dot(vec_col, F.array(*[F.lit(float(x)) for x in p]))
+        bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def srp_candidate_pairs(emb, n_bits: int = 16, seed: int = 42,
+                        vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Cosine-LSH candidates: vectors sharing an SRP bucket. The bucket join
+    replaces the O(n²) cross join — at 10^12 vectors the signature table is
+    partitioned by bucket and the join is per-bucket local."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    dim = len(emb.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bits, dim))
+    sig = emb.select(
+        F.col(id_col).alias("vec_id"),
+        srp_signature_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(b, "bucket")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+
+
 # --------------------------------------------------------- DuckDB mirror
 
 def duckdb_cosine_topk_sql(table: str, id_col: str, vec_col: str,

@@ -101,6 +101,29 @@ def fingerprint_col(text_col):
     return F.md5(norm.cast("binary"))
 
 
+def snippet_col(text_col, terms: list[str], before: int = 2, after: int = 3):
+    """Context-window summary: the lines around the first line containing any
+    query term, ±(before, after) lines — the rebuild of reference
+    search/SearchMixer.java:79-89 (getSummary ±(2,3)) and the stripped-line
+    snippet of parser/TypeUtils.java:212-216. Spark-native (no UDF)."""
+    from pyspark.sql import functions as F
+
+    lines = F.split(text_col, "\n")
+    n = F.size(lines)
+
+    def has_term(line):
+        cond = F.lit(False)
+        for t in terms:
+            cond = cond | line.contains(t)
+        return cond
+
+    matches = F.filter(F.sequence(F.lit(1), n), lambda i: has_term(F.element_at(lines, i)))
+    first = F.coalesce(F.element_at(matches, 1), F.lit(1))
+    start = F.greatest(first - before, F.lit(1))
+    length = F.lit(before + after + 1)
+    return F.concat_ws("\n", F.slice(lines, start, length))
+
+
 # ------------------------------------------------------------ DuckDB mirrors
 
 def duckdb_ws_tokens(col_sql: str) -> str:

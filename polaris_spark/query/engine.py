@@ -104,6 +104,9 @@ class SearchEngine:
         self.post_root = os.path.join(index_dir, "postings")
         self.dict_path = os.path.join(index_dir, "dictionary")
         self.doc_map_path = os.path.join(index_dir, "doc_map")
+        # cache the (lazy) postings DataFrame: avoids re-listing/schema
+        # inference per query; bucket partition-pruning still applies
+        self._posts = self.spark.read.parquet(self.post_root)
 
     # ------------------------------------------------------------ helpers
 
@@ -117,7 +120,7 @@ class SearchEngine:
     def _candidates(self, terms: list[str]):
         from pyspark.sql import functions as F
 
-        posts = self.spark.read.parquet(self.post_root)
+        posts = self._posts
         return posts.where(
             F.col("bucket").isin(self._buckets(terms)) & F.col("term").isin(terms)
         )
@@ -183,6 +186,14 @@ class SearchEngine:
         scored = cand.groupBy("shard").applyInPandas(kernel, RESULT_SCHEMA)
         out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
         return out.limit(k) if k is not None else out
+
+    def search_page(self, query: str, rank_from: int = 0, rank_to: int = 20,
+                    mode: str = "or") -> list[dict]:
+        """Pagination window over the ranked hits — the reference's
+        ``hits.subList(rankFrom, min(size, rankTo))`` with defaults 0..20
+        (CodeSearchImpl.java:81-84)."""
+        hits = self.search(query, k=rank_to, mode=mode)
+        return hits[rank_from:rank_to]
 
     def search_with_payload(self, query: str, k: int = 10, mode: str = "or"):
         """Top-k joined back to doc identity (broadcast join of the tiny
