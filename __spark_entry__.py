@@ -30,7 +30,7 @@ _INDEX_CFG = dict(n_buckets=32, n_shards=8, n_chunks=4)
 
 
 def _index_dir(sf_dir: str) -> str:
-    key = hashlib.md5(f"{sf_dir}|{sorted(_INDEX_CFG.items())}|v3".encode()).hexdigest()[:12]
+    key = hashlib.md5(f"{sf_dir}|{sorted(_INDEX_CFG.items())}|v4".encode()).hexdigest()[:12]
     return os.path.join(CACHE, f"docidx_{key}")
 
 
@@ -224,7 +224,7 @@ def _q_transcripts_invariant(spark, sf_dir):
 
     pdf = make_transcripts(n_turns=2000, seed=42)
     docs = spark.createDataFrame(pdf)
-    idx = os.path.join(CACHE, "transcripts_inv_idx")
+    idx = os.path.join(CACHE, "transcripts_inv_idx_v4")
     from polaris_spark.index.build import IndexConfig, build_index
 
     build_index(spark, docs, idx, cfg=IndexConfig(**_INDEX_CFG))

@@ -61,7 +61,7 @@ from ..tokenizer import TOKENIZER_VERSION, tokenize, tokens_col
 from .codec import BLOCK_SIZE, block_last, block_max_float, encode_ints
 
 POSTINGS_SCHEMA = (
-    "term string, bucket int, shard int, df bigint, cf bigint, "
+    "term string, bucket int, shard int, salted boolean, df bigint, cf bigint, "
     "doc_ids binary, tfs binary, dls binary, "
     "block_last array<bigint>, block_max array<double>"
 )
@@ -75,6 +75,7 @@ class IndexConfig:
     n_buckets: int = 64      # term-hash buckets (≥ 4096 at full scale)
     n_shards: int = 8        # doc-space salt; bounds hot-term groups (≥ 4×executors at scale)
     n_chunks: int = 4        # resume granularity: independent encode jobs over bucket ranges
+    hot_df_threshold: int = 4096  # df above which a term is doc-shard salted (freq-based salting)
     block: int = BLOCK_SIZE  # postings per block-max block
     k1: float = BM25_K1
     b: float = BM25_B
@@ -132,52 +133,78 @@ def _tf_dataframe(docs, cfg: IndexConfig, text_col: str):
         tf.where(F.col("term").isNotNull())
         .withColumn("bucket", (F.crc32(F.col("term").cast("binary")) % cfg.n_buckets).cast("int"))
         .withColumn("chunk", (F.col("bucket") / buckets_per_chunk).cast("int"))
-        .withColumn("shard", F.pmod(F.col("doc_id"), F.lit(cfg.n_shards)).cast("int"))
     )
 
 
 def _encode_kernel(cfg: IndexConfig, avgdl: float):
-    """applyInPandas kernel: all (doc_id, dl, term, tf) rows of one
-    (bucket, shard) group → one encoded posting row per term."""
+    """applyInPandas kernel: all (doc_id, dl, term, tf, salted) rows of one
+    (bucket, shard) group → one encoded posting row per term.
+
+    Fully vectorized: the whole group is delta/zigzag/varint-encoded as one
+    stream (``varint_parts``) and per-term byte ranges are sliced out — no
+    per-term re-encoding. Python touches each TERM once (slicing), never each
+    posting."""
     k1, b, block = cfg.k1, cfg.b, cfg.block
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        if pdf.empty:
-            return pd.DataFrame(
-                columns=["term", "bucket", "shard", "df", "cf", "doc_ids", "tfs",
-                         "dls", "block_last", "block_max"]
-            )
+        from .codec import varint_parts, zigzag_encode
+
         bucket = int(pdf["bucket"].iloc[0])
         shard = int(pdf["shard"].iloc[0])
         terms = pdf["term"].to_numpy()
         docs = pdf["doc_id"].to_numpy(dtype=np.int64)
         tfs = pdf["tf"].to_numpy(dtype=np.int64)
         dls = pdf["dl"].to_numpy(dtype=np.int64)
+        hot = pdf["is_hot"].to_numpy(dtype=bool)
         order = np.lexsort((docs, terms))
-        terms, docs, tfs, dls = terms[order], docs[order], tfs[order], dls[order]
+        terms, docs, tfs, dls, hot = (
+            terms[order], docs[order], tfs[order], dls[order], hot[order]
+        )
         starts = np.concatenate(([0], np.flatnonzero(terms[1:] != terms[:-1]) + 1))
         ends = np.concatenate((starts[1:], [len(terms)]))
+        n_terms = len(starts)
+        # per-run delta encode in one pass (reset at run starts)
+        deltas = np.empty_like(docs)
+        deltas[1:] = docs[1:] - docs[:-1]
+        deltas[starts] = docs[starts]
+        dbuf, dnb = varint_parts(zigzag_encode(deltas))
+        tbuf, tnb = varint_parts(zigzag_encode(tfs))
+        lbuf, lnb = varint_parts(zigzag_encode(dls))
+        dof = np.concatenate(([0], np.cumsum(dnb)))
+        tof = np.concatenate(([0], np.cumsum(tnb)))
+        lof = np.concatenate(([0], np.cumsum(lnb)))
+        dbytes, tbytes, lbytes = dbuf.tobytes(), tbuf.tobytes(), lbuf.tobytes()
         # idf-independent BM25 impact for block-max metadata (float64, same
         # expression as the scorer)
         impacts = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
-        rows = []
-        for s, e in zip(starts, ends):
-            d = docs[s:e]
-            rows.append(
-                {
-                    "term": terms[s],
-                    "bucket": bucket,
-                    "shard": shard,
-                    "df": int(e - s),
-                    "cf": int(tfs[s:e].sum()),
-                    "doc_ids": encode_ints(d, delta=True),
-                    "tfs": encode_ints(tfs[s:e]),
-                    "dls": encode_ints(dls[s:e]),
-                    "block_last": block_last(d, block).tolist(),
-                    "block_max": block_max_float(impacts[s:e], block).tolist(),
-                }
-            )
-        return pd.DataFrame(rows)
+        cfs = np.add.reduceat(tfs, starts)
+        c_doc, c_tf, c_dl, c_bl, c_bm = [], [], [], [], []
+        for i in range(n_terms):
+            s, e = starts[i], ends[i]
+            c_doc.append(dbytes[dof[s]:dof[e]])
+            c_tf.append(tbytes[tof[s]:tof[e]])
+            c_dl.append(lbytes[lof[s]:lof[e]])
+            if e - s <= block:
+                c_bl.append([int(docs[e - 1])])
+                c_bm.append([float(impacts[s:e].max())])
+            else:
+                c_bl.append(block_last(docs[s:e], block).tolist())
+                c_bm.append(block_max_float(impacts[s:e], block).tolist())
+        return pd.DataFrame(
+            {
+                "term": terms[starts],
+                "bucket": bucket,
+                "shard": shard,
+                "salted": hot[starts],
+                "df": (ends - starts).astype(np.int64),
+                "cf": cfs.astype(np.int64),
+                "doc_ids": c_doc,
+                "tfs": c_tf,
+                "dls": c_dl,
+                "block_last": c_bl,
+                "block_max": c_bm,
+            }
+        )
 
     return encode
 
@@ -203,6 +230,14 @@ def build_index(
 
     cfg = cfg or IndexConfig()
     t0 = time.time()
+    stage_wall: dict[str, float] = {}
+    _last = [t0]
+
+    def _lap(name: str) -> None:
+        now = time.time()
+        stage_wall[name] = round(now - _last[0], 3)
+        _last[0] = now
+
     os.makedirs(index_dir, exist_ok=True)
     man_dir = os.path.join(index_dir, "manifest")
     os.makedirs(man_dir, exist_ok=True)
@@ -214,6 +249,13 @@ def build_index(
         docs = docs.withColumn(
             "doc_id", F.xxhash64(*[F.col(c) for c in id_cols])
         )
+
+    # under-partitioned input (e.g. a single parquet file) would serialize
+    # the invert UDF onto one core — spread it first. At cluster scale the
+    # source has >> parallelism splits and this branch never fires.
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
 
     # ---- stage 0: doc_map + id-collision check -------------------------
     doc_map_path = os.path.join(index_dir, "doc_map")
@@ -232,6 +274,7 @@ def build_index(
             )
         _mark(man_dir, "doc_map", {"n_docs": n_docs})
     n_docs = _read_mark(man_dir, "doc_map")["n_docs"]
+    _lap("doc_map")
 
     # ---- stage 1: map-side inversion → tf checkpoint --------------------
     tf_path = os.path.join(index_dir, "tf")
@@ -244,6 +287,7 @@ def build_index(
             .parquet(tf_path)
         )
         _mark(man_dir, "tf", {})
+    _lap("tf_invert")
 
     # ---- doc_stats + global stats ---------------------------------------
     stats_path = os.path.join(index_dir, "_stats.json")
@@ -271,9 +315,40 @@ def build_index(
         with open(stats_path, "w") as f:
             json.dump(stats, f, indent=1)
         _mark(man_dir, "doc_stats", {"sum_dl": int(sum_dl)})
+    _lap("doc_stats")
     with open(stats_path) as f:
         stats = json.load(f)
     avgdl = stats["avgdl"]
+
+    # ---- dictionary + hot-term sketch (one aggregation over tf) -----------
+    # The dictionary (term, df, cf) is the "merge" fold of the two-phase
+    # build; computing it from the tf checkpoint (rather than from encoded
+    # segments) lets the SAME job drive the frequency-based salting decision:
+    # terms with df > hot_df_threshold are doc-shard salted in stage 2, rare
+    # terms keep ONE posting row (grouped by a term-hash pseudo-shard so
+    # bucket content still spreads over all (bucket, shard) groups).
+    dict_path = os.path.join(index_dir, "dictionary")
+    if not (resume and _done(man_dir, "dictionary")):
+        dic = (
+            spark.read.parquet(tf_path)
+            .groupBy("term")
+            .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+            .repartitionByRange(max(1, cfg.n_chunks), "term")
+            .sortWithinPartitions("term")
+        )
+        dic.write.mode("overwrite").parquet(dict_path)
+        _mark(man_dir, "dictionary",
+              {"n_terms": spark.read.parquet(dict_path).count()})
+    if not (resume and _done(man_dir, "hot_terms")):
+        hot_rows = (
+            spark.read.parquet(dict_path)
+            .where(F.col("df") > cfg.hot_df_threshold)
+            .select("term")
+            .collect()
+        )
+        _mark(man_dir, "hot_terms", {"hot_terms": sorted(r["term"] for r in hot_rows)})
+    hot_terms = _read_mark(man_dir, "hot_terms")["hot_terms"]
+    _lap("dictionary_and_hot")
 
     # ---- stage 2: per-chunk encode (the resumable fan-out) ---------------
     post_root = os.path.join(index_dir, "postings")
@@ -287,6 +362,17 @@ def build_index(
         if os.path.exists(chunk_dir):
             shutil.rmtree(chunk_dir)  # wipe partial output from a dead run
         tf_c = spark.read.parquet(tf_path).where(F.col("chunk") == c)
+        is_hot = (
+            F.col("term").isin(hot_terms) if hot_terms else F.lit(False)
+        )
+        tf_c = tf_c.withColumn("is_hot", is_hot).withColumn(
+            "shard",
+            F.when(
+                F.col("is_hot"), F.pmod(F.col("doc_id"), F.lit(cfg.n_shards))
+            )
+            .otherwise(F.crc32(F.col("term").cast("binary")) % cfg.n_shards)
+            .cast("int"),
+        )
         seg = tf_c.groupBy("bucket", "shard").applyInPandas(kernel, POSTINGS_SCHEMA)
         seg.write.mode("overwrite").partitionBy("bucket").parquet(chunk_dir)
         out = spark.read.parquet(chunk_dir)
@@ -310,18 +396,7 @@ def build_index(
             },
         )
 
-    # ---- stage 3: dictionary (global merge of segment stats) -------------
-    dict_path = os.path.join(index_dir, "dictionary")
-    if not (resume and _done(man_dir, "dictionary")):
-        posts = spark.read.parquet(post_root)
-        dic = (
-            posts.groupBy("term")
-            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
-            .repartitionByRange(max(1, cfg.n_chunks), "term")
-            .sortWithinPartitions("term")
-        )
-        dic.write.mode("overwrite").parquet(dict_path)
-        _mark(man_dir, "dictionary", {"n_terms": spark.read.parquet(dict_path).count()})
+    _lap("encode_chunks")
 
     wall = time.time() - t0
     metrics = {
@@ -330,6 +405,7 @@ def build_index(
         "wall_s": round(wall, 3),
         "turns_per_sec": round(n_docs / wall, 1) if wall > 0 else None,
         "index_bytes": _dir_bytes(post_root),
+        "stage_wall": stage_wall,
     }
     with open(os.path.join(index_dir, "_build_metrics.json"), "w") as f:
         json.dump(metrics, f, indent=1)

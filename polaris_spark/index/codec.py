@@ -33,12 +33,13 @@ def zigzag_decode(u: np.ndarray) -> np.ndarray:
 
 # ------------------------------------------------------------------ varint
 
-def varint_encode(u: np.ndarray) -> bytes:
-    """uint64 array → LEB128 bytes (7 payload bits per byte, msb = continue)."""
+def varint_parts(u: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(byte_array, nbytes_per_value) — lets callers encode one big
+    concatenated stream and slice per-run byte ranges without re-encoding."""
     u = u.astype(np.uint64, copy=False)
     n = len(u)
     if n == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
     # byte-length per value: smallest k with value < 2^(7k), min 1 (≤10 passes)
     nbytes = np.ones(n, dtype=np.int64)
     tmp = u >> np.uint64(7)
@@ -58,7 +59,12 @@ def varint_encode(u: np.ndarray) -> bytes:
         last = nbytes[sel] == k + 1
         chunk[~last] |= 0x80
         out[starts[sel] + k] = chunk
-    return out.tobytes()
+    return out, nbytes
+
+
+def varint_encode(u: np.ndarray) -> bytes:
+    """uint64 array → LEB128 bytes (7 payload bits per byte, msb = continue)."""
+    return varint_parts(u)[0].tobytes()
 
 
 def varint_decode(buf: bytes) -> np.ndarray:

@@ -58,22 +58,37 @@ def score_shard(
     k: int | None,
     mode: str,
     n_query_terms: int,
+    n_shards: int | None = None,
+    shard: int | None = None,
 ) -> pd.DataFrame:
-    """Exact BM25 accumulation over one shard's candidate posting rows.
+    """Exact BM25 accumulation over candidate posting rows.
 
     Terms are processed in sorted order; each doc's score is the sequential
     float64 sum of its per-term contributions in that order — the same
     association as the numpy oracle, so scores match bit-for-bit.
+
+    When (n_shards, shard) is given (distributed path), decoded postings are
+    filtered to docs with ``pmod(doc_id, n_shards) == shard`` — a no-op for
+    salted rows (already shard-exact) and the dedup filter for unsalted rows
+    that were fanned out to every shard group.
     """
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "score": pd.Series(dtype="float64"),
+                          "n_match": pd.Series(dtype="int32")})
     if pdf.empty:
-        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                             "score": pd.Series(dtype="float64"),
-                             "n_match": pd.Series(dtype="int32")})
+        return empty
     pdf = pdf.sort_values("term", kind="mergesort")
     decoded = []  # (term, docs, tfs, dls)
     for row in pdf.itertuples(index=False):
         docs = decode_ints(row.doc_ids, delta=True)
-        decoded.append((row.term, docs, decode_ints(row.tfs), decode_ints(row.dls)))
+        tfs, dls = decode_ints(row.tfs), decode_ints(row.dls)
+        if shard is not None and n_shards is not None:
+            keep = (docs % n_shards) == shard
+            docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+        if len(docs):
+            decoded.append((row.term, docs, tfs, dls))
+    if not decoded:
+        return empty
     all_docs = np.unique(np.concatenate([d[1] for d in decoded]))
     scores = np.zeros(len(all_docs), dtype=np.float64)
     nmatch = np.zeros(len(all_docs), dtype=np.int32)
@@ -150,12 +165,11 @@ class SearchEngine:
         if cand.empty:
             return []
         idf = self._idf_map(cand)
-        parts = [
-            score_shard(g, idf, self.stats["avgdl"], self.stats["k1"],
-                        self.stats["b"], k, mode, len(terms))
-            for _, g in cand.groupby("shard", sort=True)
-        ]
-        res = pd.concat(parts, ignore_index=True)
+        # single pass over all candidate rows (storage has no duplicates; a
+        # salted term's rows carry disjoint doc slices, so per-doc sums stay
+        # complete and term-ordered)
+        res = score_shard(cand, idf, self.stats["avgdl"], self.stats["k1"],
+                          self.stats["b"], k, mode, len(terms))
         res = res.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
         if k is not None:
             res = res.head(k)
@@ -179,11 +193,23 @@ class SearchEngine:
             return empty
         stats = self.stats
         nq = len(terms)
+        S = int(stats["n_shards"])
+
+        # unsalted rows (whole posting lists) fan out to every shard group;
+        # the kernel filters their decoded docs to its shard. Salted rows are
+        # already shard-exact. Fan-out cost: (S × small rare rows).
+        salted = cand.where(F.col("salted"))
+        unsalted = cand.where(~F.col("salted")).withColumn(
+            "shard", F.explode(F.sequence(F.lit(0), F.lit(S - 1)))
+        )
+        routed = salted.unionByName(unsalted)
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            return score_shard(pdf, idf, stats["avgdl"], stats["k1"], stats["b"], k, mode, nq)
+            sh = int(pdf["shard"].iloc[0]) if len(pdf) else 0
+            return score_shard(pdf, idf, stats["avgdl"], stats["k1"], stats["b"],
+                               k, mode, nq, n_shards=S, shard=sh)
 
-        scored = cand.groupBy("shard").applyInPandas(kernel, RESULT_SCHEMA)
+        scored = routed.groupBy("shard").applyInPandas(kernel, RESULT_SCHEMA)
         out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
         return out.limit(k) if k is not None else out
 

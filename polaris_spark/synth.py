@@ -12,6 +12,8 @@ strings, and (optionally) a skew-fixture hot term appearing in ~30% of turns.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
@@ -111,12 +113,13 @@ def make_transcripts(
 
 
 def write_transcripts_parquet(path: str, n_turns: int, seed: int = 42, **kw) -> str:
-    """Write the deterministic corpus as parquet; chunked so large n_turns
-    doesn't need one giant pandas frame."""
+    """Write the deterministic corpus as a DIRECTORY of parquet part files
+    (~20k turns each) — a splittable input like any real table, so Spark
+    parallelizes the scan instead of serializing on one giant row group."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    chunk = 200_000
+    chunk = 20_000
     schema = pa.schema(
         [
             ("conv_id", pa.string()),
@@ -127,7 +130,7 @@ def write_transcripts_parquet(path: str, n_turns: int, seed: int = 42, **kw) -> 
             ("ts", pa.timestamp("us")),
         ]
     )
-    writer = pq.ParquetWriter(path, schema)
+    os.makedirs(path, exist_ok=True)
     done = 0
     part = 0
     while done < n_turns:
@@ -135,8 +138,10 @@ def write_transcripts_parquet(path: str, n_turns: int, seed: int = 42, **kw) -> 
         df = make_transcripts(n_turns=n, seed=seed + part, **kw)
         # keep conv ids globally unique across chunks
         df["conv_id"] = df["conv_id"].str.replace("conv-", f"conv-{part:03d}-", regex=False)
-        writer.write_table(pa.Table.from_pandas(df, schema=schema, preserve_index=False))
+        pq.write_table(
+            pa.Table.from_pandas(df, schema=schema, preserve_index=False),
+            os.path.join(path, f"part-{part:05d}.parquet"),
+        )
         done += n
         part += 1
-    writer.close()
     return path

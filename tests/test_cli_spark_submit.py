@@ -1,0 +1,61 @@
+"""spark-submit --py-files packaging smoke: the north rule's deployment
+surface. Zips the package, builds a tiny index and queries it through
+bin/spark-submit in subprocesses (fresh JVMs, no pytest session reuse)."""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+
+
+def _zip_pkg(tmp) -> str:
+    zp = os.path.join(tmp, "polaris_spark.zip")
+    with zipfile.ZipFile(zp, "w") as z:
+        for root, _dirs, files in os.walk(os.path.join(REPO, "polaris_spark")):
+            for fn in files:
+                if fn.endswith(".py"):
+                    p = os.path.join(root, fn)
+                    z.write(p, os.path.relpath(p, REPO))
+    return zp
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT), reason="no spark-submit")
+def test_spark_submit_build_and_query(tmp_path):
+    tmp = str(tmp_path)
+    zp = _zip_pkg(tmp)
+
+    # tiny input corpus
+    from polaris_spark.synth import write_transcripts_parquet
+
+    inp = os.path.join(tmp, "transcripts")
+    write_transcripts_parquet(inp, 500, seed=5)
+    idx = os.path.join(tmp, "idx")
+
+    env = {**os.environ, "PYSPARK_PYTHON": sys.executable,
+           "PYSPARK_DRIVER_PYTHON": sys.executable}
+
+    def submit(*args):
+        cmd = [SPARK_SUBMIT, "--master", "local[4]",
+               "--conf", "spark.ui.enabled=false",
+               "--conf", "spark.sql.shuffle.partitions=4",
+               "--py-files", zp, os.path.join(REPO, "cli_shim.py"), *args]
+        r = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=600)
+        assert r.returncode == 0, r.stderr[-3000:]
+        return r.stdout.strip().splitlines()[-1]
+
+    out = json.loads(submit("build", "--input", inp, "--index", idx,
+                            "--buckets", "8", "--shards", "2", "--chunks", "2"))
+    assert out["n_docs"] == 500 and out["n_terms"] > 0
+
+    hits = json.loads(submit("query", "--index", idx, "--query", "ka", "-k", "5"))
+    assert isinstance(hits, list)
+
+    comp = json.loads(submit("complete", "--index", idx, "--prefix", "ka", "-n", "5"))
+    assert len(comp) <= 5

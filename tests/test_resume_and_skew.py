@@ -79,7 +79,7 @@ def test_skewed_hot_term(spark, tmp_path):
     pdf = make_transcripts(n_turns=2000, seed=11, hot_term="the", hot_frac=0.30)
     docs = spark.createDataFrame(pdf)
     d = str(tmp_path / "skew_idx")
-    cfg = IndexConfig(n_buckets=16, n_shards=4, n_chunks=2)
+    cfg = IndexConfig(n_buckets=16, n_shards=4, n_chunks=2, hot_df_threshold=100)
     build_index(spark, docs, d, cfg=cfg)
 
     posts = spark.read.parquet(os.path.join(d, "postings"))
