@@ -60,6 +60,7 @@ def score_shard(
     n_query_terms: int,
     n_shards: int | None = None,
     shard: int | None = None,
+    prune: bool = True,
 ) -> pd.DataFrame:
     """Exact BM25 accumulation over candidate posting rows.
 
@@ -71,6 +72,15 @@ def score_shard(
     filtered to docs with ``pmod(doc_id, n_shards) == shard`` — a no-op for
     salted rows (already shard-exact) and the dedup filter for unsalted rows
     that were fanned out to every shard group.
+
+    ``prune=True`` (OR mode, k set, ≥2 terms) enables **MaxScore pruning**
+    using the stored block-max metadata: terms whose summed upper bounds
+    (idf × max block impact) cannot lift a doc past a lower bound of the
+    k-th score are "non-essential"; docs matching ONLY non-essential terms
+    are never accumulated. Result is provably the exact top-k — the chain
+    score ≤ Σ_nonessential ub < θ0 ≤ true k-th score is strict, so pruned
+    docs can't even tie — and scores stay bit-identical (same per-doc
+    term-ordered sums). This is the flat-index analog of block-max WAND.
     """
     empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                           "score": pd.Series(dtype="float64"),
@@ -78,7 +88,8 @@ def score_shard(
     if pdf.empty:
         return empty
     pdf = pdf.sort_values("term", kind="mergesort")
-    decoded = []  # (term, docs, tfs, dls)
+    by_term: dict[str, list] = {}
+    max_impact: dict[str, float] = {}
     for row in pdf.itertuples(index=False):
         docs = decode_ints(row.doc_ids, delta=True)
         tfs, dls = decode_ints(row.tfs), decode_ints(row.dls)
@@ -86,18 +97,85 @@ def score_shard(
             keep = (docs % n_shards) == shard
             docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
         if len(docs):
-            decoded.append((row.term, docs, tfs, dls))
-    if not decoded:
+            by_term.setdefault(row.term, []).append((docs, tfs, dls))
+            bm = max(row.block_max) if row.block_max is not None else np.inf
+            max_impact[row.term] = max(max_impact.get(row.term, 0.0), float(bm))
+    if not by_term:
         return empty
-    all_docs = np.unique(np.concatenate([d[1] for d in decoded]))
+    # merge per-term row slices (disjoint doc sets) into doc-sorted arrays
+    decoded = []  # (term, docs, tfs, dls) — term-lexicographic order
+    for term in sorted(by_term):
+        parts = by_term[term]
+        if len(parts) == 1:
+            docs, tfs, dls = parts[0]
+        else:
+            docs = np.concatenate([p[0] for p in parts])
+            tfs = np.concatenate([p[1] for p in parts])
+            dls = np.concatenate([p[2] for p in parts])
+            o = np.argsort(docs, kind="stable")
+            docs, tfs, dls = docs[o], tfs[o], dls[o]
+        decoded.append((term, docs, tfs, dls))
+
+    do_prune = prune and mode == "or" and k is not None and len(decoded) > 1
+    if do_prune:
+        ubs = {t: idf[t] * max_impact[t] for t, *_ in decoded}
+        # θ0: k-th best SINGLE-term contribution of the highest-ub term — a
+        # lower bound of the true k-th total score
+        t_top = max(ubs, key=lambda t: ubs[t])
+        d0 = next(d for d in decoded if d[0] == t_top)
+        c0 = idf[t_top] * (
+            d0[2] * (k1 + 1.0) / (d0[2] + k1 * (1.0 - b + b * d0[3] / avgdl))
+        )
+        theta0 = (
+            np.partition(c0, len(c0) - k)[len(c0) - k] if len(c0) >= k else -np.inf
+        )
+        # non-essential set: maximal low-ub suffix with Σ ub < θ0 (strict),
+        # never including the top term
+        order_ub = sorted((t for t in ubs if t != t_top), key=lambda t: ubs[t])
+        nonessential = set()
+        acc = 0.0
+        for t in order_ub:
+            if acc + ubs[t] < theta0:
+                nonessential.add(t)
+                acc += ubs[t]
+            else:
+                break
+        essential = [d for d in decoded if d[0] not in nonessential]
+        all_docs = np.unique(np.concatenate([d[1] for d in essential]))
+    else:
+        all_docs = np.unique(np.concatenate([d[1] for d in decoded]))
+
     scores = np.zeros(len(all_docs), dtype=np.float64)
     nmatch = np.zeros(len(all_docs), dtype=np.int32)
     for term, docs, tfs, dls in decoded:  # sorted term order == oracle order
         w = idf[term]
+        if do_prune and len(docs) > len(all_docs):
+            # lookup candidate docs inside this (possibly huge) posting list
+            pos = np.searchsorted(docs, all_docs)
+            pos_c = np.minimum(pos, len(docs) - 1)
+            hit = docs[pos_c] == all_docs
+            if not hit.any():
+                continue
+            sel = pos_c[hit]
+            impact = tfs[sel] * (k1 + 1.0) / (
+                tfs[sel] + k1 * (1.0 - b + b * dls[sel] / avgdl)
+            )
+            scores[hit] += w * impact
+            nmatch[hit] += 1
+            continue
         impact = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
         idx = np.searchsorted(all_docs, docs)
-        scores[idx] += w * impact
-        nmatch[idx] += 1
+        if do_prune:
+            # docs outside the candidate set must be dropped, not mis-added
+            idx_c = np.minimum(idx, len(all_docs) - 1)
+            hit = all_docs[idx_c] == docs
+            if not hit.any():
+                continue
+            scores[idx_c[hit]] += w * impact[hit]
+            nmatch[idx_c[hit]] += 1
+        else:
+            scores[idx] += w * impact
+            nmatch[idx] += 1
     if mode == "and":
         keep = nmatch == n_query_terms
         all_docs, scores, nmatch = all_docs[keep], scores[keep], nmatch[keep]

@@ -101,3 +101,33 @@ def test_skewed_hot_term(spark, tmp_path):
         o = oracle.search(q, k=10)
         e = eng.search(q, k=10)
         assert [(h["doc_id"], h["score"]) for h in e] == o
+        # distributed path must route salted + unsalted rows correctly too
+        dist = [(r["doc_id"], r["score"]) for r in eng.search_df(q, k=10).collect()]
+        assert dist == o
+
+
+def test_maxscore_prune_is_exact(spark, tmp_path):
+    """MaxScore pruning must return bit-identical top-k on a corpus where the
+    hot term is non-essential (rare terms dominate the threshold)."""
+    import pandas as pd
+
+    from polaris_spark.query.engine import score_shard
+
+    pdf = make_transcripts(n_turns=1500, seed=23, hot_term="the", hot_frac=0.35)
+    docs = spark.createDataFrame(pdf)
+    d = str(tmp_path / "idx")
+    build_index(spark, docs, d, cfg=IndexConfig(n_buckets=8, n_shards=2,
+                                                n_chunks=2, hot_df_threshold=64))
+    eng = SearchEngine(spark, d)
+    for q in ["the kari", "the web.search ka", "the", "kari the toneri"]:
+        terms = eng.query_terms(q)
+        cand = eng._candidates(terms).toPandas()
+        if cand.empty:
+            continue
+        idf = eng._idf_map(cand)
+        args = (idf, eng.stats["avgdl"], eng.stats["k1"], eng.stats["b"], 10, "or",
+                len(terms))
+        exact = score_shard(cand, *args, prune=False)
+        pruned = score_shard(cand, *args, prune=True)
+        assert exact["doc_id"].tolist() == pruned["doc_id"].tolist()
+        assert exact["score"].tolist() == pruned["score"].tolist()
