@@ -1,0 +1,188 @@
+"""Index maintenance: incremental append + segment compaction.
+
+The reference rebuilds its index from scratch on every run (``polaris index``
+wipes the directory first — reference cli/command/Index.java:25-34) and its
+only merge is Lucene's ``forceMerge(1)`` (SourceDbWriterImpl.java:99-102).
+Here both are first-class distributed operations:
+
+- :func:`append_index` — add new documents as a NEW SEGMENT GENERATION:
+  encode their postings into fresh ``chunk=<gen>`` dirs, append doc_map /
+  doc_stats, refold the dictionary, and update global stats (N, avgdl).
+  The query engine already merges multiple rows per (term, shard), so an
+  appended index is queryable immediately and scores reflect the new
+  corpus-wide statistics.
+- :func:`compact_index` — the ``forceMerge(1)`` analog: decode every
+  generation's rows and re-encode one row per (term, shard) — fewer rows,
+  restored delta locality, byte-level merge done distributed (never on the
+  driver, unlike the reference's single-writer flush).
+
+Used by the Structured Streaming ingest path (foreachBatch → append_index).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from .build import IndexConfig, POSTINGS_SCHEMA, _encode_kernel, _mark, _read_mark, _tf_dataframe
+
+
+def _load_cfg(index_dir: str) -> IndexConfig:
+    with open(os.path.join(index_dir, "_stats.json")) as f:
+        s = json.load(f)
+    return IndexConfig(
+        n_buckets=s["n_buckets"], n_shards=s["n_shards"], n_chunks=s["n_chunks"],
+        hot_df_threshold=s.get("hot_df_threshold", 4096), block=s["block"],
+        k1=s["k1"], b=s["b"],
+    ), s
+
+
+def append_index(
+    spark,
+    new_docs,
+    index_dir: str,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    doc_id_col: str | None = None,
+) -> dict:
+    """Append ``new_docs`` as a new segment generation. Returns metrics.
+
+    Global BM25 stats (N, avgdl, df) are updated, so post-append scores equal
+    a from-scratch build over the union corpus (verified in tests).
+    """
+    from pyspark.sql import functions as F
+
+    cfg, stats = _load_cfg(index_dir)
+    man_dir = os.path.join(index_dir, "manifest")
+    t0 = time.time()
+
+    if doc_id_col is not None:
+        new_docs = new_docs.withColumn("doc_id", F.col(doc_id_col).cast("long"))
+        id_cols = tuple(c for c in id_cols if c in new_docs.columns) or (doc_id_col,)
+    else:
+        new_docs = new_docs.withColumn("doc_id", F.xxhash64(*[F.col(c) for c in id_cols]))
+
+    par = spark.sparkContext.defaultParallelism
+    if new_docs.rdd.getNumPartitions() < par:
+        new_docs = new_docs.repartition(par)
+
+    # collision check: new ids must be unique AND disjoint from existing
+    doc_map_path = os.path.join(index_dir, "doc_map")
+    old_map = spark.read.parquet(doc_map_path).select("doc_id")
+    nm = new_docs.select("doc_id", *[c for c in id_cols if c != "doc_id"])
+    counts = nm.agg(
+        F.count("*").alias("n"), F.countDistinct("doc_id").alias("nd")
+    ).collect()[0]
+    if counts["n"] != counts["nd"]:
+        raise ValueError("doc_id collision within appended batch")
+    overlap = nm.join(old_map, "doc_id", "inner").count()
+    if overlap:
+        raise ValueError(f"{overlap} appended doc_ids already exist in the index")
+
+    gen = int(stats.get("generations", 0)) + 1
+    gen_base = 1000 * gen  # chunk namespace for this generation
+
+    # new-segment tf + doc stats
+    tf = _tf_dataframe(new_docs, cfg, text_col).withColumn(
+        "chunk", (F.col("chunk") + gen_base).cast("int")
+    )
+    tf_path = os.path.join(index_dir, "tf")
+    tf.repartition(max(par, cfg.n_chunks), "chunk", "bucket").write.mode(
+        "append"
+    ).partitionBy("chunk").parquet(tf_path)
+
+    nm.write.mode("append").parquet(doc_map_path)
+    doc_stats_path = os.path.join(index_dir, "doc_stats")
+    new_tf = spark.read.parquet(tf_path).where(F.col("chunk") >= gen_base)
+    dls = new_tf.select("doc_id", "dl").dropDuplicates(["doc_id"])
+    nm.select("doc_id").join(dls, "doc_id", "left").fillna(0, subset=["dl"]).write.mode(
+        "append"
+    ).parquet(doc_stats_path)
+
+    # refreshed global stats
+    ds = spark.read.parquet(doc_stats_path)
+    agg = ds.agg(F.count("*").alias("N"), F.sum("dl").alias("sum_dl")).collect()[0]
+    stats["N"] = int(agg["N"])
+    stats["sum_dl"] = int(agg["sum_dl"] or 0)
+    stats["avgdl"] = float(stats["sum_dl"]) / stats["N"] if stats["N"] else 0.0
+    stats["generations"] = gen
+
+    # encode the new generation's chunks with the NEW avgdl for block-max
+    # metadata (metadata is an upper bound; scoring always recomputes exact
+    # impacts from tf/dl with the current avgdl)
+    hot_terms = _read_mark(man_dir, "hot_terms")["hot_terms"]
+    kernel = _encode_kernel(cfg, stats["avgdl"])
+    post_root = os.path.join(index_dir, "postings")
+    for c in range(cfg.n_chunks):
+        cid = gen_base + c
+        tf_c = spark.read.parquet(tf_path).where(F.col("chunk") == cid)
+        is_hot = F.col("term").isin(hot_terms) if hot_terms else F.lit(False)
+        tf_c = tf_c.withColumn("is_hot", is_hot).withColumn(
+            "shard",
+            F.when(F.col("is_hot"), F.pmod(F.col("doc_id"), F.lit(cfg.n_shards)))
+            .otherwise(F.crc32(F.col("term").cast("binary")) % cfg.n_shards)
+            .cast("int"),
+        )
+        seg = tf_c.groupBy("bucket", "shard").applyInPandas(kernel, POSTINGS_SCHEMA)
+        seg.write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(post_root, f"chunk={cid}")
+        )
+        _mark(man_dir, f"chunk_{cid:05d}", {"seg_id": f"chunk_{cid:05d}", "chunk": cid,
+                                            "generation": gen})
+
+    # refold dictionary over ALL generations
+    dic = (
+        spark.read.parquet(tf_path)
+        .groupBy("term")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+        .repartitionByRange(max(1, cfg.n_chunks), "term")
+        .sortWithinPartitions("term")
+    )
+    dic.write.mode("overwrite").parquet(os.path.join(index_dir, "dictionary"))
+
+    with open(os.path.join(index_dir, "_stats.json"), "w") as f:
+        json.dump(stats, f, indent=1)
+    return {"appended_docs": counts["n"], "generation": gen,
+            "N": stats["N"], "wall_s": round(time.time() - t0, 3)}
+
+
+def compact_index(spark, index_dir: str) -> dict:
+    """forceMerge(1) analog: re-encode all generations into one row per
+    (term, shard). Decode+merge happens inside the SAME applyInPandas kernel
+    family, distributed across (bucket, shard) groups."""
+    from pyspark.sql import functions as F
+
+    from .read import postings_to_tf
+
+    cfg, stats = _load_cfg(index_dir)
+    t0 = time.time()
+    post_root = os.path.join(index_dir, "postings")
+    man_dir = os.path.join(index_dir, "manifest")
+
+    # logical rows back from every generation, then one clean re-encode
+    tf = postings_to_tf(spark, index_dir).withColumn(
+        "bucket", (F.crc32(F.col("term").cast("binary")) % cfg.n_buckets).cast("int")
+    )
+    hot_terms = _read_mark(man_dir, "hot_terms")["hot_terms"]
+    is_hot = F.col("term").isin(hot_terms) if hot_terms else F.lit(False)
+    tf = tf.withColumn("is_hot", is_hot).withColumn(
+        "shard",
+        F.when(F.col("is_hot"), F.pmod(F.col("doc_id"), F.lit(cfg.n_shards)))
+        .otherwise(F.crc32(F.col("term").cast("binary")) % cfg.n_shards)
+        .cast("int"),
+    )
+    kernel = _encode_kernel(cfg, stats["avgdl"])
+    seg = tf.groupBy("bucket", "shard").applyInPandas(kernel, POSTINGS_SCHEMA)
+    tmp = os.path.join(index_dir, "postings_compacted")
+    seg.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+
+    import shutil
+
+    shutil.rmtree(post_root)
+    # single merged generation lives in chunk=0
+    os.makedirs(post_root, exist_ok=True)
+    os.rename(tmp, os.path.join(post_root, "chunk=0"))
+    _mark(man_dir, "compaction", {"generations_merged": stats.get("generations", 0),
+                                  "wall_s": round(time.time() - t0, 3)})
+    return {"wall_s": round(time.time() - t0, 3)}

@@ -1,0 +1,92 @@
+"""Incremental append, compaction, and streaming ingest: post-append scores
+must equal a from-scratch build over the union corpus; compaction must not
+change any result."""
+
+import os
+
+import pytest
+
+from polaris_spark.index.build import IndexConfig, build_index
+from polaris_spark.index.maintenance import append_index, compact_index
+from polaris_spark.oracle import BM25Oracle
+from polaris_spark.query.engine import SearchEngine
+from polaris_spark.synth import make_transcripts
+
+CFG = dict(n_buckets=8, n_shards=2, n_chunks=2, hot_df_threshold=200)
+QS = ["ka", "kari toneri", "web.search", "sa mu"]
+
+
+def _oracle_for(spark, pdf):
+    from pyspark.sql import functions as F
+
+    ids = (
+        spark.createDataFrame(pdf[["conv_id", "turn_idx"]])
+        .select(F.xxhash64("conv_id", "turn_idx").alias("h"))
+        .collect()
+    )
+    return BM25Oracle([(r["h"], t) for r, t in zip(ids, pdf["text"])])
+
+
+def test_append_matches_full_rebuild(spark, tmp_path):
+    full = make_transcripts(n_turns=1200, seed=9)
+    first, second = full.iloc[:700], full.iloc[700:]
+
+    d = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(first), d, cfg=IndexConfig(**CFG))
+    m = append_index(spark, spark.createDataFrame(second), d)
+    assert m["appended_docs"] == 500 and m["generation"] == 1
+
+    oracle = _oracle_for(spark, full)
+    eng = SearchEngine(spark, d)
+    assert eng.stats["N"] == 1200
+    for q in QS:
+        got = [(h["doc_id"], h["score"]) for h in eng.search(q, k=10)]
+        assert got == oracle.search(q, k=10), q
+        dist = [(r["doc_id"], r["score"]) for r in eng.search_df(q, k=10).collect()]
+        assert dist == oracle.search(q, k=10), q
+
+    # duplicate append must be rejected (id overlap)
+    with pytest.raises(ValueError):
+        append_index(spark, spark.createDataFrame(second), d)
+
+    # compaction: fewer-or-equal rows, identical results
+    n_rows_before = spark.read.parquet(os.path.join(d, "postings")).count()
+    compact_index(spark, d)
+    n_rows_after = spark.read.parquet(os.path.join(d, "postings")).count()
+    assert n_rows_after <= n_rows_before
+    eng2 = SearchEngine(spark, d)
+    for q in QS:
+        got = [(h["doc_id"], h["score"]) for h in eng2.search(q, k=10)]
+        assert got == oracle.search(q, k=10), q
+
+
+def test_streaming_ingest_available_now(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from polaris_spark.streaming import stream_append
+
+    full = make_transcripts(n_turns=600, seed=31)
+    first, second, third = full.iloc[:200], full.iloc[200:400], full.iloc[400:]
+
+    d = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(first), d, cfg=IndexConfig(**CFG))
+
+    inbox = str(tmp_path / "inbox")
+    os.makedirs(inbox)
+    schema = pa.schema([("conv_id", pa.string()), ("turn_idx", pa.int32()),
+                        ("role", pa.string()), ("text", pa.string()),
+                        ("tool", pa.string()), ("ts", pa.timestamp("us"))])
+    for i, part in enumerate((second, third)):
+        pq.write_table(pa.Table.from_pandas(part, schema=schema, preserve_index=False),
+                       os.path.join(inbox, f"f{i}.parquet"))
+
+    q = stream_append(spark, inbox, d, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    oracle = _oracle_for(spark, full)
+    eng = SearchEngine(spark, d)
+    assert eng.stats["N"] == 600
+    for qq in QS:
+        got = [(h["doc_id"], h["score"]) for h in eng.search(qq, k=10)]
+        assert got == oracle.search(qq, k=10), qq
