@@ -214,6 +214,26 @@ def _q_token_counts(spark, sf_dir):
     )
 
 
+def _q_events_hourly(spark, sf_dir):
+    from polaris_spark.ops.analytics import events_hourly_counts
+
+    return events_hourly_counts(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    )
+
+
+def _q_top_docs_per_source(spark, sf_dir):
+    from polaris_spark.ops.analytics import top_docs_per_source
+
+    return top_docs_per_source(_docs(spark, sf_dir), n=3)
+
+
+def _q_sessionize(spark, sf_dir):
+    from polaris_spark.ops.analytics import sessionize
+
+    return sessionize(spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
+
+
 def _q_transcripts_invariant(spark, sf_dir):
     """Per-turn text-equality invariant on the synthetic transcripts corpus
     (input_hint shape). Non-SQL-gated (transcripts are not a testdata view):
@@ -253,6 +273,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
         "token_counts": _q_token_counts,
+        "events_hourly": _q_events_hourly,
+        "top_docs_per_source": _q_top_docs_per_source,
+        "sessionize": _q_sessionize,
         "transcripts_invariant": _q_transcripts_invariant,
     }
 
@@ -268,6 +291,7 @@ def oracle_sql() -> dict[str, str]:
         doc_stats_sql,
         tokenize_tf_sql,
     )
+    import polaris_spark.ops.analytics as _an
     from polaris_spark.ops.dedup import duckdb_minhash_sql, duckdb_shingles
     from polaris_spark.ops.text import (
         duckdb_fingerprint_sql,
@@ -359,6 +383,9 @@ SELECT doc_id, lpad(lower(to_hex(val)), 4, '0') AS simhash16 FROM packed"""
             f"SELECT doc_id, len({duckdb_ws_tokens('text')})::BIGINT AS n_ws_tokens, "
             f"len({duckdb_tokens_sql('text')})::BIGINT AS n_terms FROM documents"
         ),
+        "events_hourly": _an.duckdb_events_hourly_sql(),
+        "top_docs_per_source": _an.duckdb_top_docs_sql(3),
+        "sessionize": _an.duckdb_sessionize_sql(),
         # transcripts_invariant: intentionally no oracle (not a testdata view);
         # driver records the rows-only check (must be 0 rows).
     }

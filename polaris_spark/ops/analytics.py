@@ -1,0 +1,105 @@
+"""Windowed / analytic operators (SURVEY §2.5 extension).
+
+The reference has no window constructs; these cover the window-function
+surface a transcripts pipeline needs (turn ordering, per-key top-N,
+sessionization) with DuckDB mirrors for the gate. Timestamps cross the
+engine boundary as epoch seconds (BIGINT) to stay timezone-proof.
+"""
+
+from __future__ import annotations
+
+
+def events_hourly_counts(events):
+    """(hour_epoch, event_type, n, total_value) — tumbling 1h windows."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+def duckdb_events_hourly_sql(table: str = "events") -> str:
+    return f"""
+SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch, event_type,
+       count(*)::BIGINT AS n, round(sum(value), 4) AS total_value
+FROM {table} GROUP BY 1, 2"""
+
+
+def top_docs_per_source(docs, n: int = 3):
+    """Per-source top-N docs by length: row_number over a window."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.select("source", "doc_id", "n_chars", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= n)
+    )
+
+
+def duckdb_top_docs_sql(n: int = 3, table: str = "documents") -> str:
+    return f"""
+SELECT source, doc_id, n_chars, rn FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM {table}
+) WHERE rn <= {n}"""
+
+
+def sessionize(events, gap_s: int = 1800):
+    """Gap-based sessionization: (user_id, n_sessions, n_events) where a new
+    session starts when the inter-event gap exceeds ``gap_s`` seconds."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0)
+    return (
+        events.select("user_id", new_sess.alias("ns"))
+        .groupBy("user_id")
+        .agg(F.sum("ns").cast("bigint").alias("n_sessions"),
+             F.count("*").alias("n_events"))
+    )
+
+
+def duckdb_sessionize_sql(gap_s: int = 1800, table: str = "events") -> str:
+    return f"""
+SELECT user_id, sum(ns)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events FROM (
+  SELECT user_id,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   > {gap_s}
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS ns
+  FROM {table}
+) GROUP BY user_id"""
+
+
+def turn_ordering_check(transcripts):
+    """Per-conversation turn stats under stable (conv_id, turn_idx) order:
+    (conv_id, n_turns, first_role, last_role) — the stable-ordering surface
+    of the input_hint invariant."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        transcripts.select(
+            "conv_id",
+            F.first("role").over(w).alias("first_role"),
+            F.last("role").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ).alias("last_role"),
+        )
+        .groupBy("conv_id")
+        .agg(F.count("*").alias("n_turns"),
+             F.first("first_role").alias("first_role"),
+             F.first("last_role").alias("last_role"))
+    )
