@@ -374,7 +374,14 @@ def build_index(
             .cast("int"),
         )
         seg = tf_c.groupBy("bucket", "shard").applyInPandas(kernel, POSTINGS_SCHEMA)
-        seg.write.mode("overwrite").partitionBy("bucket").parquet(chunk_dir)
+        # re-key encoded rows by bucket before the partitioned write: one-ish
+        # file per bucket dir (instead of every encode task spraying a file
+        # into every bucket) — query-time footer reads stay O(buckets hit).
+        # The shuffle moves already-compressed segment bytes, not postings.
+        seg = seg.repartition(max(1, cfg.n_buckets // cfg.n_chunks), "bucket")
+        seg.sortWithinPartitions("term", "shard").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(chunk_dir)
         out = spark.read.parquet(chunk_dir)
         agg = out.agg(
             F.count("*").alias("n_terms_rows"),

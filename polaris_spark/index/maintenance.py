@@ -125,9 +125,10 @@ def append_index(
             .cast("int"),
         )
         seg = tf_c.groupBy("bucket", "shard").applyInPandas(kernel, POSTINGS_SCHEMA)
-        seg.write.mode("overwrite").partitionBy("bucket").parquet(
-            os.path.join(post_root, f"chunk={cid}")
-        )
+        seg = seg.repartition(max(1, cfg.n_buckets // cfg.n_chunks), "bucket")
+        seg.sortWithinPartitions("term", "shard").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(os.path.join(post_root, f"chunk={cid}"))
         _mark(man_dir, f"chunk_{cid:05d}", {"seg_id": f"chunk_{cid:05d}", "chunk": cid,
                                             "generation": gen})
 
@@ -174,8 +175,11 @@ def compact_index(spark, index_dir: str) -> dict:
     )
     kernel = _encode_kernel(cfg, stats["avgdl"])
     seg = tf.groupBy("bucket", "shard").applyInPandas(kernel, POSTINGS_SCHEMA)
+    seg = seg.repartition(max(1, cfg.n_buckets // max(1, cfg.n_chunks)), "bucket")
     tmp = os.path.join(index_dir, "postings_compacted")
-    seg.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    seg.sortWithinPartitions("term", "shard").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(tmp)
 
     import shutil
 

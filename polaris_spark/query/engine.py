@@ -312,6 +312,37 @@ class SearchEngine:
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
 
+    # ------------------------------------------------------ point lookups
+
+    def lookup_term(self, term: str):
+        """Exact-term stats + postings rows — the TermQuery point lookup
+        (reference typedb/TypeDbImpl.java:52, usagedb/UsageDbImpl.java:41-44:
+        exact-id query → sorted occurrence list). Bucket partition-pruned."""
+        return self._candidates([term])
+
+    def lookup_postings(self, term: str) -> list[dict]:
+        """Decoded occurrence list for one term, doc-sorted — the
+        ``listUsages`` analog (sorted by doc_id like the reference sorts by
+        (fileId, span), usagedb/UsageDbImpl.java:65-72)."""
+        rows = self.lookup_term(term).toPandas()
+        out: list[dict] = []
+        for r in rows.itertuples(index=False):
+            docs = decode_ints(r.doc_ids, delta=True)
+            tfs = decode_ints(r.tfs)
+            out.extend({"doc_id": int(d), "tf": int(t)} for d, t in zip(docs, tfs))
+        out.sort(key=lambda x: x["doc_id"])
+        return out
+
+    def lookup_docs(self, doc_ids: list[int]):
+        """doc_id → identity rows (the ``source``/``getFileHandle`` analog,
+        reference sourcedb/SourceDbImpl.java:79-91): broadcast the tiny id
+        list against doc_map."""
+        from pyspark.sql import functions as F
+
+        ids = self.spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id bigint")
+        dm = self.spark.read.parquet(self.doc_map_path)
+        return dm.join(F.broadcast(ids), "doc_id")
+
     # --------------------------------------------------------- completion
 
     def complete(self, prefix: str, n: int = 20):

@@ -90,6 +90,19 @@ def test_mini_query_goldens(spark, mini_index):
     assert [h["doc_id"] for h in hits] == [3]
 
 
+def test_point_lookups(spark, mini_index):
+    eng = SearchEngine(spark, mini_index)
+    # listUsages analog: doc-sorted occurrence list for a term
+    occ = eng.lookup_postings("A")
+    assert [(o["doc_id"], o["tf"]) for o in occ] == [(6, 1), (7, 1), (8, 1)]
+    # source/getFileHandle analog: doc_id → identity rows
+    rows = eng.lookup_docs([1, 3]).collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 3]
+    # exact-term stats row
+    trow = eng.lookup_term("hello").collect()
+    assert sum(r["df"] for r in trow) == 2
+
+
 def _rank_identity(engine_hits, oracle_hits):
     assert len(engine_hits) == len(oracle_hits)
     for eh, (doc, score) in zip(engine_hits, oracle_hits):
