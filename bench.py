@@ -175,6 +175,8 @@ def main() -> None:
             results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
         thr8 = results[8]["turns_per_sec"]
         thr32 = results[32]["turns_per_sec"]
+        wall8 = results[8]["queries"]["index_build_transcripts"]
+        wall32 = results[32]["queries"]["index_build_transcripts"]
         eff = round((thr32 / thr8) / 4.0, 3)
         md = f"""# BENCH/BASELINE — scaling evidence (local[8] vs local[32] proxy for N→4N executors)
 
@@ -184,8 +186,8 @@ parallelism levels:
 
 | parallelism | build wall (s) | throughput (turns/s) |
 |---|---|---|
-| local[8]  | {results[8]['times']['index_build_transcripts']} | {thr8} |
-| local[32] | {results[32]['times']['index_build_transcripts']} | {thr32} |
+| local[8]  | {wall8} | {thr8} |
+| local[32] | {wall32} | {thr32} |
 
 **Scaling efficiency (thr_32 / thr_8) / 4 = {eff}** (north-rule bar: ≥ 0.8).
 
