@@ -164,6 +164,11 @@ def main() -> None:
     n_turns = args.n_turns or max(20_000, int(2_000_000 * sf))
 
     if args.scaling:
+        # the scaling criterion needs a compute-dominated job: at small inputs
+        # fixed costs (job scheduling, py-worker startup, driver IO) swamp the
+        # parallel fraction and MORE cores lose. 1M turns ≈ 45M postings keeps
+        # every stage busy at 32 cores.
+        n_turns = max(n_turns, 1_000_000)
         results = {}
         for cpus in (8, 32):
             out = subprocess.run(

@@ -82,6 +82,25 @@ SELECT user_id, sum(ns)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events FROM
 ) GROUP BY user_id"""
 
 
+def capped_collect(df, key_cols, value_col, cap: int = 1000, out_col: str = "values"):
+    """collect_list with a hard cap and LOGGED truncation — the reference's
+    OOM-guard pattern (import list capped at 1000 with a warning,
+    IndexPipeline.java:100,454-472). Never truncates silently: returns
+    (capped_df, truncated_df) where truncated_df lists every key that was cut
+    with its original size; callers must surface it."""
+    from pyspark.sql import functions as F
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    grouped = df.groupBy(*keys).agg(
+        F.collect_list(value_col).alias("_all"), F.count("*").alias("_n")
+    )
+    capped = grouped.select(
+        *keys, F.slice(F.col("_all"), 1, cap).alias(out_col), F.col("_n").alias("n_total")
+    )
+    truncated = grouped.where(F.col("_n") > cap).select(*keys, F.col("_n").alias("n_total"))
+    return capped, truncated
+
+
 def turn_ordering_check(transcripts):
     """Per-conversation turn stats under stable (conv_id, turn_idx) order:
     (conv_id, n_turns, first_role, last_role) — the stable-ordering surface

@@ -312,6 +312,29 @@ class SearchEngine:
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
 
+    def search_mixed(self, query: str, rank_from: int = 0, rank_to: int = 20,
+                     mode: str = "or") -> dict:
+        """The full search endpoint — rebuild of reference
+        search/CodeSearchImpl.java:71-92 + SearchMixer.java:34-52: mix two
+        result streams (ranked full-text hits + dictionary completions),
+        re-sort DESCENDING (the reference sorts ascending — a bug, see
+        SearchMixer.java:54-61 — not replicated), slice [rank_from, rank_to),
+        stamp latency ms and total count."""
+        import time as _t
+
+        t0 = _t.time()
+        hits = self.search(query, k=rank_to, mode=mode)
+        comps = [r.asDict() for r in self.complete(query, n=rank_to).collect()]
+        return {
+            "query": query,
+            "hits": hits[rank_from:rank_to],
+            "completions": comps,
+            "count": len(hits),
+            "rank_from": rank_from,
+            "rank_to": rank_to,
+            "latency_ms": round((_t.time() - t0) * 1000.0, 1),
+        }
+
     # ------------------------------------------------------ point lookups
 
     def lookup_term(self, term: str):

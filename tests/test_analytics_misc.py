@@ -1,0 +1,46 @@
+"""Mixer endpoint, capped collect, turn-ordering analytics."""
+
+from polaris_spark.index.build import IndexConfig, build_index
+from polaris_spark.ops.analytics import capped_collect, turn_ordering_check
+from polaris_spark.query.engine import SearchEngine
+from polaris_spark.synth import make_transcripts
+
+
+def test_search_mixed_endpoint(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello"), (3, "helicopter hello")],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "idx")
+    build_index(spark, docs, d, doc_id_col="doc_id",
+                cfg=IndexConfig(n_buckets=4, n_shards=2, n_chunks=2))
+    eng = SearchEngine(spark, d)
+    res = eng.search_mixed("hel", rank_from=0, rank_to=10)
+    assert res["count"] == 0  # 'hel' is not an indexed term (no hits)
+    assert {c["term"] for c in res["completions"]} == {"hello", "helicopter"}
+    assert res["latency_ms"] >= 0
+    res2 = eng.search_mixed("hello", rank_from=1, rank_to=2)
+    # count = hits retrieved (≤ rank_to), as in the reference (it searches
+    # n=rankTo then counts the returned list)
+    assert res2["count"] == 2 and len(res2["hits"]) == 1  # page [1,2)
+    res3 = eng.search_mixed("hello", rank_from=0, rank_to=10)
+    assert res3["count"] == 3
+
+
+def test_capped_collect_logs_truncation(spark):
+    df = spark.createDataFrame(
+        [("a", i) for i in range(10)] + [("b", i) for i in range(3)],
+        "k string, v int",
+    )
+    capped, truncated = capped_collect(df, "k", "v", cap=5, out_col="vs")
+    got = {r["k"]: (len(r["vs"]), r["n_total"]) for r in capped.collect()}
+    assert got == {"a": (5, 10), "b": (3, 3)}
+    trunc = {r["k"]: r["n_total"] for r in truncated.collect()}
+    assert trunc == {"a": 10}  # truncation surfaced, never silent
+
+
+def test_turn_ordering_check(spark):
+    pdf = make_transcripts(n_turns=60, turns_per_conv=20, seed=2)
+    out = {r["conv_id"]: r for r in turn_ordering_check(spark.createDataFrame(pdf)).collect()}
+    assert all(r["n_turns"] == 20 for r in out.values())
+    assert all(r["first_role"] == "user" for r in out.values())
