@@ -43,4 +43,11 @@ def test_turn_ordering_check(spark):
     pdf = make_transcripts(n_turns=60, turns_per_conv=20, seed=2)
     out = {r["conv_id"]: r for r in turn_ordering_check(spark.createDataFrame(pdf)).collect()}
     assert all(r["n_turns"] == 20 for r in out.values())
-    assert all(r["first_role"] == "user" for r in out.values())
+    # roles cycle user/assistant/tool over the GLOBAL turn counter, so each
+    # conversation's first role is ROLES[(conv_index*20) % 3]
+    from polaris_spark.synth import ROLES
+
+    for cid, r in out.items():
+        conv = int(cid.split("-")[-1])
+        assert r["first_role"] == ROLES[(conv * 20) % 3]
+        assert r["last_role"] == ROLES[(conv * 20 + 19) % 3]
