@@ -10,12 +10,14 @@ fully distributed dataflow:
                       in-process id counter, SimpleIdGenerator.java:5-12, is
                       explicitly replaced per SURVEY §4.2), collision-checked.
   stage 1  invert:    map-side per-document inversion (tokenize + tf count)
-                      in ONE Arrow-vectorized pandas UDF → rows
-                      (doc_id, dl, term, tf) — already aggregated per doc, so
-                      the only wide exchange that follows moves distinct
-                      (doc, term) pairs, not raw token occurrences. Written
-                      partitioned by ``chunk`` (a term-bucket range) → the
-                      resume checkpoint.
+                      in ONE Arrow-vectorized mapInPandas kernel → PACKED
+                      rows (doc_id, dl, chunk, terms[], tfs[]) — already
+                      aggregated per doc, so the only wide exchange that
+                      follows moves distinct (doc, term) pairs, not raw token
+                      occurrences. Written partitioned by ``chunk`` (a
+                      term-bucket range) → the resume checkpoint. Packed
+                      (not exploded) because parquet-writer CPU scales with
+                      ROW count: 10× fewer rows ≈ 10× cheaper checkpoint.
   stage 2  encode:    per chunk: groupBy(bucket, shard).applyInPandas — the
                       salted shuffle-merge. ``bucket = crc32(term) % B`` keys
                       the term dictionary; ``shard = pmod(doc_id, S)`` is the
@@ -26,10 +28,13 @@ fully distributed dataflow:
                       at all — SURVEY §4.2). Kernel emits sorted,
                       delta+zigzag+varint posting lists with per-block
                       (last_doc, max_impact) metadata for block-max WAND.
-  stage 3  merge:     global dictionary (term, df, cf) + doc_stats + _stats
-                      aggregated from the segments (the analog of Lucene
-                      ``commit(); forceMerge(1)`` — SourceDbWriterImpl.java:99-102
-                      — except it stays distributed).
+  stage 3  merge:     global dictionary (term, df, cf) folded from the encoded
+                      segments (not from tf — segments are orders of magnitude
+                      smaller); doc_stats + _stats from the tf checkpoint (the
+                      analog of Lucene ``commit(); forceMerge(1)`` —
+                      SourceDbWriterImpl.java:99-102 — except it stays
+                      distributed). Hot-term salting is driven by a dedicated
+                      df-sketch aggregation whose filter runs reduce-side.
 
 Resumability (north rule): chunks are independent jobs; each writes
 ``postings/chunk=<c>/`` atomically-enough (dir wiped on retry) and then a
@@ -89,50 +94,112 @@ def term_bucket_py(term: str, n_buckets: int) -> int:
     return zlib.crc32(term.encode("utf-8")) % n_buckets
 
 
-def _invert_udf():
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("struct<dl:int, pairs:array<struct<term:string, tf:int>>>")
-    def invert(texts: pd.Series) -> pd.DataFrame:
-        dls: list[int] = []
-        pairs: list[list[dict]] = []
-        for t in texts:
-            toks = tokenize(t)
-            dls.append(len(toks))
-            pairs.append([{"term": k, "tf": v} for k, v in Counter(toks).items()])
-        return pd.DataFrame({"dl": dls, "pairs": pairs})
-
-    return invert
+PACKED_TF_SCHEMA = (
+    "doc_id bigint, dl int, chunk int, terms array<string>, tfs array<int>"
+)
 
 
 def _tf_dataframe(docs, cfg: IndexConfig, text_col: str):
-    """docs(doc_id, <text_col>) → (doc_id, dl, term, tf, bucket, chunk, shard).
+    """docs(doc_id, <text_col>) → PACKED tf rows
+    ``(doc_id, dl, chunk, terms: array<string>, tfs: array<int>)`` —
+    one row per (doc, chunk) holding that doc's distinct terms whose
+    ``bucket = crc32(term) % B`` falls in the chunk's bucket range.
 
-    Map-side inversion: everything up to the checkpoint write is narrow.
+    Map-side inversion, everything narrow. The PACKED layout is deliberate:
+    writing the checkpoint as exploded (doc, term, tf) rows costs ~10× more
+    parquet-writer CPU (measured: the writer, not the disk, dominated and
+    anti-scaled with cores); the explode to posting granularity happens
+    JVM-side on READ (:func:`_explode_tf`) feeding straight into the stage-2
+    shuffle. Zero-token docs emit one chunk-0 row with empty arrays so
+    doc_stats still sees them.
     """
     from pyspark.sql import functions as F
 
-    if cfg.use_pandas_tokenizer:
-        inv = _invert_udf()
-        tf = (
-            docs.select("doc_id", inv(F.col(text_col)).alias("iv"))
-            .select("doc_id", F.col("iv.dl").alias("dl"), F.explode_outer("iv.pairs").alias("p"))
-            .select("doc_id", "dl", F.col("p.term").alias("term"), F.col("p.tf").alias("tf"))
-        )
-    else:
-        toks = docs.select(
-            "doc_id", tokens_col(F.col(text_col)).alias("toks")
-        ).withColumn("dl", F.size("toks"))
-        tf = (
-            toks.select("doc_id", "dl", F.explode_outer("toks").alias("term"))
-            .groupBy("doc_id", "dl", "term")
-            .agg(F.count("*").alias("tf"))
-        )
     buckets_per_chunk = max(1, cfg.n_buckets // cfg.n_chunks)
+    n_buckets = cfg.n_buckets
+
+    if cfg.use_pandas_tokenizer:
+        cols = ["doc_id", text_col]
+
+        def invert(batches):
+            for pdf in batches:
+                o_doc, o_dl, o_chunk, o_terms, o_tfs = [], [], [], [], []
+                for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                    toks = tokenize(text)
+                    cnt = Counter(toks)
+                    by_chunk: dict[int, tuple[list, list]] = {}
+                    for term, tf in cnt.items():
+                        c = (zlib.crc32(term.encode("utf-8")) % n_buckets) // buckets_per_chunk
+                        slot = by_chunk.get(c)
+                        if slot is None:
+                            slot = by_chunk[c] = ([], [])
+                        slot[0].append(term)
+                        slot[1].append(tf)
+                    if not by_chunk:
+                        by_chunk[0] = ([], [])
+                    for c, (ts, fs) in by_chunk.items():
+                        o_doc.append(doc_id)
+                        o_dl.append(len(toks))
+                        o_chunk.append(c)
+                        o_terms.append(ts)
+                        o_tfs.append(fs)
+                yield pd.DataFrame(
+                    {"doc_id": o_doc, "dl": o_dl, "chunk": o_chunk,
+                     "terms": o_terms, "tfs": o_tfs}
+                )
+
+        return docs.select(*cols).mapInPandas(invert, PACKED_TF_SCHEMA)
+
+    # JVM tokenizer path (debug/verification; identical output, one extra
+    # shuffle to re-pack)
+    toks = docs.select(
+        "doc_id", tokens_col(F.col(text_col)).alias("toks")
+    ).withColumn("dl", F.size("toks"))
+    tf = (
+        toks.select("doc_id", "dl", F.explode_outer("toks").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    tf = tf.withColumn(
+        "chunk",
+        F.when(
+            F.col("term").isNull(), F.lit(0)
+        ).otherwise(
+            ((F.crc32(F.col("term").cast("binary")) % n_buckets) / buckets_per_chunk).cast("int")
+        ),
+    )
+    packed = (
+        tf.groupBy("doc_id", "dl", "chunk")
+        .agg(
+            F.collect_list("term").alias("terms"),
+            F.collect_list("tf").alias("tfs"),
+        )
+        .select("doc_id", F.col("dl").cast("int").alias("dl"),
+                F.col("chunk").cast("int").alias("chunk"),
+                "terms", F.col("tfs").cast("array<int>").alias("tfs"))
+    )
+    return packed
+
+
+def _explode_tf(tf_packed, cfg: IndexConfig):
+    """Packed tf rows → posting-granularity rows
+    ``(doc_id, dl, chunk, term, tf, bucket)``. Whole-stage-codegen explode;
+    empty-array (zero-token) rows drop out naturally."""
+    from pyspark.sql import functions as F
+
     return (
-        tf.where(F.col("term").isNotNull())
-        .withColumn("bucket", (F.crc32(F.col("term").cast("binary")) % cfg.n_buckets).cast("int"))
-        .withColumn("chunk", (F.col("bucket") / buckets_per_chunk).cast("int"))
+        tf_packed.select(
+            "doc_id", "dl", "chunk",
+            F.explode(F.arrays_zip("terms", "tfs")).alias("p"),
+        )
+        .select(
+            "doc_id", "dl", "chunk",
+            F.col("p.terms").alias("term"),
+            F.col("p.tfs").alias("tf"),
+        )
+        .withColumn(
+            "bucket", (F.crc32(F.col("term").cast("binary")) % cfg.n_buckets).cast("int")
+        )
     )
 
 
@@ -151,18 +218,24 @@ def _encode_kernel(cfg: IndexConfig, avgdl: float):
 
         bucket = int(pdf["bucket"].iloc[0])
         shard = int(pdf["shard"].iloc[0])
-        terms = pdf["term"].to_numpy()
+        # factorize terms to int codes (sort=True → codes follow lexicographic
+        # order) so the group sort is a pure-int lexsort — object-dtype string
+        # lexsort falls back to per-element Python comparisons and was the
+        # stage's scaling bottleneck
+        codes, uniques = pd.factorize(pdf["term"], sort=True)
+        codes = codes.astype(np.int64, copy=False)
         docs = pdf["doc_id"].to_numpy(dtype=np.int64)
         tfs = pdf["tf"].to_numpy(dtype=np.int64)
         dls = pdf["dl"].to_numpy(dtype=np.int64)
         hot = pdf["is_hot"].to_numpy(dtype=bool)
-        order = np.lexsort((docs, terms))
-        terms, docs, tfs, dls, hot = (
-            terms[order], docs[order], tfs[order], dls[order], hot[order]
+        order = np.lexsort((docs, codes))
+        codes, docs, tfs, dls, hot = (
+            codes[order], docs[order], tfs[order], dls[order], hot[order]
         )
-        starts = np.concatenate(([0], np.flatnonzero(terms[1:] != terms[:-1]) + 1))
-        ends = np.concatenate((starts[1:], [len(terms)]))
+        starts = np.concatenate(([0], np.flatnonzero(codes[1:] != codes[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [len(codes)]))
         n_terms = len(starts)
+        terms = np.asarray(uniques, dtype=object)[codes[starts]]
         # per-run delta encode in one pass (reset at run starts)
         deltas = np.empty_like(docs)
         deltas[1:] = docs[1:] - docs[:-1]
@@ -178,21 +251,21 @@ def _encode_kernel(cfg: IndexConfig, avgdl: float):
         # expression as the scorer)
         impacts = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
         cfs = np.add.reduceat(tfs, starts)
-        c_doc, c_tf, c_dl, c_bl, c_bm = [], [], [], [], []
-        for i in range(n_terms):
+        # per-term byte slices (C-speed bytes slicing, one pass)
+        c_doc = [dbytes[a:b] for a, b in zip(dof[starts].tolist(), dof[ends].tolist())]
+        c_tf = [tbytes[a:b] for a, b in zip(tof[starts].tolist(), tof[ends].tolist())]
+        c_dl = [lbytes[a:b] for a, b in zip(lof[starts].tolist(), lof[ends].tolist())]
+        # block-max metadata: the ≤1-block common case fully vectorized
+        # (reduceat max + last doc per run); only multi-block terms loop
+        c_bl = docs[ends - 1].reshape(-1, 1).tolist()
+        c_bm = np.maximum.reduceat(impacts, starts).reshape(-1, 1).tolist()
+        for i in np.flatnonzero((ends - starts) > block).tolist():
             s, e = starts[i], ends[i]
-            c_doc.append(dbytes[dof[s]:dof[e]])
-            c_tf.append(tbytes[tof[s]:tof[e]])
-            c_dl.append(lbytes[lof[s]:lof[e]])
-            if e - s <= block:
-                c_bl.append([int(docs[e - 1])])
-                c_bm.append([float(impacts[s:e].max())])
-            else:
-                c_bl.append(block_last(docs[s:e], block).tolist())
-                c_bm.append(block_max_float(impacts[s:e], block).tolist())
+            c_bl[i] = block_last(docs[s:e], block).tolist()
+            c_bm[i] = block_max_float(impacts[s:e], block).tolist()
         return pd.DataFrame(
             {
-                "term": terms[starts],
+                "term": terms,
                 "bucket": bucket,
                 "shard": shard,
                 "salted": hot[starts],
@@ -277,15 +350,14 @@ def build_index(
     _lap("doc_map")
 
     # ---- stage 1: map-side inversion → tf checkpoint --------------------
+    # No repartition before the write: the invert task itself writes its rows
+    # into the right chunk= dir (one file per (task, chunk)). The ONLY wide
+    # exchange over raw tf rows is the (bucket, shard) groupBy in stage 2 —
+    # an extra full shuffle of ~23 rows/doc here bought nothing.
     tf_path = os.path.join(index_dir, "tf")
     if not (resume and _done(man_dir, "tf")):
         tf = _tf_dataframe(docs, cfg, text_col)
-        (
-            tf.repartition(max(spark.sparkContext.defaultParallelism, cfg.n_chunks), "chunk", "bucket")
-            .write.mode("overwrite")
-            .partitionBy("chunk")
-            .parquet(tf_path)
-        )
+        tf.write.mode("overwrite").partitionBy("chunk").parquet(tf_path)
         _mark(man_dir, "tf", {})
     _lap("tf_invert")
 
@@ -320,35 +392,23 @@ def build_index(
         stats = json.load(f)
     avgdl = stats["avgdl"]
 
-    # ---- dictionary + hot-term sketch (one aggregation over tf) -----------
-    # The dictionary (term, df, cf) is the "merge" fold of the two-phase
-    # build; computing it from the tf checkpoint (rather than from encoded
-    # segments) lets the SAME job drive the frequency-based salting decision:
-    # terms with df > hot_df_threshold are doc-shard salted in stage 2, rare
-    # terms keep ONE posting row (grouped by a term-hash pseudo-shard so
-    # bucket content still spreads over all (bucket, shard) groups).
-    dict_path = os.path.join(index_dir, "dictionary")
-    if not (resume and _done(man_dir, "dictionary")):
-        dic = (
-            spark.read.parquet(tf_path)
-            .groupBy("term")
-            .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
-            .repartitionByRange(max(1, cfg.n_chunks), "term")
-            .sortWithinPartitions("term")
-        )
-        dic.write.mode("overwrite").parquet(dict_path)
-        _mark(man_dir, "dictionary",
-              {"n_terms": spark.read.parquet(dict_path).count()})
+    # ---- hot-term sketch (frequency-based salting decision) ---------------
+    # One hash aggregation over tf with the df > threshold filter applied
+    # reduce-side; only the (few) hot terms reach the driver. The full
+    # dictionary is NOT built here — it folds out of the encoded segments
+    # after stage 2 (1-2 orders of magnitude fewer rows than tf).
     if not (resume and _done(man_dir, "hot_terms")):
         hot_rows = (
-            spark.read.parquet(dict_path)
+            _explode_tf(spark.read.parquet(tf_path), cfg)
+            .groupBy("term")
+            .agg(F.count("*").alias("df"))
             .where(F.col("df") > cfg.hot_df_threshold)
             .select("term")
             .collect()
         )
         _mark(man_dir, "hot_terms", {"hot_terms": sorted(r["term"] for r in hot_rows)})
     hot_terms = _read_mark(man_dir, "hot_terms")["hot_terms"]
-    _lap("dictionary_and_hot")
+    _lap("hot_sketch")
 
     # ---- stage 2: per-chunk encode (the resumable fan-out) ---------------
     post_root = os.path.join(index_dir, "postings")
@@ -361,7 +421,7 @@ def build_index(
         chunk_dir = os.path.join(post_root, f"chunk={c}")
         if os.path.exists(chunk_dir):
             shutil.rmtree(chunk_dir)  # wipe partial output from a dead run
-        tf_c = spark.read.parquet(tf_path).where(F.col("chunk") == c)
+        tf_c = _explode_tf(spark.read.parquet(tf_path).where(F.col("chunk") == c), cfg)
         is_hot = (
             F.col("term").isin(hot_terms) if hot_terms else F.lit(False)
         )
@@ -373,6 +433,13 @@ def build_index(
             .otherwise(F.crc32(F.col("term").cast("binary")) % cfg.n_shards)
             .cast("int"),
         )
+        # explicit hash partitioning on the group keys: the groupBy reuses it
+        # (ClusteredDistribution satisfied), so there is exactly ONE wide
+        # shuffle of tf rows, with a partition count WE pick — AQE's 64MB
+        # advisory coalescing otherwise folds this into far fewer partitions
+        # than cores and starves the Arrow kernels (measured 1.7× slower).
+        enc_part = max(2 * par, cfg.n_shards * 2)
+        tf_c = tf_c.repartition(enc_part, "bucket", "shard")
         seg = tf_c.groupBy("bucket", "shard").applyInPandas(kernel, POSTINGS_SCHEMA)
         # re-key encoded rows by bucket before the partitioned write: one-ish
         # file per bucket dir (instead of every encode task spraying a file
@@ -404,6 +471,24 @@ def build_index(
         )
 
     _lap("encode_chunks")
+
+    # ---- stage 3: dictionary folded from encoded segments -----------------
+    # (term, df, cf) = sum over shard slices. Input is the encoded term rows
+    # (~df>=1 per (term, shard)) — far smaller than tf, and column-pruned to
+    # three scalar columns (binary posting columns never leave the scan).
+    dict_path = os.path.join(index_dir, "dictionary")
+    if not (resume and _done(man_dir, "dictionary")):
+        dic = (
+            spark.read.parquet(post_root)
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+            .repartition(par, "term")
+            .sortWithinPartitions("term")
+        )
+        dic.write.mode("overwrite").parquet(dict_path)
+        _mark(man_dir, "dictionary",
+              {"n_terms": spark.read.parquet(dict_path).count()})
+    _lap("dictionary")
 
     wall = time.time() - t0
     metrics = {

@@ -25,7 +25,15 @@ import json
 import os
 import time
 
-from .build import IndexConfig, POSTINGS_SCHEMA, _encode_kernel, _mark, _read_mark, _tf_dataframe
+from .build import (
+    IndexConfig,
+    POSTINGS_SCHEMA,
+    _encode_kernel,
+    _explode_tf,
+    _mark,
+    _read_mark,
+    _tf_dataframe,
+)
 
 
 def _load_cfg(index_dir: str) -> IndexConfig:
@@ -87,10 +95,9 @@ def append_index(
     tf = _tf_dataframe(new_docs, cfg, text_col).withColumn(
         "chunk", (F.col("chunk") + gen_base).cast("int")
     )
+    # map-side write (no shuffle) — same as the full build's stage 1
     tf_path = os.path.join(index_dir, "tf")
-    tf.repartition(max(par, cfg.n_chunks), "chunk", "bucket").write.mode(
-        "append"
-    ).partitionBy("chunk").parquet(tf_path)
+    tf.write.mode("append").partitionBy("chunk").parquet(tf_path)
 
     nm.write.mode("append").parquet(doc_map_path)
     doc_stats_path = os.path.join(index_dir, "doc_stats")
@@ -116,7 +123,7 @@ def append_index(
     post_root = os.path.join(index_dir, "postings")
     for c in range(cfg.n_chunks):
         cid = gen_base + c
-        tf_c = spark.read.parquet(tf_path).where(F.col("chunk") == cid)
+        tf_c = _explode_tf(spark.read.parquet(tf_path).where(F.col("chunk") == cid), cfg)
         is_hot = F.col("term").isin(hot_terms) if hot_terms else F.lit(False)
         tf_c = tf_c.withColumn("is_hot", is_hot).withColumn(
             "shard",
@@ -132,12 +139,13 @@ def append_index(
         _mark(man_dir, f"chunk_{cid:05d}", {"seg_id": f"chunk_{cid:05d}", "chunk": cid,
                                             "generation": gen})
 
-    # refold dictionary over ALL generations
+    # refold dictionary over ALL generations — from the encoded segments
+    # (orders of magnitude fewer rows than tf; binary columns pruned at scan)
     dic = (
-        spark.read.parquet(tf_path)
+        spark.read.parquet(post_root)
         .groupBy("term")
-        .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
-        .repartitionByRange(max(1, cfg.n_chunks), "term")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        .repartition(par, "term")
         .sortWithinPartitions("term")
     )
     dic.write.mode("overwrite").parquet(os.path.join(index_dir, "dictionary"))
