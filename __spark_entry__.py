@@ -25,23 +25,30 @@ CACHE = os.path.join(REPO, ".cache")
 Q_OR = "spark join"
 Q_AND = "customer query window"
 Q_PREFIX = "sca"  # matches 'scan' (full prefix path)
+Q_PHRASE = "spark join"  # exact-adjacency phrase over base tokens
+Q_FIELDED = "slow source:src3"  # ranked text term + field-scoped term
+FIELD_COLS = ("source", "lang")
 
 _INDEX_CFG = dict(n_buckets=32, n_shards=8, n_chunks=4)
 
 
-def _index_dir(sf_dir: str) -> str:
-    key = hashlib.md5(f"{sf_dir}|{sorted(_INDEX_CFG.items())}|v4".encode()).hexdigest()[:12]
+def _index_dir(sf_dir: str, tag: str = "v4") -> str:
+    key = hashlib.md5(f"{sf_dir}|{sorted(_INDEX_CFG.items())}|{tag}".encode()).hexdigest()[:12]
     return os.path.join(CACHE, f"docidx_{key}")
 
 
-def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
+def _ensure_index(spark: SparkSession, sf_dir: str, pos: bool = False,
+                  fields: bool = False) -> str:
     from polaris_spark.index.build import IndexConfig, build_index
 
-    d = _index_dir(sf_dir)
+    tag = "v4pos" if pos else ("v4f" if fields else "v4")
+    d = _index_dir(sf_dir, tag)
     os.makedirs(CACHE, exist_ok=True)
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     # resume=True makes this a no-op when the manifests are complete
-    build_index(spark, docs, d, doc_id_col="doc_id", cfg=IndexConfig(**_INDEX_CFG))
+    build_index(spark, docs, d, doc_id_col="doc_id",
+                cfg=IndexConfig(**_INDEX_CFG, positions=pos,
+                                field_cols=FIELD_COLS if fields else ()))
     return d
 
 
@@ -124,6 +131,27 @@ def _q_boolean_and(spark, sf_dir):
 
     eng = SearchEngine(spark, _ensure_index(spark, sf_dir))
     return eng.search_df(Q_AND, k=None, mode="and").select("doc_id")
+
+
+def _q_phrase(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir, pos=True))
+    res = eng.search_phrase_df(Q_PHRASE, k=None)
+    return res.select(
+        "doc_id",
+        F.round(F.col("score") * 10000).cast("long").alias("score_e4"),
+        F.col("phrase_freq").cast("int").alias("phrase_freq"),
+    )
+
+
+def _q_fielded(spark, sf_dir):
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir, fields=True))
+    return _score_e4(eng.search_df(Q_FIELDED, k=None))
 
 
 def _q_complete(spark, sf_dir):
@@ -262,6 +290,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": _q_bm25_scores,
         "bm25_top10": _q_bm25_top10,
         "boolean_and": _q_boolean_and,
+        "phrase_search": _q_phrase,
+        "fielded_search": _q_fielded,
         "prefix_complete": _q_complete,
         "dedup_exact": _q_dedup_exact,
         "minhash_signatures": _q_minhash,
@@ -289,6 +319,7 @@ def oracle_sql() -> dict[str, str]:
         complete_sql,
         dictionary_sql,
         doc_stats_sql,
+        phrase_sql,
         tokenize_tf_sql,
     )
     import polaris_spark.ops.analytics as _an
@@ -366,6 +397,8 @@ SELECT doc_id, lpad(lower(to_hex(val)), 4, '0') AS simhash16 FROM packed"""
         "bm25_scores": bm25_scores_sql(Q_OR),
         "bm25_top10": bm25_scores_sql(Q_OR, limit=10),
         "boolean_and": boolean_and_sql(Q_AND),
+        "phrase_search": phrase_sql(Q_PHRASE),
+        "fielded_search": bm25_scores_sql(Q_FIELDED, field_cols=FIELD_COLS),
         "prefix_complete": complete_sql(Q_PREFIX, 20),
         "dedup_exact": (
             "SELECT md5(text) AS fp, count(*)::BIGINT AS n_dups, "

@@ -43,6 +43,8 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--shards", type=int, default=8)
     b.add_argument("--chunks", type=int, default=4)
     b.add_argument("--hot-df-threshold", type=int, default=4096)
+    b.add_argument("--positions", action="store_true",
+                   help="store token positions (enables phrase queries)")
     b.add_argument("--no-resume", action="store_true")
 
     q = sub.add_parser("query", help="top-k BM25 search")
@@ -57,6 +59,12 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--prefix", required=True)
     c.add_argument("-n", type=int, default=20)
 
+    p = sub.add_parser("phrase", help="exact phrase query (needs a positions=True index)")
+    p.add_argument("--index", required=True)
+    p.add_argument("--phrase", required=True)
+    p.add_argument("-k", type=int, default=10)
+    p.add_argument("--distributed", action="store_true")
+
     s = sub.add_parser("stats", help="print index stats + manifests")
     s.add_argument("--index", required=True)
 
@@ -68,7 +76,7 @@ def main(argv: list[str] | None = None) -> int:
         spark = _session("polaris_spark_build")
         cfg = IndexConfig(
             n_buckets=args.buckets, n_shards=args.shards, n_chunks=args.chunks,
-            hot_df_threshold=args.hot_df_threshold,
+            hot_df_threshold=args.hot_df_threshold, positions=args.positions,
         )
         docs = spark.read.parquet(args.input)
         m = build_index(
@@ -86,6 +94,16 @@ def main(argv: list[str] | None = None) -> int:
             rows = [r.asDict() for r in eng.search_df(args.query, args.k, args.mode).collect()]
         else:
             rows = eng.search(args.query, args.k, args.mode)
+        print(json.dumps(rows))
+    elif args.cmd == "phrase":
+        from polaris_spark.query.engine import SearchEngine
+
+        spark = _session("polaris_spark_phrase")
+        eng = SearchEngine(spark, args.index)
+        if args.distributed:
+            rows = [r.asDict() for r in eng.search_phrase_df(args.phrase, args.k).collect()]
+        else:
+            rows = eng.search_phrase(args.phrase, args.k)
         print(json.dumps(rows))
     elif args.cmd == "complete":
         from polaris_spark.query.engine import SearchEngine

@@ -17,13 +17,25 @@ K1P1_SQL = "(1.2 + 1.0)"
 B_SQL = "0.75"
 
 
-def _qt_list(query: str) -> str:
-    terms = sorted(set(tokenize(query)))
-    return "[" + ", ".join("'" + t.replace("'", "''") + "'" for t in terms) + "]"
+def _qt_list(query: str, field_cols: tuple = ()) -> str:
+    terms: set[str] = set()
+    fields = set(field_cols)
+    for chunk in query.split():
+        f, _, rest = chunk.partition(":")
+        if rest and f in fields:
+            terms.update(f"{f}:{t}" for t in tokenize(rest))
+        else:
+            terms.update(tokenize(chunk))
+    return "[" + ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(terms)) + "]"
 
 
-def base_cte(table: str = "documents") -> str:
+def base_cte(table: str = "documents", field_cols: tuple = ()) -> str:
     toks = duckdb_tokens_sql("text")
+    for c in field_cols:
+        toks = (
+            f"list_concat({toks}, "
+            f"list_transform({duckdb_tokens_sql(c)}, t -> '{c}:' || t))"
+        )
     return f"""
 WITH d AS (SELECT doc_id, {toks} AS toks FROM {table}),
 tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
@@ -50,11 +62,14 @@ def dictionary_sql(table: str = "documents") -> str:
     )
 
 
-def bm25_scores_sql(query: str, table: str = "documents", limit: int | None = None) -> str:
+def bm25_scores_sql(query: str, table: str = "documents", limit: int | None = None,
+                    field_cols: tuple = ()) -> str:
     """All matching docs with e4-rounded BM25 scores (LIMIT → top-k with the
-    engine's exact (score desc, doc_id asc) order)."""
-    qt = _qt_list(query)
-    sql = base_cte(table) + f""",
+    engine's exact (score desc, doc_id asc) order). ``field_cols`` mirrors a
+    fielded index: per-doc tokens are text tokens ++ '<col>:<tok>' field
+    tokens, and the query accepts field:value syntax."""
+    qt = _qt_list(query, field_cols)
+    sql = base_cte(table, field_cols) + f""",
 qt AS (SELECT unnest({qt}) AS term),
 dft AS (
   SELECT term, count(*)::BIGINT AS df FROM tf
@@ -92,6 +107,49 @@ SELECT doc_id FROM tf
 WHERE term IN (SELECT term FROM qt)
 GROUP BY doc_id
 HAVING count(DISTINCT term) = {n}"""
+
+
+def phrase_sql(phrase: str, table: str = "documents") -> str:
+    """Exact-phrase matches with e4-rounded scores.
+
+    Spec (same as engine ``search_phrase``): phrase terms are the BASE tokens
+    of the phrase in order; doc matches where base-token slots are adjacent;
+    score = (Σ_i idf(term_i)) × BM25-impact(phrase_freq, dl) with dl from the
+    FULL token stream (base + sub tokens)."""
+    from .tokenizer import BASE_PATTERN, _BASE_RE
+
+    terms = _BASE_RE.findall(phrase)
+    assert len(terms) >= 2, "phrase oracle needs >= 2 terms"
+    base_lit = BASE_PATTERN.replace("'", "''")
+    adj = " AND ".join(
+        f"b[i + {i}] = '" + t.replace("'", "''") + "'" for i, t in enumerate(terms)
+    )
+    qt = _qt_list(" ".join(terms))
+    idf_terms = " + ".join(
+        f"(SELECT ln(1.0 + (s.N - df + 0.5) / (df + 0.5)) FROM dft "
+        f"WHERE term = '" + t.replace("'", "''") + "')"
+        for t in terms
+    )
+    return base_cte(table) + f""",
+qt AS (SELECT unnest({qt}) AS term),
+dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf
+  WHERE term IN (SELECT term FROM qt) GROUP BY term
+),
+bt AS (SELECT doc_id, regexp_extract_all(text, '{base_lit}') AS b FROM {table}),
+pf AS (
+  SELECT doc_id,
+         len(list_filter(range(1, len(b) - {len(terms) - 2}), i -> {adj}))::BIGINT AS pf
+  FROM bt WHERE len(b) >= {len(terms)}
+)
+SELECT pf.doc_id,
+       CAST(round(({idf_terms})
+         * (pf.pf * {K1P1_SQL}
+            / (pf.pf + {K1_SQL} * (1.0 - {B_SQL} + {B_SQL} * dl.dl / (s.sumdl / s.N))))
+         * 10000) AS BIGINT) AS score_e4,
+       pf.pf::INT AS phrase_freq
+FROM pf JOIN dl USING (doc_id) CROSS JOIN stats s
+WHERE pf.pf > 0"""
 
 
 def complete_sql(prefix: str, n: int = 20, table: str = "documents") -> str:

@@ -67,7 +67,7 @@ from .codec import BLOCK_SIZE, block_last, block_max_float, encode_ints
 
 POSTINGS_SCHEMA = (
     "term string, bucket int, shard int, salted boolean, df bigint, cf bigint, "
-    "doc_ids binary, tfs binary, dls binary, "
+    "doc_ids binary, tfs binary, dls binary, pos binary, "
     "block_last array<bigint>, block_max array<double>"
 )
 
@@ -85,6 +85,8 @@ class IndexConfig:
     k1: float = BM25_K1
     b: float = BM25_B
     use_pandas_tokenizer: bool = True  # Arrow UDF invert kernel (default); False = JVM tokens_col + groupBy
+    positions: bool = False  # store token positions (phrase queries); ~30-40% larger index
+    field_cols: tuple = ()   # extra searchable field columns, indexed as "<col>:<token>" terms
 
 
 def term_bucket_py(term: str, n_buckets: int) -> int:
@@ -97,6 +99,7 @@ def term_bucket_py(term: str, n_buckets: int) -> int:
 PACKED_TF_SCHEMA = (
     "doc_id bigint, dl int, chunk int, terms array<string>, tfs array<int>"
 )
+PACKED_TF_SCHEMA_POS = PACKED_TF_SCHEMA + ", poss array<array<int>>"
 
 
 def _tf_dataframe(docs, cfg: IndexConfig, text_col: str):
@@ -119,39 +122,95 @@ def _tf_dataframe(docs, cfg: IndexConfig, text_col: str):
     n_buckets = cfg.n_buckets
 
     if cfg.use_pandas_tokenizer:
-        cols = ["doc_id", text_col]
+        field_cols = tuple(cfg.field_cols or ())
+        cols = ["doc_id", text_col, *field_cols]
+        with_pos = cfg.positions
 
         def invert(batches):
+            from ..tokenizer import tokenize_with_positions
+
             for pdf in batches:
                 o_doc, o_dl, o_chunk, o_terms, o_tfs = [], [], [], [], []
-                for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
-                    toks = tokenize(text)
-                    cnt = Counter(toks)
-                    by_chunk: dict[int, tuple[list, list]] = {}
-                    for term, tf in cnt.items():
-                        c = (zlib.crc32(term.encode("utf-8")) % n_buckets) // buckets_per_chunk
-                        slot = by_chunk.get(c)
-                        if slot is None:
-                            slot = by_chunk[c] = ([], [])
-                        slot[0].append(term)
-                        slot[1].append(tf)
-                    if not by_chunk:
-                        by_chunk[0] = ([], [])
-                    for c, (ts, fs) in by_chunk.items():
-                        o_doc.append(doc_id)
-                        o_dl.append(len(toks))
-                        o_chunk.append(c)
-                        o_terms.append(ts)
-                        o_tfs.append(fs)
-                yield pd.DataFrame(
-                    {"doc_id": o_doc, "dl": o_dl, "chunk": o_chunk,
-                     "terms": o_terms, "tfs": o_tfs}
-                )
+                o_poss: list = []
+                fseries = [pdf[c] for c in field_cols]
+                for ridx, (doc_id, text) in enumerate(zip(pdf["doc_id"], pdf[text_col])):
+                    if with_pos:
+                        toks, tpos = tokenize_with_positions(text)
+                        # field tokens ("<col>:<tok>") sit on fresh slots
+                        # after the text's base slots — searchable/rankable,
+                        # never phrase-adjacent to text tokens
+                        if field_cols:
+                            toks = list(toks)
+                            slot = (max(tpos) + 1) if tpos else 0
+                            for c, fs in zip(field_cols, fseries):
+                                for ft in tokenize(fs.iloc[ridx]):
+                                    toks.append(f"{c}:{ft}")
+                                    tpos.append(slot)
+                                    slot += 1
+                        per_term: dict[str, list] = {}
+                        for t, p in zip(toks, tpos):
+                            per_term.setdefault(t, []).append(p)
+                        items = [(t, len(ps), sorted(ps)) for t, ps in per_term.items()]
+                        by_chunk: dict[int, tuple] = {}
+                        for term, tf, ps in items:
+                            c = (zlib.crc32(term.encode("utf-8")) % n_buckets) // buckets_per_chunk
+                            slot3 = by_chunk.get(c)
+                            if slot3 is None:
+                                slot3 = by_chunk[c] = ([], [], [])
+                            slot3[0].append(term)
+                            slot3[1].append(tf)
+                            slot3[2].append(ps)
+                        if not by_chunk:
+                            by_chunk[0] = ([], [], [])
+                        for c, (ts, fs, pp) in by_chunk.items():
+                            o_doc.append(doc_id)
+                            o_dl.append(len(toks))
+                            o_chunk.append(c)
+                            o_terms.append(ts)
+                            o_tfs.append(fs)
+                            o_poss.append(pp)
+                    else:
+                        # fast path (the default build): no per-term position
+                        # or placeholder objects — this loop runs 10^12 times
+                        # at design scale
+                        toks = tokenize(text)
+                        if field_cols:
+                            toks = list(toks)
+                            for c, fs in zip(field_cols, fseries):
+                                toks.extend(
+                                    f"{c}:{ft}" for ft in tokenize(fs.iloc[ridx])
+                                )
+                        by_chunk2: dict[int, tuple] = {}
+                        for term, tf in Counter(toks).items():
+                            c = (zlib.crc32(term.encode("utf-8")) % n_buckets) // buckets_per_chunk
+                            slot2 = by_chunk2.get(c)
+                            if slot2 is None:
+                                slot2 = by_chunk2[c] = ([], [])
+                            slot2[0].append(term)
+                            slot2[1].append(tf)
+                        if not by_chunk2:
+                            by_chunk2[0] = ([], [])
+                        for c, (ts, fs) in by_chunk2.items():
+                            o_doc.append(doc_id)
+                            o_dl.append(len(toks))
+                            o_chunk.append(c)
+                            o_terms.append(ts)
+                            o_tfs.append(fs)
+                out = {"doc_id": o_doc, "dl": o_dl, "chunk": o_chunk,
+                       "terms": o_terms, "tfs": o_tfs}
+                if with_pos:
+                    out["poss"] = o_poss
+                yield pd.DataFrame(out)
 
-        return docs.select(*cols).mapInPandas(invert, PACKED_TF_SCHEMA)
+        schema = PACKED_TF_SCHEMA_POS if with_pos else PACKED_TF_SCHEMA
+        return docs.select(*cols).mapInPandas(invert, schema)
 
     # JVM tokenizer path (debug/verification; identical output, one extra
     # shuffle to re-pack)
+    if cfg.positions or cfg.field_cols:
+        raise NotImplementedError(
+            "positions/field_cols require the pandas tokenizer path"
+        )
     toks = docs.select(
         "doc_id", tokens_col(F.col(text_col)).alias("toks")
     ).withColumn("dl", F.size("toks"))
@@ -183,20 +242,22 @@ def _tf_dataframe(docs, cfg: IndexConfig, text_col: str):
 
 def _explode_tf(tf_packed, cfg: IndexConfig):
     """Packed tf rows → posting-granularity rows
-    ``(doc_id, dl, chunk, term, tf, bucket)``. Whole-stage-codegen explode;
-    empty-array (zero-token) rows drop out naturally."""
+    ``(doc_id, dl, chunk, term, tf[, pos], bucket)``. Whole-stage-codegen
+    explode; empty-array (zero-token) rows drop out naturally."""
     from pyspark.sql import functions as F
 
+    has_pos = "poss" in tf_packed.columns
+    zip_cols = ("terms", "tfs", "poss") if has_pos else ("terms", "tfs")
+    out_cols = ["doc_id", "dl", "chunk",
+                F.col("p.terms").alias("term"), F.col("p.tfs").alias("tf")]
+    if has_pos:
+        out_cols.append(F.col("p.poss").alias("pos"))
     return (
         tf_packed.select(
             "doc_id", "dl", "chunk",
-            F.explode(F.arrays_zip("terms", "tfs")).alias("p"),
+            F.explode(F.arrays_zip(*zip_cols)).alias("p"),
         )
-        .select(
-            "doc_id", "dl", "chunk",
-            F.col("p.terms").alias("term"),
-            F.col("p.tfs").alias("tf"),
-        )
+        .select(*out_cols)
         .withColumn(
             "bucket", (F.crc32(F.col("term").cast("binary")) % cfg.n_buckets).cast("int")
         )
@@ -232,6 +293,9 @@ def _encode_kernel(cfg: IndexConfig, avgdl: float):
         codes, docs, tfs, dls, hot = (
             codes[order], docs[order], tfs[order], dls[order], hot[order]
         )
+        pos_lists = (
+            pdf["pos"].to_numpy()[order] if "pos" in pdf.columns else None
+        )
         starts = np.concatenate(([0], np.flatnonzero(codes[1:] != codes[:-1]) + 1))
         ends = np.concatenate((starts[1:], [len(codes)]))
         n_terms = len(starts)
@@ -255,6 +319,33 @@ def _encode_kernel(cfg: IndexConfig, avgdl: float):
         c_doc = [dbytes[a:b] for a, b in zip(dof[starts].tolist(), dof[ends].tolist())]
         c_tf = [tbytes[a:b] for a, b in zip(tof[starts].tolist(), tof[ends].tolist())]
         c_dl = [lbytes[a:b] for a, b in zip(lof[starts].tolist(), lof[ends].tolist())]
+        # positions: one flat stream, delta-encoded WITHIN each posting
+        # (reset at posting starts), varint-packed; per-term byte ranges
+        # sliced at posting boundaries. Lengths need no storage — decode
+        # uses tf (one position per occurrence).
+        if pos_lists is not None:
+            plens = np.fromiter((len(x) for x in pos_lists), dtype=np.int64,
+                                count=len(pos_lists))
+            flat = (
+                np.concatenate([np.asarray(x, dtype=np.int64) for x in pos_lists])
+                if len(pos_lists) else np.empty(0, dtype=np.int64)
+            )
+            pstarts = np.concatenate(([0], np.cumsum(plens)[:-1]))
+            pdeltas = np.empty_like(flat)
+            if len(flat):
+                pdeltas[1:] = flat[1:] - flat[:-1]
+                pdeltas[pstarts[plens > 0]] = flat[pstarts[plens > 0]]
+            pbuf, pnb = varint_parts(zigzag_encode(pdeltas))
+            # bytes per posting, then per-term offsets at posting boundaries
+            post_nb = np.zeros(len(pos_lists), dtype=np.int64)
+            if len(flat):
+                nz = plens > 0
+                post_nb[nz] = np.add.reduceat(pnb, pstarts[nz])
+            pof = np.concatenate(([0], np.cumsum(post_nb)))
+            pbytes = pbuf.tobytes()
+            c_pos = [pbytes[a:b] for a, b in zip(pof[starts].tolist(), pof[ends].tolist())]
+        else:
+            c_pos = [None] * n_terms
         # block-max metadata: the ≤1-block common case fully vectorized
         # (reduceat max + last doc per run); only multi-block terms loop
         c_bl = docs[ends - 1].reshape(-1, 1).tolist()
@@ -274,6 +365,7 @@ def _encode_kernel(cfg: IndexConfig, avgdl: float):
                 "doc_ids": c_doc,
                 "tfs": c_tf,
                 "dls": c_dl,
+                "pos": c_pos,
                 "block_last": c_bl,
                 "block_max": c_bm,
             }
@@ -413,10 +505,9 @@ def build_index(
     # ---- stage 2: per-chunk encode (the resumable fan-out) ---------------
     post_root = os.path.join(index_dir, "postings")
     kernel = _encode_kernel(cfg, avgdl)
-    for c in range(cfg.n_chunks):
+
+    def _encode_chunk(c: int) -> None:
         name = f"chunk_{c:05d}"
-        if resume and _done(man_dir, name):
-            continue
         tc = time.time()
         chunk_dir = os.path.join(post_root, f"chunk={c}")
         if os.path.exists(chunk_dir):
@@ -425,7 +516,20 @@ def build_index(
         is_hot = (
             F.col("term").isin(hot_terms) if hot_terms else F.lit(False)
         )
-        tf_c = tf_c.withColumn("is_hot", is_hot).withColumn(
+        # narrow the shuffled row: only what the kernel reads, tf/dl as int32
+        # (the shuffle of exploded posting rows is THE wide exchange — every
+        # byte per row counts at 10^12 turns)
+        narrow = [
+            "bucket",
+            F.col("term"),
+            F.col("doc_id"),
+            F.col("tf").cast("int").alias("tf"),
+            F.col("dl").cast("int").alias("dl"),
+            is_hot.alias("is_hot"),
+        ]
+        if cfg.positions:
+            narrow.append(F.col("pos"))
+        tf_c = tf_c.select(*narrow).withColumn(
             "shard",
             F.when(
                 F.col("is_hot"), F.pmod(F.col("doc_id"), F.lit(cfg.n_shards))
@@ -469,6 +573,17 @@ def build_index(
                 "wall_s": round(time.time() - tc, 3),
             },
         )
+
+    # chunks are independent jobs; submit a couple concurrently so the
+    # scheduler fills the tail of one chunk's stages with the next chunk's
+    # tasks (driver threads only — executors shared, FIFO pool)
+    pending = [c for c in range(cfg.n_chunks)
+               if not (resume and _done(man_dir, f"chunk_{c:05d}"))]
+    if pending:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(2, len(pending))) as ex:
+            list(ex.map(_encode_chunk, pending))
 
     _lap("encode_chunks")
 

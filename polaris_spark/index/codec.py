@@ -105,6 +105,31 @@ def decode_ints(buf: bytes, delta: bool = False) -> np.ndarray:
     return v.astype(np.int64, copy=False)
 
 
+def decode_positions(buf: bytes, tfs: np.ndarray) -> list[np.ndarray]:
+    """Decode one posting row's position blob.
+
+    ``buf`` holds, per posting (in doc order), that posting's ``tf`` positions
+    delta-encoded within the posting (first absolute, then gaps), all
+    zigzag+varint packed into one stream. ``tfs`` gives the per-posting
+    position counts (one position per occurrence — no separate lengths are
+    stored). Returns a list of absolute-position int64 arrays, one per
+    posting."""
+    flat = zigzag_decode(varint_decode(buf)).astype(np.int64, copy=False)
+    lens = np.asarray(tfs, dtype=np.int64)
+    if len(flat) != int(lens.sum()):
+        raise ValueError("position stream length != sum(tf)")
+    if len(flat) == 0:
+        return [np.empty(0, dtype=np.int64) for _ in range(len(lens))]
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    absd = np.cumsum(flat)
+    offsets = np.repeat(
+        np.concatenate(([0], absd[starts[1:] - 1])) if len(starts) > 1 else np.zeros(1, dtype=np.int64),
+        lens,
+    )
+    abs_pos = absd - offsets
+    return np.split(abs_pos, np.cumsum(lens)[:-1])
+
+
 def block_last(values: np.ndarray, block: int = BLOCK_SIZE) -> np.ndarray:
     """Last value of each block (skip pointers for WAND)."""
     v = np.asarray(values)

@@ -42,7 +42,8 @@ def _load_cfg(index_dir: str) -> IndexConfig:
     return IndexConfig(
         n_buckets=s["n_buckets"], n_shards=s["n_shards"], n_chunks=s["n_chunks"],
         hot_df_threshold=s.get("hot_df_threshold", 4096), block=s["block"],
-        k1=s["k1"], b=s["b"],
+        k1=s["k1"], b=s["b"], positions=s.get("positions", False),
+        field_cols=tuple(s.get("field_cols", ()) or ()),
     ), s
 
 

@@ -39,10 +39,107 @@ import zlib
 import numpy as np
 import pandas as pd
 
-from ..tokenizer import tokenize
-from ..index.codec import decode_ints
+from ..tokenizer import tokenize, _BASE_RE
+from ..index.codec import decode_ints, decode_positions
 
 RESULT_SCHEMA = "doc_id bigint, score double, n_match int"
+PHRASE_RESULT_SCHEMA = "doc_id bigint, score double, phrase_freq int"
+
+
+def phrase_shard(
+    pdf: pd.DataFrame,
+    terms: list[str],
+    idf: dict[str, float],
+    avgdl: float,
+    k1: float,
+    b: float,
+    k: int | None,
+    n_shards: int | None = None,
+    shard: int | None = None,
+) -> pd.DataFrame:
+    """Exact phrase matching + scoring over candidate posting rows.
+
+    ``terms`` is the phrase's BASE-token sequence in order (duplicates
+    allowed). A doc matches when some position p has ``p + i`` in term_i's
+    position set for all i (Lucene exact PhraseQuery semantics; sub-tokens
+    sit at their parent base token's position, so a camelCase sub-token can
+    participate at its parent's slot). Score =
+    ``(Σ_i idf(term_i)) × impact(phrase_freq, dl)`` with the engine's BM25
+    impact — the phrase treated as one pseudo-term whose tf is its exact
+    occurrence count (the reference's Lucene 4.3 PhraseQuery scores
+    identically in shape: idf-sum × tf-norm of phraseFreq).
+    """
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "score": pd.Series(dtype="float64"),
+                          "phrase_freq": pd.Series(dtype="int32")})
+    if pdf.empty:
+        return empty
+    # decode + merge row slices per term: doc-sorted docs/dls/position-lists
+    per_term: dict[str, list] = {}
+    for row in pdf.itertuples(index=False):
+        # getattr: pre-positions-schema indexes have no pos column at all
+        if getattr(row, "pos", None) is None:
+            raise ValueError("phrase query requires an index built with positions=True")
+        docs = decode_ints(row.doc_ids, delta=True)
+        tfs = decode_ints(row.tfs)
+        dls = decode_ints(row.dls)
+        poss = decode_positions(bytes(row.pos), tfs)
+        if shard is not None and n_shards is not None:
+            keep = (docs % n_shards) == shard
+            if not keep.all():
+                poss = [p for p, kf in zip(poss, keep) if kf]
+                docs, dls = docs[keep], dls[keep]
+        if len(docs):
+            per_term.setdefault(row.term, []).append((docs, dls, poss))
+    uniq = set(terms)
+    if uniq - set(per_term):
+        return empty  # some phrase term absent (in this shard slice)
+    merged: dict[str, tuple] = {}
+    for t, parts in per_term.items():
+        if len(parts) == 1:
+            docs, dls, poss = parts[0]
+        else:
+            docs = np.concatenate([p[0] for p in parts])
+            dls = np.concatenate([p[1] for p in parts])
+            poss = [x for p in parts for x in p[2]]
+            o = np.argsort(docs, kind="stable")
+            docs, dls = docs[o], dls[o]
+            poss = [poss[i] for i in o]
+        merged[t] = (docs, dls, poss)
+    # doc intersection across unique terms, rarest first
+    order_terms = sorted(uniq, key=lambda t: len(merged[t][0]))
+    cand = merged[order_terms[0]][0]
+    for t in order_terms[1:]:
+        cand = cand[np.isin(cand, merged[t][0], assume_unique=True)]
+        if not len(cand):
+            return empty
+    # adjacency check per candidate doc
+    idx = {t: np.searchsorted(merged[t][0], cand) for t in uniq}
+    dl_t = merged[terms[0]][1]
+    out_docs, out_pf, out_dl = [], [], []
+    for j, d in enumerate(cand.tolist()):
+        live = merged[terms[0]][2][idx[terms[0]][j]]
+        for i, t in enumerate(terms[1:], start=1):
+            nxt = merged[t][2][idx[t][j]]
+            live = live[np.isin(live + 1, nxt, assume_unique=False)] + 1
+            if not len(live):
+                break
+        if len(live):
+            out_docs.append(d)
+            out_pf.append(len(live))
+            out_dl.append(int(dl_t[idx[terms[0]][j]]))
+    if not out_docs:
+        return empty
+    docs_a = np.asarray(out_docs, dtype=np.int64)
+    pf = np.asarray(out_pf, dtype=np.int64)
+    dls_a = np.asarray(out_dl, dtype=np.float64)
+    w = sum(idf[t] for t in terms)  # duplicate terms count twice, like Lucene's sumOfSquaredWeights
+    scores = w * (pf * (k1 + 1.0) / (pf + k1 * (1.0 - b + b * dls_a / avgdl)))
+    if k is not None and len(docs_a) > k:
+        o = np.lexsort((docs_a, -scores))[:k]
+        docs_a, scores, pf = docs_a[o], scores[o], pf[o]
+    return pd.DataFrame({"doc_id": docs_a, "score": scores,
+                         "phrase_freq": pf.astype(np.int32)})
 
 
 def _idf(N: int, df: int) -> float:
@@ -204,7 +301,26 @@ class SearchEngine:
     # ------------------------------------------------------------ helpers
 
     def query_terms(self, query: str) -> list[str]:
-        return sorted(set(tokenize(query)))
+        """Query string → sorted unique index terms.
+
+        Supports Lucene-classic ``field:value`` syntax for fields the index
+        was built with (``IndexConfig.field_cols`` — the reference's
+        MultiFieldQueryParser accepts the same syntax,
+        SourceDbImpl.java:131-137): a whitespace chunk ``tool:web.search``
+        becomes the prefixed terms ``tool:<tok>`` for each token of the
+        value. Unknown-field prefixes and plain chunks tokenize normally
+        (the ``field:`` part splits away, like Lucene on an unknown field)."""
+        fields = set(self.stats.get("field_cols", ()) or ())
+        if not fields:
+            return sorted(set(tokenize(query)))
+        terms: set[str] = set()
+        for chunk in (query or "").split():
+            f, _, rest = chunk.partition(":")
+            if rest and f in fields:
+                terms.update(f"{f}:{t}" for t in tokenize(rest))
+            else:
+                terms.update(tokenize(chunk))
+        return sorted(terms)
 
     def _buckets(self, terms: list[str]) -> list[int]:
         nb = self.stats["n_buckets"]
@@ -290,6 +406,90 @@ class SearchEngine:
         scored = routed.groupBy("shard").applyInPandas(kernel, RESULT_SCHEMA)
         out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
         return out.limit(k) if k is not None else out
+
+    # ------------------------------------------------------------- phrases
+
+    def phrase_terms(self, phrase: str) -> list[str]:
+        """BASE-token sequence of the phrase, order kept, duplicates kept
+        (phrase matching is over base-token slots; Lucene's QueryParser
+        tokenizes quoted phrases the same way — reference
+        sourcedb/SourceDbImpl.java:131-137 uses the classic parser which
+        supports quoted PhraseQuery)."""
+        return _BASE_RE.findall(phrase)
+
+    def search_phrase(self, phrase: str, k: int | None = 10) -> list[dict]:
+        """Driver-path exact phrase query (quoted-query analog). Returns
+        [{doc_id, score, phrase_freq}] by (score desc, doc_id asc)."""
+        terms = self.phrase_terms(phrase)
+        if not terms:
+            return []
+        if len(terms) == 1:
+            res = self.search(terms[0], k=k)
+            return [{"doc_id": r["doc_id"], "score": r["score"],
+                     "phrase_freq": None} for r in res]
+        cand = self._candidates(sorted(set(terms))).toPandas()
+        if cand.empty:
+            return []
+        idf = self._idf_map(cand)
+        if set(terms) - set(idf):
+            return []
+        res = phrase_shard(cand, terms, idf, self.stats["avgdl"],
+                           self.stats["k1"], self.stats["b"], k)
+        res = res.sort_values(["score", "doc_id"], ascending=[False, True],
+                              kind="mergesort")
+        if k is not None:
+            res = res.head(k)
+        return res.to_dict("records")
+
+    def search_phrase_df(self, phrase: str, k: int | None = 10):
+        """Distributed phrase query: per-shard kernels + global sort-limit,
+        same shape as :meth:`search_df`."""
+        from pyspark.sql import functions as F
+
+        terms = self.phrase_terms(phrase)
+        empty = self.spark.createDataFrame([], PHRASE_RESULT_SCHEMA)
+        if not terms:
+            return empty
+        cand = self._candidates(sorted(set(terms))).cache()
+        idf = self._idf_map(cand)
+        if not idf or set(terms) - set(idf):
+            return empty
+        stats = self.stats
+        S = int(stats["n_shards"])
+        salted = cand.where(F.col("salted"))
+        unsalted = cand.where(~F.col("salted")).withColumn(
+            "shard", F.explode(F.sequence(F.lit(0), F.lit(S - 1)))
+        )
+        routed = salted.unionByName(unsalted)
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            sh = int(pdf["shard"].iloc[0]) if len(pdf) else 0
+            return phrase_shard(pdf, terms, idf, stats["avgdl"], stats["k1"],
+                                stats["b"], k, n_shards=S, shard=sh)
+
+        scored = routed.groupBy("shard").applyInPandas(kernel, PHRASE_RESULT_SCHEMA)
+        out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        return out.limit(k) if k is not None else out
+
+    def lookup_positions(self, term: str) -> list[dict]:
+        """Decoded (doc_id, positions) occurrence list for one term — the
+        ``listUsages``-with-spans analog (reference usagedb returns per-
+        occurrence spans sorted by (fileId, offset),
+        usagedb/UsageDbImpl.java:65-72)."""
+        rows = self.lookup_term(term).toPandas()
+        out: list[dict] = []
+        for r in rows.itertuples(index=False):
+            if getattr(r, "pos", None) is None:
+                raise ValueError("index built without positions=True")
+            docs = decode_ints(r.doc_ids, delta=True)
+            tfs = decode_ints(r.tfs)
+            poss = decode_positions(bytes(r.pos), tfs)
+            out.extend(
+                {"doc_id": int(d), "positions": [int(x) for x in p]}
+                for d, p in zip(docs, poss)
+            )
+        out.sort(key=lambda x: x["doc_id"])
+        return out
 
     def search_page(self, query: str, rank_from: int = 0, rank_to: int = 20,
                     mode: str = "or") -> list[dict]:

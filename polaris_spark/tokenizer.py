@@ -62,14 +62,41 @@ def subtokens(token: str) -> list[str]:
     return parts if len(parts) > 1 else []
 
 
+_cached_subtokens = lru_cache(maxsize=1_000_000)(subtokens)
+
+
+def tokenize_with_positions(text: str | None) -> tuple[list[str], list[int]]:
+    """(tokens, positions) — position = index of the BASE token in text order.
+
+    Sub-tokens carry their parent base token's position (the Lucene
+    position-increment-0 convention for synonym/sub tokens), so a phrase
+    query over base tokens sees consecutive integers, and a sub-token
+    matches at its parent's slot. ``tokens`` is ordered exactly like
+    :func:`tokenize` (all base tokens first, then all sub-tokens)."""
+    if not text:
+        return [], []
+    base = _BASE_RE.findall(text)
+    toks = list(base)
+    pos = list(range(len(base)))
+    for i, tok in enumerate(base):
+        for s in _cached_subtokens(tok):
+            toks.append(s)
+            pos.append(i)
+    return toks, pos
+
+
 def tokenize(text: str | None) -> list[str]:
-    """Reference implementation of the full spec (base + sub tokens)."""
+    """Reference implementation of the full spec (base + sub tokens).
+
+    Sub-token derivation is memoized per distinct base token (Zipfian vocab
+    → ~4× fewer regex passes; output identical by construction). The cache
+    lives per Python worker process and is bounded at 1M entries."""
     if not text:
         return []
     base = _BASE_RE.findall(text)
     subs: list[str] = []
     for tok in base:
-        subs.extend(subtokens(tok))
+        subs.extend(_cached_subtokens(tok))
     return base + subs
 
 

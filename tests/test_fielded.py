@@ -1,0 +1,71 @@
+"""Fielded (multi-field) search — the reference's MultiFieldQueryParser
+analog: field values indexed as '<col>:<token>' terms in the same unified
+token stream (one dl universe), query accepts Lucene-classic field:value
+syntax (reference sourcedb/SourceDbImpl.java:131-137 parses over
+{Project, Path, SourceText}; our fields: e.g. tool, role)."""
+
+import pytest
+
+from polaris_spark.index.build import IndexConfig, build_index
+from polaris_spark.query.engine import SearchEngine
+from polaris_spark.tokenizer import tokenize
+
+DOCS = [
+    (1, "error parsing the file", "assistant", "read_file"),
+    (2, "searching the web for error", "assistant", "web.search"),
+    (3, "another web result", "tool", "web.search"),
+    (4, "plain chat turn", "user", ""),
+]
+
+
+@pytest.fixture(scope="module")
+def feng(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("fielded_idx"))
+    docs = spark.createDataFrame(
+        DOCS, "doc_id long, text string, role string, tool string"
+    )
+    build_index(spark, docs, d, doc_id_col="doc_id",
+                cfg=IndexConfig(n_buckets=8, n_shards=2, n_chunks=2,
+                                field_cols=("role", "tool")))
+    return SearchEngine(spark, d)
+
+
+def test_field_term_parsing(feng):
+    assert feng.query_terms("tool:web.search") == [
+        "tool:search", "tool:web", "tool:web.search"
+    ]
+    # unknown field prefix falls back to plain tokenization of the chunk
+    assert feng.query_terms("bogus:x") == ["bogus", "x"]
+
+
+def test_field_scoped_match(feng):
+    hits = feng.search("tool:web.search", k=10)
+    assert {h["doc_id"] for h in hits} == {2, 3}
+    hits = feng.search("role:user", k=10)
+    assert [h["doc_id"] for h in hits] == [4]
+
+
+def test_mixed_query_ranks_both_fields(feng):
+    # "error" matches docs 1,2 in text; tool:web.search matches 2,3 →
+    # doc 2 matches both terms groups and must rank first
+    hits = feng.search("error tool:web.search", k=10)
+    assert hits[0]["doc_id"] == 2
+    assert {h["doc_id"] for h in hits} == {1, 2, 3}
+
+
+def test_dl_includes_field_tokens(feng):
+    import os
+
+    ds = {r["doc_id"]: r["dl"] for r in
+          feng.spark.read.parquet(os.path.join(feng.index_dir, "doc_stats")).collect()}
+    # doc 1: text 4 toks + role:assistant 1 + tool:read_file (base + 2 subs) 3
+    expect1 = len(tokenize(DOCS[0][1])) + 1 + len(tokenize("read_file"))
+    assert ds[1] == expect1
+    # doc 4: empty tool contributes nothing
+    assert ds[4] == len(tokenize(DOCS[3][1])) + 1
+
+
+def test_distributed_parity(feng):
+    a = feng.search("error tool:web.search", k=10)
+    b = [r.asDict() for r in feng.search_df("error tool:web.search", k=10).collect()]
+    assert [(x["doc_id"], x["score"]) for x in a] == [(x["doc_id"], x["score"]) for x in b]
