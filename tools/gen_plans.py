@@ -1,0 +1,141 @@
+"""Regenerate PLANS.md — physical-plan evidence captured from the live engine.
+
+Run:  python tools/gen_plans.py
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import shutil
+import sys
+from contextlib import redirect_stdout
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SECTIONS: list[tuple[str, str, str]] = []  # (title, note, plan text)
+
+
+def cap(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession, functions as F
+
+    from polaris_spark.index.build import IndexConfig, build_index
+    from polaris_spark.query.engine import SearchEngine
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    idx = os.path.join(REPO, ".cache", "plans_idx")
+    shutil.rmtree(idx, ignore_errors=True)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    build_index(spark, docs, idx, doc_id_col="doc_id",
+                cfg=IndexConfig(n_buckets=32, n_shards=8, n_chunks=2,
+                                positions=True))
+    eng = SearchEngine(spark, idx)
+
+    SECTIONS.append((
+        "candidate scan (bucket partition pruning + term row-group pushdown)",
+        "PartitionFilters prunes `bucket=` dirs at file-listing time; "
+        "PushedFilters reaches the parquet reader (rows are term-sorted per "
+        "file, so row-group min/max skips non-matching groups).",
+        cap(eng._candidates(eng.query_terms("spark join"))),
+    ))
+
+    SECTIONS.append((
+        "distributed top-k (per-shard Arrow kernels + global sort-limit)",
+        "One FlatMapGroupsInPandas per shard group over the pruned scan; "
+        "TakeOrderedAndProject merges ≤ k×shards rows — no full sort.",
+        cap(eng.search_df("spark join", k=10)),
+    ))
+
+    SECTIONS.append((
+        "top-k payload join (broadcast of the tiny top-k side)",
+        "The k-row result broadcasts; the big table is scanned once, no "
+        "shuffle of the payload side.",
+        cap(
+            docs.join(F.broadcast(eng.search_df("spark join", k=10)), "doc_id")
+            .select("doc_id", "score", "text")
+        ),
+    ))
+
+    SECTIONS.append((
+        "encode-stage shuffle (explicit hash partitioning reused by groupBy)",
+        "Packed tf checkpoint → JVM-side explode (Generate inside "
+        "WholeStageCodegen) → ONE Exchange hashpartitioning(bucket, shard) "
+        "that the FlatMapGroupsInPandas reuses — no second exchange before "
+        "the kernel.",
+        cap(_encode_plan(spark, idx)),
+    ))
+
+    SECTIONS.append((
+        "prefix completion over the dictionary",
+        "Term-sorted dictionary files → StartsWith pushed to the scan.",
+        cap(eng.complete("sca", 20)),
+    ))
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from polaris_spark.ops.similarity import cosine_topk
+
+    qv = [float(x) for x in
+          emb.where("vec_id = 0").collect()[0]["embedding"]]
+    SECTIONS.append((
+        "brute-force cosine top-k (whole-stage codegen, no Python)",
+        "Dot product via aggregate/zip_with stays JVM-side; "
+        "TakeOrderedAndProject for the top-k.",
+        cap(cosine_topk(emb, qv, k=10)),
+    ))
+
+    out = [
+        "# PLANS — physical-plan evidence (captured from the live engine)",
+        "",
+        "Checked properties: parquet `PartitionFilters` on `bucket`,",
+        "`PushedFilters` on `term`, a single Exchange feeding each Arrow",
+        "kernel, broadcast joins for tiny sides, WholeStageCodegen spans for",
+        "all non-kernel expressions. Regenerate: `python tools/gen_plans.py`.",
+        "",
+    ]
+    for title, note, plan in SECTIONS:
+        out += [f"## {title}", "", note, "", "```", plan.rstrip(), "```", ""]
+    with open(os.path.join(REPO, "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print("PLANS.md written,", len(SECTIONS), "sections")
+    spark.stop()
+
+
+def _encode_plan(spark, idx):
+    from pyspark.sql import functions as F
+
+    from polaris_spark.index.build import (
+        IndexConfig, _encode_kernel, _explode_tf, POSTINGS_SCHEMA,
+    )
+
+    cfg = IndexConfig(n_buckets=32, n_shards=8, n_chunks=2, positions=True)
+    tf_c = _explode_tf(
+        spark.read.parquet(os.path.join(idx, "tf")).where(F.col("chunk") == 0), cfg
+    )
+    tf_c = tf_c.withColumn("is_hot", F.lit(False)).withColumn(
+        "shard",
+        (F.crc32(F.col("term").cast("binary")) % cfg.n_shards).cast("int"),
+    )
+    tf_c = tf_c.repartition(16, "bucket", "shard")
+    return tf_c.groupBy("bucket", "shard").applyInPandas(
+        _encode_kernel(cfg, 50.0), POSTINGS_SCHEMA
+    )
+
+
+if __name__ == "__main__":
+    main()
