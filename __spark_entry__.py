@@ -179,6 +179,12 @@ def _q_lsh_pairs(spark, sf_dir):
     return lsh_candidate_pairs(_docs(spark, sf_dir), k=8, bands=4)
 
 
+def _q_dup_clusters(spark, sf_dir):
+    from polaris_spark.ops.dedup import dup_clusters, lsh_candidate_pairs
+
+    return dup_clusters(lsh_candidate_pairs(_docs(spark, sf_dir), k=8, bands=4))
+
+
 def _q_jaccard(spark, sf_dir):
     from polaris_spark.ops.dedup import jaccard_pairs
 
@@ -296,6 +302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "minhash_signatures": _q_minhash,
         "lsh_candidate_pairs": _q_lsh_pairs,
+        "dup_clusters": _q_dup_clusters,
         "jaccard_pairs": _q_jaccard,
         "simhash16": _q_simhash,
         "ann_cosine_top10": _q_cosine_top10,
@@ -323,7 +330,11 @@ def oracle_sql() -> dict[str, str]:
         tokenize_tf_sql,
     )
     import polaris_spark.ops.analytics as _an
-    from polaris_spark.ops.dedup import duckdb_minhash_sql, duckdb_shingles
+    from polaris_spark.ops.dedup import (
+        duckdb_dup_clusters_sql,
+        duckdb_minhash_sql,
+        duckdb_shingles,
+    )
     from polaris_spark.ops.text import (
         duckdb_fingerprint_sql,
         duckdb_langid_sql,
@@ -406,6 +417,7 @@ SELECT doc_id, lpad(lower(to_hex(val)), 4, '0') AS simhash16 FROM packed"""
         ),
         "minhash_signatures": duckdb_minhash_sql("documents", "doc_id", "text", k=8),
         "lsh_candidate_pairs": lsh,
+        "dup_clusters": duckdb_dup_clusters_sql(lsh),
         "jaccard_pairs": jaccard,
         "simhash16": simhash,
         "ann_cosine_top10": cosine,

@@ -165,6 +165,90 @@ def simhash_col(text_col, id_col_unused=None):
     return F.concat(*nibbles)
 
 
+def dup_clusters(pairs, max_iter: int = 25):
+    """Connected components of a candidate-pair graph → (doc_id, cluster_id)
+    with ``cluster_id = min(doc_id in component)``.
+
+    Iterative min-label propagation: each round every node takes the minimum
+    label among itself and its neighbors; converges in O(graph diameter)
+    rounds (dup clusters are near-cliques from LSH banding, so diameter is
+    tiny — typically ≤ 3 rounds). Each round is one join + one aggregation;
+    the label frame is cached and the loop exits on a converged checksum
+    (sum of labels is monotonically non-increasing and integer — equal sums
+    ⇒ no label changed).
+
+    Scale notes: at 10^12-doc scale with adversarial long chains this would
+    use the large-star/small-star algorithm (same join/agg primitives,
+    provably O(log n) rounds); min-label propagation is the right trade for
+    near-clique dup graphs and keeps every round a single shuffle.
+
+    ``pairs``: DataFrame (doc_a, doc_b). Returns only docs that appear in at
+    least one pair (singletons are trivially their own cluster).
+    """
+    from pyspark.sql import functions as F
+
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select(
+            F.col("src").alias("doc_id"),
+            F.least(F.col("src"), F.col("mn")).alias("cluster_id"),
+        )
+        .cache()
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        # neighbor labels + own label → min per node
+        nbr = (
+            edges.join(
+                labels.withColumnRenamed("doc_id", "dst"), "dst"
+            )
+            .select(F.col("src").alias("doc_id"), "cluster_id")
+        )
+        new_labels = (
+            nbr.unionByName(labels)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .cache()
+        )
+        s = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if prev_sum is not None and s == prev_sum:
+            break
+        prev_sum = s
+    edges.unpersist()
+    return labels
+
+
+def duckdb_dup_clusters_sql(pairs_sql: str) -> str:
+    """Recursive-CTE mirror of :func:`dup_clusters`: transitive closure of
+    the undirected pair graph, cluster id = min reachable node."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id,
+       least(src, min(dst)) AS cluster_id
+FROM reach GROUP BY src"""
+
+
 # --------------------------------------------------------- DuckDB mirrors
 
 def duckdb_shingles(col_sql: str, n: int = N_SHINGLE) -> str:

@@ -286,7 +286,13 @@ def score_shard(
 
 
 class SearchEngine:
-    def __init__(self, spark, index_dir: str):
+    def __init__(self, spark, index_dir: str, cache_terms: int = 0):
+        """``cache_terms`` > 0 enables a driver-side LRU of candidate
+        posting rows keyed by term (serving mode — the analog of the
+        reference keeping one warm Lucene IndexReader open,
+        search/CodeSearchImpl.java:53-69). Like a Lucene reader, a cached
+        engine is a point-in-time view: construct a new engine after
+        ``append_index``/``compact_index`` to see new segments."""
         self.spark = spark
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "_stats.json")) as f:
@@ -297,6 +303,8 @@ class SearchEngine:
         # cache the (lazy) postings DataFrame: avoids re-listing/schema
         # inference per query; bucket partition-pruning still applies
         self._posts = self.spark.read.parquet(self.post_root)
+        self._cache_cap = int(cache_terms)
+        self._term_cache: dict[str, pd.DataFrame] = {}
 
     # ------------------------------------------------------------ helpers
 
@@ -334,6 +342,27 @@ class SearchEngine:
             F.col("bucket").isin(self._buckets(terms)) & F.col("term").isin(terms)
         )
 
+    def _candidates_pdf(self, terms: list[str]) -> pd.DataFrame:
+        """Driver-path candidate rows, through the term LRU when enabled.
+        Negative results are cached too (empty frame per absent term)."""
+        if not self._cache_cap:
+            return self._candidates(terms).toPandas()
+        for t in terms:  # LRU recency bump for hits
+            if t in self._term_cache:
+                self._term_cache[t] = self._term_cache.pop(t)
+        missing = [t for t in terms if t not in self._term_cache]
+        if missing:
+            fetched = self._candidates(missing).toPandas()
+            for t in missing:
+                self._term_cache[t] = fetched[fetched["term"] == t]
+            while len(self._term_cache) > self._cache_cap:
+                self._term_cache.pop(next(iter(self._term_cache)))
+        parts = [self._term_cache[t] for t in terms if t in self._term_cache]
+        parts = [p for p in parts if not p.empty]
+        if not parts:
+            return pd.DataFrame()
+        return pd.concat(parts, ignore_index=True)
+
     def _idf_map(self, cand_pdf_or_df) -> dict[str, float]:
         """df per term aggregated across shards → idf."""
         N = self.stats["N"]
@@ -355,7 +384,7 @@ class SearchEngine:
         terms = self.query_terms(query)
         if not terms:
             return []  # reference behavior: unparseable/empty query → empty
-        cand = self._candidates(terms).toPandas()
+        cand = self._candidates_pdf(terms)
         if cand.empty:
             return []
         idf = self._idf_map(cand)
@@ -427,7 +456,7 @@ class SearchEngine:
             res = self.search(terms[0], k=k)
             return [{"doc_id": r["doc_id"], "score": r["score"],
                      "phrase_freq": None} for r in res]
-        cand = self._candidates(sorted(set(terms))).toPandas()
+        cand = self._candidates_pdf(sorted(set(terms)))
         if cand.empty:
             return []
         idf = self._idf_map(cand)
@@ -555,6 +584,21 @@ class SearchEngine:
             out.extend({"doc_id": int(d), "tf": int(t)} for d, t in zip(docs, tfs))
         out.sort(key=lambda x: x["doc_id"])
         return out
+
+    def list_conversation(self, conv_id: str):
+        """All turns of one conversation, ordered by turn_idx — the
+        directory-listing analog (reference ``listFiles``:
+        SourceDbImpl.java:70-77 lists a directory's children sorted by path;
+        our "directory" is the conversation, children are its turns under
+        the stable (conv_id, turn_idx) ordering mandated by the per-row
+        invariant). Exact-key filter → parquet row-group pruning on
+        conv_id."""
+        from pyspark.sql import functions as F
+
+        dm = self.spark.read.parquet(self.doc_map_path)
+        if "conv_id" not in dm.columns:
+            raise ValueError("index doc_map carries no conv_id column")
+        return dm.where(F.col("conv_id") == conv_id).orderBy("turn_idx")
 
     def lookup_docs(self, doc_ids: list[int]):
         """doc_id → identity rows (the ``source``/``getFileHandle`` analog,

@@ -197,3 +197,35 @@ def test_per_turn_invariant(spark, synth_index):
     src = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     assert (back["text"].to_numpy() == src["text"].to_numpy()).all()
     assert len(back) == len(src)
+
+
+def test_list_conversation(spark, synth_index):
+    """listFiles analog: one conversation's turns, sorted by turn_idx
+    (reference SourceDbImpl.java:70-77 directory children sorted by path)."""
+    from polaris_spark.query.engine import SearchEngine
+
+    d, pdf = synth_index
+    eng = SearchEngine(spark, d)
+    conv = pdf["conv_id"].iloc[0]
+    got = eng.list_conversation(conv).collect()
+    want = pdf[pdf["conv_id"] == conv].sort_values("turn_idx")
+    assert [r["turn_idx"] for r in got] == list(want["turn_idx"])
+    assert all(r["conv_id"] == conv for r in got)
+    # unknown conversation → empty, no error
+    assert eng.list_conversation("no_such_conv").count() == 0
+
+
+def test_term_cache_serving_mode(spark, mini_index):
+    """cache_terms LRU: identical results, negative caching, eviction."""
+    from polaris_spark.query.engine import SearchEngine
+
+    cold = SearchEngine(spark, mini_index)
+    warm = SearchEngine(spark, mini_index, cache_terms=3)
+    for q in ["hello world", "hello world", "A", "nosuchterm"]:
+        assert warm.search(q, k=10) == cold.search(q, k=10)
+    assert "nosuchterm" in warm._term_cache  # negative entry cached
+    assert len(warm._term_cache) <= 3        # LRU capacity respected
+    # second lookup of a cached query touches no new terms
+    before = list(warm._term_cache)
+    warm.search("A", k=10)
+    assert set(warm._term_cache) == set(before)

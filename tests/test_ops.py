@@ -132,3 +132,26 @@ def test_simhash_runs(spark, docs):
 
     rows = docs.limit(20).select("doc_id", simhash_col(F.col("text")).alias("sh")).collect()
     assert all(len(r["sh"]) == 4 for r in rows)  # 16 bits → 4 hex nibbles
+
+
+def test_dup_clusters_chain_and_duckdb_mirror(spark):
+    """Connected components: chain needs >1 propagation round; result equals
+    the DuckDB recursive-CTE transitive closure on the same edges."""
+    import duckdb
+
+    from polaris_spark.ops.dedup import dup_clusters, duckdb_dup_clusters_sql
+
+    pairs = [(10, 20), (20, 30), (30, 40),   # chain → one cluster, min=10
+             (100, 200),                      # pair
+             (7, 5), (5, 9)]                  # min in middle position
+    pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pdf).collect()}
+    assert got == {10: 10, 20: 10, 30: 10, 40: 10,
+                   100: 100, 200: 100, 7: 5, 5: 5, 9: 5}
+
+    vals = ", ".join(f"({a}, {b})" for a, b in pairs)
+    sql = duckdb_dup_clusters_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(doc_a, doc_b)"
+    )
+    oracle = dict(duckdb.sql(sql).fetchall())
+    assert got == oracle
