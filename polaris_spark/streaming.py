@@ -46,3 +46,128 @@ def stream_append(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_windowed_counts(
+    spark,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: str = TRANSCRIPT_SCHEMA,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    available_now: bool = True,
+):
+    """Watermarked tumbling-window turn counts per role — the standard
+    late-data-tolerant streaming aggregate (mission extension; no reference
+    analog — polaris is batch-only, SURVEY §2.10).
+
+    Events later than ``watermark`` behind the max seen ``ts`` are dropped;
+    append output mode emits each window once, when the watermark passes its
+    end (finalized windows only). Sink: parquet rows
+    (window_start, window_end, role, n_turns).
+    """
+    from pyspark.sql import functions as F
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "role")
+        .agg(F.count("*").alias("n_turns"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "role",
+            "n_turns",
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stateful_sessionize(
+    spark,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: str = TRANSCRIPT_SCHEMA,
+    gap_s: int = 1800,
+    available_now: bool = True,
+):
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-conversation session windows with a ``gap_s`` inactivity gap.
+
+    State per conv_id = (session_start, last_ts, n_turns). A new event
+    extends the open session or (gap exceeded) emits the closed one and
+    starts fresh; an event-time timeout (watermark-driven) flushes idle
+    sessions. This is the GroupState pattern the built-in windowed aggs
+    can't express (session length depends on data, not the clock grid).
+    Sink rows: (conv_id, session_start, session_end, n_turns).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    OUT = ("conv_id string, session_start timestamp, session_end timestamp, "
+           "n_turns int")
+    STATE = "start long, last long, n int"
+
+    def fn(key, pdfs, state: GroupState):
+        conv_id = key[0]
+        out = []
+        if state.hasTimedOut:
+            (s0, s1, n) = state.get
+            out.append((conv_id, s0, s1, n))
+            state.remove()
+        else:
+            ts = []
+            for pdf in pdfs:
+                ts.extend(int(t.value // 1_000_000_000) for t in pd.to_datetime(pdf["ts"]))
+            ts.sort()
+            if not ts:
+                return
+            if state.exists:
+                s0, s1, n = state.get
+            else:
+                s0, s1, n = ts[0], ts[0], 0
+            for t in ts:
+                if t - s1 > gap_s:
+                    out.append((conv_id, s0, s1, n))
+                    s0, n = t, 0
+                s1 = t if t > s1 else s1
+                n += 1
+            state.update((s0, s1, n))
+            state.setTimeoutTimestamp((s1 + gap_s) * 1000)
+        if out:
+            yield pd.DataFrame(
+                {
+                    "conv_id": [o[0] for o in out],
+                    "session_start": pd.to_datetime([o[1] for o in out], unit="s"),
+                    "session_end": pd.to_datetime([o[2] for o in out], unit="s"),
+                    "n_turns": [o[3] for o in out],
+                }
+            )
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    sessions = (
+        stream.withWatermark("ts", f"{gap_s} seconds")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            fn, OUT, STATE, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+    writer = (
+        sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

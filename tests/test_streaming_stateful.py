@@ -1,0 +1,110 @@
+"""Watermarked windowed aggregation + applyInPandasWithState sessionization.
+
+File-source streams driven with trigger(availableNow) in successive runs
+(checkpointed state/watermark carries across runs, so each run is one or
+more micro-batches — the cron'd-incremental pattern). Append mode emits a
+window/session only once it is finalized by the watermark, so late events
+within the allowed lateness are counted and older-than-watermark state
+flushes deterministically.
+"""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from polaris_spark.streaming import stateful_sessionize, stream_windowed_counts
+
+T0 = "2026-01-01 10:00:00"
+
+
+def _write(spark, d, rows, name):
+    import glob
+    import shutil
+    import tempfile
+
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    ).withColumn("ts", F.to_timestamp(F.col("text")))
+    # ts carried via text column for brevity; real text irrelevant here.
+    # Stage then move the part file FLAT into the watched dir (the file
+    # source lists leaf files; keep one file per logical batch).
+    stage = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(d, f"{name}.parquet"))
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+def _rows(conv, role, *stamps):
+    return [(conv, i, role, s, "") for i, s in enumerate(stamps)]
+
+
+def _drain(q):
+    q.awaitTermination()
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    inp, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(inp)
+    return inp, out, ckpt
+
+
+def _run_stream(fn, spark, inp, out, ckpt, **kw):
+    q = fn(spark, inp, out, ckpt, **kw)
+    _drain(q)
+
+
+def test_windowed_counts_with_late_data(spark, dirs):
+    inp, out, ckpt = dirs
+    # batch 1: two events in the 10:00 window, one in 11:00
+    _write(spark, inp, _rows("c1", "user",
+                             "2026-01-01 10:05:00", "2026-01-01 10:20:00",
+                             "2026-01-01 11:10:00"), "f1")
+    _run_stream(stream_windowed_counts, spark, inp, out, ckpt,
+                window="1 hour", watermark="30 minutes")
+    # batch 2: a LATE event for 10:00 (within 30min watermark of max 11:10)
+    # plus a far-future event that pushes the watermark past 11:00+30m
+    _write(spark, inp, _rows("c2", "user",
+                             "2026-01-01 10:55:00", "2026-01-01 14:00:00"), "f2")
+    _run_stream(stream_windowed_counts, spark, inp, out, ckpt,
+                window="1 hour", watermark="30 minutes")
+    # batch 3: dummy run so finalized windows flush to the sink
+    _write(spark, inp, _rows("c3", "user", "2026-01-01 15:00:00"), "f3")
+    _run_stream(stream_windowed_counts, spark, inp, out, ckpt,
+                window="1 hour", watermark="30 minutes")
+
+    got = {(str(r["window_start"]), r["role"]): r["n_turns"]
+           for r in spark.read.parquet(out).collect()}
+    # the 10:00 window must include the late 10:55 event → 3 user turns
+    assert got[("2026-01-01 10:00:00", "user")] == 3
+    # the 11:00 window finalized too
+    assert got[("2026-01-01 11:00:00", "user")] == 1
+
+
+def test_stateful_sessionize_gap_and_timeout(spark, dirs):
+    inp, out, ckpt = dirs
+    gap = 1800
+    # conv A: two turns 60s apart (one session); conv B: one turn
+    _write(spark, inp,
+           _rows("A", "user", "2026-01-01 10:00:00", "2026-01-01 10:01:00")
+           + _rows("B", "user", "2026-01-01 10:00:30"), "f1")
+    _run_stream(stateful_sessionize, spark, inp, out, ckpt, gap_s=gap)
+    # conv A again, far beyond the gap → closes A's first session in-stream
+    _write(spark, inp, _rows("A", "user", "2026-01-01 13:00:00"), "f2")
+    _run_stream(stateful_sessionize, spark, inp, out, ckpt, gap_s=gap)
+    # dummy advance so B's idle session times out via the watermark
+    _write(spark, inp, _rows("C", "user", "2026-01-01 18:00:00"), "f3")
+    _run_stream(stateful_sessionize, spark, inp, out, ckpt, gap_s=gap)
+    _write(spark, inp, _rows("D", "user", "2026-01-01 23:00:00"), "f4")
+    _run_stream(stateful_sessionize, spark, inp, out, ckpt, gap_s=gap)
+
+    rows = spark.read.parquet(out).collect()
+    sess = {(r["conv_id"], str(r["session_start"])): (str(r["session_end"]), r["n_turns"])
+            for r in rows}
+    # A's first session: both turns, closed by the gap when 13:00 arrived
+    assert sess[("A", "2026-01-01 10:00:00")] == ("2026-01-01 10:01:00", 2)
+    # B's single-turn session flushed by event-time timeout
+    assert sess[("B", "2026-01-01 10:00:30")] == ("2026-01-01 10:00:30", 1)
