@@ -27,6 +27,7 @@ Q_AND = "customer query window"
 Q_PREFIX = "sca"  # matches 'scan' (full prefix path)
 Q_PHRASE = "spark join"  # exact-adjacency phrase over base tokens
 Q_FIELDED = "slow source:src3"  # ranked text term + field-scoped term
+Q_NOT = "spark -join"  # Lucene-classic prohibit operator
 FIELD_COLS = ("source", "lang")
 
 _INDEX_CFG = dict(n_buckets=32, n_shards=8, n_chunks=4)
@@ -145,6 +146,13 @@ def _q_phrase(spark, sf_dir):
         F.round(F.col("score") * 10000).cast("long").alias("score_e4"),
         F.col("phrase_freq").cast("int").alias("phrase_freq"),
     )
+
+
+def _q_boolean_not(spark, sf_dir):
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir))
+    return _score_e4(eng.search_df(Q_NOT, k=None))
 
 
 def _q_fielded(spark, sf_dir):
@@ -296,6 +304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": _q_bm25_scores,
         "bm25_top10": _q_bm25_top10,
         "boolean_and": _q_boolean_and,
+        "boolean_not": _q_boolean_not,
         "phrase_search": _q_phrase,
         "fielded_search": _q_fielded,
         "prefix_complete": _q_complete,
@@ -408,6 +417,7 @@ SELECT doc_id, lpad(lower(to_hex(val)), 4, '0') AS simhash16 FROM packed"""
         "bm25_scores": bm25_scores_sql(Q_OR),
         "bm25_top10": bm25_scores_sql(Q_OR, limit=10),
         "boolean_and": boolean_and_sql(Q_AND),
+        "boolean_not": bm25_scores_sql(Q_NOT),
         "phrase_search": phrase_sql(Q_PHRASE),
         "fielded_search": bm25_scores_sql(Q_FIELDED, field_cols=FIELD_COLS),
         "prefix_complete": complete_sql(Q_PREFIX, 20),

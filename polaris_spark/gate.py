@@ -17,16 +17,29 @@ K1P1_SQL = "(1.2 + 1.0)"
 B_SQL = "0.75"
 
 
-def _qt_list(query: str, field_cols: tuple = ()) -> str:
-    terms: set[str] = set()
+def _parse(query: str, field_cols: tuple = ()) -> tuple[list[str], list[str]]:
+    """(include_terms, exclude_terms) — same spec as engine.parse_query."""
     fields = set(field_cols)
+    inc: set[str] = set()
+    exc: set[str] = set()
     for chunk in query.split():
-        f, _, rest = chunk.partition(":")
+        neg = chunk.startswith("-") and len(chunk) > 1
+        body = chunk[1:] if neg else chunk
+        f, _, rest = body.partition(":")
         if rest and f in fields:
-            terms.update(f"{f}:{t}" for t in tokenize(rest))
+            terms = {f"{f}:{t}" for t in tokenize(rest)}
         else:
-            terms.update(tokenize(chunk))
-    return "[" + ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(terms)) + "]"
+            terms = set(tokenize(body))
+        (exc if neg else inc).update(terms)
+    return sorted(inc), sorted(exc)
+
+
+def _sql_list(terms: list[str]) -> str:
+    return "[" + ", ".join("'" + t.replace("'", "''") + "'" for t in terms) + "]"
+
+
+def _qt_list(query: str, field_cols: tuple = ()) -> str:
+    return _sql_list(_parse(query, field_cols)[0])
 
 
 def base_cte(table: str = "documents", field_cols: tuple = ()) -> str:
@@ -89,12 +102,24 @@ contrib AS (
 scored AS (
   SELECT doc_id, CAST(round(sum(c) * 10000) AS BIGINT) AS score_e4,
          sum(c) AS raw_score
-  FROM contrib GROUP BY doc_id
+  FROM contrib{_exclusion_clause(query, field_cols)} GROUP BY doc_id
 )
 SELECT doc_id, score_e4 FROM scored"""
     if limit is not None:
         sql += f"\nORDER BY raw_score DESC, doc_id ASC LIMIT {limit}"
     return sql
+
+
+def _exclusion_clause(query: str, field_cols: tuple = ()) -> str:
+    """WHERE fragment dropping docs that contain any '-'-prohibited term
+    (engine parse_query exclusion semantics)."""
+    exc = _parse(query, field_cols)[1]
+    if not exc:
+        return ""
+    return (
+        "\n  WHERE doc_id NOT IN "
+        f"(SELECT doc_id FROM tf WHERE term IN (SELECT unnest({_sql_list(exc)})))"
+    )
 
 
 def boolean_and_sql(query: str, table: str = "documents") -> str:

@@ -158,6 +158,7 @@ def score_shard(
     n_shards: int | None = None,
     shard: int | None = None,
     prune: bool = True,
+    excluded: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Exact BM25 accumulation over candidate posting rows.
 
@@ -192,6 +193,11 @@ def score_shard(
         tfs, dls = decode_ints(row.tfs), decode_ints(row.dls)
         if shard is not None and n_shards is not None:
             keep = (docs % n_shards) == shard
+            docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+        if excluded is not None and len(docs):
+            # prohibit-operator docs drop BEFORE scoring/pruning — MaxScore's
+            # θ0 then derives from the true (post-exclusion) candidate set
+            keep = ~np.isin(docs, excluded, assume_unique=True)
             docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
         if len(docs):
             by_term.setdefault(row.term, []).append((docs, tfs, dls))
@@ -308,27 +314,51 @@ class SearchEngine:
 
     # ------------------------------------------------------------ helpers
 
-    def query_terms(self, query: str) -> list[str]:
-        """Query string → sorted unique index terms.
+    def parse_query(self, query: str) -> tuple[list[str], list[str]]:
+        """Query string → (include_terms, exclude_terms), both sorted unique.
 
-        Supports Lucene-classic ``field:value`` syntax for fields the index
-        was built with (``IndexConfig.field_cols`` — the reference's
-        MultiFieldQueryParser accepts the same syntax,
-        SourceDbImpl.java:131-137): a whitespace chunk ``tool:web.search``
-        becomes the prefixed terms ``tool:<tok>`` for each token of the
-        value. Unknown-field prefixes and plain chunks tokenize normally
-        (the ``field:`` part splits away, like Lucene on an unknown field)."""
+        Lucene-classic operators the reference's MultiFieldQueryParser
+        accepts (SourceDbImpl.java:131-137), re-implemented:
+        - ``field:value`` for fields the index was built with
+          (``IndexConfig.field_cols``): ``tool:web.search`` → prefixed
+          terms ``tool:<tok>``. Unknown-field prefixes tokenize normally.
+        - ``-chunk`` (prohibit): documents containing ANY token of the
+          negated chunk are excluded from the result entirely (applied
+          before scoring, so MaxScore pruning stays exact).
+        Quoted phrases are the third classic operator — see
+        :meth:`search_phrase`.
+        """
         fields = set(self.stats.get("field_cols", ()) or ())
-        if not fields:
-            return sorted(set(tokenize(query)))
-        terms: set[str] = set()
+        inc: set[str] = set()
+        exc: set[str] = set()
         for chunk in (query or "").split():
-            f, _, rest = chunk.partition(":")
+            neg = chunk.startswith("-") and len(chunk) > 1
+            body = chunk[1:] if neg else chunk
+            f, _, rest = body.partition(":")
             if rest and f in fields:
-                terms.update(f"{f}:{t}" for t in tokenize(rest))
+                terms = {f"{f}:{t}" for t in tokenize(rest)}
             else:
-                terms.update(tokenize(chunk))
-        return sorted(terms)
+                terms = set(tokenize(body))
+            (exc if neg else inc).update(terms)
+        return sorted(inc), sorted(exc)
+
+    def query_terms(self, query: str) -> list[str]:
+        """Positive index terms of the query (see :meth:`parse_query`)."""
+        return self.parse_query(query)[0]
+
+    def _excluded_docs(self, exc: list[str]) -> np.ndarray | None:
+        """Union of doc_ids carrying any excluded term (driver-side decode
+        of the pruned candidate rows). At 10^12-doc scale a very common
+        excluded term would make this an anti-join instead; for the serving
+        path the array broadcast via kernel closure is the low-latency
+        choice."""
+        if not exc:
+            return None
+        rows = self._candidates_pdf(exc)
+        if rows.empty:
+            return None
+        parts = [decode_ints(r.doc_ids, delta=True) for r in rows.itertuples(index=False)]
+        return np.unique(np.concatenate(parts))
 
     def _buckets(self, terms: list[str]) -> list[int]:
         nb = self.stats["n_buckets"]
@@ -381,7 +411,7 @@ class SearchEngine:
         """Driver-path search: candidate rows are collected (they are small
         after bucket+term pruning) and scored in-process. Returns
         [{doc_id, score, n_match}] ordered by (score desc, doc_id asc)."""
-        terms = self.query_terms(query)
+        terms, exc = self.parse_query(query)
         if not terms:
             return []  # reference behavior: unparseable/empty query → empty
         cand = self._candidates_pdf(terms)
@@ -392,7 +422,8 @@ class SearchEngine:
         # salted term's rows carry disjoint doc slices, so per-doc sums stay
         # complete and term-ordered)
         res = score_shard(cand, idf, self.stats["avgdl"], self.stats["k1"],
-                          self.stats["b"], k, mode, len(terms))
+                          self.stats["b"], k, mode, len(terms),
+                          excluded=self._excluded_docs(exc))
         res = res.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
         if k is not None:
             res = res.head(k)
@@ -403,10 +434,11 @@ class SearchEngine:
         Returns a DataFrame (doc_id, score, n_match)."""
         from pyspark.sql import functions as F
 
-        terms = self.query_terms(query)
+        terms, exc = self.parse_query(query)
         empty = self.spark.createDataFrame([], RESULT_SCHEMA)
         if not terms:
             return empty
+        excluded = self._excluded_docs(exc)
         cand = self._candidates(terms).cache()
         try:
             idf = self._idf_map(cand)
@@ -430,7 +462,8 @@ class SearchEngine:
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             sh = int(pdf["shard"].iloc[0]) if len(pdf) else 0
             return score_shard(pdf, idf, stats["avgdl"], stats["k1"], stats["b"],
-                               k, mode, nq, n_shards=S, shard=sh)
+                               k, mode, nq, n_shards=S, shard=sh,
+                               excluded=excluded)
 
         scored = routed.groupBy("shard").applyInPandas(kernel, RESULT_SCHEMA)
         out = scored.orderBy(F.desc("score"), F.asc("doc_id"))

@@ -229,3 +229,23 @@ def test_term_cache_serving_mode(spark, mini_index):
     before = list(warm._term_cache)
     warm.search("A", k=10)
     assert set(warm._term_cache) == set(before)
+
+
+def test_prohibit_operator(spark, mini_index):
+    """Lucene-classic '-term' (prohibit): docs containing the negated term
+    drop before scoring; driver and distributed paths agree."""
+    eng = SearchEngine(spark, mini_index)
+    # "hello" matches d1, d3; "-world" removes d3
+    hits = eng.search("hello -world", k=10)
+    assert [h["doc_id"] for h in hits] == [1]
+    # exclusion-only query → empty (no positive terms)
+    assert eng.search("-hello", k=10) == []
+    # unknown excluded term → no-op
+    assert [h["doc_id"] for h in eng.search("hello -zzz", k=10)] == [1, 3]
+    # distributed parity
+    a = eng.search("hello -world", k=10)
+    b = [r.asDict() for r in eng.search_df("hello -world", k=10).collect()]
+    assert [(x["doc_id"], x["score"]) for x in a] == [(x["doc_id"], x["score"]) for x in b]
+    # exclusion changes membership but NOT surviving docs' scores
+    full = {h["doc_id"]: h["score"] for h in eng.search("hello", k=10)}
+    assert hits[0]["score"] == full[1]
