@@ -170,8 +170,10 @@ def compact_index(spark, index_dir: str) -> dict:
     post_root = os.path.join(index_dir, "postings")
     man_dir = os.path.join(index_dir, "manifest")
 
-    # logical rows back from every generation, then one clean re-encode
-    tf = postings_to_tf(spark, index_dir).withColumn(
+    # logical rows back from every generation (positions included for
+    # positional indexes — compaction must not drop them), then one clean
+    # re-encode
+    tf = postings_to_tf(spark, index_dir, with_pos=cfg.positions).withColumn(
         "bucket", (F.crc32(F.col("term").cast("binary")) % cfg.n_buckets).cast("int")
     )
     hot_terms = _read_mark(man_dir, "hot_terms")["hot_terms"]

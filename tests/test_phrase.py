@@ -9,6 +9,7 @@ store per-occurrence positions delta+varint-encoded (positions=True builds).
 """
 
 import math
+import os
 
 import numpy as np
 import pytest
@@ -133,3 +134,28 @@ def test_nonpositional_index_rejects_phrase(spark, tmp_path_factory):
         eng.search_phrase("big data")
     # and regular search still works on the same index
     assert eng.search("big data", k=10)
+
+
+def test_compaction_preserves_positions(spark, tmp_path_factory):
+    """forceMerge(1) analog on a positional index must carry positions
+    through the decode→re-encode cycle: phrase results identical, and an
+    appended generation merges in too."""
+    from polaris_spark.index.maintenance import append_index, compact_index
+
+    d = str(tmp_path_factory.mktemp("phrase_compact_idx"))
+    docs = spark.createDataFrame(DOCS[:4], "doc_id long, text string")
+    build_index(spark, docs, d, doc_id_col="doc_id",
+                cfg=IndexConfig(n_buckets=8, n_shards=2, n_chunks=2,
+                                positions=True))
+    more = spark.createDataFrame(DOCS[4:], "doc_id long, text string")
+    append_index(spark, more, d, doc_id_col="doc_id")
+    eng = SearchEngine(spark, d)
+    before = eng.search_phrase("big data", k=10)
+    occ_before = eng.lookup_positions("big")
+    compact_index(spark, d)
+    eng2 = SearchEngine(spark, d)
+    assert eng2.search_phrase("big data", k=10) == before
+    assert eng2.lookup_positions("big") == occ_before
+    # compacted layout: one generation
+    import glob as _g
+    assert sorted(os.path.basename(p) for p in _g.glob(os.path.join(d, "postings", "chunk=*"))) == ["chunk=0"]
