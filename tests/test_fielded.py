@@ -69,3 +69,31 @@ def test_distributed_parity(feng):
     a = feng.search("error tool:web.search", k=10)
     b = [r.asDict() for r in feng.search_df("error tool:web.search", k=10).collect()]
     assert [(x["doc_id"], x["score"]) for x in a] == [(x["doc_id"], x["score"]) for x in b]
+
+
+def test_fielded_with_positions(spark, tmp_path_factory):
+    """positions=True + field_cols compose: field tokens sit on fresh slots
+    AFTER the text's base slots, so phrases never cross into field terms,
+    while field:value and phrase queries both work on one index."""
+    from polaris_spark.index.build import IndexConfig, build_index
+
+    d = str(tmp_path_factory.mktemp("fieldpos_idx"))
+    docs = spark.createDataFrame(
+        [(1, "searching the web", "assistant", "web.search"),
+         (2, "web searching again", "tool", "web.search")],
+        "doc_id long, text string, role string, tool string",
+    )
+    build_index(spark, docs, d, doc_id_col="doc_id",
+                cfg=IndexConfig(n_buckets=8, n_shards=2, n_chunks=2,
+                                positions=True, field_cols=("role", "tool")))
+    eng = SearchEngine(spark, d)
+    # phrase over text works
+    assert [h["doc_id"] for h in eng.search_phrase("searching the web")] == [1]
+    # the text's trailing word is NOT phrase-adjacent to a field token
+    assert eng.search_phrase("web assistant") == []
+    # fielded term search works on the same index
+    assert {h["doc_id"] for h in eng.search("tool:web.search", k=10)} == {1, 2}
+    # field token positions exist, on slots after the text
+    occ = {o["doc_id"]: o["positions"]
+           for o in eng.lookup_positions("role:assistant")}
+    assert occ[1] == [3]  # text has base slots 0..2
