@@ -137,17 +137,34 @@ HAVING count(DISTINCT term) = {n}"""
 def phrase_sql(phrase: str, table: str = "documents") -> str:
     """Exact-phrase matches with e4-rounded scores.
 
-    Spec (same as engine ``search_phrase``): phrase terms are the BASE tokens
-    of the phrase in order; doc matches where base-token slots are adjacent;
-    score = (Σ_i idf(term_i)) × BM25-impact(phrase_freq, dl) with dl from the
+    Spec (same as engine ``search_phrase`` / ``phrase_shard``): phrase terms
+    are the BASE tokens of the phrase in order; a doc matches at start slot p
+    when term_i occupies slot ``p + i`` for all i, where a slot's occupants
+    are its base token PLUS that token's camel/separator sub-tokens (the
+    Lucene position-increment-0 convention mirrored from
+    ``tokenize_with_positions`` — so 'big data' matches 'the_big data.x').
+    phrase_freq counts term_0 slot entries WITH multiplicity (a token like
+    ``foo_foo`` contributes two ``foo`` entries at one slot), existence-only
+    for terms 1..n — exactly the engine kernel's live-chain semantics.
+    Score = (Σ_i idf(term_i)) × BM25-impact(phrase_freq, dl) with dl from the
     FULL token stream (base + sub tokens)."""
-    from .tokenizer import BASE_PATTERN, _BASE_RE
+    from .tokenizer import BASE_PATTERN, CAMEL1, CAMEL2, SEPS_PATTERN, _BASE_RE
 
     terms = _BASE_RE.findall(phrase)
     assert len(terms) >= 2, "phrase oracle needs >= 2 terms"
     base_lit = BASE_PATTERN.replace("'", "''")
-    adj = " AND ".join(
-        f"b[i + {i}] = '" + t.replace("'", "''") + "'" for i, t in enumerate(terms)
+    seps_lit = SEPS_PATTERN.replace("'", "''")
+    camel = (
+        "list_filter(string_split(regexp_replace(regexp_replace(regexp_replace("
+        f"tok, '{CAMEL1[0]}', '\\1 \\2', 'g'), '{CAMEL2[0]}', '\\1 \\2', 'g'), "
+        f"'{seps_lit}', ' ', 'g'), ' '), s -> s != '')"
+    )
+    t0 = terms[0].replace("'", "''")
+    exists = "\n    AND ".join(
+        f"EXISTS (SELECT 1 FROM sl a{i} WHERE a{i}.doc_id = a0.doc_id "
+        f"AND a{i}.slot = a0.slot + {i} AND a{i}.tok = '"
+        + t.replace("'", "''") + "')"
+        for i, t in enumerate(terms[1:], start=1)
     )
     qt = _qt_list(" ".join(terms))
     idf_terms = " + ".join(
@@ -162,10 +179,22 @@ dft AS (
   WHERE term IN (SELECT term FROM qt) GROUP BY term
 ),
 bt AS (SELECT doc_id, regexp_extract_all(text, '{base_lit}') AS b FROM {table}),
+slotted AS (
+  SELECT doc_id, unnest(range(1, len(b) + 1))::INT AS slot, unnest(b) AS tok
+  FROM bt
+),
+subs AS (
+  SELECT doc_id, slot,
+         unnest(CASE WHEN len({camel}) > 1 THEN {camel} ELSE [] END) AS tok
+  FROM slotted
+),
+sl AS (SELECT * FROM slotted UNION ALL SELECT * FROM subs),
 pf AS (
-  SELECT doc_id,
-         len(list_filter(range(1, len(b) - {len(terms) - 2}), i -> {adj}))::BIGINT AS pf
-  FROM bt WHERE len(b) >= {len(terms)}
+  SELECT a0.doc_id, count(*)::BIGINT AS pf
+  FROM sl a0
+  WHERE a0.tok = '{t0}'
+    AND {exists}
+  GROUP BY a0.doc_id
 )
 SELECT pf.doc_id,
        CAST(round(({idf_terms})

@@ -214,18 +214,19 @@ def _tf_dataframe(docs, cfg: IndexConfig, text_col: str):
     toks = docs.select(
         "doc_id", tokens_col(F.col(text_col)).alias("toks")
     ).withColumn("dl", F.size("toks"))
+    # plain explode (NOT explode_outer): a zero-token doc must contribute NO
+    # tf row — an outer NULL-term row would survive into collect_list('tf')
+    # but not collect_list('term'), desynchronizing the packed arrays and
+    # corrupting the encode kernel. Zero-token docs still reach doc_stats via
+    # the doc_map left join + fillna(0) in build_index.
     tf = (
-        toks.select("doc_id", "dl", F.explode_outer("toks").alias("term"))
+        toks.select("doc_id", "dl", F.explode("toks").alias("term"))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").alias("tf"))
     )
     tf = tf.withColumn(
         "chunk",
-        F.when(
-            F.col("term").isNull(), F.lit(0)
-        ).otherwise(
-            ((F.crc32(F.col("term").cast("binary")) % n_buckets) / buckets_per_chunk).cast("int")
-        ),
+        ((F.crc32(F.col("term").cast("binary")) % n_buckets) / buckets_per_chunk).cast("int"),
     )
     packed = (
         tf.groupBy("doc_id", "dl", "chunk")

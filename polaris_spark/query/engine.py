@@ -374,20 +374,28 @@ class SearchEngine:
 
     def _candidates_pdf(self, terms: list[str]) -> pd.DataFrame:
         """Driver-path candidate rows, through the term LRU when enabled.
-        Negative results are cached too (empty frame per absent term)."""
+        Negative results are cached too (empty frame per absent term).
+
+        The query is assembled from a LOCAL frames dict (cache hits +
+        just-fetched rows) BEFORE cache eviction runs, so a query with more
+        distinct terms than ``cache_terms`` still scores every term — the
+        cache can only ever affect latency, never results."""
         if not self._cache_cap:
             return self._candidates(terms).toPandas()
+        frames: dict[str, pd.DataFrame] = {}
         for t in terms:  # LRU recency bump for hits
             if t in self._term_cache:
-                self._term_cache[t] = self._term_cache.pop(t)
-        missing = [t for t in terms if t not in self._term_cache]
+                self._term_cache[t] = frames[t] = self._term_cache.pop(t)
+        missing = [t for t in terms if t not in frames]
         if missing:
             fetched = self._candidates(missing).toPandas()
             for t in missing:
-                self._term_cache[t] = fetched[fetched["term"] == t]
+                frames[t] = fetched[fetched["term"] == t] if not fetched.empty \
+                    else pd.DataFrame()
+                self._term_cache[t] = frames[t]
             while len(self._term_cache) > self._cache_cap:
                 self._term_cache.pop(next(iter(self._term_cache)))
-        parts = [self._term_cache[t] for t in terms if t in self._term_cache]
+        parts = [frames[t] for t in terms]
         parts = [p for p in parts if not p.empty]
         if not parts:
             return pd.DataFrame()
@@ -512,6 +520,14 @@ class SearchEngine:
         empty = self.spark.createDataFrame([], PHRASE_RESULT_SCHEMA)
         if not terms:
             return empty
+        if len(terms) == 1:
+            # driver/distributed parity: a 1-term "phrase" degrades to term
+            # search with phrase_freq=NULL, exactly like search_phrase()
+            res = self.search_df(terms[0], k=k)
+            return res.select(
+                "doc_id", "score",
+                F.lit(None).cast("int").alias("phrase_freq"),
+            )
         cand = self._candidates(sorted(set(terms))).cache()
         idf = self._idf_map(cand)
         if not idf or set(terms) - set(idf):

@@ -140,6 +140,11 @@ def stateful_sessionize(
                 if t - s1 > gap_s:
                     out.append((conv_id, s0, s1, n))
                     s0, n = t, 0
+                # a late (but in-watermark) event older than the stored start
+                # extends the session backwards: session_start must be the
+                # MIN event time of the session, not first-seen time
+                if t < s0:
+                    s0 = t
                 s1 = t if t > s1 else s1
                 n += 1
             state.update((s0, s1, n))
