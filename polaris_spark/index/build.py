@@ -606,6 +606,19 @@ def build_index(
               {"n_terms": spark.read.parquet(dict_path).count()})
     _lap("dictionary")
 
+    # ---- stage 3b: prefix-completion table --------------------------------
+    # Pre-materialized (key → term) rows keyed by every lowercased prefixable
+    # form of the term (full | camel/sep part | acronym), range-partitioned
+    # and sorted by key so complete()'s StartsWith filter is PUSHED to the
+    # parquet scan (row-group min/max pruning) instead of full-scanning the
+    # dictionary + 3 regexes per term (VERDICT r1 #2; the analog of the
+    # reference's lowercase-at-write PrefixQuery fields,
+    # typedb/TypeDbWriterImpl.java:42-47).
+    if not (resume and _done(man_dir, "completion")):
+        build_completion_table(spark, index_dir)
+        _mark(man_dir, "completion", {})
+    _lap("completion")
+
     wall = time.time() - t0
     metrics = {
         "n_docs": n_docs,
@@ -618,6 +631,40 @@ def build_index(
     with open(os.path.join(index_dir, "_build_metrics.json"), "w") as f:
         json.dump(metrics, f, indent=1)
     return metrics
+
+
+def build_completion_table(spark, index_dir: str) -> None:
+    """Materialize ``completion/`` from ``dictionary/``: one row per
+    (key, term) where key ∈ {lower(term)} ∪ lower(camel/sep parts(term)) ∪
+    {lower(acronym(term)) if len(acronym) > 1}.
+
+    The table is range-partitioned + sorted by ``key``, so
+    ``key startswith p`` reaches the scan as a pushed StringStartsWith filter
+    and row-group min/max stats prune everything outside the prefix range —
+    at a 10^8-term vocab a completion probe touches O(matching row groups),
+    not the whole dictionary. Exactly mirrors the predicate the engine's
+    fallback scan applies (and the DuckDB gate mirrors)."""
+    from pyspark.sql import functions as F
+
+    from ..tokenizer import parts_col
+
+    par = spark.sparkContext.defaultParallelism
+    dic = spark.read.parquet(os.path.join(index_dir, "dictionary"))
+    acro = F.regexp_replace(F.col("term"), "[^A-Z]", "")
+    keys = F.array_union(
+        F.array(F.lower(F.col("term"))),
+        F.transform(parts_col(F.col("term")), lambda s: F.lower(s)),
+    )
+    keys = F.when(
+        F.length(acro) > 1, F.array_union(keys, F.array(F.lower(acro)))
+    ).otherwise(keys)
+    comp = dic.select(F.explode(keys).alias("key"), "term", "df", "cf")
+    (
+        comp.repartitionByRange(max(1, par), "key")
+        .sortWithinPartitions("key")
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_dir, "completion"))
+    )
 
 
 # ------------------------------------------------------------- manifests

@@ -151,6 +151,11 @@ def append_index(
     )
     dic.write.mode("overwrite").parquet(os.path.join(index_dir, "dictionary"))
 
+    # completion table mirrors the dictionary — refold it too
+    from .build import build_completion_table
+
+    build_completion_table(spark, index_dir)
+
     with open(os.path.join(index_dir, "_stats.json"), "w") as f:
         json.dump(stats, f, indent=1)
     return {"appended_docs": counts["n"], "generation": gen,

@@ -739,18 +739,34 @@ class SearchEngine:
     # --------------------------------------------------------- completion
 
     def complete(self, prefix: str, n: int = 20):
-        """Case-insensitive prefix completion over the dictionary — the
-        rebuild of reference typedb/TypeDbImpl.java:82-104: three SHOULD
-        PrefixQuery clauses over (a) lowercased full name, (b) simple-name
-        parts (TypeCaseInsensitive analog: any camel/sep part of the term),
-        (c) acronym (= concatenated uppercase chars,
-        TypeDbWriterImpl.java:77-86). Ranked by df desc (term asc tiebreak)."""
+        """Case-insensitive prefix completion — the rebuild of reference
+        typedb/TypeDbImpl.java:82-104: three SHOULD PrefixQuery clauses over
+        (a) lowercased full name, (b) simple-name parts (TypeCaseInsensitive
+        analog: any camel/sep part of the term), (c) acronym (= concatenated
+        uppercase chars, TypeDbWriterImpl.java:77-86). Ranked by df desc
+        (term asc tiebreak).
+
+        Served from the build-time ``completion/`` table (keys lowercased at
+        WRITE time, like the reference's index fields): the StartsWith filter
+        is pushed to the key-sorted parquet scan, so a probe reads only the
+        matching row groups — never the whole vocabulary. Indexes built
+        before the completion table fall back to the full-scan predicate."""
         from pyspark.sql import functions as F
 
+        p = prefix.lower()
+        comp_path = os.path.join(self.index_dir, "completion")
+        if os.path.exists(comp_path):
+            comp = self.spark.read.parquet(comp_path)
+            return (
+                comp.where(F.col("key").startswith(p))
+                .dropDuplicates(["term"])
+                .orderBy(F.desc("df"), F.asc("term"))
+                .limit(n)
+                .select("term", "df", "cf")
+            )
         from ..tokenizer import parts_col
 
         dic = self.spark.read.parquet(self.dict_path)
-        p = prefix.lower()
         acro = F.regexp_replace(F.col("term"), "[^A-Z]", "")
         cond = (
             F.lower(F.col("term")).startswith(p)

@@ -50,3 +50,56 @@ def test_acronym_completion(comp_engine):
 def test_limit_and_order(comp_engine):
     df = comp_engine.complete("F", 2)
     assert df.count() <= 2
+
+
+def test_completion_table_prefix_pushdown(spark, comp_engine):
+    """complete() must probe the build-time key-sorted completion table with
+    a PUSHED StartsWith filter — not full-scan the dictionary (VERDICT r1 #2)."""
+    df = comp_engine.complete("lis", 20)
+    jvm = spark._jvm
+    plan = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "completion" in plan  # reads the completion table, not dictionary
+    assert "StringStartsWith(key" in plan, plan  # pushed to the parquet scan
+
+
+def test_completion_table_matches_fallback_scan(spark, tmp_path_factory):
+    """Table-served completions must equal the full-scan predicate results
+    for every probe (the table is a pure access-path change)."""
+    import os
+    import shutil
+
+    d = str(tmp_path_factory.mktemp("comp_idx2"))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS_TERMS)], "doc_id long, text string"
+    )
+    build_index(spark, docs, d, doc_id_col="doc_id",
+                cfg=IndexConfig(n_buckets=8, n_shards=2, n_chunks=2))
+    eng = SearchEngine(spark, d)
+    probes = ["lis", "lin", "FIS", "F", "file", "i", "", "zzz", "rray"]
+    with_table = {p: sorted(tuple(r) for r in eng.complete(p, 50).collect())
+                  for p in probes}
+    shutil.move(os.path.join(d, "completion"), os.path.join(d, "completion.bak"))
+    without = {p: sorted(tuple(r) for r in eng.complete(p, 50).collect())
+               for p in probes}
+    assert with_table == without
+
+
+def test_completion_table_refolds_on_append(spark, tmp_path_factory):
+    from polaris_spark.index.maintenance import append_index
+
+    d = str(tmp_path_factory.mktemp("comp_idx3"))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS_TERMS[:4])], "doc_id long, text string"
+    )
+    build_index(spark, docs, d, doc_id_col="doc_id",
+                cfg=IndexConfig(n_buckets=8, n_shards=2, n_chunks=2))
+    eng = SearchEngine(spark, d)
+    assert "FileInputStream" not in _terms(eng.complete("FIS", 20))
+    more = spark.createDataFrame(
+        [(i + 10, t) for i, t in enumerate(CORPUS_TERMS[4:])],
+        "doc_id long, text string",
+    )
+    append_index(spark, more, d, doc_id_col="doc_id")
+    assert "FileInputStream" in _terms(SearchEngine(spark, d).complete("FIS", 20))
