@@ -216,6 +216,21 @@ def _q_cosine_top10(spark, sf_dir):
     return cosine_topk(_emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10)
 
 
+def _q_ivf_top10(spark, sf_dir):
+    """Prebuilt IVF probe with nprobe = n_centroids (exhaustive) — must equal
+    brute-force cosine top-k exactly, so it shares the brute-force oracle.
+    The partition-pruned nprobe<all path is plan-tested in tests/test_ops.py."""
+    from polaris_spark.ops.similarity import build_ivf, ivf_topk
+
+    d = os.path.join(
+        CACHE, f"ivf_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_c4"
+    )
+    if not os.path.exists(os.path.join(d, "_centroids.json")):
+        os.makedirs(CACHE, exist_ok=True)
+        build_ivf(spark, _emb(spark, sf_dir), d, n_centroids=4, seed=7)
+    return ivf_topk(spark, d, _query_vec(spark, sf_dir), k=10, nprobe=4)
+
+
 def _q_quality(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -315,6 +330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _q_jaccard,
         "simhash16": _q_simhash,
         "ann_cosine_top10": _q_cosine_top10,
+        "ivf_top10": _q_ivf_top10,
         "quality_score": _q_quality,
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
@@ -431,6 +447,8 @@ SELECT doc_id, lpad(lower(to_hex(val)), 4, '0') AS simhash16 FROM packed"""
         "jaccard_pairs": jaccard,
         "simhash16": simhash,
         "ann_cosine_top10": cosine,
+        # nprobe == n_centroids ⇒ IVF is exhaustive ⇒ identical to brute force
+        "ivf_top10": cosine,
         "quality_score": f"SELECT doc_id, {duckdb_quality_sql('text')} FROM documents",
         "langid": f"SELECT doc_id, {duckdb_langid_sql('text')} AS lang_pred FROM documents",
         "fingerprint": f"SELECT doc_id, {duckdb_fingerprint_sql('text')} AS fp FROM documents",

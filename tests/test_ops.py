@@ -74,19 +74,53 @@ def test_cosine_topk_vs_duckdb(spark, con):
     assert got == [tuple(r) for r in exp]
 
 
-def test_ivf_full_probe_equals_bruteforce(spark, con):
-    from polaris_spark.ops.similarity import cosine_topk, ivf_topk
+def test_ivf_full_probe_equals_bruteforce(spark, con, tmp_path):
+    from polaris_spark.ops.similarity import build_ivf, cosine_topk, ivf_topk
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     rows = con.execute("SELECT embedding FROM embeddings WHERE vec_id < 4 ORDER BY vec_id").fetchall()
     centroids = [list(r[0]) for r in rows]
     q = centroids[1]
+    d = str(tmp_path / "ivf")
+    build_ivf(spark, emb, d, centroids=centroids)
     brute = [(r["vec_id"], r["sim"]) for r in cosine_topk(emb, q, k=10).collect()]
-    full = [(r["vec_id"], r["sim"]) for r in ivf_topk(emb, centroids, q, k=10, nprobe=4).collect()]
+    full = [(r["vec_id"], r["sim"]) for r in ivf_topk(spark, d, q, k=10, nprobe=4).collect()]
     assert brute == full
     # reduced probe returns a subset ranking, same ordering rules
-    part = [(r["vec_id"], r["sim"]) for r in ivf_topk(emb, centroids, q, k=10, nprobe=1).collect()]
+    part = [(r["vec_id"], r["sim"]) for r in ivf_topk(spark, d, q, k=10, nprobe=1).collect()]
     assert len(part) <= 10 and part == sorted(part, key=lambda t: (-t[1], t[0]))
+
+
+def test_ivf_probe_prunes_partitions(spark, tmp_path):
+    """The probe must read only nprobe centroid_id= partitions —
+    PartitionFilters at file-listing time, no inline re-assignment."""
+    from polaris_spark.ops.similarity import build_ivf, ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    d = str(tmp_path / "ivf")
+    build_ivf(spark, emb, d, n_centroids=4, seed=7)
+    q = [float(x) for x in emb.where("vec_id = 0").collect()[0]["embedding"]]
+    df = ivf_topk(spark, d, q, k=5, nprobe=1)
+    jvm = spark._jvm
+    plan = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan and "centroid_id" in plan, plan
+    assert df.count() <= 5
+
+
+def test_kmeans_centroids_deterministic(spark):
+    from polaris_spark.ops.similarity import kmeans_centroids
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = kmeans_centroids(emb, n_centroids=4, seed=7, sample_n=200)
+    b = kmeans_centroids(emb, n_centroids=4, seed=7, sample_n=200)
+    assert a == b
+    assert len(a) == 4 and all(len(c) == 64 for c in a)
+    import numpy as np
+
+    for c in a:  # spherical k-means → unit-norm centroids
+        assert abs(np.linalg.norm(c) - 1.0) < 1e-9
 
 
 def test_quality_and_langid_and_fp_vs_duckdb(spark, docs, con):
