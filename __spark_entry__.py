@@ -42,14 +42,15 @@ def _ensure_index(spark: SparkSession, sf_dir: str, pos: bool = False,
                   fields: bool = False) -> str:
     from polaris_spark.index.build import IndexConfig, build_index
 
-    tag = "v4pos" if pos else ("v4f" if fields else "v4")
+    tag = "v5pos" if pos else ("v5f" if fields else "v5")
     d = _index_dir(sf_dir, tag)
     os.makedirs(CACHE, exist_ok=True)
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     # resume=True makes this a no-op when the manifests are complete
     build_index(spark, docs, d, doc_id_col="doc_id",
                 cfg=IndexConfig(**_INDEX_CFG, positions=pos,
-                                field_cols=FIELD_COLS if fields else ()))
+                                field_cols=FIELD_COLS if fields else (),
+                                attr_cols=FIELD_COLS))
     return d
 
 
@@ -231,6 +232,17 @@ def _q_ivf_top10(spark, sf_dir):
     return ivf_topk(spark, d, _query_vec(spark, sf_dir), k=10, nprobe=4)
 
 
+def _q_lookup_by_source(spark, sf_dir):
+    """Attribute point-lookup endpoint (the listTypesInFile analog,
+    reference CodeSearchImpl.java:189-214): all docs whose stored 'source'
+    attribute equals 'src3', from the index doc_map — gated against the
+    trivial DuckDB mirror over the raw table."""
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir))
+    return eng.list_by_attr("source", "src3").select("doc_id", "source")
+
+
 def _q_quality(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -331,6 +343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash16": _q_simhash,
         "ann_cosine_top10": _q_cosine_top10,
         "ivf_top10": _q_ivf_top10,
+        "lookup_by_source": _q_lookup_by_source,
         "quality_score": _q_quality,
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
@@ -449,6 +462,9 @@ SELECT doc_id, lpad(lower(to_hex(val)), 4, '0') AS simhash16 FROM packed"""
         "ann_cosine_top10": cosine,
         # nprobe == n_centroids ⇒ IVF is exhaustive ⇒ identical to brute force
         "ivf_top10": cosine,
+        "lookup_by_source": (
+            "SELECT doc_id, source FROM documents WHERE source = 'src3'"
+        ),
         "quality_score": f"SELECT doc_id, {duckdb_quality_sql('text')} FROM documents",
         "langid": f"SELECT doc_id, {duckdb_langid_sql('text')} AS lang_pred FROM documents",
         "fingerprint": f"SELECT doc_id, {duckdb_fingerprint_sql('text')} AS fp FROM documents",

@@ -87,6 +87,7 @@ class IndexConfig:
     use_pandas_tokenizer: bool = True  # Arrow UDF invert kernel (default); False = JVM tokens_col + groupBy
     positions: bool = False  # store token positions (phrase queries); ~30-40% larger index
     field_cols: tuple = ()   # extra searchable field columns, indexed as "<col>:<token>" terms
+    attr_cols: tuple = ()    # doc attribute columns stored in doc_map (point-lookup payload)
 
 
 def term_bucket_py(term: str, n_buckets: int) -> int:
@@ -426,7 +427,12 @@ def build_index(
     # ---- stage 0: doc_map + id-collision check -------------------------
     doc_map_path = os.path.join(index_dir, "doc_map")
     if not (resume and _done(man_dir, "doc_map")):
-        dm = docs.select("doc_id", *[c for c in id_cols if c != "doc_id"])
+        # doc_map = identity + configured attribute columns — the exact-key /
+        # attribute point-lookup payload (the typedb getType/getField/
+        # listTypesInFile analog surface, CodeSearchImpl.java:163-280, is
+        # served from these columns; see SearchEngine.get_turn/list_by_attr)
+        extra = [c for c in cfg.attr_cols if c not in id_cols and c != "doc_id"]
+        dm = docs.select("doc_id", *[c for c in id_cols if c != "doc_id"], *extra)
         dm.write.mode("overwrite").parquet(doc_map_path)
         row = (
             spark.read.parquet(doc_map_path)

@@ -44,6 +44,7 @@ def _load_cfg(index_dir: str) -> IndexConfig:
         hot_df_threshold=s.get("hot_df_threshold", 4096), block=s["block"],
         k1=s["k1"], b=s["b"], positions=s.get("positions", False),
         field_cols=tuple(s.get("field_cols", ()) or ()),
+        attr_cols=tuple(s.get("attr_cols", ()) or ()),
     ), s
 
 
@@ -79,7 +80,8 @@ def append_index(
     # collision check: new ids must be unique AND disjoint from existing
     doc_map_path = os.path.join(index_dir, "doc_map")
     old_map = spark.read.parquet(doc_map_path).select("doc_id")
-    nm = new_docs.select("doc_id", *[c for c in id_cols if c != "doc_id"])
+    extra = [c for c in cfg.attr_cols if c not in id_cols and c != "doc_id"]
+    nm = new_docs.select("doc_id", *[c for c in id_cols if c != "doc_id"], *extra)
     counts = nm.agg(
         F.count("*").alias("n"), F.countDistinct("doc_id").alias("nd")
     ).collect()[0]

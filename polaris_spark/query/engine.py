@@ -736,6 +736,38 @@ class SearchEngine:
         dm = self.spark.read.parquet(self.doc_map_path)
         return dm.join(F.broadcast(ids), "doc_id")
 
+    def get_turn(self, conv_id, turn_idx: int):
+        """Exact-key doc-metadata lookup by (conv_id, turn_idx) — the
+        ``getType``/``getFileHandle`` analog (reference
+        CodeSearchImpl.java:163-187 / TypeDbImpl.java:49-63: exact-id
+        TermQuery → single record + attributes). Returns the doc_map row(s)
+        (doc_id + configured attr_cols) as a DataFrame; parquet row-group
+        pruning applies on the equality filters."""
+        from pyspark.sql import functions as F
+
+        dm = self.spark.read.parquet(self.doc_map_path)
+        if "conv_id" not in dm.columns:
+            raise ValueError("index doc_map carries no conv_id column")
+        return dm.where(
+            (F.col("conv_id") == conv_id) & (F.col("turn_idx") == int(turn_idx))
+        )
+
+    def list_by_attr(self, attr: str, value):
+        """All docs whose stored attribute equals ``value``, doc_id-sorted —
+        the ``listTypesInFile`` analog (reference CodeSearchImpl.java:189-214
+        → TypeDbImpl.java:106-125: exact-term query over an attribute field,
+        results sorted). ``attr`` must be one of the index's ``attr_cols``
+        (or an id column). Equality filter is pushed to the doc_map scan."""
+        from pyspark.sql import functions as F
+
+        dm = self.spark.read.parquet(self.doc_map_path)
+        if attr not in dm.columns:
+            raise ValueError(
+                f"attribute {attr!r} not stored in doc_map "
+                f"(available: {[c for c in dm.columns if c != 'doc_id']})"
+            )
+        return dm.where(F.col(attr) == value).orderBy("doc_id")
+
     # --------------------------------------------------------- completion
 
     def complete(self, prefix: str, n: int = 20):
