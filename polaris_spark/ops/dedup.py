@@ -173,14 +173,17 @@ def dup_clusters(pairs, max_iter: int = 25):
     label among itself and its neighbors; converges in O(graph diameter)
     rounds (dup clusters are near-cliques from LSH banding, so diameter is
     tiny — typically ≤ 3 rounds). Each round is one join + one aggregation;
-    the label frame is cached and the loop exits on a converged checksum
-    (sum of labels is monotonically non-increasing and integer — equal sums
-    ⇒ no label changed).
+    the label frame is eagerly localCheckpoint'ed (lineage truncation — the
+    loop's plan would otherwise double per round) and the loop exits when the
+    (count, xor-of-row-hashes) signature repeats: labels are monotonically
+    non-increasing, so an identical signature means no label changed.
 
-    Scale notes: at 10^12-doc scale with adversarial long chains this would
-    use the large-star/small-star algorithm (same join/agg primitives,
-    provably O(log n) rounds); min-label propagation is the right trade for
-    near-clique dup graphs and keeps every round a single shuffle.
+    Scale notes: at 10^12-doc scale with adversarial long chains use
+    :func:`dup_clusters_star` (large-star/small-star, provably O(log² n)
+    rounds, same join/agg primitives); min-label propagation is the right
+    trade for near-clique dup graphs (LSH banding produces those) and keeps
+    every round a single shuffle. Both produce identical labels (tested on
+    chain graphs where propagation needs many rounds).
 
     ``pairs``: DataFrame (doc_a, doc_b). Returns only docs that appear in at
     least one pair (singletons are trivially their own cluster).
@@ -202,9 +205,9 @@ def dup_clusters(pairs, max_iter: int = 25):
             F.col("src").alias("doc_id"),
             F.least(F.col("src"), F.col("mn")).alias("cluster_id"),
         )
-        .cache()
+        .localCheckpoint()
     )
-    prev_sum = None
+    prev_sig = None
     for _ in range(max_iter):
         # neighbor labels + own label → min per node
         nbr = (
@@ -213,19 +216,122 @@ def dup_clusters(pairs, max_iter: int = 25):
             )
             .select(F.col("src").alias("doc_id"), "cluster_id")
         )
+        # eager localCheckpoint truncates lineage per round — the loop's
+        # plan otherwise doubles each round and a long-diameter graph OOMs
+        # the analyzer before the data is ever big
         new_labels = (
             nbr.unionByName(labels)
             .groupBy("doc_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
-            .cache()
+            .localCheckpoint()
         )
-        s = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
+        # labels are monotonically non-increasing → unchanged signature
+        # (count + xor of row hashes; a sum could overflow int64 on
+        # xxhash64-derived doc ids under ANSI mode) ⇒ converged
+        sig = tuple(
+            new_labels.agg(
+                F.count("*"), F.expr("bit_xor(xxhash64(doc_id, cluster_id))")
+            ).collect()[0]
+        )
         labels.unpersist()
         labels = new_labels
-        if prev_sum is not None and s == prev_sum:
+        if prev_sig is not None and sig == prev_sig:
             break
-        prev_sum = s
+        prev_sig = sig
     edges.unpersist()
+    return labels
+
+
+def dup_clusters_star(pairs, max_iter: int = 50):
+    """Connected components via alternating LARGE-STAR / SMALL-STAR rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    alternating algorithm) — the adversarial-graph path: converges in
+    O(log² n) rounds even on long chains, where :func:`dup_clusters`'s
+    min-label propagation needs O(diameter) rounds. Each round is two
+    groupBy-join passes over the edge set; edges shrink monotonically toward
+    a star per component.
+
+    - large-star: ∀u with neighborhood Γ(u), m = min(Γ(u) ∪ {u}); emit
+      (v, m) for every v ∈ Γ(u) with v > u.
+    - small-star: ∀u, over N = {v ∈ Γ(u) : v < u}, m = min(N ∪ {u}); emit
+      (v, m) for v ∈ N ∪ {u} \\ {m}.
+
+    Fixpoint: every component is a star rooted at its min node. Output
+    contract identical to :func:`dup_clusters`: (doc_id, cluster_id =
+    min doc_id of the component), only docs appearing in ≥1 pair.
+    """
+    from pyspark.sql import functions as F
+
+    def _canon(e, a="a", b="b"):
+        # undirected canonical form, self-loops dropped
+        return (
+            e.where(F.col(a) != F.col(b))
+            .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+            .distinct()
+        )
+
+    def _sym(e):
+        return e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+
+    def large_star(e):
+        p = _sym(e)
+        m = p.groupBy("u").agg(F.min("v").alias("mn"))
+        m = m.select("u", F.least("mn", F.col("u")).alias("m"))
+        out = (
+            p.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        return _canon(out)
+
+    def small_star(e):
+        p = _sym(e).where(F.col("v") < F.col("u"))
+        m = p.groupBy("u").agg(F.min("v").alias("m"))
+        nbr = (
+            p.join(m, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        own = m.select(F.col("u").alias("a"), F.col("m").alias("b"))
+        return _canon(nbr.unionByName(own))
+
+    edges = _canon(
+        pairs.select(
+            F.col("doc_a").cast("long").alias("a"),
+            F.col("doc_b").cast("long").alias("b"),
+        )
+    ).localCheckpoint()
+    prev_sig = None
+    for _ in range(max_iter):
+        # eager localCheckpoint TRUNCATES LINEAGE each round — the edge set
+        # appears 4× per round in the plan (sym union + groupBy join), so an
+        # un-checkpointed loop grows the logical plan 4^rounds and OOMs the
+        # analyzer long before the data is big. On a cluster, swap for
+        # reliable checkpoint(dir) if executor loss mid-job must be survivable.
+        nxt = small_star(large_star(edges)).localCheckpoint()
+        # order-insensitive edge-set signature: count + XOR of edge hashes
+        # (bit_xor can't overflow; sum of hashes would under ANSI mode)
+        sig = tuple(
+            nxt.agg(
+                F.count("*"), F.expr("bit_xor(xxhash64(u, v))")
+            ).collect()[0]
+        )
+        edges.unpersist()
+        edges = nxt
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    labels = (
+        _sym(edges)
+        .groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select(
+            F.col("u").alias("doc_id"),
+            F.least(F.col("u"), F.col("mn")).alias("cluster_id"),
+        )
+    )
     return labels
 
 

@@ -189,3 +189,36 @@ def test_dup_clusters_chain_and_duckdb_mirror(spark):
     )
     oracle = dict(duckdb.sql(sql).fetchall())
     assert got == oracle
+
+
+def test_dup_clusters_star_agrees_on_long_chain(spark):
+    """Large-star/small-star (the adversarial-graph path) must agree with
+    min-label propagation on a chain whose diameter forces >3 propagation
+    rounds, and on a mixed multi-component graph."""
+    from polaris_spark.ops.dedup import dup_clusters, dup_clusters_star
+
+    # 21-node path graph: diameter 20 ⇒ min-label needs ~20 rounds
+    chain = [(i * 3 + 1, (i + 1) * 3 + 1) for i in range(20)]  # 1-4-7-...-61
+    extra = [(1000, 2000), (2000, 1500), (9, 6)]  # disjoint components
+    pdf = spark.createDataFrame(chain + extra, "doc_a long, doc_b long")
+    a = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pdf, max_iter=30).collect()}
+    b = {r["doc_id"]: r["cluster_id"] for r in dup_clusters_star(pdf).collect()}
+    assert a == b
+    # whole chain collapses to min node 1
+    assert all(a[i * 3 + 1] == 1 for i in range(21))
+    assert b[1500] == 1000 and b[9] == 6
+
+
+def test_dup_clusters_star_on_lsh_candidates(spark, docs):
+    """Star CC must reproduce min-label labels on the real LSH candidate
+    graph (the gate's input shape)."""
+    from polaris_spark.ops.dedup import (
+        dup_clusters,
+        dup_clusters_star,
+        lsh_candidate_pairs,
+    )
+
+    pairs = lsh_candidate_pairs(docs, k=8, bands=4).cache()
+    a = sorted(tuple(r) for r in dup_clusters(pairs).collect())
+    b = sorted(tuple(r) for r in dup_clusters_star(pairs).collect())
+    assert a == b and a
