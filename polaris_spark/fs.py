@@ -1,0 +1,143 @@
+"""Filesystem abstraction for index metadata + layout operations.
+
+The build's control-plane I/O (manifest marks, stats JSON, chunk wipes,
+compaction swaps) must work wherever the index lives. The reference never
+faces this (its Lucene index is a local FSDirectory,
+indexing/IndexPathUtils.java:8-18, and the driver owns it single-threaded);
+our index is a distributed table whose home may be HDFS/S3/GCS at cluster
+scale. Two implementations of one small interface:
+
+- :class:`LocalFS` — plain ``os``/``shutil`` for scheme-less paths (the
+  sandbox + developer path; no JVM round-trips).
+- :class:`HadoopFS` — ``org.apache.hadoop.fs.FileSystem`` via the live
+  SparkSession's JVM gateway for ANY scheme'd URI (``hdfs://``, ``s3a://``,
+  ``file://``, ...). The same Hadoop connectors Spark itself uses for the
+  parquet data, so wherever the data can go, the manifests can go.
+  Exercised in tests through ``file://`` URIs (Hadoop LocalFileSystem) —
+  same code path as a real cluster store, no cluster needed.
+
+``get_fs(spark, path)`` picks by URI scheme. All data-plane I/O (parquet
+read/write) already goes through Spark and needs nothing from here.
+
+Atomicity notes: ``write_text_atomic`` stages to a sibling temp file and
+renames over the target — POSIX-atomic locally; on object stores rename is
+copy+delete but single-writer (driver-only control plane) keeps it safe.
+Completion markers are whole files, so a torn run leaves either no marker or
+a complete one — the resume logic only ever tests existence.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from urllib.parse import urlparse
+
+
+class LocalFS:
+    """os/shutil implementation for scheme-less local paths."""
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def delete(self, path: str) -> None:
+        """Remove file or directory tree; absent path is a no-op."""
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        elif os.path.exists(path):
+            os.remove(path)
+
+    def rename(self, src: str, dst: str) -> None:
+        os.replace(src, dst)
+
+    def read_text(self, path: str) -> str:
+        with open(path, encoding="utf-8") as f:
+            return f.read()
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        tmp = os.path.join(
+            os.path.dirname(path), f".{os.path.basename(path)}.{uuid.uuid4().hex[:8]}.tmp"
+        )
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(text)
+        os.replace(tmp, path)
+
+    def dir_bytes(self, path: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                total += os.path.getsize(os.path.join(root, fn))
+        return total
+
+
+class HadoopFS:
+    """org.apache.hadoop.fs.FileSystem via the SparkSession JVM gateway.
+
+    One instance is bound to the filesystem owning ``base_uri`` (per-scheme/
+    authority); paths passed to methods must live on the same filesystem —
+    exactly how the index uses it (everything under one index root).
+    """
+
+    def __init__(self, spark, base_uri: str):
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+        base = self._jvm.org.apache.hadoop.fs.Path(base_uri)
+        self._fs = base.getFileSystem(self._conf)
+
+    def _p(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs.exists(self._p(path)))
+
+    def makedirs(self, path: str) -> None:
+        self._fs.mkdirs(self._p(path))
+
+    def delete(self, path: str) -> None:
+        p = self._p(path)
+        if self._fs.exists(p):
+            self._fs.delete(p, True)
+
+    def rename(self, src: str, dst: str) -> None:
+        d = self._p(dst)
+        if self._fs.exists(d):
+            self._fs.delete(d, True)
+        if not self._fs.rename(self._p(src), d):
+            raise OSError(f"rename failed: {src} -> {dst}")
+
+    def read_text(self, path: str) -> str:
+        stream = self._fs.open(self._p(path))
+        try:
+            data = self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            return bytes(data).decode("utf-8")
+        finally:
+            stream.close()
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        parent, name = path.rsplit("/", 1)
+        tmp = f"{parent}/.{name}.{uuid.uuid4().hex[:8]}.tmp"
+        out = self._fs.create(self._p(tmp), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        self.rename(tmp, path)
+
+    def dir_bytes(self, path: str) -> int:
+        p = self._p(path)
+        if not self._fs.exists(p):
+            return 0
+        return int(self._fs.getContentSummary(p).getLength())
+
+
+def get_fs(spark, path: str):
+    """LocalFS for scheme-less paths, HadoopFS for any URI scheme. The one
+    switch point between the sandbox layout and a cluster object store."""
+    scheme = urlparse(path).scheme
+    # windows drive letters would appear as single-char schemes; irrelevant here
+    if not scheme:
+        return LocalFS()
+    return HadoopFS(spark, path)

@@ -25,6 +25,7 @@ import json
 import os
 import time
 
+from ..fs import get_fs
 from .build import (
     IndexConfig,
     POSTINGS_SCHEMA,
@@ -36,9 +37,9 @@ from .build import (
 )
 
 
-def _load_cfg(index_dir: str) -> IndexConfig:
-    with open(os.path.join(index_dir, "_stats.json")) as f:
-        s = json.load(f)
+def _load_cfg(spark, index_dir: str) -> IndexConfig:
+    fs = get_fs(spark, index_dir)
+    s = json.loads(fs.read_text(os.path.join(index_dir, "_stats.json")))
     return IndexConfig(
         n_buckets=s["n_buckets"], n_shards=s["n_shards"], n_chunks=s["n_chunks"],
         hot_df_threshold=s.get("hot_df_threshold", 4096), block=s["block"],
@@ -63,7 +64,8 @@ def append_index(
     """
     from pyspark.sql import functions as F
 
-    cfg, stats = _load_cfg(index_dir)
+    cfg, stats = _load_cfg(spark, index_dir)
+    fs = get_fs(spark, index_dir)
     man_dir = os.path.join(index_dir, "manifest")
     t0 = time.time()
 
@@ -121,7 +123,7 @@ def append_index(
     # encode the new generation's chunks with the NEW avgdl for block-max
     # metadata (metadata is an upper bound; scoring always recomputes exact
     # impacts from tf/dl with the current avgdl)
-    hot_terms = _read_mark(man_dir, "hot_terms")["hot_terms"]
+    hot_terms = _read_mark(fs, man_dir, "hot_terms")["hot_terms"]
     kernel = _encode_kernel(cfg, stats["avgdl"])
     post_root = os.path.join(index_dir, "postings")
     for c in range(cfg.n_chunks):
@@ -139,8 +141,8 @@ def append_index(
         seg.sortWithinPartitions("term", "shard").write.mode("overwrite").partitionBy(
             "bucket"
         ).parquet(os.path.join(post_root, f"chunk={cid}"))
-        _mark(man_dir, f"chunk_{cid:05d}", {"seg_id": f"chunk_{cid:05d}", "chunk": cid,
-                                            "generation": gen})
+        _mark(fs, man_dir, f"chunk_{cid:05d}",
+              {"seg_id": f"chunk_{cid:05d}", "chunk": cid, "generation": gen})
 
     # refold dictionary over ALL generations — from the encoded segments
     # (orders of magnitude fewer rows than tf; binary columns pruned at scan)
@@ -158,8 +160,9 @@ def append_index(
 
     build_completion_table(spark, index_dir)
 
-    with open(os.path.join(index_dir, "_stats.json"), "w") as f:
-        json.dump(stats, f, indent=1)
+    fs.write_text_atomic(
+        os.path.join(index_dir, "_stats.json"), json.dumps(stats, indent=1)
+    )
     return {"appended_docs": counts["n"], "generation": gen,
             "N": stats["N"], "wall_s": round(time.time() - t0, 3)}
 
@@ -172,7 +175,8 @@ def compact_index(spark, index_dir: str) -> dict:
 
     from .read import postings_to_tf
 
-    cfg, stats = _load_cfg(index_dir)
+    cfg, stats = _load_cfg(spark, index_dir)
+    fs = get_fs(spark, index_dir)
     t0 = time.time()
     post_root = os.path.join(index_dir, "postings")
     man_dir = os.path.join(index_dir, "manifest")
@@ -183,7 +187,7 @@ def compact_index(spark, index_dir: str) -> dict:
     tf = postings_to_tf(spark, index_dir, with_pos=cfg.positions).withColumn(
         "bucket", (F.crc32(F.col("term").cast("binary")) % cfg.n_buckets).cast("int")
     )
-    hot_terms = _read_mark(man_dir, "hot_terms")["hot_terms"]
+    hot_terms = _read_mark(fs, man_dir, "hot_terms")["hot_terms"]
     is_hot = F.col("term").isin(hot_terms) if hot_terms else F.lit(False)
     tf = tf.withColumn("is_hot", is_hot).withColumn(
         "shard",
@@ -199,12 +203,13 @@ def compact_index(spark, index_dir: str) -> dict:
         "bucket"
     ).parquet(tmp)
 
-    import shutil
-
-    shutil.rmtree(post_root)
+    # compaction swap through the FS abstraction: works identically on a
+    # local disk and (via Hadoop FileSystem) on HDFS/object stores
+    fs.delete(post_root)
     # single merged generation lives in chunk=0
-    os.makedirs(post_root, exist_ok=True)
-    os.rename(tmp, os.path.join(post_root, "chunk=0"))
-    _mark(man_dir, "compaction", {"generations_merged": stats.get("generations", 0),
-                                  "wall_s": round(time.time() - t0, 3)})
+    fs.makedirs(post_root)
+    fs.rename(tmp, os.path.join(post_root, "chunk=0"))
+    _mark(fs, man_dir, "compaction",
+          {"generations_merged": stats.get("generations", 0),
+           "wall_s": round(time.time() - t0, 3)})
     return {"wall_s": round(time.time() - t0, 3)}

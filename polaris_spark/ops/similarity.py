@@ -116,6 +116,8 @@ def build_ivf(spark, emb, ivf_dir: str, centroids: list[list[float]] | None = No
     import json
     import os
 
+    from ..fs import get_fs
+
     if centroids is None:
         centroids = kmeans_centroids(emb, n_centroids, seed,
                                      vec_col=vec_col, id_col=id_col)
@@ -126,9 +128,11 @@ def build_ivf(spark, emb, ivf_dir: str, centroids: list[list[float]] | None = No
         .partitionBy("centroid_id")
         .parquet(os.path.join(ivf_dir, "vectors"))
     )
-    os.makedirs(ivf_dir, exist_ok=True)
-    with open(os.path.join(ivf_dir, "_centroids.json"), "w") as f:
-        json.dump(centroids, f)
+    fs = get_fs(spark, ivf_dir)
+    fs.makedirs(ivf_dir)
+    fs.write_text_atomic(
+        os.path.join(ivf_dir, "_centroids.json"), json.dumps(centroids)
+    )
     return centroids
 
 
@@ -155,8 +159,11 @@ def ivf_topk(spark, ivf_dir: str, query: list[float], k: int = 10,
 
     from pyspark.sql import functions as F
 
-    with open(os.path.join(ivf_dir, "_centroids.json")) as f:
-        centroids = json.load(f)
+    from ..fs import get_fs
+
+    centroids = json.loads(
+        get_fs(spark, ivf_dir).read_text(os.path.join(ivf_dir, "_centroids.json"))
+    )
     probe = _rank_centroids(centroids, query, nprobe)
     vecs = spark.read.parquet(os.path.join(ivf_dir, "vectors"))
     return (

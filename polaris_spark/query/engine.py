@@ -299,10 +299,14 @@ class SearchEngine:
         search/CodeSearchImpl.java:53-69). Like a Lucene reader, a cached
         engine is a point-in-time view: construct a new engine after
         ``append_index``/``compact_index`` to see new segments."""
+        from ..fs import get_fs
+
         self.spark = spark
         self.index_dir = index_dir
-        with open(os.path.join(index_dir, "_stats.json")) as f:
-            self.stats = json.load(f)
+        self.fs = get_fs(spark, index_dir)
+        self.stats = json.loads(
+            self.fs.read_text(os.path.join(index_dir, "_stats.json"))
+        )
         self.post_root = os.path.join(index_dir, "postings")
         self.dict_path = os.path.join(index_dir, "dictionary")
         self.doc_map_path = os.path.join(index_dir, "doc_map")
@@ -787,7 +791,7 @@ class SearchEngine:
 
         p = prefix.lower()
         comp_path = os.path.join(self.index_dir, "completion")
-        if os.path.exists(comp_path):
+        if self.fs.exists(comp_path):
             comp = self.spark.read.parquet(comp_path)
             return (
                 comp.where(F.col("key").startswith(p))
