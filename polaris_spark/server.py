@@ -1,0 +1,165 @@
+"""Serving daemon: a long-lived HTTP endpoint over a warm SearchEngine.
+
+The rebuild of the reference's Jetty dev server (``polaris devserver``),
+which reflectively dispatches ``POST /api/<method>`` requests onto the RPC
+implementation (reference cli/command/DevServer.java:179-208 →
+search/CodeSearchImpl.java). Differences, both deliberate:
+
+- JSON request/response bodies instead of protobuf (no proto toolchain
+  here; the method surface and semantics are the parity point).
+- Backed by the serving-mode term-LRU engine (the analog of the reference
+  keeping one warm IndexReader open, CodeSearchImpl.java:53-69).
+
+Methods (POST JSON to /api/<method>):
+
+- ``search``     {query, rankFrom?, rankTo?, mode?} → the full mixed
+                 response (hits + completions + count + latency_ms) —
+                 CodeSearchImpl.search:71-92 + SearchMixer.
+- ``complete``   {query, limit?} → completion rows —
+                 CodeSearchImpl.complete:121-138.
+- ``source``     {docIds: [...]} → doc_map identity rows —
+                 CodeSearchImpl.source / getFileHandle:94-119.
+- ``listFiles``  {convId} → the conversation's turns in order —
+                 CodeSearchImpl.listFiles (directory listing analog).
+- ``listUsages`` {term} → decoded (doc_id, tf) occurrence list —
+                 CodeSearchImpl.listUsages:216-232.
+- ``getTurn``    {convId, turnIdx} → exact-key doc attributes —
+                 getType/getField/getMethod analog:163-280.
+
+Unknown method → 404; malformed body → 400; handler exception → 500 with
+the error message (the reference propagates RPC error codes similarly).
+GET /healthz → 200 "ok" for liveness probes.
+
+Spark-wise this is a driver-side loop over the low-latency serving paths
+(pruned candidate fetch + in-process scoring); each request is one tiny
+partition-pruned Spark job at most. A production deployment would put N
+such daemons behind a balancer, each with its own SparkSession — the index
+itself is immutable shared storage, so serving scales horizontally without
+coordination (same story as N Lucene searchers over one index directory).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+def _rows(df):
+    return [r.asDict(recursive=True) for r in df.collect()]
+
+
+class _Handler(BaseHTTPRequestHandler):
+    engine = None  # set by serve()
+
+    def log_message(self, fmt, *args):  # quiet by default
+        pass
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            self._respond(200, {"status": "ok"})
+        else:
+            self._respond(404, {"error": f"unknown path {self.path}"})
+
+    def do_POST(self):
+        if not self.path.startswith("/api/"):
+            self._respond(404, {"error": f"unknown path {self.path}"})
+            return
+        method = self.path[len("/api/"):]
+        try:
+            n = int(self.headers.get("Content-Length") or 0)
+            body = json.loads(self.rfile.read(n) or b"{}")
+        except (ValueError, json.JSONDecodeError):
+            self._respond(400, {"error": "malformed JSON body"})
+            return
+        fn = getattr(self, f"_m_{method}", None)
+        if fn is None:
+            self._respond(404, {"error": f"unknown method {method!r}"})
+            return
+        try:
+            self._respond(200, fn(body))
+        except Exception as e:  # → RPC-style error payload
+            self._respond(500, {"error": f"{type(e).__name__}: {e}"})
+
+    # ------------------------------------------------------- API methods
+
+    def _m_search(self, b):
+        return self.engine.search_mixed(
+            b["query"],
+            rank_from=int(b.get("rankFrom", 0)),
+            rank_to=int(b.get("rankTo", 20)),
+            mode=b.get("mode", "or"),
+        )
+
+    def _m_complete(self, b):
+        return {"completions": _rows(
+            self.engine.complete(b["query"], int(b.get("limit", 20)))
+        )}
+
+    def _m_source(self, b):
+        return {"docs": sorted(
+            _rows(self.engine.lookup_docs([int(i) for i in b["docIds"]])),
+            key=lambda r: r["doc_id"],
+        )}
+
+    def _m_listFiles(self, b):
+        return {"turns": _rows(self.engine.list_conversation(b["convId"]))}
+
+    def _m_listUsages(self, b):
+        return {"usages": self.engine.lookup_postings(b["term"])}
+
+    def _m_getTurn(self, b):
+        return {"docs": _rows(
+            self.engine.get_turn(b["convId"], int(b["turnIdx"]))
+        )}
+
+    # ---------------------------------------------------------- plumbing
+
+    def _respond(self, code: int, payload: dict):
+        data = json.dumps(payload, default=str).encode("utf-8")
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+
+def serve(spark, index_dir: str, host: str = "127.0.0.1", port: int = 0,
+          cache_terms: int = 65536):
+    """Start the daemon on a background thread. Returns (server, thread);
+    ``server.server_address`` carries the bound (host, port) — port=0 picks
+    a free one. Stop with ``server.shutdown()``."""
+    from .query.engine import SearchEngine
+
+    handler = type("Handler", (_Handler,), {
+        "engine": SearchEngine(spark, index_dir, cache_terms=cache_terms)
+    })
+    srv = ThreadingHTTPServer((host, port), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, t
+
+
+def main() -> int:
+    """CLI entry: ``python -m polaris_spark.server --index DIR [--port P]``."""
+    import argparse
+
+    from pyspark.sql import SparkSession
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8042)
+    ap.add_argument("--cache-terms", type=int, default=65536)
+    args = ap.parse_args()
+    spark = (
+        SparkSession.builder.appName("polaris_spark_server").getOrCreate()
+    )
+    srv, t = serve(spark, args.index, args.host, args.port, args.cache_terms)
+    print(f"serving on http://{srv.server_address[0]}:{srv.server_address[1]}")
+    t.join()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
