@@ -47,27 +47,42 @@ def synth_assets(spark, n: int = 100, seed: int = 42):
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 
-def decode_features(assets):
+def stub_featurizer(data: bytes) -> list[float]:
+    """STUB per-asset featurizer: deterministic byte-histogram moments.
+    Same signature as a real one (bytes → FEATURE_DIM floats)."""
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+    hist = np.histogram(arr, bins=FEATURE_DIM, range=(0, 256))[0]
+    total = hist.sum() or 1
+    return (hist / total).round(6).tolist()
+
+
+def pil_featurizer(data: bytes) -> list[float]:
+    """Real image featurizer — import-gated; raises in this container.
+    Contract: identical signature/shape as :func:`stub_featurizer`, so the
+    swap is drop-in (verified by the kernel contract test)."""
+    img = decode_image(data)  # raises NotImplementedError without PIL
+    arr = np.asarray(img.convert("L"), dtype=np.float64)
+    hist = np.histogram(arr, bins=FEATURE_DIM, range=(0, 256))[0]
+    total = hist.sum() or 1
+    return (hist / total).round(6).tolist()
+
+
+def decode_features(assets, featurizer=stub_featurizer):
     """mapInPandas feature extraction over binary payloads.
 
-    STUB KERNEL: features = deterministic byte-histogram moments. A real
-    implementation replaces only the inner function body with e.g.
-    PIL.Image.open(io.BytesIO(b)) → embedding; the Arrow plumbing is final."""
+    The Arrow plumbing (schema, batch iteration, column shapes) is FINAL;
+    ``featurizer`` (bytes → FEATURE_DIM floats) is the only swap point
+    between the deterministic stub and a real decoder (PIL/soundfile).
+    Output schema is featurizer-independent — contract-tested."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            for b in pdf["data"]:
-                arr = np.frombuffer(bytes(b), dtype=np.uint8).astype(np.float64)
-                hist = np.histogram(arr, bins=FEATURE_DIM, range=(0, 256))[0]
-                total = hist.sum() or 1
-                feats.append((hist / total).round(6).tolist())
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pdf["data"].map(len).astype("int64"),
-                    "features": feats,
+                    "features": [featurizer(bytes(b)) for b in pdf["data"]],
                 }
             )
 
@@ -113,21 +128,33 @@ def decode_image(data: bytes):
     return Image.open(io.BytesIO(data))
 
 
-def resize_images(assets, width: int = 32, height: int = 32):
-    """Image resize over binary columns. STUB: emits deterministic
-    fixed-size byte digests standing in for resized pixels; the real kernel
-    swaps in PIL. Schema/partitioning/batching are the deliverable."""
+def stub_resizer(data: bytes, width: int, height: int) -> bytes:
+    """STUB resize: deterministic fixed-size digest bytes standing in for
+    resized pixels (same output length a real w×h grayscale buffer has)."""
+    reps = (width * height) // 16 or 1
+    return (hashlib.md5(data).digest() * reps)[: width * height]
+
+
+def pil_resizer(data: bytes, width: int, height: int) -> bytes:
+    """Real resize — import-gated on PIL; identical signature/shape as
+    :func:`stub_resizer` (contract-tested drop-in)."""
+    img = decode_image(data)  # raises NotImplementedError without PIL
+    return img.convert("L").resize((width, height)).tobytes()
+
+
+def resize_images(assets, width: int = 32, height: int = 32,
+                  resizer=stub_resizer):
+    """Image resize over binary columns. The Arrow plumbing (schema,
+    batching, modality filter) is final; ``resizer`` (bytes, w, h → bytes)
+    is the only swap point between the stub and PIL."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            resized = [
-                hashlib.md5(bytes(b)).digest() * ((width * height) // 16 or 1)
-                for b in pdf["data"]
-            ]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
-                    "resized": resized,
+                    "resized": [resizer(bytes(b), width, height)
+                                for b in pdf["data"]],
                     "width": width,
                     "height": height,
                 }

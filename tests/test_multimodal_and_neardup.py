@@ -104,3 +104,60 @@ def test_srp_candidates_contain_true_neardups(spark):
         if (r["vec_a"], r["vec_b"]) in cands
     }
     assert verified <= true_pairs
+
+def test_kernel_contract_stub_vs_injected_decoder(spark):
+    """The stub↔real swap must be drop-in: running the SAME plumbing with a
+    different injected featurizer/resizer changes only the VALUES — schema,
+    row counts, and batch shapes are identical (VERDICT r1 #8)."""
+    import numpy as np
+
+    from polaris_spark.ops.multimodal import (
+        FEATURE_DIM,
+        decode_features,
+        resize_images,
+        synth_assets,
+    )
+
+    assets = synth_assets(spark, 30)
+
+    def fake_real_featurizer(data: bytes) -> list:
+        # stands in for a PIL/soundfile decoder: same contract, other values
+        arr = np.frombuffer(data, dtype=np.uint8)[::2].astype(np.float64)
+        h = np.histogram(arr, bins=FEATURE_DIM, range=(0, 256))[0]
+        return (h / (h.sum() or 1)).round(6).tolist()
+
+    a = decode_features(assets)
+    b = decode_features(assets, featurizer=fake_real_featurizer)
+    assert a.schema == b.schema
+    ra, rb = a.collect(), b.collect()
+    assert len(ra) == len(rb) == 30
+    assert all(len(x["features"]) == FEATURE_DIM for x in ra + rb)
+    assert sorted(x["asset_id"] for x in ra) == sorted(x["asset_id"] for x in rb)
+
+    def fake_real_resizer(data: bytes, w: int, h: int) -> bytes:
+        return bytes(w * h)  # all-zero pixel buffer, right length
+
+    r1 = resize_images(assets, 16, 16)
+    r2 = resize_images(assets, 16, 16, resizer=fake_real_resizer)
+    assert r1.schema == r2.schema
+    c1, c2 = r1.collect(), r2.collect()
+    assert len(c1) == len(c2) and len(c1) > 0
+    assert all(len(bytes(x["resized"])) == 16 * 16 for x in c1 + c2)
+
+
+def test_real_decoders_are_import_gated(spark):
+    """Without PIL the real kernels raise NotImplementedError mentioning the
+    stub path — never a silent wrong answer."""
+    import pytest as _pytest
+
+    from polaris_spark.ops.multimodal import pil_featurizer, pil_resizer
+
+    try:
+        import PIL  # noqa: F401
+        _pytest.skip("PIL unexpectedly present; real path would run")
+    except ImportError:
+        pass
+    with _pytest.raises(NotImplementedError, match="stub"):
+        pil_featurizer(b"xx")
+    with _pytest.raises(NotImplementedError, match="stub"):
+        pil_resizer(b"xx", 8, 8)
