@@ -44,7 +44,7 @@ def main() -> None:
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     build_index(spark, docs, idx, doc_id_col="doc_id",
                 cfg=IndexConfig(n_buckets=32, n_shards=8, n_chunks=2,
-                                positions=True))
+                                positions=True, attr_cols=("source", "lang")))
     eng = SearchEngine(spark, idx)
 
     SECTIONS.append((
@@ -82,9 +82,29 @@ def main() -> None:
     ))
 
     SECTIONS.append((
-        "prefix completion over the dictionary",
-        "Term-sorted dictionary files → StartsWith pushed to the scan.",
+        "distributed prohibit-term exclusion (cogrouped per-shard anti-set)",
+        "A `-term` query decodes the excluded terms' postings into a "
+        "(shard, doc_id) frame via ArrowEvalPython/mapInPandas and cogroups "
+        "it with the candidate rows (FlatMapCoGroupsInPandas) — excluded ids "
+        "never reach the driver; exclusion happens before scoring so "
+        "MaxScore pruning stays exact.",
+        cap(eng.search_df("spark -join", k=10)),
+    ))
+
+    SECTIONS.append((
+        "prefix completion (build-time key-sorted table, StartsWith pushdown)",
+        "complete() probes the `completion/` table (keys lowercased at write "
+        "time, range-partitioned + sorted): StringStartsWith reaches "
+        "PushedFilters, so row-group min/max stats prune everything outside "
+        "the prefix range — no full dictionary scan, no per-term regexes.",
         cap(eng.complete("sca", 20)),
+    ))
+
+    SECTIONS.append((
+        "attribute point lookup (equality filter pushed to doc_map scan)",
+        "list_by_attr routes exact-attribute queries to the doc_map parquet "
+        "with the equality predicate in PushedFilters.",
+        cap(eng.list_by_attr("source", "src3")),
     ))
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -97,6 +117,19 @@ def main() -> None:
         "Dot product via aggregate/zip_with stays JVM-side; "
         "TakeOrderedAndProject for the top-k.",
         cap(cosine_topk(emb, qv, k=10)),
+    ))
+
+    from polaris_spark.ops.similarity import build_ivf, ivf_topk
+
+    ivf_dir = os.path.join(REPO, ".cache", "plans_ivf")
+    shutil.rmtree(ivf_dir, ignore_errors=True)
+    build_ivf(spark, emb, ivf_dir, n_centroids=4, seed=7)
+    SECTIONS.append((
+        "IVF probe (prebuilt centroid-partitioned table, partition pruning)",
+        "ivf_topk scans only the nprobe nearest `centroid_id=` partitions "
+        "(PartitionFilters at file-listing time) of the table build_ivf "
+        "materialized — no inline re-assignment over the full embeddings.",
+        cap(ivf_topk(spark, ivf_dir, qv, k=10, nprobe=1)),
     ))
 
     out = [
