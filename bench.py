@@ -188,6 +188,13 @@ def run_suite(cpus: int, sf_dir: str, n_turns: int) -> dict:
         wlat.append(time.time() - t0)
     extras["query_warm_p50_s"] = round(statistics.median(wlat), 4)
 
+    # completion probes over the build-time key-sorted table (StartsWith
+    # pushdown path)
+    t0 = time.time()
+    for p in ["ka", "ri", "to", "web", "sa"]:
+        eng.complete(p, 20).collect()
+    times["completion_probes"] = round(time.time() - t0, 3)
+
     # ---- 4. pipeline ops over sf tables -----------------------------------
     t0 = time.time()
     from polaris_spark.ops.dedup import lsh_candidate_pairs
@@ -202,6 +209,17 @@ def run_suite(cpus: int, sf_dir: str, n_turns: int) -> dict:
     t0 = time.time()
     cosine_topk(emb, qv, k=10).collect()
     times["ann_cosine_top10"] = round(time.time() - t0, 3)
+
+    from polaris_spark.ops.similarity import build_ivf, ivf_topk
+
+    ivf_dir = os.path.join(CACHE, f"bench_ivf_{cpus}")
+    shutil.rmtree(ivf_dir, ignore_errors=True)
+    t0 = time.time()
+    build_ivf(spark, emb, ivf_dir, n_centroids=8, seed=7)
+    times["ivf_build"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    ivf_topk(spark, ivf_dir, qv, k=10, nprobe=2).collect()
+    times["ivf_probe_top10"] = round(time.time() - t0, 3)
 
     from polaris_spark.ops.text import langid_col, quality_cols
 

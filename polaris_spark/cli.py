@@ -45,6 +45,10 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--hot-df-threshold", type=int, default=4096)
     b.add_argument("--positions", action="store_true",
                    help="store token positions (enables phrase queries)")
+    b.add_argument("--field-cols", default="",
+                   help="comma-separated columns indexed as field:token terms")
+    b.add_argument("--attr-cols", default="",
+                   help="comma-separated columns stored in doc_map for point lookups")
     b.add_argument("--no-resume", action="store_true")
 
     q = sub.add_parser("query", help="top-k BM25 search")
@@ -68,6 +72,12 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("stats", help="print index stats + manifests")
     s.add_argument("--index", required=True)
 
+    sv = sub.add_parser("serve", help="HTTP serving daemon (devserver analog)")
+    sv.add_argument("--index", required=True)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8042)
+    sv.add_argument("--cache-terms", type=int, default=65536)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "build":
@@ -77,6 +87,8 @@ def main(argv: list[str] | None = None) -> int:
         cfg = IndexConfig(
             n_buckets=args.buckets, n_shards=args.shards, n_chunks=args.chunks,
             hot_df_threshold=args.hot_df_threshold, positions=args.positions,
+            field_cols=tuple(c for c in args.field_cols.split(",") if c),
+            attr_cols=tuple(c for c in args.attr_cols.split(",") if c),
         )
         docs = spark.read.parquet(args.input)
         m = build_index(
@@ -111,6 +123,14 @@ def main(argv: list[str] | None = None) -> int:
         spark = _session("polaris_spark_complete")
         eng = SearchEngine(spark, args.index)
         print(json.dumps([r.asDict() for r in eng.complete(args.prefix, args.n).collect()]))
+    elif args.cmd == "serve":
+        from polaris_spark.server import serve
+
+        spark = _session("polaris_spark_serve")
+        srv, t = serve(spark, args.index, args.host, args.port, args.cache_terms)
+        print(json.dumps({"serving": f"http://{srv.server_address[0]}:{srv.server_address[1]}"}),
+              flush=True)
+        t.join()
     elif args.cmd == "stats":
         import glob
         import os
