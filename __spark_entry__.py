@@ -194,6 +194,22 @@ def _q_dup_clusters(spark, sf_dir):
     return dup_clusters(lsh_candidate_pairs(_docs(spark, sf_dir), k=8, bands=4))
 
 
+def _q_dup_clusters_star(spark, sf_dir):
+    """Large-star/small-star CC over the same LSH candidate graph — must
+    reproduce the min-label labels (shared DuckDB recursive-CTE oracle)."""
+    from polaris_spark.ops.dedup import dup_clusters_star, lsh_candidate_pairs
+
+    return dup_clusters_star(lsh_candidate_pairs(_docs(spark, sf_dir), k=8, bands=4))
+
+
+def _q_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (brute-force exact verifier path);
+    threshold 0.45 yields a small non-empty pair set on this corpus."""
+    from polaris_spark.ops.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.45)
+
+
 def _q_jaccard(spark, sf_dir):
     from polaris_spark.ops.dedup import jaccard_pairs
 
@@ -339,6 +355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash,
         "lsh_candidate_pairs": _q_lsh_pairs,
         "dup_clusters": _q_dup_clusters,
+        "dup_clusters_star": _q_dup_clusters_star,
+        "neardup_pairs": _q_neardup_pairs,
         "jaccard_pairs": _q_jaccard,
         "simhash16": _q_simhash,
         "ann_cosine_top10": _q_cosine_top10,
@@ -457,6 +475,18 @@ SELECT doc_id, lpad(lower(to_hex(val)), 4, '0') AS simhash16 FROM packed"""
         "minhash_signatures": duckdb_minhash_sql("documents", "doc_id", "text", k=8),
         "lsh_candidate_pairs": lsh,
         "dup_clusters": duckdb_dup_clusters_sql(lsh),
+        # star CC must agree with min-label CC — same transitive-closure oracle
+        "dup_clusters_star": duckdb_dup_clusters_sql(lsh),
+        "neardup_pairs": """
+WITH p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(
+           list_sum(list_transform(list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), x -> x[1] * x[2]))
+           / (sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x -> x * x)))
+              * sqrt(list_sum(list_transform(b.embedding::DOUBLE[], x -> x * x)))), 6) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.45""",
         "jaccard_pairs": jaccard,
         "simhash16": simhash,
         "ann_cosine_top10": cosine,
