@@ -155,6 +155,19 @@ def append_index(
     )
     dic.write.mode("overwrite").parquet(os.path.join(index_dir, "dictionary"))
 
+    # refresh the hot-term sketch from the refolded dictionary: a term whose
+    # df crossed the threshold THROUGH appends salts on the next append /
+    # compaction (the engine handles mixed salting per row via the `salted`
+    # column, so old unsalted rows stay valid until compaction re-salts them)
+    hot_rows = (
+        spark.read.parquet(os.path.join(index_dir, "dictionary"))
+        .where(F.col("df") > cfg.hot_df_threshold)
+        .select("term")
+        .collect()
+    )
+    _mark(fs, man_dir, "hot_terms",
+          {"hot_terms": sorted(r["term"] for r in hot_rows)})
+
     # completion table mirrors the dictionary — refold it too
     from .build import build_completion_table
 

@@ -90,3 +90,42 @@ def test_streaming_ingest_available_now(spark, tmp_path):
     for qq in QS:
         got = [(h["doc_id"], h["score"]) for h in eng.search(qq, k=10)]
         assert got == oracle.search(qq, k=10), qq
+
+
+def test_hot_sketch_refreshes_on_append(spark, tmp_path):
+    """A term whose df crosses hot_df_threshold THROUGH appends must enter
+    the hot-term sketch (refolded from the dictionary), and compaction must
+    then doc-shard-salt it — query results unchanged throughout."""
+    import json
+    import os
+
+    from polaris_spark.index.build import IndexConfig, build_index
+    from polaris_spark.index.maintenance import append_index, compact_index
+    from polaris_spark.query.engine import SearchEngine
+
+    d = str(tmp_path / "hotref_idx")
+    base = [(i, f"filler{i} alpha") for i in range(4)]  # 'surge' df=0
+    more = [(100 + i, "surge beta common") for i in range(12)]  # df('surge')=12
+    build_index(spark, spark.createDataFrame(base, "doc_id long, text string"),
+                d, doc_id_col="doc_id",
+                cfg=IndexConfig(n_buckets=4, n_shards=4, n_chunks=2,
+                                hot_df_threshold=8))
+    man = os.path.join(d, "manifest", "hot_terms.json")
+    with open(man) as f:
+        assert "surge" not in json.load(f)["hot_terms"]
+    append_index(spark, spark.createDataFrame(more, "doc_id long, text string"),
+                 d, doc_id_col="doc_id")
+    with open(man) as f:
+        assert "surge" in json.load(f)["hot_terms"]  # crossed threshold=8
+    eng = SearchEngine(spark, d)
+    before = eng.search("surge alpha", k=20)
+    assert len([h for h in before if h["n_match"] >= 1]) == 16
+    # pre-compaction rows for 'surge' are still unsalted (encoded before the
+    # refresh) — valid, single (term,shard) group
+    rows = eng._candidates(["surge"]).select("salted").distinct().collect()
+    assert {r["salted"] for r in rows} == {False}
+    compact_index(spark, d)
+    eng2 = SearchEngine(spark, d)
+    assert eng2.search("surge alpha", k=20) == before
+    rows2 = eng2._candidates(["surge"]).collect()
+    assert all(r["salted"] for r in rows2) and len(rows2) > 1  # now salted
