@@ -658,18 +658,29 @@ class SearchEngine:
         hits = self.search(query, k=rank_to, mode=mode)
         return hits[rank_from:rank_to]
 
-    def search_with_payload(self, query: str, k: int = 10, mode: str = "or"):
+    def search_with_payload(self, query: str, k: int = 10, mode: str = "or",
+                            docs=None, snippet: bool = False):
         """Top-k joined back to doc identity (broadcast join of the tiny
         top-k side — the analog of reference SearchMixer.java:63-77 point
-        lookups)."""
+        lookups). With ``docs`` (a DataFrame carrying doc_id + text) and
+        ``snippet=True``, each hit also gets the ±(2,3)-line context window
+        around the first matching line — the SearchMixer.getSummary step
+        (SearchMixer.java:79-89), computed JVM-side only for the k joined
+        rows."""
         from pyspark.sql import functions as F
 
         topk = self.search_df(query, k, mode)
-        doc_map = self.spark.read.parquet(self.doc_map_path)
-        return (
-            doc_map.join(F.broadcast(topk), "doc_id")
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-        )
+        payload = docs if docs is not None else self.spark.read.parquet(self.doc_map_path)
+        out = payload.join(F.broadcast(topk), "doc_id")
+        if snippet:
+            if "text" not in out.columns:
+                raise ValueError("snippet=True requires a docs frame with a text column")
+            from ..ops.text import snippet_col
+
+            out = out.withColumn(
+                "snippet", snippet_col(F.col("text"), self.query_terms(query))
+            )
+        return out.orderBy(F.desc("score"), F.asc("doc_id"))
 
     def search_mixed(self, query: str, rank_from: int = 0, rank_to: int = 20,
                      mode: str = "or") -> dict:
@@ -793,9 +804,12 @@ class SearchEngine:
         comp_path = os.path.join(self.index_dir, "completion")
         if self.fs.exists(comp_path):
             comp = self.spark.read.parquet(comp_path)
+            flt = comp.where(F.col("key").startswith(p))
+            if p and "k1" in comp.columns:
+                # k1= directory pruning: the probe lists exactly one dir
+                flt = flt.where(F.col("k1") == p[:1])
             return (
-                comp.where(F.col("key").startswith(p))
-                .dropDuplicates(["term"])
+                flt.dropDuplicates(["term"])
                 .orderBy(F.desc("df"), F.asc("term"))
                 .limit(n)
                 .select("term", "df", "cf")

@@ -127,6 +127,14 @@ def tokens_col(col):
     return F.coalesce(F.concat(base, subs), empty)
 
 
+# single-regex equivalent of the CAMEL1 → CAMEL2 → SEPS replace cascade:
+# split at (a) separator runs, (b) lower/digit→Upper boundaries, (c) the
+# acronym→CamelWord boundary. One regex pass instead of three replaces +
+# split — ~3× cheaper on vocab-scale columns (completion build); golden-
+# tested equal to the Python `subtokens` spec.
+PARTS_SPLIT_PATTERN = r"[._']+|(?<=[a-z0-9])(?=[A-Z])|(?<=[A-Z])(?=[A-Z][a-z])"
+
+
 def parts_col(col):
     """Spark Column: array<string> of a token's camel/sep parts (spec step 2,
     without the >1-part condition). Used by prefix completion's simple-name
@@ -135,10 +143,9 @@ def parts_col(col):
 
     if isinstance(col, str):
         col = F.col(col)
-    s = F.regexp_replace(col, CAMEL1[0], "$1 $2")
-    s = F.regexp_replace(s, CAMEL2[0], "$1 $2")
-    s = F.regexp_replace(s, SEPS_PATTERN, " ")
-    return F.filter(F.split(s, " "), lambda x: x != F.lit(""))
+    return F.filter(
+        F.split(col, PARTS_SPLIT_PATTERN), lambda x: x != F.lit("")
+    )
 
 
 @lru_cache(maxsize=1)

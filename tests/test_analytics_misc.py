@@ -51,3 +51,31 @@ def test_turn_ordering_check(spark):
         conv = int(cid.split("-")[-1])
         assert r["first_role"] == ROLES[(conv * 20) % 3]
         assert r["last_role"] == ROLES[(conv * 20 + 19) % 3]
+
+
+def test_search_with_payload_snippet(spark, tmp_path):
+    """Payload join + per-hit ±(2,3)-line snippet (SearchMixer.getSummary
+    analog) computed only for the k joined rows, JVM-side."""
+    from polaris_spark.index.build import IndexConfig, build_index
+    from polaris_spark.query.engine import SearchEngine
+
+    rows = [
+        (1, "line0\nline1\nneedle here\nline3\nline4\nline5\nline6"),
+        (2, "needle on first line\nb\nc"),
+        (3, "nothing to see"),
+    ]
+    d = str(tmp_path / "snip_idx")
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    build_index(spark, docs, d, doc_id_col="doc_id",
+                cfg=IndexConfig(n_buckets=4, n_shards=2, n_chunks=2))
+    eng = SearchEngine(spark, d)
+    got = {r["doc_id"]: r["snippet"]
+           for r in eng.search_with_payload("needle", k=5, docs=docs,
+                                            snippet=True).collect()}
+    assert set(got) == {1, 2}
+    # doc 1: first match on line index 2 (1-based 3) → lines 1..6 window
+    assert got[1] == "line0\nline1\nneedle here\nline3\nline4\nline5"
+    assert got[2].startswith("needle on first line")
+    import pytest as _p
+    with _p.raises(ValueError, match="text column"):
+        eng.search_with_payload("needle", k=5, snippet=True).collect()
