@@ -88,6 +88,9 @@ class IndexConfig:
     positions: bool = False  # store token positions (phrase queries); ~30-40% larger index
     field_cols: tuple = ()   # extra searchable field columns, indexed as "<col>:<token>" terms
     attr_cols: tuple = ()    # doc attribute columns stored in doc_map (point-lookup payload)
+    completion: bool = True  # build the prefix-completion table (stage 3b); the
+                             # engine transparently falls back to a dictionary
+                             # scan when absent
 
 
 def term_bucket_py(term: str, n_buckets: int) -> int:
@@ -623,10 +626,10 @@ def build_index(
     # dictionary + 3 regexes per term (VERDICT r1 #2; the analog of the
     # reference's lowercase-at-write PrefixQuery fields,
     # typedb/TypeDbWriterImpl.java:42-47).
-    if not (resume and _done(fs, man_dir, "completion")):
+    if cfg.completion and not (resume and _done(fs, man_dir, "completion")):
         build_completion_table(spark, index_dir)
         _mark(fs, man_dir, "completion", {})
-    _lap("completion")
+        _lap("completion")
 
     wall = time.time() - t0
     metrics = {

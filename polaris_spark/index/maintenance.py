@@ -46,6 +46,7 @@ def _load_cfg(spark, index_dir: str) -> IndexConfig:
         k1=s["k1"], b=s["b"], positions=s.get("positions", False),
         field_cols=tuple(s.get("field_cols", ()) or ()),
         attr_cols=tuple(s.get("attr_cols", ()) or ()),
+        completion=bool(s.get("completion", True)),
     ), s
 
 
@@ -169,9 +170,10 @@ def append_index(
           {"hot_terms": sorted(r["term"] for r in hot_rows)})
 
     # completion table mirrors the dictionary — refold it too
-    from .build import build_completion_table
+    if cfg.completion:
+        from .build import build_completion_table
 
-    build_completion_table(spark, index_dir)
+        build_completion_table(spark, index_dir)
 
     fs.write_text_atomic(
         os.path.join(index_dir, "_stats.json"), json.dumps(stats, indent=1)

@@ -103,3 +103,30 @@ def test_completion_table_refolds_on_append(spark, tmp_path_factory):
     )
     append_index(spark, more, d, doc_id_col="doc_id")
     assert "FileInputStream" in _terms(SearchEngine(spark, d).complete("FIS", 20))
+
+
+def test_completion_disabled_falls_back(spark, tmp_path_factory):
+    """IndexConfig(completion=False): no completion/ table is built; the
+    engine transparently serves the identical results via the dictionary
+    fallback scan, and append_index does not try to refold it."""
+    import os
+
+    from polaris_spark.index.maintenance import append_index
+
+    d = str(tmp_path_factory.mktemp("comp_off_idx"))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS_TERMS[:6])], "doc_id long, text string"
+    )
+    build_index(spark, docs, d, doc_id_col="doc_id",
+                cfg=IndexConfig(n_buckets=8, n_shards=2, n_chunks=2,
+                                completion=False))
+    assert not os.path.exists(os.path.join(d, "completion"))
+    eng = SearchEngine(spark, d)
+    assert {"List", "LinkedList", "ArrayList"} <= _terms(eng.complete("lis", 20))
+    more = spark.createDataFrame(
+        [(10 + i, t) for i, t in enumerate(CORPUS_TERMS[6:])],
+        "doc_id long, text string",
+    )
+    append_index(spark, more, d, doc_id_col="doc_id")
+    assert not os.path.exists(os.path.join(d, "completion"))
+    assert "FileInputStream" in _terms(SearchEngine(spark, d).complete("FIS", 20))
