@@ -27,6 +27,7 @@ Q_AND = "customer query window"
 Q_PREFIX = "sca"  # matches 'scan' (full prefix path)
 Q_PHRASE = "spark join"  # exact-adjacency phrase over base tokens
 Q_FIELDED = "slow source:src3"  # ranked text term + field-scoped term
+Q_MULTI = "src3 slow"  # bare tokens, expanded across text + field columns
 Q_NOT = "spark -join"  # Lucene-classic prohibit operator
 FIELD_COLS = ("source", "lang")
 
@@ -161,6 +162,17 @@ def _q_fielded(spark, sf_dir):
 
     eng = SearchEngine(spark, _ensure_index(spark, sf_dir, fields=True))
     return _score_e4(eng.search_df(Q_FIELDED, k=None))
+
+
+def _q_multifield(spark, sf_dir):
+    """Bare-token multi-field OR (the reference's default
+    MultiFieldQueryParser behavior over every searchable field,
+    SourceDbImpl.java:42-46): 'src3' ranks via the source FIELD tokens,
+    'slow' via text tokens — one query, all fields SHOULD."""
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir, fields=True))
+    return _score_e4(eng.search_df(Q_MULTI, k=None, expand_fields=True))
 
 
 def _q_complete(spark, sf_dir):
@@ -350,6 +362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_not": _q_boolean_not,
         "phrase_search": _q_phrase,
         "fielded_search": _q_fielded,
+        "multifield_search": _q_multifield,
         "prefix_complete": _q_complete,
         "dedup_exact": _q_dedup_exact,
         "minhash_signatures": _q_minhash,
@@ -467,6 +480,8 @@ SELECT doc_id, lpad(lower(to_hex(val)), 4, '0') AS simhash16 FROM packed"""
         "boolean_not": bm25_scores_sql(Q_NOT),
         "phrase_search": phrase_sql(Q_PHRASE),
         "fielded_search": bm25_scores_sql(Q_FIELDED, field_cols=FIELD_COLS),
+        "multifield_search": bm25_scores_sql(Q_MULTI, field_cols=FIELD_COLS,
+                                             expand_fields=True),
         "prefix_complete": complete_sql(Q_PREFIX, 20),
         "dedup_exact": (
             "SELECT md5(text) AS fp, count(*)::BIGINT AS n_dups, "

@@ -17,8 +17,11 @@ K1P1_SQL = "(1.2 + 1.0)"
 B_SQL = "0.75"
 
 
-def _parse(query: str, field_cols: tuple = ()) -> tuple[list[str], list[str]]:
-    """(include_terms, exclude_terms) — same spec as engine.parse_query."""
+def _parse(query: str, field_cols: tuple = (),
+           expand_fields: bool = False) -> tuple[list[str], list[str]]:
+    """(include_terms, exclude_terms) — same spec as engine.parse_query
+    (incl. the multi-field OR expansion of bare tokens when
+    ``expand_fields``)."""
     fields = set(field_cols)
     inc: set[str] = set()
     exc: set[str] = set()
@@ -29,7 +32,10 @@ def _parse(query: str, field_cols: tuple = ()) -> tuple[list[str], list[str]]:
         if rest and f in fields:
             terms = {f"{f}:{t}" for t in tokenize(rest)}
         else:
-            terms = set(tokenize(body))
+            toks = set(tokenize(body))
+            terms = set(toks)
+            if expand_fields:
+                terms |= {f"{c}:{t}" for c in fields for t in toks}
         (exc if neg else inc).update(terms)
     return sorted(inc), sorted(exc)
 
@@ -38,8 +44,9 @@ def _sql_list(terms: list[str]) -> str:
     return "[" + ", ".join("'" + t.replace("'", "''") + "'" for t in terms) + "]"
 
 
-def _qt_list(query: str, field_cols: tuple = ()) -> str:
-    return _sql_list(_parse(query, field_cols)[0])
+def _qt_list(query: str, field_cols: tuple = (),
+             expand_fields: bool = False) -> str:
+    return _sql_list(_parse(query, field_cols, expand_fields)[0])
 
 
 def base_cte(table: str = "documents", field_cols: tuple = ()) -> str:
@@ -76,12 +83,13 @@ def dictionary_sql(table: str = "documents") -> str:
 
 
 def bm25_scores_sql(query: str, table: str = "documents", limit: int | None = None,
-                    field_cols: tuple = ()) -> str:
+                    field_cols: tuple = (), expand_fields: bool = False) -> str:
     """All matching docs with e4-rounded BM25 scores (LIMIT → top-k with the
     engine's exact (score desc, doc_id asc) order). ``field_cols`` mirrors a
     fielded index: per-doc tokens are text tokens ++ '<col>:<tok>' field
-    tokens, and the query accepts field:value syntax."""
-    qt = _qt_list(query, field_cols)
+    tokens, and the query accepts field:value syntax (plus the bare-token
+    multi-field OR expansion when ``expand_fields``)."""
+    qt = _qt_list(query, field_cols, expand_fields)
     sql = base_cte(table, field_cols) + f""",
 qt AS (SELECT unnest({qt}) AS term),
 dft AS (

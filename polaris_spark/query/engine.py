@@ -318,7 +318,8 @@ class SearchEngine:
 
     # ------------------------------------------------------------ helpers
 
-    def parse_query(self, query: str) -> tuple[list[str], list[str]]:
+    def parse_query(self, query: str,
+                    expand_fields: bool = False) -> tuple[list[str], list[str]]:
         """Query string → (include_terms, exclude_terms), both sorted unique.
 
         Lucene-classic operators the reference's MultiFieldQueryParser
@@ -329,6 +330,12 @@ class SearchEngine:
         - ``-chunk`` (prohibit): documents containing ANY token of the
           negated chunk are excluded from the result entirely (applied
           before scoring, so MaxScore pruning stays exact).
+        - ``expand_fields=True``: every BARE token also queries each indexed
+          field column as ``<col>:<tok>`` — the reference's default
+          multi-field OR (MultiFieldQueryParser over {Project, Path,
+          SourceText}, SourceDbImpl.java:42-46: one query string, every
+          field a SHOULD clause). Explicit ``field:value`` chunks are never
+          re-expanded.
         Quoted phrases are the third classic operator — see
         :meth:`search_phrase`.
         """
@@ -342,7 +349,10 @@ class SearchEngine:
             if rest and f in fields:
                 terms = {f"{f}:{t}" for t in tokenize(rest)}
             else:
-                terms = set(tokenize(body))
+                toks = set(tokenize(body))
+                terms = set(toks)
+                if expand_fields:
+                    terms |= {f"{c}:{t}" for c in fields for t in toks}
             (exc if neg else inc).update(terms)
         return sorted(inc), sorted(exc)
 
@@ -459,7 +469,8 @@ class SearchEngine:
     # doc_ids and delegates to the distributed per-shard exclusion
     exclude_driver_limit: int = 1_000_000
 
-    def search(self, query: str, k: int | None = 10, mode: str = "or") -> list[dict]:
+    def search(self, query: str, k: int | None = 10, mode: str = "or",
+               expand_fields: bool = False) -> list[dict]:
         """Driver-path search: candidate rows are collected (they are small
         after bucket+term pruning) and scored in-process. Returns
         [{doc_id, score, n_match}] ordered by (score desc, doc_id asc).
@@ -468,11 +479,12 @@ class SearchEngine:
         would make the driver-side id union the bottleneck — those queries
         fall over to :meth:`search_df`'s distributed exclusion and only the
         top-k comes back."""
-        terms, exc = self.parse_query(query)
+        terms, exc = self.parse_query(query, expand_fields)
         if not terms:
             return []  # reference behavior: unparseable/empty query → empty
         if exc and self._excluded_postings_total(exc) > self.exclude_driver_limit:
-            res = self.search_df(query, k=k, mode=mode).toPandas()
+            res = self.search_df(query, k=k, mode=mode,
+                                 expand_fields=expand_fields).toPandas()
             return res.to_dict("records")
         cand = self._candidates_pdf(terms)
         if cand.empty:
@@ -489,7 +501,8 @@ class SearchEngine:
             res = res.head(k)
         return res.to_dict("records")
 
-    def search_df(self, query: str, k: int | None = 10, mode: str = "or"):
+    def search_df(self, query: str, k: int | None = 10, mode: str = "or",
+                  expand_fields: bool = False):
         """Distributed search: per-shard kernels + global sort-limit merge.
         Returns a DataFrame (doc_id, score, n_match).
 
@@ -501,7 +514,7 @@ class SearchEngine:
         the true post-exclusion candidate set (pruning stays exact)."""
         from pyspark.sql import functions as F
 
-        terms, exc = self.parse_query(query)
+        terms, exc = self.parse_query(query, expand_fields)
         empty = self.spark.createDataFrame([], RESULT_SCHEMA)
         if not terms:
             return empty

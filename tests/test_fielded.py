@@ -97,3 +97,29 @@ def test_fielded_with_positions(spark, tmp_path_factory):
     occ = {o["doc_id"]: o["positions"]
            for o in eng.lookup_positions("role:assistant")}
     assert occ[1] == [3]  # text has base slots 0..2
+
+
+def test_expand_fields_multifield_or(feng):
+    """expand_fields=True: bare tokens also rank via each field column (the
+    reference's default multi-field OR, SourceDbImpl.java:42-46); driver and
+    distributed paths agree; explicit field:value chunks never re-expand."""
+    plain = {h["doc_id"]: h["score"] for h in feng.search("assistant", k=None)}
+    multi = {h["doc_id"]: h["score"]
+             for h in feng.search("assistant", k=None, expand_fields=True)}
+    # 'assistant' appears only as a role VALUE → invisible bare, hit expanded
+    assert not plain and set(multi) == {1, 2}
+    dist = {r["doc_id"]: r["score"]
+            for r in feng.search_df("assistant", k=None,
+                                    expand_fields=True).collect()}
+    assert multi == dist
+    # a token present in BOTH text and a field scores both contributions
+    t_only = {h["doc_id"]: h["score"] for h in feng.search("web", k=None)}
+    both = {h["doc_id"]: h["score"]
+            for h in feng.search("web", k=None, expand_fields=True)}
+    assert set(t_only) <= set(both)
+    assert all(both[d] >= t_only[d] for d in t_only)
+    # parse semantics
+    inc, _ = feng.parse_query("role:assistant", expand_fields=True)
+    assert inc == ["role:assistant"]
+    inc2, _ = feng.parse_query("assistant", expand_fields=True)
+    assert set(inc2) == {"assistant", "role:assistant", "tool:assistant"}
