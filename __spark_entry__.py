@@ -28,6 +28,7 @@ Q_PREFIX = "sca"  # matches 'scan' (full prefix path)
 Q_PHRASE = "spark join"  # exact-adjacency phrase over base tokens
 Q_FIELDED = "slow source:src3"  # ranked text term + field-scoped term
 Q_MULTI = "src3 slow"  # bare tokens, expanded across text + field columns
+Q_WILD = "s* join"  # Lucene-classic trailing-star prefix + literal term
 Q_NOT = "spark -join"  # Lucene-classic prohibit operator
 FIELD_COLS = ("source", "lang")
 
@@ -173,6 +174,16 @@ def _q_multifield(spark, sf_dir):
 
     eng = SearchEngine(spark, _ensure_index(spark, sf_dir, fields=True))
     return _score_e4(eng.search_df(Q_MULTI, k=None, expand_fields=True))
+
+
+def _q_wildcard(spark, sf_dir):
+    """Trailing-star PrefixQuery (classic-parser wildcard): 's*' expands
+    case-sensitively from the dictionary (df-desc capped, Lucene
+    maxClauseCount analog) and scores as BM25 OR with the literal term."""
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir))
+    return _score_e4(eng.search_df(Q_WILD, k=None))
 
 
 def _q_complete(spark, sf_dir):
@@ -363,6 +374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": _q_phrase,
         "fielded_search": _q_fielded,
         "multifield_search": _q_multifield,
+        "wildcard_search": _q_wildcard,
         "prefix_complete": _q_complete,
         "dedup_exact": _q_dedup_exact,
         "minhash_signatures": _q_minhash,
@@ -482,6 +494,7 @@ SELECT doc_id, lpad(lower(to_hex(val)), 4, '0') AS simhash16 FROM packed"""
         "fielded_search": bm25_scores_sql(Q_FIELDED, field_cols=FIELD_COLS),
         "multifield_search": bm25_scores_sql(Q_MULTI, field_cols=FIELD_COLS,
                                              expand_fields=True),
+        "wildcard_search": bm25_scores_sql(Q_WILD),
         "prefix_complete": complete_sql(Q_PREFIX, 20),
         "dedup_exact": (
             "SELECT md5(text) AS fp, count(*)::BIGINT AS n_dups, "

@@ -40,6 +40,58 @@ def _parse(query: str, field_cols: tuple = (),
     return sorted(inc), sorted(exc)
 
 
+MAX_EXPANSIONS = 128  # engine.SearchEngine.max_expansions mirror
+
+
+def _split_chunks(query: str, field_cols: tuple = (),
+                  expand_fields: bool = False):
+    """Engine parse_query mirror incl. trailing-star wildcards:
+    returns (inc_terms, inc_prefixes, exc_terms, exc_prefixes)."""
+    fields = set(field_cols)
+    inc: set[str] = set()
+    exc: set[str] = set()
+    pinc: list[str] = []
+    pexc: list[str] = []
+    for chunk in query.split():
+        neg = chunk.startswith("-") and len(chunk) > 1
+        body = chunk[1:] if neg else chunk
+        if len(body) > 1 and body.endswith("*") and "*" not in body[:-1]:
+            raw = body[:-1]
+            f, _, rest = raw.partition(":")
+            pref = f"{f}:{rest}" if (rest and f in fields) else raw
+            (pexc if neg else pinc).append(pref)
+            continue
+        f, _, rest = body.partition(":")
+        if rest and f in fields:
+            terms = {f"{f}:{t}" for t in tokenize(rest)}
+        else:
+            toks = set(tokenize(body))
+            terms = set(toks)
+            if expand_fields:
+                terms |= {f"{c}:{t}" for c in fields for t in toks}
+        (exc if neg else inc).update(terms)
+    return sorted(inc), sorted(pinc), sorted(exc), sorted(pexc)
+
+
+def _qt_cte(terms: list[str], prefixes: list[str]) -> str:
+    """SQL set of query terms: literal list UNION capped prefix expansions
+    (top MAX_EXPANSIONS by (df desc, term asc) — the engine's Lucene
+    maxClauseCount-style cap, ties broken identically)."""
+    parts = []
+    if terms:
+        parts.append(f"SELECT unnest({_sql_list(terms)}) AS term")
+    for p in prefixes:
+        lit = p.replace("'", "''")
+        parts.append(
+            f"SELECT term FROM (SELECT term, count(*) AS xdf FROM tf "
+            f"WHERE starts_with(term, '{lit}') GROUP BY term "
+            f"ORDER BY xdf DESC, term ASC LIMIT {MAX_EXPANSIONS})"
+        )
+    if not parts:
+        parts = ["SELECT NULL::VARCHAR AS term WHERE FALSE"]
+    return "\n  UNION\n  ".join(parts)
+
+
 def _sql_list(terms: list[str]) -> str:
     return "[" + ", ".join("'" + t.replace("'", "''") + "'" for t in terms) + "]"
 
@@ -89,9 +141,11 @@ def bm25_scores_sql(query: str, table: str = "documents", limit: int | None = No
     fielded index: per-doc tokens are text tokens ++ '<col>:<tok>' field
     tokens, and the query accepts field:value syntax (plus the bare-token
     multi-field OR expansion when ``expand_fields``)."""
-    qt = _qt_list(query, field_cols, expand_fields)
+    inc, pinc, _exc, _pexc = _split_chunks(query, field_cols, expand_fields)
     sql = base_cte(table, field_cols) + f""",
-qt AS (SELECT unnest({qt}) AS term),
+qt AS (
+  {_qt_cte(inc, pinc)}
+),
 dft AS (
   SELECT term, count(*)::BIGINT AS df FROM tf
   WHERE term IN (SELECT term FROM qt) GROUP BY term
@@ -120,13 +174,14 @@ SELECT doc_id, score_e4 FROM scored"""
 
 def _exclusion_clause(query: str, field_cols: tuple = ()) -> str:
     """WHERE fragment dropping docs that contain any '-'-prohibited term
-    (engine parse_query exclusion semantics)."""
-    exc = _parse(query, field_cols)[1]
-    if not exc:
+    (engine parse_query exclusion semantics, incl. capped wildcard
+    expansion of '-prefix*' chunks)."""
+    _inc, _pinc, exc, pexc = _split_chunks(query, field_cols)
+    if not exc and not pexc:
         return ""
     return (
         "\n  WHERE doc_id NOT IN "
-        f"(SELECT doc_id FROM tf WHERE term IN (SELECT unnest({_sql_list(exc)})))"
+        f"(SELECT doc_id FROM tf WHERE term IN ({_qt_cte(exc, pexc)}))"
     )
 
 

@@ -336,6 +336,14 @@ class SearchEngine:
           SourceText}, SourceDbImpl.java:42-46: one query string, every
           field a SHOULD clause). Explicit ``field:value`` chunks are never
           re-expanded.
+        - ``chunk*`` (trailing-star wildcard): Lucene-classic PrefixQuery
+          over the INDEXED terms — case-sensitive, UNANALYZED prefix (Lucene
+          never analyzes wildcard terms), expanded from the dictionary to
+          the top ``max_expansions`` matching terms by (df desc, term asc).
+          Deviation from the reference's Lucene 4.3 (documented like the
+          mixer-sort bug): Lucene rewrites multi-term queries to
+          CONSTANT-score; we score expansions as regular BM25 OR clauses.
+          ``field:value*`` prefixes expand within the field's term space.
         Quoted phrases are the third classic operator — see
         :meth:`search_phrase`.
         """
@@ -345,6 +353,13 @@ class SearchEngine:
         for chunk in (query or "").split():
             neg = chunk.startswith("-") and len(chunk) > 1
             body = chunk[1:] if neg else chunk
+            if len(body) > 1 and body.endswith("*") and "*" not in body[:-1]:
+                raw = body[:-1]
+                f, _, rest = raw.partition(":")
+                pref = f"{f}:{rest}" if (rest and f in fields) else raw
+                terms = set(self._expand_prefix(pref))
+                (exc if neg else inc).update(terms)
+                continue
             f, _, rest = body.partition(":")
             if rest and f in fields:
                 terms = {f"{f}:{t}" for t in tokenize(rest)}
@@ -355,6 +370,40 @@ class SearchEngine:
                     terms |= {f"{c}:{t}" for c in fields for t in toks}
             (exc if neg else inc).update(terms)
         return sorted(inc), sorted(exc)
+
+    # Lucene BooleanQuery.maxClauseCount analog for wildcard expansion
+    max_expansions: int = 128
+
+    @staticmethod
+    def _has_wildcard(query: str) -> bool:
+        for chunk in (query or "").split():
+            body = chunk[1:] if chunk.startswith("-") else chunk
+            if len(body) > 1 and body.endswith("*") and "*" not in body[:-1]:
+                return True
+        return False
+
+    def _check_wildcard_mode(self, query: str, mode: str) -> None:
+        """A wildcard is ONE Lucene clause matched by ANY expansion; under
+        mode='and' our per-term n_match counting would instead require every
+        expansion — reject rather than silently change semantics."""
+        if mode == "and" and self._has_wildcard(query):
+            raise ValueError("wildcard terms are only supported with mode='or'")
+
+    def _expand_prefix(self, prefix: str) -> list[str]:
+        """Dictionary terms starting with ``prefix`` (case-sensitive, like
+        Lucene's PrefixQuery over raw indexed terms), top ``max_expansions``
+        by (df desc, term asc). StartsWith is pushed to the term-sorted
+        dictionary scan — row-group pruned, never a full vocab read."""
+        from pyspark.sql import functions as F
+
+        dic = self.spark.read.parquet(self.dict_path)
+        rows = (
+            dic.where(F.col("term").startswith(prefix))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(self.max_expansions)
+            .collect()
+        )
+        return [r["term"] for r in rows]
 
     def query_terms(self, query: str) -> list[str]:
         """Positive index terms of the query (see :meth:`parse_query`)."""
@@ -479,6 +528,7 @@ class SearchEngine:
         would make the driver-side id union the bottleneck — those queries
         fall over to :meth:`search_df`'s distributed exclusion and only the
         top-k comes back."""
+        self._check_wildcard_mode(query, mode)
         terms, exc = self.parse_query(query, expand_fields)
         if not terms:
             return []  # reference behavior: unparseable/empty query → empty
@@ -514,6 +564,7 @@ class SearchEngine:
         the true post-exclusion candidate set (pruning stays exact)."""
         from pyspark.sql import functions as F
 
+        self._check_wildcard_mode(query, mode)
         terms, exc = self.parse_query(query, expand_fields)
         empty = self.spark.createDataFrame([], RESULT_SCHEMA)
         if not terms:
