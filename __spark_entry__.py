@@ -29,6 +29,7 @@ Q_PHRASE = "spark join"  # exact-adjacency phrase over base tokens
 Q_FIELDED = "slow source:src3"  # ranked text term + field-scoped term
 Q_MULTI = "src3 slow"  # bare tokens, expanded across text + field columns
 Q_WILD = "s* join"  # Lucene-classic trailing-star prefix + literal term
+Q_BOOST = "spark^2.5 join"  # Lucene-classic clause boost
 Q_NOT = "spark -join"  # Lucene-classic prohibit operator
 FIELD_COLS = ("source", "lang")
 
@@ -184,6 +185,15 @@ def _q_wildcard(spark, sf_dir):
 
     eng = SearchEngine(spark, _ensure_index(spark, sf_dir))
     return _score_e4(eng.search_df(Q_WILD, k=None))
+
+
+def _q_boosted(spark, sf_dir):
+    """Clause boost (classic-parser ^N): boosted term's weight scales by N
+    in both the scorer and the MaxScore bounds."""
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir))
+    return _score_e4(eng.search_df(Q_BOOST, k=None))
 
 
 def _q_complete(spark, sf_dir):
@@ -375,6 +385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fielded_search": _q_fielded,
         "multifield_search": _q_multifield,
         "wildcard_search": _q_wildcard,
+        "boosted_search": _q_boosted,
         "prefix_complete": _q_complete,
         "dedup_exact": _q_dedup_exact,
         "minhash_signatures": _q_minhash,
@@ -495,6 +506,7 @@ SELECT doc_id, lpad(lower(to_hex(val)), 4, '0') AS simhash16 FROM packed"""
         "multifield_search": bm25_scores_sql(Q_MULTI, field_cols=FIELD_COLS,
                                              expand_fields=True),
         "wildcard_search": bm25_scores_sql(Q_WILD),
+        "boosted_search": bm25_scores_sql(Q_BOOST),
         "prefix_complete": complete_sql(Q_PREFIX, 20),
         "dedup_exact": (
             "SELECT md5(text) AS fp, count(*)::BIGINT AS n_dups, "

@@ -45,21 +45,43 @@ MAX_EXPANSIONS = 128  # engine.SearchEngine.max_expansions mirror
 
 def _split_chunks(query: str, field_cols: tuple = (),
                   expand_fields: bool = False):
-    """Engine parse_query mirror incl. trailing-star wildcards:
-    returns (inc_terms, inc_prefixes, exc_terms, exc_prefixes)."""
+    """Engine parse_query_boosts mirror incl. trailing-star wildcards and
+    ``chunk^2.5`` clause boosts: returns
+    (inc_terms: dict[term, boost], inc_prefixes: list[(prefix, boost)],
+     exc_terms, exc_prefixes). Term reached via several chunks → MAX boost
+    (same dedup rule as the engine); boosts on '-' chunks ignored."""
     fields = set(field_cols)
-    inc: set[str] = set()
+    inc: dict[str, float] = {}
     exc: set[str] = set()
-    pinc: list[str] = []
+    pinc: list[tuple[str, float]] = []
     pexc: list[str] = []
+
+    def _add(terms, neg, boost):
+        if neg:
+            exc.update(terms)
+        else:
+            for t in terms:
+                inc[t] = max(inc.get(t, 1.0), boost)
+
     for chunk in query.split():
         neg = chunk.startswith("-") and len(chunk) > 1
         body = chunk[1:] if neg else chunk
+        boost = 1.0
+        if "^" in body:
+            head, _, tail = body.rpartition("^")
+            try:
+                boost = float(tail)
+                body = head
+            except ValueError:
+                pass
         if len(body) > 1 and body.endswith("*") and "*" not in body[:-1]:
             raw = body[:-1]
             f, _, rest = raw.partition(":")
             pref = f"{f}:{rest}" if (rest and f in fields) else raw
-            (pexc if neg else pinc).append(pref)
+            if neg:
+                pexc.append(pref)
+            else:
+                pinc.append((pref, boost))
             continue
         f, _, rest = body.partition(":")
         if rest and f in fields:
@@ -69,27 +91,40 @@ def _split_chunks(query: str, field_cols: tuple = (),
             terms = set(toks)
             if expand_fields:
                 terms |= {f"{c}:{t}" for c in fields for t in toks}
-        (exc if neg else inc).update(terms)
-    return sorted(inc), sorted(pinc), sorted(exc), sorted(pexc)
+        _add(terms, neg, boost)
+    return inc, sorted(pinc), sorted(exc), sorted(pexc)
 
 
-def _qt_cte(terms: list[str], prefixes: list[str]) -> str:
-    """SQL set of query terms: literal list UNION capped prefix expansions
-    (top MAX_EXPANSIONS by (df desc, term asc) — the engine's Lucene
-    maxClauseCount-style cap, ties broken identically)."""
+def _qt_cte(terms, prefixes) -> str:
+    """SQL set of (term, boost): literal list UNION capped prefix
+    expansions (top MAX_EXPANSIONS by (df desc, term asc) — the engine's
+    Lucene maxClauseCount-style cap, ties broken identically); duplicate
+    terms collapse to MAX boost, the engine's dedup rule. ``terms`` may be
+    a dict {term: boost} or a plain list (boost 1); ``prefixes`` entries may
+    be (prefix, boost) tuples or plain strings."""
+    if not isinstance(terms, dict):
+        terms = {t: 1.0 for t in terms}
     parts = []
     if terms:
-        parts.append(f"SELECT unnest({_sql_list(terms)}) AS term")
-    for p in prefixes:
-        lit = p.replace("'", "''")
+        ts = sorted(terms)
+        bs = "[" + ", ".join(repr(float(terms[t])) for t in ts) + "]"
         parts.append(
-            f"SELECT term FROM (SELECT term, count(*) AS xdf FROM tf "
+            f"SELECT unnest({_sql_list(ts)}) AS term, unnest({bs}) AS boost"
+        )
+    for p in prefixes:
+        pref, boost = p if isinstance(p, tuple) else (p, 1.0)
+        lit = pref.replace("'", "''")
+        parts.append(
+            f"SELECT term, {float(boost)!r} AS boost FROM "
+            f"(SELECT term, count(*) AS xdf FROM tf "
             f"WHERE starts_with(term, '{lit}') GROUP BY term "
             f"ORDER BY xdf DESC, term ASC LIMIT {MAX_EXPANSIONS})"
         )
     if not parts:
-        parts = ["SELECT NULL::VARCHAR AS term WHERE FALSE"]
-    return "\n  UNION\n  ".join(parts)
+        parts = ["SELECT NULL::VARCHAR AS term, 1.0 AS boost WHERE FALSE"]
+    body = "\n  UNION ALL\n  ".join(parts)
+    return (f"SELECT term, max(boost) AS boost FROM (\n  {body}\n  ) "
+            "GROUP BY term")
 
 
 def _sql_list(terms: list[str]) -> str:
@@ -152,12 +187,14 @@ dft AS (
 ),
 contrib AS (
   SELECT tf.doc_id,
-         ln(1.0 + (s.N - dft.df + 0.5) / (dft.df + 0.5))
+         qt.boost
+         * ln(1.0 + (s.N - dft.df + 0.5) / (dft.df + 0.5))
          * (tf.tf * {K1P1_SQL}
             / (tf.tf + {K1_SQL} * (1.0 - {B_SQL} + {B_SQL} * dl.dl / (s.sumdl / s.N)))) AS c,
          tf.term AS term
   FROM tf
   JOIN dft USING (term)
+  JOIN qt USING (term)
   JOIN dl USING (doc_id)
   CROSS JOIN stats s
 ),
@@ -181,7 +218,8 @@ def _exclusion_clause(query: str, field_cols: tuple = ()) -> str:
         return ""
     return (
         "\n  WHERE doc_id NOT IN "
-        f"(SELECT doc_id FROM tf WHERE term IN ({_qt_cte(exc, pexc)}))"
+        "(SELECT doc_id FROM tf WHERE term IN "
+        f"(SELECT term FROM ({_qt_cte(exc, pexc)})))"
     )
 
 

@@ -347,18 +347,45 @@ class SearchEngine:
         Quoted phrases are the third classic operator — see
         :meth:`search_phrase`.
         """
+        inc, exc, _b = self.parse_query_boosts(query, expand_fields)
+        return inc, exc
+
+    def parse_query_boosts(
+        self, query: str, expand_fields: bool = False
+    ) -> tuple[list[str], list[str], dict[str, float]]:
+        """Like :meth:`parse_query` plus per-term boosts from the
+        Lucene-classic ``chunk^2.5`` suffix (clause boost applied to every
+        term the chunk produces, wildcard expansions included). Set
+        semantics: a term reached through several chunks takes the MAX boost
+        (Lucene would add both clauses; our documented term-dedup keeps one).
+        Boosts on prohibited chunks are ignored (exclusion is binary)."""
         fields = set(self.stats.get("field_cols", ()) or ())
         inc: set[str] = set()
         exc: set[str] = set()
+        boosts: dict[str, float] = {}
+
+        def _add(terms, neg, boost):
+            (exc if neg else inc).update(terms)
+            if not neg and boost != 1.0:
+                for t in terms:
+                    boosts[t] = max(boosts.get(t, 1.0), boost)
+
         for chunk in (query or "").split():
             neg = chunk.startswith("-") and len(chunk) > 1
             body = chunk[1:] if neg else chunk
+            boost = 1.0
+            if "^" in body:
+                head, _, tail = body.rpartition("^")
+                try:
+                    boost = float(tail)
+                    body = head
+                except ValueError:
+                    pass  # not a boost suffix; treat '^' as punctuation
             if len(body) > 1 and body.endswith("*") and "*" not in body[:-1]:
                 raw = body[:-1]
                 f, _, rest = raw.partition(":")
                 pref = f"{f}:{rest}" if (rest and f in fields) else raw
-                terms = set(self._expand_prefix(pref))
-                (exc if neg else inc).update(terms)
+                _add(set(self._expand_prefix(pref)), neg, boost)
                 continue
             f, _, rest = body.partition(":")
             if rest and f in fields:
@@ -368,8 +395,8 @@ class SearchEngine:
                 terms = set(toks)
                 if expand_fields:
                     terms |= {f"{c}:{t}" for c in fields for t in toks}
-            (exc if neg else inc).update(terms)
-        return sorted(inc), sorted(exc)
+            _add(terms, neg, boost)
+        return sorted(inc), sorted(exc), boosts
 
     # Lucene BooleanQuery.maxClauseCount analog for wildcard expansion
     max_expansions: int = 128
@@ -378,6 +405,13 @@ class SearchEngine:
     def _has_wildcard(query: str) -> bool:
         for chunk in (query or "").split():
             body = chunk[1:] if chunk.startswith("-") else chunk
+            if "^" in body:  # strip a boost suffix (same rule as the parser)
+                head, _, tail = body.rpartition("^")
+                try:
+                    float(tail)
+                    body = head
+                except ValueError:
+                    pass
             if len(body) > 1 and body.endswith("*") and "*" not in body[:-1]:
                 return True
         return False
@@ -529,7 +563,7 @@ class SearchEngine:
         fall over to :meth:`search_df`'s distributed exclusion and only the
         top-k comes back."""
         self._check_wildcard_mode(query, mode)
-        terms, exc = self.parse_query(query, expand_fields)
+        terms, exc, boosts = self.parse_query_boosts(query, expand_fields)
         if not terms:
             return []  # reference behavior: unparseable/empty query → empty
         if exc and self._excluded_postings_total(exc) > self.exclude_driver_limit:
@@ -540,6 +574,10 @@ class SearchEngine:
         if cand.empty:
             return []
         idf = self._idf_map(cand)
+        if boosts:
+            # clause boosts scale the term weight; MaxScore upper bounds use
+            # the same scaled weights, so pruning exactness is unaffected
+            idf = {t: w * boosts.get(t, 1.0) for t, w in idf.items()}
         # single pass over all candidate rows (storage has no duplicates; a
         # salted term's rows carry disjoint doc slices, so per-doc sums stay
         # complete and term-ordered)
@@ -565,7 +603,7 @@ class SearchEngine:
         from pyspark.sql import functions as F
 
         self._check_wildcard_mode(query, mode)
-        terms, exc = self.parse_query(query, expand_fields)
+        terms, exc, boosts = self.parse_query_boosts(query, expand_fields)
         empty = self.spark.createDataFrame([], RESULT_SCHEMA)
         if not terms:
             return empty
@@ -576,6 +614,8 @@ class SearchEngine:
             pass
         if not idf:
             return empty
+        if boosts:
+            idf = {t: w * boosts.get(t, 1.0) for t, w in idf.items()}
         stats = self.stats
         nq = len(terms)
         S = int(stats["n_shards"])

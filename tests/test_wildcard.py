@@ -81,3 +81,56 @@ def test_wildcard_oracle_parity(spark, weng):
                for h in weng.search(q, k=None)}
         want = set(con.execute(bm25_scores_sql(q, table="fixture")).fetchall())
         assert got == {(d, s) for d, s in want}, q
+
+
+def test_boost_parsing_and_scoring(weng):
+    inc, exc, boosts = weng.parse_query_boosts("spark^2 join")
+    assert inc == ["join", "spark"] and boosts == {"spark": 2.0}
+    # boosted score = plain score with spark's contribution doubled
+    plain = {h["doc_id"]: h["score"] for h in weng.search("spark join", k=None)}
+    boosted = {h["doc_id"]: h["score"]
+               for h in weng.search("spark^2 join", k=None)}
+    only_join = {h["doc_id"]: h["score"] for h in weng.search("join", k=None)}
+    only_spark = {h["doc_id"]: h["score"] for h in weng.search("spark", k=None)}
+    assert set(plain) == set(boosted)
+    import pytest as _p
+    for d in boosted:
+        want = 2.0 * only_spark.get(d, 0.0) + only_join.get(d, 0.0)
+        assert boosted[d] == _p.approx(want, rel=1e-12)
+    # driver/distributed parity
+    dist = [(r["doc_id"], r["score"])
+            for r in weng.search_df("spark^2 join", k=None).collect()]
+    got = sorted(boosted.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert dist == got
+
+
+def test_boost_edge_cases(weng):
+    # max-boost dedup when a term arrives via two chunks
+    _, _, b = weng.parse_query_boosts("spark^2 spark^3")
+    assert b == {"spark": 3.0}
+    # boost on excluded chunk ignored; non-numeric '^' is punctuation
+    inc, exc, b2 = weng.parse_query_boosts("join -spark^2")
+    assert exc == ["spark"] and b2 == {}
+    inc3, _, b3 = weng.parse_query_boosts("foo^bar")
+    assert inc3 == ["bar", "foo"] and b3 == {}
+    # wildcard + boost composes (expansions inherit the clause boost)
+    _, _, b4 = weng.parse_query_boosts("spar*^2")
+    assert b4 == {"spark": 2.0, "sparkle": 2.0, "sparrow": 2.0, "sparse": 2.0}
+    # AND-mode wildcard guard still fires with a boost suffix
+    import pytest as _p
+    with _p.raises(ValueError, match="mode='or'"):
+        weng.search("spar*^2", mode="and")
+
+
+def test_boost_oracle_parity(weng):
+    from polaris_spark.gate import bm25_scores_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fixture (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO fixture VALUES (?, ?)", DOCS)
+    for q in ["spark^2 join", "spar*^2 join", "spark^0.5 spam^3"]:
+        got = {(h["doc_id"], round(h["score"] * 10000))
+               for h in weng.search(q, k=None)}
+        want = {(d, s) for d, s in
+                con.execute(bm25_scores_sql(q, table="fixture")).fetchall()}
+        assert got == want, q
