@@ -30,6 +30,7 @@ Q_FIELDED = "slow source:src3"  # ranked text term + field-scoped term
 Q_MULTI = "src3 slow"  # bare tokens, expanded across text + field columns
 Q_WILD = "s* join"  # Lucene-classic trailing-star prefix + literal term
 Q_BOOST = "spark^2.5 join"  # Lucene-classic clause boost
+Q_FUZZY = "scan~2 join"  # Lucene-classic fuzzy (maxEdits=2)
 Q_NOT = "spark -join"  # Lucene-classic prohibit operator
 FIELD_COLS = ("source", "lang")
 
@@ -194,6 +195,15 @@ def _q_boosted(spark, sf_dir):
 
     eng = SearchEngine(spark, _ensure_index(spark, sf_dir))
     return _score_e4(eng.search_df(Q_BOOST, k=None))
+
+
+def _q_fuzzy(spark, sf_dir):
+    """Fuzzy term (classic ~N): Levenshtein-bounded dictionary expansion
+    (df-desc capped), scored as BM25 OR with the literal term."""
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir))
+    return _score_e4(eng.search_df(Q_FUZZY, k=None))
 
 
 def _q_complete(spark, sf_dir):
@@ -386,6 +396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multifield_search": _q_multifield,
         "wildcard_search": _q_wildcard,
         "boosted_search": _q_boosted,
+        "fuzzy_search": _q_fuzzy,
         "prefix_complete": _q_complete,
         "dedup_exact": _q_dedup_exact,
         "minhash_signatures": _q_minhash,
@@ -507,6 +518,7 @@ SELECT doc_id, lpad(lower(to_hex(val)), 4, '0') AS simhash16 FROM packed"""
                                              expand_fields=True),
         "wildcard_search": bm25_scores_sql(Q_WILD),
         "boosted_search": bm25_scores_sql(Q_BOOST),
+        "fuzzy_search": bm25_scores_sql(Q_FUZZY),
         "prefix_complete": complete_sql(Q_PREFIX, 20),
         "dedup_exact": (
             "SELECT md5(text) AS fp, count(*)::BIGINT AS n_dups, "

@@ -10,6 +10,7 @@ score), not a re-implementation of its bugs.
 
 from __future__ import annotations
 
+from .query.engine import _fuzzy_suffix
 from .tokenizer import duckdb_tokens_sql, tokenize
 
 K1_SQL = "1.2"
@@ -74,14 +75,21 @@ def _split_chunks(query: str, field_cols: tuple = (),
                 body = head
             except ValueError:
                 pass
+        fz = _fuzzy_suffix(body)
+        if fz is not None:
+            if neg:
+                pexc.append(("fuzzy", fz[0], fz[1]))
+            else:
+                pinc.append(("fuzzy", fz[0], fz[1], boost))
+            continue
         if len(body) > 1 and body.endswith("*") and "*" not in body[:-1]:
             raw = body[:-1]
             f, _, rest = raw.partition(":")
             pref = f"{f}:{rest}" if (rest and f in fields) else raw
             if neg:
-                pexc.append(pref)
+                pexc.append(("prefix", pref))
             else:
-                pinc.append((pref, boost))
+                pinc.append(("prefix", pref, boost))
             continue
         f, _, rest = body.partition(":")
         if rest and f in fields:
@@ -112,12 +120,24 @@ def _qt_cte(terms, prefixes) -> str:
             f"SELECT unnest({_sql_list(ts)}) AS term, unnest({bs}) AS boost"
         )
     for p in prefixes:
-        pref, boost = p if isinstance(p, tuple) else (p, 1.0)
-        lit = pref.replace("'", "''")
+        # entries: ("prefix", pref[, boost]) | ("fuzzy", term, max_edits[, boost])
+        if p[0] == "fuzzy":
+            _k, raw, me = p[0], p[1], p[2]
+            boost = p[3] if len(p) > 3 else 1.0
+            lit = raw.replace("'", "''")
+            cond = (
+                f"length(term) BETWEEN {len(raw) - me} AND {len(raw) + me} "
+                f"AND levenshtein(term, '{lit}') <= {me}"
+            )
+        else:
+            pref = p[1]
+            boost = p[2] if len(p) > 2 else 1.0
+            lit = pref.replace("'", "''")
+            cond = f"starts_with(term, '{lit}')"
         parts.append(
             f"SELECT term, {float(boost)!r} AS boost FROM "
             f"(SELECT term, count(*) AS xdf FROM tf "
-            f"WHERE starts_with(term, '{lit}') GROUP BY term "
+            f"WHERE {cond} GROUP BY term "
             f"ORDER BY xdf DESC, term ASC LIMIT {MAX_EXPANSIONS})"
         )
     if not parts:

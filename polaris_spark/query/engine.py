@@ -43,6 +43,21 @@ from ..tokenizer import tokenize, _BASE_RE
 from ..index.codec import decode_ints, decode_positions
 
 RESULT_SCHEMA = "doc_id bigint, score double, n_match int"
+
+
+def _fuzzy_suffix(body: str):
+    """``term~``/``term~N`` → (term, max_edits) or None. N ∈ {1, 2};
+    bare ``~`` means 2 (the Lucene 4.3 FuzzyQuery default)."""
+    if "~" not in body or body.startswith("~"):
+        return None
+    head, _, tail = body.rpartition("~")
+    if "~" in head or "*" in head or ":" in head:
+        return None
+    if tail == "":
+        return head, 2
+    if tail in ("1", "2"):
+        return head, int(tail)
+    return None
 PHRASE_RESULT_SCHEMA = "doc_id bigint, score double, phrase_freq int"
 
 
@@ -381,6 +396,11 @@ class SearchEngine:
                     body = head
                 except ValueError:
                     pass  # not a boost suffix; treat '^' as punctuation
+            fz = _fuzzy_suffix(body)
+            if fz is not None:
+                raw, me = fz
+                _add(set(self._expand_fuzzy(raw, me)), neg, boost)
+                continue
             if len(body) > 1 and body.endswith("*") and "*" not in body[:-1]:
                 raw = body[:-1]
                 f, _, rest = raw.partition(":")
@@ -414,6 +434,8 @@ class SearchEngine:
                     pass
             if len(body) > 1 and body.endswith("*") and "*" not in body[:-1]:
                 return True
+            if _fuzzy_suffix(body) is not None:
+                return True
         return False
 
     def _check_wildcard_mode(self, query: str, mode: str) -> None:
@@ -421,7 +443,36 @@ class SearchEngine:
         mode='and' our per-term n_match counting would instead require every
         expansion — reject rather than silently change semantics."""
         if mode == "and" and self._has_wildcard(query):
-            raise ValueError("wildcard terms are only supported with mode='or'")
+            raise ValueError(
+                "wildcard/fuzzy terms are only supported with mode='or'"
+            )
+
+    def _expand_fuzzy(self, term: str, max_edits: int = 2) -> list[str]:
+        """Dictionary terms within ``max_edits`` Levenshtein distance of
+        ``term`` (the FuzzyQuery analog — reference's classic parser accepts
+        ``term~``/``term~1``; Lucene 4.3 defaults maxEdits=2), top
+        ``max_expansions`` by (df desc, term asc). Documented deviations:
+        plain Levenshtein (no transpositions — Spark/DuckDB builtin), scored
+        as BM25 OR (Lucene rewrites to constant-ish boosted clauses).
+
+        Cost note: this is a full-dictionary column scan with a JVM-side
+        levenshtein — fine here and exactly what Lucene pays absent its
+        Levenshtein automata; at a 10^9-term vocab serve fuzzy from an
+        n-gram-keyed auxiliary table instead (same pattern as completion/).
+        A cheap pushed length band (|len(term) - len(cand)| ≤ max_edits) cuts
+        the rows that reach the levenshtein."""
+        from pyspark.sql import functions as F
+
+        dic = self.spark.read.parquet(self.dict_path)
+        n = len(term)
+        rows = (
+            dic.where(F.length("term").between(n - max_edits, n + max_edits))
+            .where(F.levenshtein(F.col("term"), F.lit(term)) <= max_edits)
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(self.max_expansions)
+            .collect()
+        )
+        return [r["term"] for r in rows]
 
     def _expand_prefix(self, prefix: str) -> list[str]:
         """Dictionary terms starting with ``prefix`` (case-sensitive, like

@@ -134,3 +134,38 @@ def test_boost_oracle_parity(weng):
         want = {(d, s) for d, s in
                 con.execute(bm25_scores_sql(q, table="fixture")).fetchall()}
         assert got == want, q
+
+
+def test_fuzzy_expansion_and_parity(weng):
+    # spark~1 → only exact-ish matches within 1 edit
+    inc, _, _ = weng.parse_query_boosts("spark~1")
+    assert inc == ["spark"]
+    # spark~2 (and bare ~ = Lucene default 2) pulls in 2-edit neighbors
+    inc2, _, _ = weng.parse_query_boosts("spark~2")
+    assert inc2 == ["spam", "spark", "sparkle", "sparse"]
+    inc2b, _, _ = weng.parse_query_boosts("spark~")
+    assert inc2b == inc2
+    # sparrow is 3 edits away — excluded
+    assert "sparrow" not in inc2
+    # driver/distributed parity + AND-mode guard
+    a = [(h["doc_id"], h["score"]) for h in weng.search("spark~2 join", k=None)]
+    b = [(r["doc_id"], r["score"])
+         for r in weng.search_df("spark~2 join", k=None).collect()]
+    assert a == b and a
+    import pytest as _p
+    with _p.raises(ValueError, match="mode='or'"):
+        weng.search("spark~ join", mode="and")
+
+
+def test_fuzzy_oracle_parity(weng):
+    from polaris_spark.gate import bm25_scores_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fixture (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO fixture VALUES (?, ?)", DOCS)
+    for q in ["spark~1", "spark~2 join", "spark~^2 join", "join -spark~1"]:
+        got = {(h["doc_id"], round(h["score"] * 10000))
+               for h in weng.search(q, k=None)}
+        want = {(d, s) for d, s in
+                con.execute(bm25_scores_sql(q, table="fixture")).fetchall()}
+        assert got == want, q
