@@ -57,6 +57,9 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--mode", choices=["or", "and"], default="or")
     q.add_argument("--distributed", action="store_true")
+    q.add_argument("--expand-fields", action="store_true",
+                   help="bare tokens also query every indexed field column "
+                        "(the reference's multi-field OR default)")
 
     c = sub.add_parser("complete", help="prefix completion")
     c.add_argument("--index", required=True)
@@ -103,9 +106,12 @@ def main(argv: list[str] | None = None) -> int:
         spark = _session("polaris_spark_query")
         eng = SearchEngine(spark, args.index)
         if args.distributed:
-            rows = [r.asDict() for r in eng.search_df(args.query, args.k, args.mode).collect()]
+            rows = [r.asDict() for r in eng.search_df(
+                args.query, args.k, args.mode,
+                expand_fields=args.expand_fields).collect()]
         else:
-            rows = eng.search(args.query, args.k, args.mode)
+            rows = eng.search(args.query, args.k, args.mode,
+                              expand_fields=args.expand_fields)
         print(json.dumps(rows))
     elif args.cmd == "phrase":
         from polaris_spark.query.engine import SearchEngine
