@@ -32,6 +32,10 @@ Q_WILD = "s* join"  # Lucene-classic trailing-star prefix + literal term
 Q_BOOST = "spark^2.5 join"  # Lucene-classic clause boost
 Q_FUZZY = "scan~2 join"  # Lucene-classic fuzzy (maxEdits=2)
 Q_NOT = "spark -join"  # Lucene-classic prohibit operator
+Q_BOOL = "spark AND (join OR merge) -scan"  # classic boolean composition
+Q_BOOL2 = "+query (filter OR slow)^2 -customer"  # +required, group boost
+Q_SLOP = ("spark join", 2)  # sloppy phrase "spark join"~2
+Q_WILDG = "s?an s*t"  # general wildcards: ? and mid-string *
 FIELD_COLS = ("source", "lang")
 
 _INDEX_CFG = dict(n_buckets=32, n_shards=8, n_chunks=4)
@@ -204,6 +208,51 @@ def _q_fuzzy(spark, sf_dir):
 
     eng = SearchEngine(spark, _ensure_index(spark, sf_dir))
     return _score_e4(eng.search_df(Q_FUZZY, k=None))
+
+
+def _q_bool_tree(spark, sf_dir):
+    """Full Lucene-classic boolean composition (MultiFieldQueryParser
+    surface, reference SourceDbImpl.java:135-139): explicit AND/OR,
+    parenthesized group, prohibited clause — evaluated as one tree in the
+    distributed per-shard kernel."""
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir))
+    return _score_e4(eng.search_bool_df(Q_BOOL, k=None))
+
+
+def _q_bool_required(spark, sf_dir):
+    """'+required' clause + boosted parenthesized SHOULD group + prohibit —
+    the other half of the classic boolean surface."""
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir))
+    return _score_e4(eng.search_bool_df(Q_BOOL2, k=None))
+
+
+def _q_phrase_slop(spark, sf_dir):
+    """Sloppy phrase ("a b"~N, classic-parser PhraseQuery slop): anchor-
+    displacement matching over the positional index."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir, pos=True))
+    res = eng.search_phrase_df(Q_SLOP[0], k=None, slop=Q_SLOP[1])
+    return res.select(
+        "doc_id",
+        F.round(F.col("score") * 10000).cast("long").alias("score_e4"),
+        F.col("phrase_freq").cast("int").alias("phrase_freq"),
+    )
+
+
+def _q_wildcard_general(spark, sf_dir):
+    """General WildcardQuery (?, mid-string *): pushed literal prefix +
+    anchored regex dictionary expansion, scored as BM25 OR."""
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir))
+    return _score_e4(eng.search_df(Q_WILDG, k=None))
 
 
 def _q_complete(spark, sf_dir):
@@ -395,8 +444,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fielded_search": _q_fielded,
         "multifield_search": _q_multifield,
         "wildcard_search": _q_wildcard,
+        "wildcard_general": _q_wildcard_general,
         "boosted_search": _q_boosted,
         "fuzzy_search": _q_fuzzy,
+        "bool_tree_search": _q_bool_tree,
+        "bool_required_search": _q_bool_required,
+        "phrase_slop": _q_phrase_slop,
         "prefix_complete": _q_complete,
         "dedup_exact": _q_dedup_exact,
         "minhash_signatures": _q_minhash,
@@ -425,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from polaris_spark.gate import (
         bm25_scores_sql,
+        bool_scores_sql,
         boolean_and_sql,
         complete_sql,
         dictionary_sql,
@@ -517,8 +571,12 @@ SELECT doc_id, lpad(lower(to_hex(val)), 4, '0') AS simhash16 FROM packed"""
         "multifield_search": bm25_scores_sql(Q_MULTI, field_cols=FIELD_COLS,
                                              expand_fields=True),
         "wildcard_search": bm25_scores_sql(Q_WILD),
+        "wildcard_general": bm25_scores_sql(Q_WILDG),
         "boosted_search": bm25_scores_sql(Q_BOOST),
         "fuzzy_search": bm25_scores_sql(Q_FUZZY),
+        "bool_tree_search": bool_scores_sql(Q_BOOL),
+        "bool_required_search": bool_scores_sql(Q_BOOL2),
+        "phrase_slop": phrase_sql(Q_SLOP[0], slop=Q_SLOP[1]),
         "prefix_complete": complete_sql(Q_PREFIX, 20),
         "dedup_exact": (
             "SELECT md5(text) AS fp, count(*)::BIGINT AS n_dups, "

@@ -20,8 +20,13 @@ scale. Two implementations of one small interface:
 read/write) already goes through Spark and needs nothing from here.
 
 Atomicity notes: ``write_text_atomic`` stages to a sibling temp file and
-renames over the target — POSIX-atomic locally; on object stores rename is
-copy+delete but single-writer (driver-only control plane) keeps it safe.
+renames over the target — POSIX-atomic locally, and a single-op
+``FileContext.rename(OVERWRITE)`` swap on HDFS-like stores that bind a
+FileContext. On stores without one (and object stores where rename is
+copy+delete) the swap degrades to delete+rename: a brief window exists where
+the target is absent — safe for the single-writer control plane and the
+existence-only resume checks, but a reader constructed mid-swap can observe
+a missing ``_stats.json``; retry on construction if that matters.
 Completion markers are whole files, so a torn run leaves either no marker or
 a complete one — the resume logic only ever tests existence.
 """
@@ -83,9 +88,24 @@ class HadoopFS:
 
     def __init__(self, spark, base_uri: str):
         self._jvm = spark._jvm
+        self._gateway = spark.sparkContext._gateway
         self._conf = spark._jsc.hadoopConfiguration()
         base = self._jvm.org.apache.hadoop.fs.Path(base_uri)
         self._fs = base.getFileSystem(self._conf)
+        # FileContext gives rename(OVERWRITE) — a single atomic swap on HDFS
+        # (FileSystem.rename has no public overwrite form, so the fallback
+        # is delete+rename with a reader-visible gap). Resolved lazily per
+        # store: some Hadoop connectors ship no AbstractFileSystem binding.
+        try:
+            self._fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                self._fs.getUri(), self._conf
+            )
+            self._rename_opts = self._gateway.new_array(
+                self._jvm.org.apache.hadoop.fs.Options.Rename, 1
+            )
+            self._rename_opts[0] = self._jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        except Exception:
+            self._fc = None
 
     def _p(self, path: str):
         return self._jvm.org.apache.hadoop.fs.Path(path)
@@ -102,6 +122,20 @@ class HadoopFS:
             self._fs.delete(p, True)
 
     def rename(self, src: str, dst: str) -> None:
+        """Overwriting rename. Via FileContext.rename(OVERWRITE) where the
+        store binds one (single-op swap on HDFS — no window with the target
+        absent, so ``write_text_atomic``'s marker/stats swaps stay atomic
+        for concurrent readers); else delete+rename, which IS a two-step
+        swap — on such stores (and any object store where rename is
+        copy+delete) atomicity degrades to last-writer-wins with a brief
+        absent-target window, acceptable for the single-writer control
+        plane but visible to a concurrently constructed SearchEngine."""
+        if self._fc is not None:
+            try:
+                self._fc.rename(self._p(src), self._p(dst), self._rename_opts)
+                return
+            except Exception:
+                pass  # e.g. rename across mount points; fall through
         d = self._p(dst)
         if self._fs.exists(d):
             self._fs.delete(d, True)

@@ -10,6 +10,9 @@ score), not a re-implementation of its bugs.
 
 from __future__ import annotations
 
+import re as _re
+
+from .query.boolquery import _has_wild
 from .query.engine import _fuzzy_suffix
 from .tokenizer import duckdb_tokens_sql, tokenize
 
@@ -82,7 +85,7 @@ def _split_chunks(query: str, field_cols: tuple = (),
             else:
                 pinc.append(("fuzzy", fz[0], fz[1], boost))
             continue
-        if len(body) > 1 and body.endswith("*") and "*" not in body[:-1]:
+        if len(body) > 1 and body.endswith("*") and not _has_wild(body[:-1]):
             raw = body[:-1]
             f, _, rest = raw.partition(":")
             pref = f"{f}:{rest}" if (rest and f in fields) else raw
@@ -90,6 +93,14 @@ def _split_chunks(query: str, field_cols: tuple = (),
                 pexc.append(("prefix", pref))
             else:
                 pinc.append(("prefix", pref, boost))
+            continue
+        if _has_wild(body):
+            f, _, rest = body.partition(":")
+            bare = not (rest and f in fields)
+            if neg:
+                pexc.append(("wildcard", body, bare))
+            else:
+                pinc.append(("wildcard", body, bare, boost))
             continue
         f, _, rest = body.partition(":")
         if rest and f in fields:
@@ -121,19 +132,30 @@ def _qt_cte(terms, prefixes) -> str:
         )
     for p in prefixes:
         # entries: ("prefix", pref[, boost]) | ("fuzzy", term, max_edits[, boost])
+        # BARE expansions never reach 'field:token' terms (engine mirror:
+        # Lucene confines multi-term expansion to one field); fuzzy heads are
+        # always bare (the parser rejects ':' in them), prefixes are fielded
+        # iff they carry the ':' themselves.
         if p[0] == "fuzzy":
             _k, raw, me = p[0], p[1], p[2]
             boost = p[3] if len(p) > 3 else 1.0
             lit = raw.replace("'", "''")
             cond = (
                 f"length(term) BETWEEN {len(raw) - me} AND {len(raw) + me} "
-                f"AND levenshtein(term, '{lit}') <= {me}"
+                f"AND levenshtein(term, '{lit}') <= {me} "
+                f"AND NOT contains(term, ':')"
             )
+        elif p[0] == "wildcard":
+            _k, pat, bare = p[0], p[1], p[2]
+            boost = p[3] if len(p) > 3 else 1.0
+            cond = _wild_cond(pat, bare)
         else:
             pref = p[1]
             boost = p[2] if len(p) > 2 else 1.0
             lit = pref.replace("'", "''")
             cond = f"starts_with(term, '{lit}')"
+            if ":" not in pref:
+                cond += " AND NOT contains(term, ':')"
         parts.append(
             f"SELECT term, {float(boost)!r} AS boost FROM "
             f"(SELECT term, count(*) AS xdf FROM tf "
@@ -145,6 +167,24 @@ def _qt_cte(terms, prefixes) -> str:
     body = "\n  UNION ALL\n  ".join(parts)
     return (f"SELECT term, max(boost) AS boost FROM (\n  {body}\n  ) "
             "GROUP BY term")
+
+
+def _wild_cond(pattern: str, bare: bool) -> str:
+    """General-wildcard term condition (engine ``_expand_wildcard`` mirror):
+    pushed literal prefix + anchored regex (escaped literals, ``.*``, ``.``
+    only — identical semantics in DuckDB RE2 and Spark's Java regex), bare
+    patterns confined to unfielded terms."""
+    first = min(x for x in (pattern.find("*"), pattern.find("?")) if x >= 0)
+    lit = pattern[:first].replace("'", "''")
+    rx = "^" + "".join(
+        ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+        for c in pattern
+    ) + "$"
+    cond = (f"starts_with(term, '{lit}') AND "
+            f"regexp_matches(term, '{rx.replace(chr(39), chr(39) * 2)}')")
+    if bare:
+        cond += " AND NOT contains(term, ':')"
+    return cond
 
 
 def _sql_list(terms: list[str]) -> str:
@@ -221,7 +261,7 @@ contrib AS (
 scored AS (
   SELECT doc_id, CAST(round(sum(c) * 10000) AS BIGINT) AS score_e4,
          sum(c) AS raw_score
-  FROM contrib{_exclusion_clause(query, field_cols)} GROUP BY doc_id
+  FROM contrib{_exclusion_clause(query, field_cols, expand_fields)} GROUP BY doc_id
 )
 SELECT doc_id, score_e4 FROM scored"""
     if limit is not None:
@@ -229,11 +269,14 @@ SELECT doc_id, score_e4 FROM scored"""
     return sql
 
 
-def _exclusion_clause(query: str, field_cols: tuple = ()) -> str:
+def _exclusion_clause(query: str, field_cols: tuple = (),
+                      expand_fields: bool = False) -> str:
     """WHERE fragment dropping docs that contain any '-'-prohibited term
     (engine parse_query exclusion semantics, incl. capped wildcard
-    expansion of '-prefix*' chunks)."""
-    _inc, _pinc, exc, pexc = _split_chunks(query, field_cols)
+    expansion of '-prefix*' chunks and the multi-field expansion of negated
+    bare chunks when ``expand_fields`` — the engine excludes the expanded
+    field tokens too, so the oracle must)."""
+    _inc, _pinc, exc, pexc = _split_chunks(query, field_cols, expand_fields)
     if not exc and not pexc:
         return ""
     return (
@@ -241,6 +284,164 @@ def _exclusion_clause(query: str, field_cols: tuple = ()) -> str:
         "(SELECT doc_id FROM tf WHERE term IN "
         f"(SELECT term FROM ({_qt_cte(exc, pexc)})))"
     )
+
+
+def bool_scores_sql(query: str, table: str = "documents",
+                    limit: int | None = None, field_cols: tuple = (),
+                    expand_fields: bool = False) -> str:
+    """DuckDB mirror of the engine's boolean-tree search
+    (``SearchEngine.search_bool``): same shared parser
+    (:mod:`.query.boolquery`), per-leaf term sets resolved into capped
+    expansion subqueries, Lucene BooleanQuery match/score semantics
+    compiled into CASE expressions. Returns (doc_id, score_e4) for every
+    doc matching the root (LIMIT → engine top-k order)."""
+    from .query.boolquery import Leaf, parse
+
+    root = parse(query)
+    if root is None:
+        return "SELECT NULL::BIGINT AS doc_id, NULL::BIGINT AS score_e4 WHERE FALSE"
+    fields = tuple(field_cols)
+
+    leaves: list[tuple] = []  # (qt_sql, boost, scoring)
+
+    def leaf_qt(leaf: Leaf) -> str:
+        if leaf.kind == "chunk":
+            body = leaf.payload
+            f, _, rest = body.partition(":")
+            if rest and f in fields:
+                terms = sorted({f"{f}:{t}" for t in tokenize(rest)})
+            else:
+                toks = set(tokenize(body))
+                terms = set(toks)
+                if expand_fields:
+                    terms |= {f"{c}:{t}" for c in fields for t in toks}
+                terms = sorted(terms)
+            if not terms:
+                return "SELECT NULL::VARCHAR AS term WHERE FALSE"
+            return f"SELECT unnest({_sql_list(terms)}) AS term"
+        if leaf.kind == "prefix":
+            raw = leaf.payload
+            f, _, rest = raw.partition(":")
+            pref = f"{f}:{rest}" if (rest and f in fields) else raw
+            lit = pref.replace("'", "''")
+            cond = f"starts_with(term, '{lit}')"
+            if ":" not in pref:
+                cond += " AND NOT contains(term, ':')"
+        elif leaf.kind == "fuzzy":
+            raw, me = leaf.payload
+            lit = raw.replace("'", "''")
+            cond = (
+                f"length(term) BETWEEN {len(raw) - me} AND {len(raw) + me} "
+                f"AND levenshtein(term, '{lit}') <= {me} "
+                f"AND NOT contains(term, ':')"
+            )
+        elif leaf.kind == "wildcard":
+            pat = leaf.payload
+            f, _, rest = pat.partition(":")
+            cond = _wild_cond(pat, bare=not (rest and f in fields))
+        else:  # pragma: no cover
+            raise ValueError(f"unknown leaf kind {leaf.kind!r}")
+        return (
+            "SELECT term FROM (SELECT term, count(*) AS xdf FROM tf "
+            f"WHERE {cond} GROUP BY term "
+            f"ORDER BY xdf DESC, term ASC LIMIT {MAX_EXPANSIONS})"
+        )
+
+    def conv(nd, scoring: bool):
+        if isinstance(nd, Leaf):
+            leaves.append((leaf_qt(nd), nd.boost, scoring))
+            return ("leaf", len(leaves) - 1)
+        return (
+            "node",
+            [conv(c, scoring) for c in nd.must],
+            [conv(c, scoring) for c in nd.should],
+            [conv(c, False) for c in nd.must_not],
+        )
+
+    croot = conv(root, True)
+
+    def mexpr(nd) -> str:
+        if nd[0] == "leaf":
+            i = nd[1]
+            alias = f"l{i}" if leaves[i][2] else f"n{i}"
+            return f"({alias}.doc_id IS NOT NULL)"
+        _tag, must, should, mnot = nd
+        if not must and not should:
+            return "FALSE"  # pure-negative group matches nothing
+        conds = [mexpr(c) for c in must]
+        if should and not must:
+            conds.append("(" + " OR ".join(mexpr(c) for c in should) + ")")
+        conds.extend(f"(NOT {mexpr(c)})" for c in mnot)
+        return "(" + " AND ".join(conds) + ")"
+
+    def cexpr(nd) -> str:
+        if nd[0] == "leaf":
+            i = nd[1]
+            if not leaves[i][2]:
+                return "0.0"
+            return f"coalesce({float(leaves[i][1])!r} * l{i}.c, 0.0)"
+        _tag, must, should, _mnot = nd
+        kids = [cexpr(c) for c in (*must, *should)]
+        body = " + ".join(kids) if kids else "0.0"
+        return f"(CASE WHEN {mexpr(nd)} THEN ({body}) ELSE 0.0 END)"
+
+    qt_ctes = []
+    leaf_ctes = []
+    joins = []
+    scoring_qts = []
+    for i, (qt, _boost, scoring) in enumerate(leaves):
+        qt_ctes.append(f"qt{i} AS ({qt})")
+        if scoring:
+            scoring_qts.append(f"SELECT term FROM qt{i}")
+            leaf_ctes.append(
+                f"l{i} AS (SELECT doc_id, sum(c) AS c FROM contrib "
+                f"WHERE term IN (SELECT term FROM qt{i}) GROUP BY doc_id)"
+            )
+            joins.append(f"LEFT JOIN l{i} ON l{i}.doc_id = u.doc_id")
+        else:
+            leaf_ctes.append(
+                f"n{i} AS (SELECT DISTINCT doc_id FROM tf "
+                f"WHERE term IN (SELECT term FROM qt{i}))"
+            )
+            joins.append(f"LEFT JOIN n{i} ON n{i}.doc_id = u.doc_id")
+
+    univq = " UNION ALL ".join(scoring_qts) or \
+        "SELECT NULL::VARCHAR AS term WHERE FALSE"
+    qt_block = ",\n".join(qt_ctes)
+    leaf_block = ",\n".join(leaf_ctes)
+    sql = base_cte(table, fields) + f""",
+{qt_block},
+univq AS (SELECT DISTINCT term FROM ({univq})),
+dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf
+  WHERE term IN (SELECT term FROM univq) GROUP BY term
+),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (s.N - dft.df + 0.5) / (dft.df + 0.5))
+         * (tf.tf * {K1P1_SQL}
+            / (tf.tf + {K1_SQL} * (1.0 - {B_SQL} + {B_SQL} * dl.dl / (s.sumdl / s.N)))) AS c
+  FROM tf
+  JOIN dft USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+),
+univ AS (
+  SELECT DISTINCT doc_id FROM tf WHERE term IN (SELECT term FROM univq)
+),
+{leaf_block},
+scored AS (
+  SELECT u.doc_id,
+         {cexpr(croot)} AS raw_score,
+         {mexpr(croot)} AS m
+  FROM univ u
+  {' '.join(joins)}
+)
+SELECT doc_id, CAST(round(raw_score * 10000) AS BIGINT) AS score_e4
+FROM scored WHERE m"""
+    if limit is not None:
+        sql += f"\nORDER BY raw_score DESC, doc_id ASC LIMIT {limit}"
+    return sql
 
 
 def boolean_and_sql(query: str, table: str = "documents") -> str:
@@ -255,8 +456,11 @@ GROUP BY doc_id
 HAVING count(DISTINCT term) = {n}"""
 
 
-def phrase_sql(phrase: str, table: str = "documents") -> str:
-    """Exact-phrase matches with e4-rounded scores.
+def phrase_sql(phrase: str, table: str = "documents", slop: int = 0) -> str:
+    """Phrase matches with e4-rounded scores (``slop`` > 0 mirrors the
+    engine's anchor-displacement sloppy semantics: anchor q0 matches when
+    Σ_i min_q |q − (q0+i)| ≤ slop over term_i's slots — the exact path is
+    the slop=0 special case but keeps its cheaper EXISTS form).
 
     Spec (same as engine ``search_phrase`` / ``phrase_shard``): phrase terms
     are the BASE tokens of the phrase in order; a doc matches at start slot p
@@ -281,12 +485,23 @@ def phrase_sql(phrase: str, table: str = "documents") -> str:
         f"'{seps_lit}', ' ', 'g'), ' '), s -> s != '')"
     )
     t0 = terms[0].replace("'", "''")
-    exists = "\n    AND ".join(
-        f"EXISTS (SELECT 1 FROM sl a{i} WHERE a{i}.doc_id = a0.doc_id "
-        f"AND a{i}.slot = a0.slot + {i} AND a{i}.tok = '"
-        + t.replace("'", "''") + "')"
-        for i, t in enumerate(terms[1:], start=1)
-    )
+    if slop == 0:
+        exists = "\n    AND ".join(
+            f"EXISTS (SELECT 1 FROM sl a{i} WHERE a{i}.doc_id = a0.doc_id "
+            f"AND a{i}.slot = a0.slot + {i} AND a{i}.tok = '"
+            + t.replace("'", "''") + "')"
+            for i, t in enumerate(terms[1:], start=1)
+        )
+    else:
+        mins = " + ".join(
+            f"(SELECT min(abs(a{i}.slot - (a0.slot + {i}))) FROM sl a{i} "
+            f"WHERE a{i}.doc_id = a0.doc_id AND a{i}.tok = '"
+            + t.replace("'", "''") + "')"
+            for i, t in enumerate(terms[1:], start=1)
+        )
+        # an absent term yields a NULL min → NULL sum → row excluded, same
+        # all-terms-required behavior as the exact path
+        exists = f"({mins}) <= {int(slop)}"
     qt = _qt_list(" ".join(terms))
     idf_terms = " + ".join(
         f"(SELECT ln(1.0 + (s.N - df + 0.5) / (df + 0.5)) FROM dft "

@@ -1,0 +1,282 @@
+"""Lucene-classic boolean query trees: parser + AST.
+
+The reference accepts full classic-parser composition — explicit ``AND`` /
+``OR`` / ``NOT`` (also ``&&``/``||``/``!``), ``+required`` / ``-prohibited``
+clause prefixes, parenthesized groups, clause boosts, wildcard and fuzzy
+terms — through ``MultiFieldQueryParser`` (reference
+sourcedb/SourceDbImpl.java:135-139). This module is the shared front half of
+that surface: one pure-Python parser used by BOTH the Spark engine (which
+resolves leaves against the index dictionary) and the DuckDB oracle builder
+(which resolves the same leaves into SQL term-set subqueries), so the two
+sides can never drift on query syntax.
+
+Grammar (standard precedence — a DOCUMENTED deviation from Lucene's
+stateful single-level parse, which re-interprets earlier clauses when it
+meets an operator; ours is the conventional reading):
+
+    expr     := or_list
+    or_list  := and_list ( [OR] and_list )*      # adjacency = OR (SHOULD)
+    and_list := clause ( AND clause )*
+    clause   := [ '+' | '-' | NOT | '!' ] atom [ '^' number ]
+    atom     := '(' expr ')' | TERM
+
+Occur semantics (Lucene BooleanQuery):
+- ``and_list`` children are MUST (``-``/NOT children MUST_NOT).
+- ``or_list`` children are SHOULD; ``+`` lifts one to MUST, ``-``/NOT to
+  MUST_NOT (exactly Lucene's reading of ``a OR NOT b`` → SHOULD a,
+  MUST_NOT b on one level).
+- A node matches iff all MUST children match, no MUST_NOT child matches,
+  and — when it has no MUST children — at least one SHOULD child matches.
+  A group with neither MUST nor SHOULD children (pure negation, ``(-a)``)
+  matches nothing, like Lucene's all-prohibited BooleanQuery.
+- Score(doc) = Σ contributions of matching MUST/SHOULD descendants whose
+  every ancestor subtree also matches (Lucene: each scorer sums its
+  matching sub-scorers) — leaves inside a MUST_NOT subtree match-test only,
+  never score.
+
+Leaves are SYMBOLIC here (kind + payload + boost); resolution — dictionary
+expansion for wildcard/fuzzy, tokenization, multi-field OR — happens in the
+consumer. A chunk that tokenizes to several terms becomes ONE leaf matching
+ANY of them (our documented set-semantics reading of multi-token chunks).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+_TOKEN_RE = re.compile(r"\(|\)|[^\s()]+")
+_KW_AND = {"AND", "&&"}
+_KW_OR = {"OR", "||"}
+_KW_NOT = {"NOT", "!"}
+
+
+@dataclass
+class Leaf:
+    """Unresolved query clause.
+
+    kind ∈ {"chunk", "prefix", "fuzzy", "wildcard"}:
+    - "chunk": plain text to tokenize (may be ``field:value``); payload is
+      the raw body string.
+    - "prefix": trailing-star-only wildcard; payload is the raw prefix
+      (``field:`` kept if field-qualified).
+    - "fuzzy": payload is (head, max_edits).
+    - "wildcard": general ``*``/``?`` pattern; payload is the raw pattern
+      (``field:`` kept if field-qualified).
+    """
+
+    kind: str
+    payload: object
+    boost: float = 1.0
+
+
+@dataclass
+class Node:
+    must: list = field(default_factory=list)
+    should: list = field(default_factory=list)
+    must_not: list = field(default_factory=list)
+
+    def scale_boost(self, f: float) -> None:
+        for ch in (*self.must, *self.should, *self.must_not):
+            ch.scale_boost(f)
+
+
+def _leaf_scale(self: Leaf, f: float) -> None:
+    self.boost *= f
+
+
+Leaf.scale_boost = _leaf_scale  # type: ignore[attr-defined]
+
+
+def has_operators(query: str) -> bool:
+    """True when the query uses boolean-tree syntax the flat parser can't
+    express: parens, explicit AND/OR/NOT keywords, or '+' clause prefixes."""
+    for tok in _TOKEN_RE.findall(query or ""):
+        if tok in ("(", ")") or tok in _KW_AND or tok in _KW_OR \
+                or tok in _KW_NOT or (tok.startswith("+") and len(tok) > 1):
+            return True
+    return False
+
+
+def classify_chunk(body: str) -> Leaf:
+    """One non-operator chunk → symbolic Leaf (boost suffix stripped here).
+
+    Order of sniffing mirrors the flat parser: boost suffix, fuzzy suffix,
+    trailing-star-only prefix, general wildcard, plain chunk. Leading
+    wildcards are rejected like Lucene's default
+    (``allowLeadingWildcard=false``)."""
+    boost = 1.0
+    if "^" in body:
+        head, _, tail = body.rpartition("^")
+        try:
+            boost = float(tail)
+            body = head
+        except ValueError:
+            pass  # not a boost suffix; '^' is punctuation
+    fz = _fuzzy_suffix(body)
+    if fz is not None:
+        return Leaf("fuzzy", fz, boost)
+    if len(body) > 1 and body.endswith("*") and not _has_wild(body[:-1]):
+        return Leaf("prefix", body[:-1], boost)
+    if _has_wild(body):
+        f, _, rest = body.partition(":")
+        pat = rest if rest else body
+        if pat and pat[0] in "*?":
+            raise ValueError(
+                f"leading wildcard not allowed: {body!r} "
+                "(Lucene classic default: allowLeadingWildcard=false)"
+            )
+        return Leaf("wildcard", body, boost)
+    return Leaf("chunk", body, boost)
+
+
+def _has_wild(s: str) -> bool:
+    return "*" in s or "?" in s
+
+
+def _fuzzy_suffix(body: str):
+    # duplicated tiny helper (engine imports the canonical one; this module
+    # must stay importable without Spark)
+    if "~" not in body or body.startswith("~"):
+        return None
+    head, _, tail = body.rpartition("~")
+    if "~" in head or "*" in head or "?" in head or ":" in head:
+        return None
+    if tail == "":
+        return head, 2
+    if tail in ("1", "2"):
+        return head, int(tail)
+    return None
+
+
+class _Parser:
+    def __init__(self, tokens: list[str]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    # ---------------------------------------------------------- grammar
+
+    def expr(self) -> Node | Leaf:
+        prefixed = self.or_items()
+        return _fold_or(prefixed)
+
+    def or_items(self):
+        items = [self.and_list()]
+        while True:
+            t = self.peek()
+            if t is None or t == ")":
+                break
+            if t in _KW_OR:
+                self.next()
+                t = self.peek()
+                if t is None or t == ")":
+                    raise ValueError("dangling OR")
+            items.append(self.and_list())
+        return items
+
+    def and_list(self):
+        items = [self.clause()]
+        while self.peek() in _KW_AND:
+            self.next()
+            if self.peek() is None or self.peek() == ")":
+                raise ValueError("dangling AND")
+            items.append(self.clause())
+        if len(items) == 1:
+            return items[0]
+        node = Node()
+        for prefix, child in items:
+            (node.must_not if prefix == "-" else node.must).append(child)
+        if not node.must:
+            raise ValueError("AND group with only prohibited clauses")
+        return (None, node)
+
+    def clause(self):
+        prefix = None
+        t = self.peek()
+        if t in _KW_NOT:
+            self.next()
+            prefix = "-"
+        elif t in ("+", "-"):
+            # standalone prefix token (e.g. '- (a b)' or the '-' the lexer
+            # splits off '-(group)')
+            self.next()
+            prefix = t
+        elif (t is not None and t[0] in "+-" and len(t) > 1
+              and t not in _KW_AND and t not in _KW_OR):
+            prefix = t[0]
+            self.toks[self.i] = t[1:]  # atom parses the stripped body
+        return (prefix, self.atom())
+
+    def atom(self):
+        t = self.peek()
+        if t is None or t == ")":
+            raise ValueError("expected a clause")
+        if t == "(":
+            self.next()
+            inner = self.expr()
+            if self.next() != ")":
+                raise ValueError("unbalanced parentheses")
+            nxt = self.peek()
+            if nxt and nxt.startswith("^"):
+                try:
+                    f = float(nxt[1:])
+                    self.next()
+                    inner.scale_boost(f)
+                except ValueError:
+                    pass  # '^garbage' after a group: not a boost token
+            return inner
+        self.next()
+        if '"' in t:
+            raise ValueError(
+                "quoted phrases inside boolean trees are not supported; "
+                "use search_phrase() for phrase queries"
+            )
+        return classify_chunk(t)
+
+
+def _fold_or(prefixed: list) -> Node | Leaf:
+    if len(prefixed) == 1 and prefixed[0][0] is None:
+        return prefixed[0][1]
+    node = Node()
+    for prefix, child in prefixed:
+        if prefix == "+":
+            node.must.append(child)
+        elif prefix == "-":
+            node.must_not.append(child)
+        else:
+            node.should.append(child)
+    return node
+
+
+def parse(query: str) -> Node | Leaf | None:
+    """Query string → AST root (Node or single Leaf), or None when empty."""
+    tokens = _TOKEN_RE.findall(query or "")
+    if not tokens:
+        return None
+    p = _Parser(tokens)
+    root = p.expr()
+    if p.peek() is not None:
+        raise ValueError(f"unexpected token {p.peek()!r}")
+    return root
+
+
+def iter_leaves(root, scoring: bool = True):
+    """Yield (leaf, scoring) pairs; ``scoring`` is False anywhere below a
+    MUST_NOT edge (those leaves match-test but never contribute score)."""
+    if isinstance(root, Leaf):
+        yield root, scoring
+        return
+    for ch in root.must:
+        yield from iter_leaves(ch, scoring)
+    for ch in root.should:
+        yield from iter_leaves(ch, scoring)
+    for ch in root.must_not:
+        yield from iter_leaves(ch, False)

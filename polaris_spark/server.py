@@ -78,6 +78,10 @@ class _Handler(BaseHTTPRequestHandler):
             return
         try:
             self._respond(200, fn(body))
+        except (ValueError, KeyError) as e:
+            # query/argument errors (unparseable query, leading wildcard,
+            # missing field) → 400, like the reference's parse-error RPC code
+            self._respond(400, {"error": f"{type(e).__name__}: {e}"})
         except Exception as e:  # → RPC-style error payload
             self._respond(500, {"error": f"{type(e).__name__}: {e}"})
 

@@ -1,0 +1,189 @@
+"""Lucene-classic boolean composition (MultiFieldQueryParser surface,
+reference SourceDbImpl.java:135-139): parser AST, match semantics on a
+hand-checked fixture, driver/distributed parity, wildcard+fuzzy legality
+inside AND groups, DuckDB oracle parity, general ?/mid-* wildcards."""
+
+import duckdb
+import pytest
+
+from polaris_spark.index.build import IndexConfig, build_index
+from polaris_spark.query.boolquery import Leaf, Node, has_operators, parse
+from polaris_spark.query.engine import SearchEngine
+
+DOCS = [
+    (1, "spark join merge"),
+    (2, "spark join scan"),
+    (3, "spark merge"),
+    (4, "join merge scan"),
+    (5, "spark sort"),
+    (6, "merge sort scan"),
+    (7, "spark join sort scan"),
+    (8, "totally unrelated words"),
+    (9, "spark spark join join merge"),
+]
+
+
+@pytest.fixture(scope="module")
+def beng(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("bool_idx"))
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    build_index(spark, docs, d, doc_id_col="doc_id",
+                cfg=IndexConfig(n_buckets=8, n_shards=2, n_chunks=2))
+    return SearchEngine(spark, d)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute("CREATE TABLE fixture (doc_id BIGINT, text VARCHAR)")
+    c.executemany("INSERT INTO fixture VALUES (?, ?)", DOCS)
+    return c
+
+
+# ------------------------------------------------------------- parser AST
+
+def test_parser_shapes():
+    r = parse("spark AND (join OR merge) -scan")
+    assert isinstance(r, Node)
+    assert len(r.should) == 1 and len(r.must_not) == 1
+    inner = r.should[0]
+    assert isinstance(inner, Node) and len(inner.must) == 2
+    group = inner.must[1]
+    assert isinstance(group, Node) and len(group.should) == 2
+
+    r2 = parse("+spark join^2 -scan")
+    assert len(r2.must) == 1 and len(r2.should) == 1 and len(r2.must_not) == 1
+    assert r2.should[0].boost == 2.0
+
+    r3 = parse("(a AND b)^3 OR c")
+    assert r3.should[0].must[0].boost == 3.0
+
+    assert isinstance(parse("solo"), Leaf)
+    assert has_operators("a AND b") and has_operators("(a b)")
+    assert has_operators("+a b") and not has_operators("a -b c^2")
+
+    for bad in ["(a", "a)", "a AND", "a OR", '"x y" z', "*lead", "te*st AND *x"]:
+        with pytest.raises(ValueError):
+            parse(bad)
+
+
+# ------------------------------------------------- match + score semantics
+
+def _ids(hits):
+    return {h["doc_id"] for h in hits}
+
+
+def test_bool_match_semantics(beng):
+    # spark AND (join OR merge) -scan:
+    # must spark, must (join|merge), not scan → 1 (sjm), 3 (sm), 9 (ssjjm)
+    assert _ids(beng.search_bool("spark AND (join OR merge) -scan", k=None)) \
+        == {1, 3, 9}
+    # +spark join: spark required, join optional → all spark docs
+    assert _ids(beng.search_bool("+spark join", k=None)) == {1, 2, 3, 5, 7, 9}
+    # pure OR == flat parser OR (same doc set)
+    flat = _ids(beng.search("spark join", k=None))
+    assert _ids(beng.search_bool("spark join", k=None)) == flat
+    # a OR NOT b → SHOULD a, MUST_NOT b on one level (Lucene reading)
+    assert _ids(beng.search_bool("spark OR NOT scan", k=None)) == {1, 3, 5, 9}
+    # pure-negative group matches nothing
+    assert beng.search_bool("(-spark)", k=None) == []
+    # AND of absent term matches nothing
+    assert beng.search_bool("spark AND zzzmissing", k=None) == []
+    # nested: (spark AND sort) OR (merge AND scan)
+    assert _ids(beng.search_bool("(spark AND sort) OR (merge AND scan)",
+                                 k=None)) == {4, 5, 6, 7}
+
+
+def test_bool_scores_compose_from_flat(beng):
+    # for docs matching everything, tree score == flat OR score of the leaves
+    flat = {h["doc_id"]: h["score"] for h in beng.search("spark join", k=None)}
+    tree = {h["doc_id"]: h["score"]
+            for h in beng.search_bool("spark AND join", k=None)}
+    for d, s in tree.items():
+        assert s == pytest.approx(flat[d], rel=1e-12)
+    # boost scales the leaf's contribution
+    s_spark = {h["doc_id"]: h["score"] for h in beng.search("spark", k=None)}
+    s_join = {h["doc_id"]: h["score"] for h in beng.search("join", k=None)}
+    t2 = {h["doc_id"]: h["score"]
+          for h in beng.search_bool("spark^2 AND join", k=None)}
+    for d, s in t2.items():
+        assert s == pytest.approx(2.0 * s_spark[d] + s_join[d], rel=1e-12)
+
+
+def test_bool_driver_distributed_parity(beng):
+    for q in ["spark AND (join OR merge) -scan", "+spark join^2 -scan",
+              "(spark AND sort) OR (merge AND scan)",
+              "spark AND (jo* OR merge~1)", "sp?rk OR scan",
+              "(join merge)^2 AND NOT sort"]:
+        a = [(h["doc_id"], h["score"], h["n_match"])
+             for h in beng.search_bool(q, k=None)]
+        b = [(r["doc_id"], r["score"], r["n_match"])
+             for r in beng.search_bool_df(q, k=None).collect()]
+        assert a == b, q
+    # top-k agrees too
+    a = beng.search_bool("spark join merge", k=3)
+    b = [r.asDict() for r in beng.search_bool_df("spark join merge", k=3).collect()]
+    assert [(x["doc_id"], x["score"]) for x in a] == \
+        [(x["doc_id"], x["score"]) for x in b]
+
+
+def test_wildcard_fuzzy_legal_under_and(beng):
+    # the flat parser rejects wildcards under mode='and'; the tree expresses
+    # them exactly (leaf matches ANY expansion — one Lucene clause)
+    hits = _ids(beng.search_bool("spark AND jo*", k=None))
+    assert hits == {1, 2, 7, 9}
+    hits2 = _ids(beng.search_bool("spark AND merge~1", k=None))
+    assert hits2 == {1, 3, 9}
+
+
+def test_general_wildcards_flat_and_tree(beng):
+    # ? single char, mid-string *
+    inc, _ = beng.parse_query("sp?rk")
+    assert inc == ["spark"]
+    inc2, _ = beng.parse_query("s*t")
+    assert set(inc2) == {"sort"}  # scan/spark/sort: only sort ends with t
+    inc3, _ = beng.parse_query("s*a*")
+    assert set(inc3) == {"scan", "spark"}
+    with pytest.raises(ValueError, match="leading wildcard"):
+        beng.search("*ark", k=None)
+    with pytest.raises(ValueError, match="leading wildcard"):
+        beng.search("?ark", k=None)
+    # flat OR path scores them as expansions
+    got = _ids(beng.search("sp?rk scan", k=None))
+    assert got == _ids(beng.search("spark scan", k=None))
+
+
+# ------------------------------------------------------- oracle parity
+
+QUERIES = [
+    "spark AND (join OR merge) -scan",
+    "+spark join^2 -scan",
+    "(spark AND sort) OR (merge AND scan)",
+    "spark AND (jo* OR merge~1)",
+    "sp?rk OR s*t",
+    "(join merge)^2 AND NOT sort",
+    "spark OR NOT scan",
+    "spark join merge",
+    "(-spark)",
+    "spark AND zzzmissing",
+]
+
+
+def test_bool_oracle_parity(beng, con):
+    from polaris_spark.gate import bool_scores_sql
+
+    for q in QUERIES:
+        got = {(h["doc_id"], round(h["score"] * 10000))
+               for h in beng.search_bool(q, k=None)}
+        want = set(con.execute(bool_scores_sql(q, table="fixture")).fetchall())
+        assert got == want, q
+
+
+def test_general_wildcard_oracle_parity(beng, con):
+    from polaris_spark.gate import bm25_scores_sql
+
+    for q in ["sp?rk scan", "s*t merge", "s*a* -join"]:
+        got = {(h["doc_id"], round(h["score"] * 10000))
+               for h in beng.search(q, k=None)}
+        want = set(con.execute(bm25_scores_sql(q, table="fixture")).fetchall())
+        assert got == want, q

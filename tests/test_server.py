@@ -96,7 +96,15 @@ def test_error_paths(daemon):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=30)
     assert e.value.code == 400
-    # handler exception (missing required field) → 500 with message
+    # argument error (missing required field) → 400 with message
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(base, "search", {})
-    assert e.value.code == 500
+    assert e.value.code == 400
+    # unparseable classic query (leading wildcard) → 400, not 500
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base, "search", {"query": "*lead"})
+    assert e.value.code == 400
+    # operator-looking punctuation in pasted text must NOT error — it
+    # degrades to the flat parser (stray paren treated as punctuation)
+    ok = _post(base, "search", {"query": "ridash)"})
+    assert "hits" in ok
