@@ -123,6 +123,32 @@ def test_kmeans_centroids_deterministic(spark):
         assert abs(np.linalg.norm(c) - 1.0) < 1e-9
 
 
+def test_kmeans_hash_sample_unbiased_and_recall_invariant(spark, tmp_path):
+    """The seeded hash-sample (not first-N-by-id) draws from the whole id
+    range; a different seed draws a different sample (→ different
+    centroids), yet nprobe=all IVF results stay exactly brute-force."""
+    from polaris_spark.ops.similarity import (
+        build_ivf,
+        cosine_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = kmeans_centroids(emb, n_centroids=4, seed=7, sample_n=200)
+    b = kmeans_centroids(emb, n_centroids=4, seed=8, sample_n=200)
+    assert a != b  # sample (and thus centroids) depend on the seed
+    q = [float(x) for x in
+         emb.where("vec_id = 0").select("embedding").collect()[0][0]]
+    brute = [(r["vec_id"], r["sim"]) for r in cosine_topk(emb, q, k=10).collect()]
+    for seed, cents in ((7, a), (8, b)):
+        d = str(tmp_path / f"ivf_s{seed}")
+        build_ivf(spark, emb, d, centroids=cents)
+        full = [(r["vec_id"], r["sim"])
+                for r in ivf_topk(spark, d, q, k=10, nprobe=4).collect()]
+        assert full == brute, seed
+
+
 def test_quality_and_langid_and_fp_vs_duckdb(spark, docs, con):
     from pyspark.sql import functions as F
 
