@@ -49,6 +49,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="comma-separated columns indexed as field:token terms")
     b.add_argument("--attr-cols", default="",
                    help="comma-separated columns stored in doc_map for point lookups")
+    b.add_argument("--store-text", action="store_true",
+                   help="store the text column in doc_map (serving hits "
+                        "then carry a snippet, Lucene stored-field analog)")
     b.add_argument("--no-resume", action="store_true")
 
     q = sub.add_parser("query", help="top-k BM25 search")
@@ -92,6 +95,7 @@ def main(argv: list[str] | None = None) -> int:
             hot_df_threshold=args.hot_df_threshold, positions=args.positions,
             field_cols=tuple(c for c in args.field_cols.split(",") if c),
             attr_cols=tuple(c for c in args.attr_cols.split(",") if c),
+            store_text=args.store_text,
         )
         docs = spark.read.parquet(args.input)
         m = build_index(

@@ -88,6 +88,9 @@ class IndexConfig:
     positions: bool = False  # store token positions (phrase queries); ~30-40% larger index
     field_cols: tuple = ()   # extra searchable field columns, indexed as "<col>:<token>" terms
     attr_cols: tuple = ()    # doc attribute columns stored in doc_map (point-lookup payload)
+    store_text: bool = False  # store the text column in doc_map (Lucene
+                             # stored-field analog) so serving hits can carry
+                             # a snippet without the source table
     completion: bool = True  # build the prefix-completion table (stage 3b); the
                              # engine transparently falls back to a dictionary
                              # scan when absent
@@ -443,7 +446,12 @@ def build_index(
         # listTypesInFile analog surface, CodeSearchImpl.java:163-280, is
         # served from these columns; see SearchEngine.get_turn/list_by_attr)
         extra = [c for c in cfg.attr_cols if c not in id_cols and c != "doc_id"]
-        dm = docs.select("doc_id", *[c for c in id_cols if c != "doc_id"], *extra)
+        sel = ["doc_id", *[c for c in id_cols if c != "doc_id"], *extra]
+        if cfg.store_text and "text" not in sel and text_col not in sel:
+            # stored-field analog: serving hits join snippet context from
+            # doc_map alone (SearchMixer.getSummary reads the stored text)
+            sel.append(F.col(text_col).alias("text"))
+        dm = docs.select(*sel)
         dm.write.mode("overwrite").parquet(doc_map_path)
         row = (
             spark.read.parquet(doc_map_path)

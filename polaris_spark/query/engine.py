@@ -1285,7 +1285,7 @@ class SearchEngine:
         return out.orderBy(F.desc("score"), F.asc("doc_id"))
 
     def search_mixed(self, query: str, rank_from: int = 0, rank_to: int = 20,
-                     mode: str = "or") -> dict:
+                     mode: str = "or", payload: bool = True) -> dict:
         """The full search endpoint — rebuild of reference
         search/CodeSearchImpl.java:71-92 + SearchMixer.java:34-52: mix two
         result streams (ranked full-text hits + dictionary completions),
@@ -1297,7 +1297,14 @@ class SearchEngine:
         reference's single MultiFieldQueryParser entry point: a quoted
         ``"a b"``/``"a b"~N`` routes to the (sloppy) phrase path, boolean
         operators (parens, AND/OR/NOT, '+') route to the tree path, plain
-        queries take the flat BM25 path."""
+        queries take the flat BM25 path.
+
+        With ``payload=True`` (the default — the reference Hit always
+        carries jump target + filename + summary,
+        SourceDbImpl.java:147-157, SearchMixer.java:63-89) each SERVED hit
+        is joined to its doc_map identity row plus a ``snippet`` context
+        window when the index stores text — one partition-pruned point
+        lookup over only the page, never the full hit list."""
         import time as _t
 
         from .boolquery import has_operators
@@ -1305,11 +1312,15 @@ class SearchEngine:
         t0 = _t.time()
         pq = parse_phrase_query(query)
         hits = None
+        terms: list[str] = []
         if pq is not None:
             hits = self.search_phrase(pq[0], k=rank_to, slop=pq[1])
+            terms = self.phrase_terms(pq[0])
         elif mode == "or" and has_operators(query):
             try:
                 hits = self.search_bool(query, k=rank_to)
+                _croot, leaves = self.parse_bool(query)
+                terms = sorted({t for ts, _bo, sc in leaves if sc for t in ts})
             except ValueError:
                 # operator-LOOKING but malformed (stray paren in pasted
                 # text, etc.): degrade to the flat parser, which treats
@@ -1318,16 +1329,45 @@ class SearchEngine:
                 hits = None
         if hits is None:
             hits = self.search(query, k=rank_to, mode=mode)
+            terms = self.query_terms(query)
+        page = hits[rank_from:rank_to]
+        if payload:
+            page = self._hit_payload(page, terms)
         comps = [r.asDict() for r in self.complete(query, n=rank_to).collect()]
         return {
             "query": query,
-            "hits": hits[rank_from:rank_to],
+            "hits": page,
             "completions": comps,
             "count": len(hits),
             "rank_from": rank_from,
             "rank_to": rank_to,
             "latency_ms": round((_t.time() - t0) * 1000.0, 1),
         }
+
+    def _hit_payload(self, hits: list[dict], terms: list[str]) -> list[dict]:
+        """Enrich served hits with doc_map identity columns plus a
+        ``snippet`` (±(2,3)-line window around the first matching line,
+        SearchMixer.getSummary, SearchMixer.java:79-89). Full stored text
+        stays server-side — clients fetch it via ``/api/source`` — so the
+        response carries summary-sized payloads like the reference Hit."""
+        if not hits:
+            return hits
+        from pyspark.sql import functions as F
+
+        dm = self.lookup_docs([int(h["doc_id"]) for h in hits])
+        if "text" in dm.columns:
+            if terms:
+                from ..ops.text import snippet_col
+
+                dm = dm.withColumn(
+                    "snippet", snippet_col(F.col("text"), terms))
+            dm = dm.drop("text")
+        meta = {r["doc_id"]: r.asDict() for r in dm.collect()}
+        return [
+            {**h, **{k: v for k, v in meta.get(h["doc_id"], {}).items()
+                     if k != "doc_id"}}
+            for h in hits
+        ]
 
     # ------------------------------------------------------ point lookups
 

@@ -12,9 +12,14 @@ search/CodeSearchImpl.java). Differences, both deliberate:
 
 Methods (POST JSON to /api/<method>):
 
-- ``search``     {query, rankFrom?, rankTo?, mode?} → the full mixed
-                 response (hits + completions + count + latency_ms) —
-                 CodeSearchImpl.search:71-92 + SearchMixer.
+- ``search``     {query, rankFrom?, rankTo?, mode?, payload?} → the full
+                 mixed response (hits + completions + count + latency_ms);
+                 each hit carries its doc_map identity columns and, when
+                 the index stores text, a ``snippet`` context window —
+                 the reference Hit's jump target + filename + summary
+                 (CodeSearchImpl.search:71-92, SourceDbImpl.java:147-157,
+                 SearchMixer.java:63-89). ``payload:false`` returns bare
+                 (doc_id, score, n_match) hits.
 - ``complete``   {query, limit?} → completion rows —
                  CodeSearchImpl.complete:121-138.
 - ``source``     {docIds: [...]} → doc_map identity rows —
@@ -93,6 +98,7 @@ class _Handler(BaseHTTPRequestHandler):
             rank_from=int(b.get("rankFrom", 0)),
             rank_to=int(b.get("rankTo", 20)),
             mode=b.get("mode", "or"),
+            payload=bool(b.get("payload", True)),
         )
 
     def _m_complete(self, b):

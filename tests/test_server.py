@@ -20,7 +20,7 @@ def daemon(spark, tmp_path_factory):
     docs = spark.createDataFrame(pdf)
     build_index(spark, docs, d,
                 cfg=IndexConfig(n_buckets=8, n_shards=2, n_chunks=2,
-                                attr_cols=("role", "tool")))
+                                attr_cols=("role", "tool"), store_text=True))
     srv, t = serve(spark, d, port=0, cache_terms=1024)
     host, port = srv.server_address
     yield f"http://{host}:{port}", d, pdf
@@ -52,6 +52,15 @@ def test_search_endpoint_matches_engine(spark, daemon):
         (h["doc_id"], round(h["score"], 9)) for h in want
     ]
     assert got["count"] == len(want) and "latency_ms" in got
+    # hits carry identity + snippet payload (reference Hit: jump target +
+    # filename + summary, SourceDbImpl.java:147-157, SearchMixer.java:79-89)
+    for h in got["hits"]:
+        assert {"conv_id", "turn_idx", "role", "snippet"} <= set(h)
+        assert "text" not in h  # full text stays behind /api/source
+        assert eng.query_terms(q)[0] in h["snippet"]
+    # payload:false returns the bare round-2 hit shape
+    bare = _post(base, "search", {"query": q, "rankTo": 5, "payload": False})
+    assert set(bare["hits"][0]) == {"doc_id", "score", "n_match"}
 
 
 def test_complete_and_usages_endpoints(spark, daemon):
