@@ -19,13 +19,63 @@ gate. Semantics are defined HERE (both implementations follow this spec):
 
 from __future__ import annotations
 
+# Common function words per language (standard public stopword lists, no
+# apostrophe forms so the same literals embed safely in DuckDB SQL). The
+# argmax spec is unchanged from the 4x10 toy tables of round 2 — only the
+# evidence widened (10 languages x ~35-45 words).
 STOPWORDS = {
-    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
-    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
-    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"],
-    "es": ["el", "la", "los", "y", "es", "un", "una", "de", "que", "por"],
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for",
+           "on", "with", "as", "was", "at", "by", "be", "this", "have",
+           "from", "or", "are", "not", "but", "had", "his", "they", "she",
+           "which", "you", "were", "her", "all", "we", "an", "their",
+           "been", "one", "there", "what", "when", "who", "will", "would"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit",
+           "von", "zu", "den", "dem", "des", "im", "für", "auf", "sich",
+           "als", "auch", "es", "an", "er", "nach", "bei", "um", "aus",
+           "wenn", "nur", "noch", "wie", "über", "so", "zum", "hat", "war",
+           "sind", "oder", "aber", "durch", "kann", "mehr", "schon"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "que",
+           "pour", "dans", "qui", "par", "sur", "pas", "plus", "ne", "se",
+           "au", "du", "il", "elle", "avec", "son", "ses", "ce", "cette",
+           "mais", "ou", "comme", "nous", "vous", "ils", "sont", "tout",
+           "aux", "leur", "bien", "même", "peut", "fait", "deux"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "de", "que", "por",
+           "en", "se", "del", "las", "no", "con", "para", "su", "al", "lo",
+           "como", "más", "pero", "sus", "ya", "o", "este", "ha",
+           "porque", "esta", "entre", "cuando", "muy", "sin", "sobre",
+           "también", "me", "hasta", "hay", "donde", "quien", "desde"],
+    "it": ["il", "la", "le", "e", "è", "un", "una", "di", "che", "per",
+           "in", "non", "si", "del", "con", "al", "lo", "come", "più",
+           "ma", "sono", "stato", "questo", "ha", "gli", "nel", "alla",
+           "della", "dei", "delle", "anche", "tra", "molto", "senza",
+           "dopo", "essere", "perché", "quando", "sua", "suo", "due"],
+    "pt": ["o", "os", "as", "e", "é", "um", "uma", "de", "que", "por",
+           "em", "se", "do", "da", "não", "com", "para", "seu", "ao",
+           "como", "mais", "mas", "foi", "este", "tem", "no", "na", "dos",
+           "das", "ele", "ela", "são", "ser", "muito", "já", "também",
+           "pela", "pelo", "sua", "ou", "quando", "depois"],
+    "nl": ["de", "het", "een", "en", "van", "is", "in", "op", "dat", "die",
+           "niet", "met", "voor", "aan", "er", "om", "ook", "als", "maar",
+           "dan", "zij", "hij", "naar", "bij", "uit", "nog", "wordt",
+           "worden", "heeft", "deze", "over", "tot", "je", "zijn", "door",
+           "al", "veel", "geen", "wel", "kan", "meer"],
+    "sv": ["och", "det", "att", "i", "en", "jag", "hon", "som", "han",
+           "på", "den", "med", "var", "sig", "för", "så", "till", "är",
+           "men", "ett", "om", "hade", "av", "vill", "nu", "mycket",
+           "bara", "kan", "ska", "när", "vad", "efter", "upp",
+           "vi", "dem", "vara", "har", "inte", "från"],
+    "pl": ["i", "w", "nie", "na", "się", "że", "do", "jest", "z", "to",
+           "jak", "po", "co", "tak", "jego", "ale", "za", "od", "ma",
+           "być", "przez", "już", "tylko", "był", "może", "bardzo",
+           "trzeba", "mnie", "ich", "czy", "przy", "ten", "przed", "tego",
+           "lub", "oraz", "także", "która", "które", "gdy"],
+    "id": ["yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini",
+           "dari", "dalam", "akan", "pada", "juga", "saya", "ke", "bisa",
+           "ada", "mereka", "lebih", "tahun", "sudah", "atau", "saat",
+           "oleh", "kita", "seperti", "bagi", "telah", "karena", "kami",
+           "secara", "banyak", "hanya", "masih", "harus", "saja"],
 }
-LANGS = ["en", "de", "fr", "es"]  # fixed tiebreak order
+LANGS = ["en", "de", "fr", "es", "it", "pt", "nl", "sv", "pl", "id"]  # fixed tiebreak order
 
 
 def _ws_tokens_col(col):

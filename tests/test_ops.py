@@ -171,6 +171,33 @@ def test_quality_and_langid_and_fp_vs_duckdb(spark, docs, con):
     _cmp(got, exp)
 
 
+def test_langid_widened_tables(spark):
+    """The 10-language tables classify plain sentences in each language
+    (and still return 'und' on stopword-free text)."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.ops.text import LANGS, langid_col
+
+    sents = {
+        "en": "the cat sat on the mat and it was happy with that",
+        "de": "der hund ist nicht mit der katze auf dem sofa und das ist gut",
+        "fr": "le chat est sur la table avec les livres pour le professeur",
+        "es": "el perro está en la casa con los niños y es muy feliz",
+        "it": "il gatto è sulla tavola con il libro e non si muove più",
+        "pt": "o cachorro não está em casa com os meninos mas é muito feliz",
+        "nl": "de hond is niet met de kat op de bank en dat is ook goed",
+        "sv": "jag är i huset och det är mycket bra att du kan vara här nu",
+        "pl": "to jest bardzo dobre i nie trzeba się już tak bardzo bać",
+        "id": "saya akan pergi ke pasar dengan mereka untuk membeli yang ini",
+        "und": "zzz qqq xxx vvv kkk",
+    }
+    df = spark.createDataFrame(list(sents.items()), "lang string, text string")
+    got = {r["lang"]: r["pred"]
+           for r in df.select("lang", langid_col(F.col("text")).alias("pred")).collect()}
+    assert got == {L: L for L in sents}
+    assert set(LANGS) == set(sents) - {"und"}
+
+
 def test_token_counts_vs_duckdb(spark, docs, con):
     from pyspark.sql import functions as F
 
