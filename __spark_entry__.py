@@ -36,6 +36,10 @@ Q_BOOL = "spark AND (join OR merge) -scan"  # classic boolean composition
 Q_BOOL2 = "+query (filter OR slow)^2 -customer"  # +required, group boost
 Q_SLOP = ("spark join", 2)  # sloppy phrase "spark join"~2
 Q_WILDG = "s?an s*t"  # general wildcards: ? and mid-string *
+Q_BATCH = [  # batched multi-query job: plain, multi-term, boost, prohibit
+    "spark join", "customer query window", "slow scan",
+    "merge sort", "spark -join", "filter^2 group", "spark join",
+]
 FIELD_COLS = ("source", "lang")
 
 _INDEX_CFG = dict(n_buckets=32, n_shards=8, n_chunks=4)
@@ -219,6 +223,24 @@ def _q_bool_tree(spark, sf_dir):
 
     eng = SearchEngine(spark, _ensure_index(spark, sf_dir))
     return _score_e4(eng.search_bool_df(Q_BOOL, k=None))
+
+
+def _q_batch_search(spark, sf_dir):
+    """Batched multi-query search: the whole query set scored as ONE
+    distributed job (one union-of-terms candidate scan, one shard shuffle,
+    per-shard kernels scoring every query) — the offline-eval /
+    query-log-replay shape whose throughput scales with executors instead
+    of being latency-bound per request (BENCH/BASELINE.md query study)."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir))
+    res = eng.search_many_df(Q_BATCH, k=None)
+    return res.select(
+        "query", "doc_id",
+        F.round(F.col("score") * 10000).cast("long").alias("score_e4"),
+    )
 
 
 def _q_bool_required(spark, sf_dir):
@@ -449,6 +471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_search": _q_fuzzy,
         "bool_tree_search": _q_bool_tree,
         "bool_required_search": _q_bool_required,
+        "batch_search": _q_batch_search,
         "phrase_slop": _q_phrase_slop,
         "prefix_complete": _q_complete,
         "dedup_exact": _q_dedup_exact,
@@ -477,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from polaris_spark.gate import (
+        batch_scores_sql,
         bm25_scores_sql,
         bool_scores_sql,
         boolean_and_sql,
@@ -576,6 +600,7 @@ SELECT doc_id, lpad(lower(to_hex(val)), 4, '0') AS simhash16 FROM packed"""
         "fuzzy_search": bm25_scores_sql(Q_FUZZY),
         "bool_tree_search": bool_scores_sql(Q_BOOL),
         "bool_required_search": bool_scores_sql(Q_BOOL2),
+        "batch_search": batch_scores_sql(Q_BATCH),
         "phrase_slop": phrase_sql(Q_SLOP[0], slop=Q_SLOP[1]),
         "prefix_complete": complete_sql(Q_PREFIX, 20),
         "dedup_exact": (

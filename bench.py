@@ -119,6 +119,23 @@ def run_build_only(cpus: int, n_turns: int) -> dict:
         list(ex.map(lambda q: eng.search(q, k=10), qs))
     qwall = time.time() - t0
 
+    # ---- BATCHED query set: the whole set as ONE distributed job ---------
+    # (search_many_df: one union-of-terms candidate scan + per-shard kernels
+    # scoring every query). Sequential requests are latency-bound — their
+    # throughput ceiling is request fan-out, not cores; the batch job is the
+    # shape whose throughput actually scales with executors. ~190 distinct
+    # two-term queries over the corpus vocab keep the job compute-dominated
+    # at both parallelism levels.
+    from polaris_spark.synth import make_vocab
+
+    vocab = make_vocab(5000, 42)  # same seed as the corpus generator
+    toks = vocab[:10] + vocab[100:105] + vocab[1000:1005]  # hot/mid/rare mix
+    batch_qs = [f"{a} {b}" for i, a in enumerate(toks) for b in toks[i + 1:]]
+    eng.search_many_df(batch_qs[:8], k=10).count()  # warm the batch path
+    t0 = time.time()
+    eng.search_many_df(batch_qs, k=10).count()
+    bwall = time.time() - t0
+
     spark.stop()
     return {
         "cpus": cpus,
@@ -127,6 +144,8 @@ def run_build_only(cpus: int, n_turns: int) -> dict:
         "turns_per_sec": round(n_turns / wall, 1),
         "query_wall_s": round(qwall, 3),
         "queries_per_sec": round(len(qs) / qwall, 1),
+        "batch_query_wall_s": round(bwall, 3),
+        "batch_queries_per_sec": round(len(batch_qs) / bwall, 1),
         "index_bytes": m["index_bytes"],
         "stage_wall": m["stage_wall"],
     }
@@ -321,6 +340,9 @@ def main() -> None:
                 "core_efficiency": _core_eff(lo, hi),
                 "query_efficiency": round(
                     (hi["queries_per_sec"] / lo["queries_per_sec"]) / 4.0, 3),
+                "batch_query_efficiency": round(
+                    (hi["batch_queries_per_sec"]
+                     / lo["batch_queries_per_sec"]) / 4.0, 3),
             })
         pick = max(reps, key=lambda r: r["hi"]["turns_per_sec"])
         results = {lo_cpus: pick["lo"], hi_cpus: pick["hi"], "all_reps": reps}
@@ -333,6 +355,9 @@ def main() -> None:
         qps8 = pick["lo"]["queries_per_sec"]
         qps32 = pick["hi"]["queries_per_sec"]
         qeff = pick["query_efficiency"]
+        bqps8 = pick["lo"]["batch_queries_per_sec"]
+        bqps32 = pick["hi"]["batch_queries_per_sec"]
+        bqeff = pick["batch_query_efficiency"]
         md = f"""# BENCH/BASELINE — scaling evidence (local[{lo_cpus}] vs local[{hi_cpus}] proxy for N→4N executors)
 
 Same job (`build_index` over the deterministic synthetic transcripts corpus,
@@ -343,10 +368,10 @@ the rep (the VM host steals CPU in multi-minute windows; the within-rep ratio
 cancels that common-mode drift). Reported: the rep in the least-contaminated
 window; all reps in the JSON below.
 
-| parallelism | build wall (s) | build (turns/s) | query set (q/s, 8 concurrent) |
-|---|---|---|---|
-| local[{lo_cpus}] (N)  | {wall8} | {thr8} | {qps8} |
-| local[{hi_cpus}] (4N) | {wall32} | {thr32} | {qps32} |
+| parallelism | build wall (s) | build (turns/s) | query set (q/s, 8 concurrent) | batched query job (q/s, 1 job) |
+|---|---|---|---|---|
+| local[{lo_cpus}] (N)  | {wall8} | {thr8} | {qps8} | {bqps8} |
+| local[{hi_cpus}] (4N) | {wall32} | {thr32} | {qps32} | {bqps32} |
 
 **BUILD scaling efficiency (thr_4N / thr_N) / 4 = {eff}** (north-rule bar: ≥ 0.8).
 **Core-pipeline efficiency (excl. the completion fold) = {ceff}** — the
@@ -357,13 +382,20 @@ vocab at 3M turns — orders of magnitude above real transcript vocab:corpus
 ratios), so that auxiliary fold is Amdahl-visible on the proxy while
 negligible at the 10^12-turn design point. Both numbers reported; the total
 includes everything the default build writes.
-**QUERY throughput scaling (qps_4N / qps_N) / 4 = {qeff}** — the serving
-path (concurrent top-k searches over the same index, fixed 8 submitters at
-both levels). Query throughput is latency-bound per request (each search is
-one partition-pruned scan + in-process scoring), so its ceiling is requests'
-parallel fan-out, not total cores — reported as evidence the serving path
-does not DEGRADE with parallelism, with the build as the primary criterion
-(the north rule's throughput metric is turns/sec indexed).
+**QUERY-SET scaling, batched job (bqps_4N / bqps_N) / 4 = {bqeff}** — the
+query-volume shape the rule's N→4N criterion actually stresses: ~190
+distinct two-term queries (hot/mid/rare vocab mix) scored as ONE
+distributed job (`search_many_df`: one union-of-terms candidate scan, one
+shard shuffle, per-shard kernels scoring every query, per-query window
+top-k; per-query results bit-identical to the single-query path — see the
+`batch_search` DuckDB gate and tests/test_batch_search.py).
+**Interactive-request throughput (qps_4N / qps_N) / 4 = {qeff}** — the
+latency-bound serving shape (fixed 8 concurrent submitters at both
+levels): each request is one partition-pruned scan + in-process scoring,
+so its ceiling is request fan-out, not total cores. Reported as evidence
+the serving path does not DEGRADE with parallelism; query VOLUME scales by
+batching (above) or by adding serving replicas over the immutable index
+(see server.py docstring), not by adding cores to one request.
 
 Why N=2: the north rule models adding EXECUTORS (each with its own memory
 bandwidth, disk, GC). On a single 32-core box, 8→32 threads saturates shared
@@ -383,8 +415,10 @@ Per-stage walls (JSON below) show where time goes at each level.
         print(json.dumps({"scaling_efficiency": eff,
                           "core_scaling_efficiency": ceff,
                           "query_scaling_efficiency": qeff,
+                          "batch_query_scaling_efficiency": bqeff,
                           "throughput_8": thr8, "throughput_32": thr32,
-                          "qps_8": qps8, "qps_32": qps32}))
+                          "qps_8": qps8, "qps_32": qps32,
+                          "batch_qps_8": bqps8, "batch_qps_32": bqps32}))
         return
 
     res = run_suite(args.cpus, args.sf_dir, n_turns)

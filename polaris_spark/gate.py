@@ -444,6 +444,30 @@ FROM scored WHERE m"""
     return sql
 
 
+def batch_scores_sql(queries: list[str], table: str = "documents",
+                     field_cols: tuple = (), expand_fields: bool = False) -> str:
+    """Oracle for the batched multi-query search (search_many_df, k=None):
+    the UNION ALL of each query's full e4-rounded score set, keyed by the
+    query string. Per-query semantics are exactly :func:`bm25_scores_sql`
+    (incl. boosts, wildcards and '-term' exclusion), so the batch oracle
+    inherits every single-query mirror already proven by the other gates.
+    Duplicate query strings are deduped (first occurrence), matching the
+    engine."""
+    seen: set[str] = set()
+    subs = []
+    for q in queries:
+        if q in seen:
+            continue
+        seen.add(q)
+        esc = q.replace("'", "''")
+        subs.append(
+            f"SELECT '{esc}' AS query, doc_id, score_e4\nFROM (\n"
+            + bm25_scores_sql(q, table, None, field_cols, expand_fields)
+            + "\n)"
+        )
+    return "\nUNION ALL\n".join(subs)
+
+
 def boolean_and_sql(query: str, table: str = "documents") -> str:
     """Doc ids containing ALL query terms (posting-list intersection)."""
     qt = _qt_list(query)

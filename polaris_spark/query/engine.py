@@ -45,6 +45,7 @@ from ..index.codec import decode_ints, decode_positions
 from .boolquery import _has_wild
 
 RESULT_SCHEMA = "doc_id bigint, score double, n_match int"
+BATCH_RESULT_SCHEMA = "query string, doc_id bigint, score double, n_match int"
 
 
 import re as _re_mod
@@ -1160,6 +1161,125 @@ class SearchEngine:
             scored = routed.groupBy("shard").applyInPandas(kernel, RESULT_SCHEMA)
         out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
         return out.limit(k) if k is not None else out
+
+    def search_many_df(self, queries: list[str], k: int | None = 10,
+                       mode: str = "or", expand_fields: bool = False):
+        """Batched multi-query search: a whole query SET scored as ONE
+        distributed job — the offline-eval / query-log-replay shape.
+        Returns a DataFrame (query, doc_id, score, n_match, rank) with
+        per-query exact top-k (rank 1..k by score desc, doc_id asc).
+
+        Physical plan: one bucket-pruned candidate scan for the UNION of
+        every query's terms, one shard shuffle, per-shard kernels scoring
+        EVERY query against their doc slice, per-query top-k via window
+        rank. Per-query results are bit-identical to :meth:`search_df`
+        (same candidate rows, same df-summed idf, same term-ordered float64
+        accumulation, MaxScore pruning per query stays exact per shard).
+
+        Scale rationale (BENCH/BASELINE.md query-set study): Q sequential
+        requests pay Q× fixed per-request cost (scan setup, job scheduling,
+        result merge) and their throughput is latency-bound, capped by
+        submitter fan-out rather than cores. Batching amortizes those fixed
+        costs across the set — roughly one request's scan + Q cheap kernel
+        passes — so throughput scales with executors like any other
+        shuffle-partitioned job. Duplicate query strings are deduped (the
+        output key is the query text). Prohibit terms run through the same
+        distributed per-query anti-sets as :meth:`search_df` — no doc_ids
+        reach the driver."""
+        from functools import reduce
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        empty = self.spark.createDataFrame(
+            [], BATCH_RESULT_SCHEMA + ", rank int")
+        specs = []  # (query, terms, boosts, exc) — first occurrence wins
+        seen: set[str] = set()
+        for q in queries:
+            if q in seen:
+                continue
+            seen.add(q)
+            self._check_wildcard_mode(q, mode)
+            terms, exc, boosts = self.parse_query_boosts(q, expand_fields)
+            if terms:
+                specs.append((q, terms, boosts, exc))
+        if not specs:
+            return empty
+        all_terms = sorted({t for _q, terms, _b, _e in specs for t in terms})
+        cand = self._cache_scoped(self._candidates(all_terms))
+        idf_all = self._idf_map(cand)
+        qspecs = []  # (query, term_set, idf, n_query_terms)
+        for q, terms, boosts, _exc in specs:
+            idf = {t: idf_all[t] * boosts.get(t, 1.0)
+                   for t in terms if t in idf_all}
+            if idf:
+                qspecs.append((q, set(idf), idf, len(terms)))
+        if not qspecs:
+            return empty
+        stats = self.stats
+        S = int(stats["n_shards"])
+        avgdl, k1, b = stats["avgdl"], stats["k1"], stats["b"]
+        routed = self._routed(cand, S)
+        scorable = {q for q, *_ in qspecs}
+
+        def _score_all(pdf: pd.DataFrame, sh: int,
+                       excl_by_q: dict) -> pd.DataFrame:
+            outs = []
+            for q, tset, idf, nq in qspecs:
+                sub = pdf[pdf["term"].isin(tset)]
+                if sub.empty:
+                    continue
+                r = score_shard(sub, idf, avgdl, k1, b, k, mode, nq,
+                                n_shards=S, shard=sh,
+                                excluded=excl_by_q.get(q))
+                if len(r):
+                    r.insert(0, "query", q)
+                    outs.append(r)
+            if not outs:
+                return pd.DataFrame({
+                    "query": pd.Series(dtype=object),
+                    "doc_id": pd.Series(dtype="int64"),
+                    "score": pd.Series(dtype="float64"),
+                    "n_match": pd.Series(dtype="int32"),
+                })
+            return pd.concat(outs, ignore_index=True)
+
+        exq = [(q, exc) for q, _t, _b2, exc in specs
+               if exc and q in scorable]
+        if exq:
+            exdf = reduce(
+                lambda a, c: a.unionByName(c),
+                [self._excluded_docs_df(exc).withColumn("query", F.lit(q))
+                 for q, exc in exq],
+            )
+
+            def kernel2(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+                sh = int(left["shard"].iloc[0]) if len(left) else 0
+                excl_by_q = {
+                    q: np.unique(g["doc_id"].to_numpy(dtype=np.int64))
+                    for q, g in right.groupby("query")
+                } if len(right) else {}
+                return _score_all(left, sh, excl_by_q)
+
+            scored = (
+                routed.groupBy("shard")
+                .cogroup(exdf.groupBy("shard"))
+                .applyInPandas(kernel2, BATCH_RESULT_SCHEMA)
+            )
+        else:
+
+            def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+                sh = int(pdf["shard"].iloc[0]) if len(pdf) else 0
+                return _score_all(pdf, sh, {})
+
+            scored = routed.groupBy("shard").applyInPandas(
+                kernel, BATCH_RESULT_SCHEMA)
+        w = Window.partitionBy("query").orderBy(
+            F.desc("score"), F.asc("doc_id"))
+        out = scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        if k is not None:
+            out = out.where(F.col("rank") <= int(k))
+        return out
 
     # ------------------------------------------------------------- phrases
 

@@ -1,0 +1,54 @@
+"""Batched multi-query search (search_many_df): one distributed job scoring
+a whole query set must return per-query results BIT-IDENTICAL to the
+single-query distributed path (same candidate rows, same idf, same
+term-ordered accumulation)."""
+
+import pytest
+
+from polaris_spark.index.build import IndexConfig, build_index
+from polaris_spark.query.engine import SearchEngine
+from polaris_spark.synth import make_transcripts
+
+QUERIES = [
+    "ka", "kari sato", "elor inda", "web.search",
+    "conpre stable", "ka ri to",
+    "sato^2 kari",          # clause boost
+    "kari -sato",           # prohibit term (distributed anti-set)
+    "nonexistenttermxyz",   # no hits
+    "!!! ;;;",              # unparseable → absent from output
+    "ka",                   # duplicate → deduped
+]
+
+
+@pytest.fixture(scope="module")
+def beng(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("batch_idx"))
+    docs = spark.createDataFrame(make_transcripts(n_turns=1500, seed=13))
+    build_index(spark, docs, d,
+                cfg=IndexConfig(n_buckets=16, n_shards=4, n_chunks=2))
+    return SearchEngine(spark, d)
+
+
+def _rows(df):
+    return [(r["doc_id"], r["score"], r["n_match"]) for r in df.collect()]
+
+
+@pytest.mark.parametrize("mode,k", [("or", 10), ("or", None), ("and", 5)])
+def test_batch_matches_per_query(beng, mode, k):
+    got = beng.search_many_df(QUERIES, k=k, mode=mode).collect()
+    by_q: dict[str, list] = {}
+    for r in got:
+        by_q.setdefault(r["query"], []).append(r)
+    for q in set(QUERIES):
+        want = _rows(beng.search_df(q, k=k, mode=mode))
+        have = sorted(by_q.get(q, []), key=lambda r: r["rank"])
+        assert [(r["doc_id"], r["score"], r["n_match"]) for r in have] == want, q
+        # rank is 1..n in (score desc, doc_id asc) order — exactly the
+        # per-query result order
+        assert [r["rank"] for r in have] == list(range(1, len(have) + 1)), q
+
+
+def test_batch_empty_and_dedup(beng):
+    assert beng.search_many_df(["!!! ;;;"]).count() == 0
+    two = beng.search_many_df(["ka", "ka"], k=3)
+    assert two.count() == two.where("query = 'ka'").count() <= 3
