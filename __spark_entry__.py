@@ -36,6 +36,7 @@ Q_BOOL = "spark AND (join OR merge) -scan"  # classic boolean composition
 Q_BOOL2 = "+query (filter OR slow)^2 -customer"  # +required, group boost
 Q_SLOP = ("spark join", 2)  # sloppy phrase "spark join"~2
 Q_WILDG = "s?an s*t"  # general wildcards: ? and mid-string *
+Q_RANGE = "{merge TO sort] join"  # classic TermRangeQuery (mixed bounds)
 Q_BATCH = [  # batched multi-query job: plain, multi-term, boost, prohibit
     "spark join", "customer query window", "slow scan",
     "merge sort", "spark -join", "filter^2 group", "spark join",
@@ -277,6 +278,17 @@ def _q_wildcard_general(spark, sf_dir):
     return _score_e4(eng.search_df(Q_WILDG, k=None))
 
 
+def _q_range(spark, sf_dir):
+    """Classic TermRangeQuery `{merge TO sort] join`: lexicographic
+    dictionary expansion with pushed range bounds, scored as BM25 OR
+    (reference: MultiFieldQueryParser accepts classic range syntax,
+    sourcedb/SourceDbImpl.java:135-139)."""
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir))
+    return _score_e4(eng.search_df(Q_RANGE, k=None))
+
+
 def _q_complete(spark, sf_dir):
     from polaris_spark.query.engine import SearchEngine
 
@@ -467,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multifield_search": _q_multifield,
         "wildcard_search": _q_wildcard,
         "wildcard_general": _q_wildcard_general,
+        "range_search": _q_range,
         "boosted_search": _q_boosted,
         "fuzzy_search": _q_fuzzy,
         "bool_tree_search": _q_bool_tree,
@@ -596,6 +609,7 @@ SELECT doc_id, lpad(lower(to_hex(val)), 4, '0') AS simhash16 FROM packed"""
                                              expand_fields=True),
         "wildcard_search": bm25_scores_sql(Q_WILD),
         "wildcard_general": bm25_scores_sql(Q_WILDG),
+        "range_search": bm25_scores_sql(Q_RANGE),
         "boosted_search": bm25_scores_sql(Q_BOOST),
         "fuzzy_search": bm25_scores_sql(Q_FUZZY),
         "bool_tree_search": bool_scores_sql(Q_BOOL),

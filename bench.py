@@ -120,16 +120,18 @@ def run_build_only(cpus: int, n_turns: int) -> dict:
     qwall = time.time() - t0
 
     # ---- BATCHED query set: the whole set as ONE distributed job ---------
-    # (search_many_df: one union-of-terms candidate scan + per-shard kernels
-    # scoring every query). Sequential requests are latency-bound — their
-    # throughput ceiling is request fan-out, not cores; the batch job is the
-    # shape whose throughput actually scales with executors. ~190 distinct
-    # two-term queries over the corpus vocab keep the job compute-dominated
-    # at both parallelism levels.
+    # (search_many_df: one union-of-terms candidate scan + (shard, qblock)
+    # kernels that decode once and score their block's queries). Sequential
+    # requests are latency-bound — their throughput ceiling is request
+    # fan-out, not cores; the batch job is the shape whose throughput
+    # actually scales with executors. ~1000 distinct two-term queries over
+    # the corpus vocab keep the job compute-dominated at both parallelism
+    # levels (the fixed ~1.2 s of scan + idf collect + job launch must be
+    # small against the scored work, as it is at any real eval volume).
     from polaris_spark.synth import make_vocab
 
     vocab = make_vocab(5000, 42)  # same seed as the corpus generator
-    toks = vocab[:10] + vocab[100:105] + vocab[1000:1005]  # hot/mid/rare mix
+    toks = vocab[:20] + vocab[100:113] + vocab[1000:1013]  # hot/mid/rare mix
     batch_qs = [f"{a} {b}" for i, a in enumerate(toks) for b in toks[i + 1:]]
     eng.search_many_df(batch_qs[:8], k=10).count()  # warm the batch path
     t0 = time.time()

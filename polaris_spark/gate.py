@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import re as _re
 
-from .query.boolquery import _has_wild
+from .query.boolquery import _has_wild, fold_ranges, parse_range
 from .query.engine import _fuzzy_suffix
 from .tokenizer import duckdb_tokens_sql, tokenize
 
@@ -67,7 +67,7 @@ def _split_chunks(query: str, field_cols: tuple = (),
             for t in terms:
                 inc[t] = max(inc.get(t, 1.0), boost)
 
-    for chunk in query.split():
+    for chunk in fold_ranges(query).split():
         neg = chunk.startswith("-") and len(chunk) > 1
         body = chunk[1:] if neg else chunk
         boost = 1.0
@@ -78,6 +78,18 @@ def _split_chunks(query: str, field_cols: tuple = (),
                 body = head
             except ValueError:
                 pass
+        rng = parse_range(body)
+        if rng is not None:  # before the wildcard sniff: '[a TO *]' has '*'
+            f, lo, hi, ilo, ihi = rng
+            # '' encodes both "bare" (field) and "open" (bounds) — tuples
+            # must stay None-free for the sorted() below
+            ent = ("range", f or "", lo or "", hi or "", ilo, ihi,
+                   f is None or f in fields)
+            if neg:
+                pexc.append(ent)
+            else:
+                pinc.append(ent + (boost,))
+            continue
         fz = _fuzzy_suffix(body)
         if fz is not None:
             if neg:
@@ -145,6 +157,10 @@ def _qt_cte(terms, prefixes) -> str:
                 f"AND levenshtein(term, '{lit}') <= {me} "
                 f"AND NOT contains(term, ':')"
             )
+        elif p[0] == "range":
+            _k, fld, lo, hi, ilo, ihi, known = p[:7]
+            boost = p[7] if len(p) > 7 else 1.0
+            cond = _range_cond(fld, lo, hi, ilo, ihi, known)
         elif p[0] == "wildcard":
             _k, pat, bare = p[0], p[1], p[2]
             boost = p[3] if len(p) > 3 else 1.0
@@ -167,6 +183,26 @@ def _qt_cte(terms, prefixes) -> str:
     body = "\n  UNION ALL\n  ".join(parts)
     return (f"SELECT term, max(boost) AS boost FROM (\n  {body}\n  ) "
             "GROUP BY term")
+
+
+def _range_cond(fld: str, lo: str, hi: str, ilo: bool, ihi: bool,
+                known: bool) -> str:
+    """TermRangeQuery term condition (engine ``_expand_range`` mirror):
+    pushed lexicographic bounds (raw/case-sensitive, like every multi-term
+    expansion), field confinement, '' = open bound, unknown field → empty
+    set."""
+    if not known:
+        return "FALSE"
+    pre = f"{fld}:" if fld else ""
+    conds = ([f"starts_with(term, '{pre.replace(chr(39), chr(39)*2)}')"]
+             if fld else ["NOT contains(term, ':')"])
+    if lo:
+        key = (pre + lo).replace("'", "''")
+        conds.append(f"term >{'=' if ilo else ''} '{key}'")
+    if hi:
+        key = (pre + hi).replace("'", "''")
+        conds.append(f"term <{'=' if ihi else ''} '{key}'")
+    return " AND ".join(conds)
 
 
 def _wild_cond(pattern: str, bare: bool) -> str:
@@ -339,6 +375,10 @@ def bool_scores_sql(query: str, table: str = "documents",
             pat = leaf.payload
             f, _, rest = pat.partition(":")
             cond = _wild_cond(pat, bare=not (rest and f in fields))
+        elif leaf.kind == "range":
+            f, lo, hi, ilo, ihi = leaf.payload
+            cond = _range_cond(f or "", lo or "", hi or "", ilo, ihi,
+                               known=f is None or f in fields)
         else:  # pragma: no cover
             raise ValueError(f"unknown leaf kind {leaf.kind!r}")
         return (

@@ -50,12 +50,50 @@ _KW_AND = {"AND", "&&"}
 _KW_OR = {"OR", "||"}
 _KW_NOT = {"NOT", "!"}
 
+# ---- TermRangeQuery (classic `field:[a TO b]` / `{a TO b}`) --------------
+# Range syntax spans whitespace, so both tokenizers pre-join it: internal
+# gaps become \x00 (never in user text), making the construct ONE chunk.
+_RANGE_FOLD_RE = re.compile(
+    r"((?:[^\s()\[\]{}:]+:)?[\[\{])\s*([^\s\]\}]+)\s+TO\s+([^\s\]\}]+)\s*([\]\}])"
+)
+_RANGE_RE = re.compile(
+    r"^(?:(?P<f>[^\s:\[\]{}]+):)?(?P<o>[\[\{])(?P<lo>[^\x00]+)\x00TO\x00"
+    r"(?P<hi>[^\x00]+)(?P<c>[\]\}])$"
+)
+
+
+def fold_ranges(query: str) -> str:
+    """Join each ``[a TO b]`` / ``{a TO b}`` construct (optionally
+    ``field:``-qualified) into a single whitespace-free chunk with \\x00
+    placeholders, so whitespace splitting keeps it intact."""
+    return _RANGE_FOLD_RE.sub("\\1\\2\x00TO\x00\\3\\4", query or "")
+
+
+def parse_range(body: str):
+    """A folded range chunk → ``(field, lo, hi, inc_lo, inc_hi)`` or None.
+
+    ``field`` is the raw qualifier or None (bare). Bounds are RAW —
+    case-sensitive, unanalyzed, exactly like our prefix/wildcard/fuzzy
+    expansions (Lucene's classic parser likewise leaves range endpoints
+    unanalyzed by default, ``analyzeRangeTerms=false``). A ``*`` endpoint
+    means unbounded (open range), → None. ``[`` / ``]`` are inclusive,
+    ``{`` / ``}`` exclusive — mixed forms allowed, exactly Lucene
+    TermRangeQuery."""
+    m = _RANGE_RE.match(body or "")
+    if not m:
+        return None
+    lo = None if m.group("lo") == "*" else m.group("lo")
+    hi = None if m.group("hi") == "*" else m.group("hi")
+    return (m.group("f"), lo, hi, m.group("o") == "[", m.group("c") == "]")
+
 
 @dataclass
 class Leaf:
     """Unresolved query clause.
 
-    kind ∈ {"chunk", "prefix", "fuzzy", "wildcard"}:
+    kind ∈ {"chunk", "prefix", "fuzzy", "wildcard", "range"}:
+    - "range": classic TermRangeQuery ``field:[a TO b]``; payload is
+      :func:`parse_range`'s ``(field, lo, hi, inc_lo, inc_hi)``.
     - "chunk": plain text to tokenize (may be ``field:value``); payload is
       the raw body string.
     - "prefix": trailing-star-only wildcard; payload is the raw prefix
@@ -113,6 +151,9 @@ def classify_chunk(body: str) -> Leaf:
             body = head
         except ValueError:
             pass  # not a boost suffix; '^' is punctuation
+    rng = parse_range(body)
+    if rng is not None:  # before wildcard sniffing: '[a TO *]' carries '*'
+        return Leaf("range", rng, boost)
     fz = _fuzzy_suffix(body)
     if fz is not None:
         return Leaf("fuzzy", fz, boost)
@@ -258,7 +299,7 @@ def _fold_or(prefixed: list) -> Node | Leaf:
 
 def parse(query: str) -> Node | Leaf | None:
     """Query string → AST root (Node or single Leaf), or None when empty."""
-    tokens = _TOKEN_RE.findall(query or "")
+    tokens = _TOKEN_RE.findall(fold_ranges(query))
     if not tokens:
         return None
     p = _Parser(tokens)

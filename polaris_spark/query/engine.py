@@ -42,7 +42,7 @@ import pandas as pd
 
 from ..tokenizer import tokenize, _BASE_RE
 from ..index.codec import decode_ints, decode_positions
-from .boolquery import _has_wild
+from .boolquery import _has_wild, fold_ranges, parse_range
 
 RESULT_SCHEMA = "doc_id bigint, score double, n_match int"
 BATCH_RESULT_SCHEMA = "query string, doc_id bigint, score double, n_match int"
@@ -358,46 +358,30 @@ def score_shard_tree(
                          "n_match": nmatch.astype(np.int32)})
 
 
-def score_shard(
+def _empty_result() -> pd.DataFrame:
+    return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                         "score": pd.Series(dtype="float64"),
+                         "n_match": pd.Series(dtype="int32")})
+
+
+def decode_shard_rows(
     pdf: pd.DataFrame,
-    idf: dict[str, float],
-    avgdl: float,
-    k1: float,
-    b: float,
-    k: int | None,
-    mode: str,
-    n_query_terms: int,
     n_shards: int | None = None,
     shard: int | None = None,
-    prune: bool = True,
-    excluded: np.ndarray | None = None,
-) -> pd.DataFrame:
-    """Exact BM25 accumulation over candidate posting rows.
+) -> tuple[dict, dict]:
+    """Decode packed candidate rows ONCE per kernel group.
 
-    Terms are processed in sorted order; each doc's score is the sequential
-    float64 sum of its per-term contributions in that order — the same
-    association as the numpy oracle, so scores match bit-for-bit.
+    Returns ``(decoded, max_impact)``: ``decoded`` maps term → doc-sorted
+    ``(docs, tfs, dls)`` numpy arrays (shard-filtered to ``pmod(doc_id,
+    n_shards) == shard`` when given — a no-op for salted rows, the dedup
+    filter for unsalted fan-out rows); ``max_impact`` maps term → max
+    stored block impact (the MaxScore upper-bound input).
 
-    When (n_shards, shard) is given (distributed path), decoded postings are
-    filtered to docs with ``pmod(doc_id, n_shards) == shard`` — a no-op for
-    salted rows (already shard-exact) and the dedup filter for unsalted rows
-    that were fanned out to every shard group.
-
-    ``prune=True`` (OR mode, k set, ≥2 terms) enables **MaxScore pruning**
-    using the stored block-max metadata: terms whose summed upper bounds
-    (idf × max block impact) cannot lift a doc past a lower bound of the
-    k-th score are "non-essential"; docs matching ONLY non-essential terms
-    are never accumulated. Result is provably the exact top-k — the chain
-    score ≤ Σ_nonessential ub < θ0 ≤ true k-th score is strict, so pruned
-    docs can't even tie — and scores stay bit-identical (same per-doc
-    term-ordered sums). This is the flat-index analog of block-max WAND.
-    """
-    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                          "score": pd.Series(dtype="float64"),
-                          "n_match": pd.Series(dtype="int32")})
-    if pdf.empty:
-        return empty
-    pdf = pdf.sort_values("term", kind="mergesort")
+    Split out of :func:`score_shard` so the batched path
+    (:meth:`SearchEngine.search_many_df`) decodes each hot-term blob once
+    per group and scores EVERY query in the group from the same arrays —
+    per-query work is an accumulate over pre-decoded postings, not a
+    varint re-decode (terms shared by many queries dominate a batch)."""
     by_term: dict[str, list] = {}
     max_impact: dict[str, float] = {}
     for row in pdf.itertuples(index=False):
@@ -406,38 +390,68 @@ def score_shard(
         if shard is not None and n_shards is not None:
             keep = (docs % n_shards) == shard
             docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
-        if excluded is not None and len(docs):
-            # prohibit-operator docs drop BEFORE scoring/pruning — MaxScore's
-            # θ0 then derives from the true (post-exclusion) candidate set
-            keep = ~np.isin(docs, excluded, assume_unique=True)
-            docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
         if len(docs):
             by_term.setdefault(row.term, []).append((docs, tfs, dls))
             bm = max(row.block_max) if row.block_max is not None else np.inf
             max_impact[row.term] = max(max_impact.get(row.term, 0.0), float(bm))
-    if not by_term:
-        return empty
-    # merge per-term row slices (disjoint doc sets) into doc-sorted arrays
-    decoded = []  # (term, docs, tfs, dls) — term-lexicographic order
+    decoded: dict[str, tuple] = {}
     for term in sorted(by_term):
         parts = by_term[term]
         if len(parts) == 1:
             docs, tfs, dls = parts[0]
         else:
+            # merge per-term row slices (disjoint doc sets) into doc-sorted
+            # arrays — row order is irrelevant because docs are unique
             docs = np.concatenate([p[0] for p in parts])
             tfs = np.concatenate([p[1] for p in parts])
             dls = np.concatenate([p[2] for p in parts])
             o = np.argsort(docs, kind="stable")
             docs, tfs, dls = docs[o], tfs[o], dls[o]
-        decoded.append((term, docs, tfs, dls))
+        decoded[term] = (docs, tfs, dls)
+    return decoded, max_impact
 
-    do_prune = prune and mode == "or" and k is not None and len(decoded) > 1
+
+def score_decoded(
+    decoded: dict,
+    max_impact: dict,
+    idf: dict[str, float],
+    avgdl: float,
+    k1: float,
+    b: float,
+    k: int | None,
+    mode: str,
+    n_query_terms: int,
+    prune: bool = True,
+    excluded: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """Exact BM25 accumulation over pre-decoded per-term postings — the
+    scoring half of :func:`score_shard` (see its docstring for the MaxScore
+    exactness argument). Scores are bit-identical to the single-pass path:
+    the per-doc term-ordered float64 sums are unchanged. ``excluded``
+    doc_ids drop BEFORE pruning/scoring so θ₀ derives from the true
+    post-exclusion candidate set; shared decoded arrays are never mutated
+    (exclusion builds filtered copies), so one group-wide decode safely
+    serves many queries. Only terms present in ``idf`` participate."""
+    items = []  # (term, docs, tfs, dls) — term-lexicographic order
+    for term in sorted(decoded):
+        if term not in idf:
+            continue
+        docs, tfs, dls = decoded[term]
+        if excluded is not None and len(docs):
+            keep = ~np.isin(docs, excluded, assume_unique=True)
+            docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+        if len(docs):
+            items.append((term, docs, tfs, dls))
+    if not items:
+        return _empty_result()
+
+    do_prune = prune and mode == "or" and k is not None and len(items) > 1
     if do_prune:
-        ubs = {t: idf[t] * max_impact[t] for t, *_ in decoded}
+        ubs = {t: idf[t] * max_impact[t] for t, *_ in items}
         # θ0: k-th best SINGLE-term contribution of the highest-ub term — a
         # lower bound of the true k-th total score
         t_top = max(ubs, key=lambda t: ubs[t])
-        d0 = next(d for d in decoded if d[0] == t_top)
+        d0 = next(d for d in items if d[0] == t_top)
         c0 = idf[t_top] * (
             d0[2] * (k1 + 1.0) / (d0[2] + k1 * (1.0 - b + b * d0[3] / avgdl))
         )
@@ -455,14 +469,14 @@ def score_shard(
                 acc += ubs[t]
             else:
                 break
-        essential = [d for d in decoded if d[0] not in nonessential]
+        essential = [d for d in items if d[0] not in nonessential]
         all_docs = np.unique(np.concatenate([d[1] for d in essential]))
     else:
-        all_docs = np.unique(np.concatenate([d[1] for d in decoded]))
+        all_docs = np.unique(np.concatenate([d[1] for d in items]))
 
     scores = np.zeros(len(all_docs), dtype=np.float64)
     nmatch = np.zeros(len(all_docs), dtype=np.int32)
-    for term, docs, tfs, dls in decoded:  # sorted term order == oracle order
+    for term, docs, tfs, dls in items:  # sorted term order == oracle order
         w = idf[term]
         if do_prune and len(docs) > len(all_docs):
             # lookup candidate docs inside this (possibly huge) posting list
@@ -501,6 +515,47 @@ def score_shard(
     return pd.DataFrame({"doc_id": all_docs.astype(np.int64),
                          "score": scores,
                          "n_match": nmatch.astype(np.int32)})
+
+
+def score_shard(
+    pdf: pd.DataFrame,
+    idf: dict[str, float],
+    avgdl: float,
+    k1: float,
+    b: float,
+    k: int | None,
+    mode: str,
+    n_query_terms: int,
+    n_shards: int | None = None,
+    shard: int | None = None,
+    prune: bool = True,
+    excluded: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """Exact BM25 accumulation over candidate posting rows.
+
+    Terms are processed in sorted order; each doc's score is the sequential
+    float64 sum of its per-term contributions in that order — the same
+    association as the numpy oracle, so scores match bit-for-bit.
+
+    When (n_shards, shard) is given (distributed path), decoded postings are
+    filtered to docs with ``pmod(doc_id, n_shards) == shard`` — a no-op for
+    salted rows (already shard-exact) and the dedup filter for unsalted rows
+    that were fanned out to every shard group.
+
+    ``prune=True`` (OR mode, k set, ≥2 terms) enables **MaxScore pruning**
+    using the stored block-max metadata: terms whose summed upper bounds
+    (idf × max block impact) cannot lift a doc past a lower bound of the
+    k-th score are "non-essential"; docs matching ONLY non-essential terms
+    are never accumulated. Result is provably the exact top-k — the chain
+    score ≤ Σ_nonessential ub < θ0 ≤ true k-th score is strict, so pruned
+    docs can't even tie — and scores stay bit-identical (same per-doc
+    term-ordered sums). This is the flat-index analog of block-max WAND.
+    """
+    if pdf.empty:
+        return _empty_result()
+    decoded, max_impact = decode_shard_rows(pdf, n_shards, shard)
+    return score_decoded(decoded, max_impact, idf, avgdl, k1, b, k, mode,
+                         n_query_terms, prune=prune, excluded=excluded)
 
 
 class SearchEngine:
@@ -562,6 +617,11 @@ class SearchEngine:
           mixer-sort bug): Lucene rewrites multi-term queries to
           CONSTANT-score; we score expansions as regular BM25 OR clauses.
           ``field:value*`` prefixes expand within the field's term space.
+        - ``[a TO b]`` / ``{a TO b}`` (classic TermRangeQuery, optionally
+          ``field:``-qualified; ``*`` = open bound): expands to the
+          dictionary terms inside the lexicographic range — bounds pushed
+          into the term-sorted dictionary scan; same cap, confinement and
+          BM25-scored-expansion rules as wildcards.
         Quoted phrases are the third classic operator — see
         :meth:`search_phrase`.
         """
@@ -588,7 +648,7 @@ class SearchEngine:
                 for t in terms:
                     boosts[t] = max(boosts.get(t, 1.0), boost)
 
-        for chunk in (query or "").split():
+        for chunk in fold_ranges(query).split():
             neg = chunk.startswith("-") and len(chunk) > 1
             body = chunk[1:] if neg else chunk
             boost = 1.0
@@ -599,6 +659,10 @@ class SearchEngine:
                     body = head
                 except ValueError:
                     pass  # not a boost suffix; treat '^' as punctuation
+            rng = parse_range(body)
+            if rng is not None:  # before wildcard: '[a TO *]' carries '*'
+                _add(set(self._expand_range(rng)), neg, boost)
+                continue
             fz = _fuzzy_suffix(body)
             if fz is not None:
                 raw, me = fz
@@ -631,7 +695,7 @@ class SearchEngine:
 
     @staticmethod
     def _has_wildcard(query: str) -> bool:
-        for chunk in (query or "").split():
+        for chunk in fold_ranges(query).split():
             body = chunk[1:] if chunk.startswith("-") else chunk
             if "^" in body:  # strip a boost suffix (same rule as the parser)
                 head, _, tail = body.rpartition("^")
@@ -640,6 +704,8 @@ class SearchEngine:
                     body = head
                 except ValueError:
                     pass
+            if parse_range(body) is not None:  # ranges are multi-term too
+                return True
             if _has_wild(body):
                 return True
             if _fuzzy_suffix(body) is not None:
@@ -763,6 +829,11 @@ class SearchEngine:
         the field (same confinement rule as prefix/fuzzy). Capped at
         ``max_expansions`` by (df desc, term asc); trailing-star-only
         patterns take the cheaper pure-prefix path in the parser instead."""
+        return [r["term"] for r in self._wildcard_frame(pattern).collect()]
+
+    def _wildcard_frame(self, pattern: str):
+        """The wildcard expansion as a DataFrame (pre-collect) — the plan
+        :func:`_expand_wildcard` executes; also captured in PLANS.md."""
         import re as _re
 
         from pyspark.sql import functions as F
@@ -792,14 +863,57 @@ class SearchEngine:
         flt = flt.where(F.col("term").rlike(rx))
         if bare:
             flt = flt.where(~F.col("term").contains(":"))
-        rows = (
+        return (
             flt.groupBy("term")
             .agg(F.sum("df").alias("df"))
             .orderBy(F.desc("df"), F.asc("term"))
             .limit(self.max_expansions)
-            .collect()
         )
-        return [r["term"] for r in rows]
+
+    def _expand_range(self, rng: tuple) -> list[str]:
+        """Dictionary terms inside a classic TermRangeQuery
+        ``field:[lo TO hi]`` / ``{lo TO hi}`` (mixed/open bounds allowed,
+        ``*`` = unbounded), top ``max_expansions`` by (df desc, term asc).
+        Both bounds are PUSHED as range predicates into the term-sorted
+        dictionary scan (row-group min/max pruning — never a vocab read
+        beyond the range). Bounds are raw — case-sensitive, unanalyzed,
+        like every other multi-term expansion (Lucene classic default
+        ``analyzeRangeTerms=false``);
+        bare ranges never match ``field:token`` terms, ``field:[..]``
+        ranges expand only within that field's term space (the same
+        confinement rule as prefix/fuzzy/wildcard). A range on a field the
+        index was not built with matches nothing (Lucene: a TermRangeQuery
+        on an absent field has no postings)."""
+        return [r["term"] for r in self._range_frame(rng).collect()]
+
+    def _range_frame(self, rng: tuple):
+        """The range expansion as a DataFrame (pre-collect) — the plan
+        :func:`_expand_range` executes; also captured in PLANS.md."""
+        from pyspark.sql import functions as F
+
+        field, lo, hi, inc_lo, inc_hi = rng
+        fields = set(self.stats.get("field_cols", ()) or ())
+        dic = self.spark.read.parquet(self.dict_path)
+        if field is not None and field not in fields:
+            return (dic.where(F.lit(False)).groupBy("term")
+                    .agg(F.sum("df").alias("df")))
+        pre = f"{field}:" if field else ""
+        flt = (dic.where(F.col("term").startswith(pre)) if field
+               else dic.where(~F.col("term").contains(":")))
+        if lo is not None:
+            key = pre + lo
+            flt = flt.where(F.col("term") >= key if inc_lo
+                            else F.col("term") > key)
+        if hi is not None:
+            key = pre + hi
+            flt = flt.where(F.col("term") <= key if inc_hi
+                            else F.col("term") < key)
+        return (
+            flt.groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(self.max_expansions)
+        )
 
     # --------------------------------------------------- boolean trees
 
@@ -842,6 +956,8 @@ class SearchEngine:
                 return tuple(self._expand_fuzzy(head, me))
             if leaf.kind == "wildcard":
                 return tuple(self._expand_wildcard(leaf.payload))
+            if leaf.kind == "range":
+                return tuple(self._expand_range(leaf.payload))
             raise ValueError(f"unknown leaf kind {leaf.kind!r}")
 
         def conv(nd, scoring: bool):
@@ -906,7 +1022,7 @@ class SearchEngine:
         idf = {t: v for t, v in idf_all.items() if t in sterms}
         stats = self.stats
         S = int(stats["n_shards"])
-        routed = self._routed(cand, S)
+        routed = self._pin_groups(self._routed(cand, S), S, "shard")
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             sh = int(pdf["shard"].iloc[0]) if len(pdf) else 0
@@ -930,6 +1046,19 @@ class SearchEngine:
             "shard", F.explode(F.sequence(F.lit(0), F.lit(S - 1)))
         )
         return salted.unionByName(unsalted)
+
+    @staticmethod
+    def _pin_groups(df, n: int, *keys: str):
+        """Hash-cluster ``df`` on the kernel group keys with an EXPLICIT
+        partition count. AQE's partition coalescing sizes by shuffle BYTES,
+        but kernel groups are a few KB of packed blobs carrying seconds of
+        CPU (varint decode + BM25 over every posting) — letting AQE merge
+        them serializes the kernel (measured: 16 shard groups coalesced to
+        3 tasks, 3.9 s instead of ~1.2 s at 8 cores). A user-specified
+        repartition is exempt from AQE coalescing and already satisfies the
+        groupBy's clustered-distribution requirement, so no extra exchange
+        is inserted."""
+        return df.repartition(n, *keys)
 
     def _cache_scoped(self, df):
         """Cache a candidate frame for reuse within ONE query (df aggregate
@@ -1130,10 +1259,10 @@ class SearchEngine:
         stats = self.stats
         nq = len(terms)
         S = int(stats["n_shards"])
-        routed = self._routed(cand, S)
+        routed = self._pin_groups(self._routed(cand, S), S, "shard")
 
         if exc:
-            exdf = self._excluded_docs_df(exc)
+            exdf = self._pin_groups(self._excluded_docs_df(exc), S, "shard")
 
             def kernel2(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
                 sh = int(left["shard"].iloc[0]) if len(left) else 0
@@ -1163,18 +1292,26 @@ class SearchEngine:
         return out.limit(k) if k is not None else out
 
     def search_many_df(self, queries: list[str], k: int | None = 10,
-                       mode: str = "or", expand_fields: bool = False):
+                       mode: str = "or", expand_fields: bool = False,
+                       block_queries: int = 64, max_blocks: int = 64):
         """Batched multi-query search: a whole query SET scored as ONE
         distributed job — the offline-eval / query-log-replay shape.
         Returns a DataFrame (query, doc_id, score, n_match, rank) with
         per-query exact top-k (rank 1..k by score desc, doc_id asc).
 
         Physical plan: one bucket-pruned candidate scan for the UNION of
-        every query's terms, one shard shuffle, per-shard kernels scoring
-        EVERY query against their doc slice, per-query top-k via window
-        rank. Per-query results are bit-identical to :meth:`search_df`
-        (same candidate rows, same df-summed idf, same term-ordered float64
-        accumulation, MaxScore pruning per query stays exact per shard).
+        every query's terms, one shuffle clustered on ``(shard, qblock)``
+        — queries are round-robined into B = ⌈Q/block_queries⌉ blocks
+        (≤ ``max_blocks``) and the candidate rows fan out to every block,
+        so kernel parallelism is S×B tasks, not capped at n_shards. Each
+        kernel group decodes its shard's packed blobs ONCE
+        (:func:`decode_shard_rows`) and scores its block's queries from the
+        shared arrays (:func:`score_decoded`) — terms shared across queries
+        (the common case in a batch) are never re-decoded. Per-query top-k
+        via window rank. Per-query results are bit-identical to
+        :meth:`search_df` (same candidate rows, same df-summed idf, same
+        term-ordered float64 accumulation, MaxScore pruning per query stays
+        exact per shard).
 
         Scale rationale (BENCH/BASELINE.md query-set study): Q sequential
         requests pay Q× fixed per-request cost (scan setup, job scheduling,
@@ -1182,10 +1319,13 @@ class SearchEngine:
         submitter fan-out rather than cores. Batching amortizes those fixed
         costs across the set — roughly one request's scan + Q cheap kernel
         passes — so throughput scales with executors like any other
-        shuffle-partitioned job. Duplicate query strings are deduped (the
-        output key is the query text). Prohibit terms run through the same
-        distributed per-query anti-sets as :meth:`search_df` — no doc_ids
-        reach the driver."""
+        shuffle-partitioned job. The block fan-out trade-off: ×B shuffle
+        bytes of (tiny) packed candidate rows buys S×B-way CPU parallelism
+        over the decode+score work that dominates; ``max_blocks`` bounds
+        the fan-out. Duplicate query strings are deduped (the output key is
+        the query text). Prohibit terms run through the same distributed
+        per-query anti-sets as :meth:`search_df` — no doc_ids reach the
+        driver."""
         from functools import reduce
 
         from pyspark.sql import Window
@@ -1219,29 +1359,45 @@ class SearchEngine:
         stats = self.stats
         S = int(stats["n_shards"])
         avgdl, k1, b = stats["avgdl"], stats["k1"], stats["b"]
-        routed = self._routed(cand, S)
         scorable = {q for q, *_ in qspecs}
 
-        def _score_all(pdf: pd.DataFrame, sh: int,
-                       excl_by_q: dict) -> pd.DataFrame:
+        # round-robin queries into blocks; candidates fan out to every block
+        # so the group key (shard, qblock) spreads the kernel S×B wide
+        B = max(1, min(math.ceil(len(qspecs) / block_queries), max_blocks))
+        blocks: list[list] = [[] for _ in range(B)]
+        qblock_of: dict[str, int] = {}
+        for i, spec in enumerate(qspecs):
+            blocks[i % B].append(spec)
+            qblock_of[spec[0]] = i % B
+        routed = self._routed(cand, S).withColumn(
+            "qblock",
+            F.explode(F.sequence(F.lit(0), F.lit(B - 1))),
+        )
+        routed = self._pin_groups(routed, S * B, "shard", "qblock")
+
+        def _empty_batch() -> pd.DataFrame:
+            return pd.DataFrame({
+                "query": pd.Series(dtype=object),
+                "doc_id": pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="float64"),
+                "n_match": pd.Series(dtype="int32"),
+            })
+
+        def _score_block(pdf: pd.DataFrame, sh: int, qb: int,
+                         excl_by_q: dict) -> pd.DataFrame:
+            decoded, max_impact = decode_shard_rows(pdf, n_shards=S, shard=sh)
             outs = []
-            for q, tset, idf, nq in qspecs:
-                sub = pdf[pdf["term"].isin(tset)]
-                if sub.empty:
+            for q, tset, idf, nq in blocks[qb]:
+                sub = {t: decoded[t] for t in tset if t in decoded}
+                if not sub:
                     continue
-                r = score_shard(sub, idf, avgdl, k1, b, k, mode, nq,
-                                n_shards=S, shard=sh,
-                                excluded=excl_by_q.get(q))
+                r = score_decoded(sub, max_impact, idf, avgdl, k1, b, k,
+                                  mode, nq, excluded=excl_by_q.get(q))
                 if len(r):
                     r.insert(0, "query", q)
                     outs.append(r)
             if not outs:
-                return pd.DataFrame({
-                    "query": pd.Series(dtype=object),
-                    "doc_id": pd.Series(dtype="int64"),
-                    "score": pd.Series(dtype="float64"),
-                    "n_match": pd.Series(dtype="int32"),
-                })
+                return _empty_batch()
             return pd.concat(outs, ignore_index=True)
 
         exq = [(q, exc) for q, _t, _b2, exc in specs
@@ -1249,30 +1405,39 @@ class SearchEngine:
         if exq:
             exdf = reduce(
                 lambda a, c: a.unionByName(c),
-                [self._excluded_docs_df(exc).withColumn("query", F.lit(q))
+                [self._excluded_docs_df(exc)
+                 .withColumn("query", F.lit(q))
+                 .withColumn("qblock", F.lit(qblock_of[q]))
                  for q, exc in exq],
             )
+            exdf = self._pin_groups(exdf, S * B, "shard", "qblock")
 
             def kernel2(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-                sh = int(left["shard"].iloc[0]) if len(left) else 0
+                if not len(left):
+                    return _empty_batch()
+                sh = int(left["shard"].iloc[0])
+                qb = int(left["qblock"].iloc[0])
                 excl_by_q = {
                     q: np.unique(g["doc_id"].to_numpy(dtype=np.int64))
                     for q, g in right.groupby("query")
                 } if len(right) else {}
-                return _score_all(left, sh, excl_by_q)
+                return _score_block(left, sh, qb, excl_by_q)
 
             scored = (
-                routed.groupBy("shard")
-                .cogroup(exdf.groupBy("shard"))
+                routed.groupBy("shard", "qblock")
+                .cogroup(exdf.groupBy("shard", "qblock"))
                 .applyInPandas(kernel2, BATCH_RESULT_SCHEMA)
             )
         else:
 
             def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-                sh = int(pdf["shard"].iloc[0]) if len(pdf) else 0
-                return _score_all(pdf, sh, {})
+                if not len(pdf):
+                    return _empty_batch()
+                sh = int(pdf["shard"].iloc[0])
+                qb = int(pdf["qblock"].iloc[0])
+                return _score_block(pdf, sh, qb, {})
 
-            scored = routed.groupBy("shard").applyInPandas(
+            scored = routed.groupBy("shard", "qblock").applyInPandas(
                 kernel, BATCH_RESULT_SCHEMA)
         w = Window.partitionBy("query").orderBy(
             F.desc("score"), F.asc("doc_id"))
@@ -1341,7 +1506,7 @@ class SearchEngine:
             return empty
         stats = self.stats
         S = int(stats["n_shards"])
-        routed = self._routed(cand, S)
+        routed = self._pin_groups(self._routed(cand, S), S, "shard")
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             sh = int(pdf["shard"].iloc[0]) if len(pdf) else 0

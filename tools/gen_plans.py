@@ -107,6 +107,50 @@ def main() -> None:
         cap(eng.list_by_attr("source", "src3")),
     ))
 
+    SECTIONS.append((
+        "batched multi-query search (one scan + one shuffle for a query SET)",
+        "search_many_df scores every query in ONE job: a single bucket-"
+        "pruned candidate scan for the UNION of all queries' terms, one "
+        "Exchange clustered on (shard, qblock) — queries round-robin into "
+        "B blocks and candidates fan out to every block, so the "
+        "FlatMapGroupsInPandas kernel runs S×B ways (an explicit "
+        "repartition pins the task count: AQE would coalesce these "
+        "few-KB-but-CPU-heavy groups by bytes). Each group decodes its "
+        "shard's packed blobs ONCE and scores its block's queries from the "
+        "shared arrays; then a per-query window top-k. Q queries ≈ one "
+        "query's scan + Q cheap accumulate passes, instead of Q full jobs.",
+        cap(eng.search_many_df(
+            ["spark join", "merge sort", "slow scan", "filter group"], k=10)),
+    ))
+
+    SECTIONS.append((
+        "general wildcard expansion (pushed longest-literal prefix + regex)",
+        "A `s*a?` pattern pushes its longest literal prefix before the "
+        "first wildcard as StringStartsWith into the term-sorted dictionary "
+        "scan (row-group pruning); the anchored regex filters only the "
+        "pruned rows. Leading wildcards are rejected at parse time.",
+        cap(eng._wildcard_frame("s*a?")),
+    ))
+
+    SECTIONS.append((
+        "range expansion (classic TermRangeQuery, pushed lexicographic bounds)",
+        "`[lo TO hi]` pushes BOTH bounds as GreaterThanOrEqual/LessThanOrEqual "
+        "(or strict) filters into the term-sorted dictionary scan — parquet "
+        "row-group min/max pruning reads only the range's slice of the vocab, "
+        "never a full scan. Bare ranges additionally exclude field-qualified "
+        "terms; field ranges push the `field:` prefix as StringStartsWith.",
+        cap(eng._range_frame((None, "scan", "sparkz", True, True))),
+    ))
+
+    SECTIONS.append((
+        "fuzzy expansion probe (n-gram table, g1 dir pruning + gram pushdown)",
+        "term~N probes the prebuilt fuzzy_ngrams/ table: `g1=` partition "
+        "pruning at file-listing time plus a pushed `gram IN (...)` filter "
+        "— only the query's own bigram buckets are read, never the vocab; "
+        "a JVM levenshtein re-verifies the (tiny) candidate set exactly.",
+        cap(eng._fuzzy_gram_candidates("spark", 1)),
+    ))
+
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     from polaris_spark.ops.similarity import cosine_topk
 
