@@ -341,11 +341,15 @@ def bool_scores_sql(query: str, table: str = "documents",
     leaves: list[tuple] = []  # (qt_sql, boost, scoring)
 
     def leaf_qt(leaf: Leaf) -> str:
+        # engine parse_bool.resolve mirror incl. the f:(...) group scope
+        gf = leaf.group_field if leaf.group_field in fields else None
         if leaf.kind == "chunk":
             body = leaf.payload
             f, _, rest = body.partition(":")
             if rest and f in fields:
                 terms = sorted({f"{f}:{t}" for t in tokenize(rest)})
+            elif gf:
+                terms = sorted({f"{gf}:{t}" for t in tokenize(body)})
             else:
                 toks = set(tokenize(body))
                 terms = set(toks)
@@ -358,12 +362,16 @@ def bool_scores_sql(query: str, table: str = "documents",
         if leaf.kind == "prefix":
             raw = leaf.payload
             f, _, rest = raw.partition(":")
-            pref = f"{f}:{rest}" if (rest and f in fields) else raw
+            pref = (f"{f}:{rest}" if (rest and f in fields)
+                    else f"{gf}:{raw}" if gf else raw)
             lit = pref.replace("'", "''")
             cond = f"starts_with(term, '{lit}')"
             if ":" not in pref:
                 cond += " AND NOT contains(term, ':')"
         elif leaf.kind == "fuzzy":
+            if gf:
+                raise ValueError("fuzzy terms are not supported inside "
+                                 "field groups")
             raw, me = leaf.payload
             lit = raw.replace("'", "''")
             cond = (
@@ -374,9 +382,14 @@ def bool_scores_sql(query: str, table: str = "documents",
         elif leaf.kind == "wildcard":
             pat = leaf.payload
             f, _, rest = pat.partition(":")
+            if gf and not (rest and f in fields):
+                pat = f"{gf}:{pat}"
+                f, _, rest = pat.partition(":")
             cond = _wild_cond(pat, bare=not (rest and f in fields))
         elif leaf.kind == "range":
             f, lo, hi, ilo, ihi = leaf.payload
+            if gf and f is None:
+                f = gf
             cond = _range_cond(f or "", lo or "", hi or "", ilo, ihi,
                                known=f is None or f in fields)
         else:  # pragma: no cover

@@ -94,6 +94,11 @@ class Leaf:
     kind ∈ {"chunk", "prefix", "fuzzy", "wildcard", "range"}:
     - "range": classic TermRangeQuery ``field:[a TO b]``; payload is
       :func:`parse_range`'s ``(field, lo, hi, inc_lo, inc_hi)``.
+
+    ``group_field`` carries the classic field-group scope (``f:(a OR b)``
+    sets it to ``f`` on every leaf of the group that has no explicit field
+    of its own — inner ``f2:x`` wins over the enclosing group, like
+    Lucene). Resolution (engine / oracle) applies it per leaf kind.
     - "chunk": plain text to tokenize (may be ``field:value``); payload is
       the raw body string.
     - "prefix": trailing-star-only wildcard; payload is the raw prefix
@@ -106,6 +111,7 @@ class Leaf:
     kind: str
     payload: object
     boost: float = 1.0
+    group_field: str | None = None
 
 
 @dataclass
@@ -124,6 +130,18 @@ def _leaf_scale(self: Leaf, f: float) -> None:
 
 
 Leaf.scale_boost = _leaf_scale  # type: ignore[attr-defined]
+
+
+def _set_group_field(root, fld: str) -> None:
+    """Scope a parsed group to ``fld`` (classic ``f:(...)``): set on every
+    descendant leaf that has no field of its own yet — nested groups and
+    explicitly-fielded leaves win."""
+    if isinstance(root, Leaf):
+        if root.group_field is None:
+            root.group_field = fld
+        return
+    for ch in (*root.must, *root.should, *root.must_not):
+        _set_group_field(ch, fld)
 
 
 def has_operators(query: str) -> bool:
@@ -260,6 +278,15 @@ class _Parser:
         t = self.peek()
         if t is None or t == ")":
             raise ValueError("expected a clause")
+        grp_field = None
+        if (t.endswith(":") and len(t) > 1 and ":" not in t[:-1]
+                and self.i + 1 < len(self.toks)
+                and self.toks[self.i + 1] == "("):
+            # classic field group `f:(...)` — the lexer split `f:` off the
+            # paren; scope the group's leaves to f below
+            grp_field = t[:-1]
+            self.next()
+            t = self.peek()
         if t == "(":
             self.next()
             inner = self.expr()
@@ -273,6 +300,8 @@ class _Parser:
                     inner.scale_boost(f)
                 except ValueError:
                     pass  # '^garbage' after a group: not a boost token
+            if grp_field is not None:
+                _set_group_field(inner, grp_field)
             return inner
         self.next()
         if '"' in t:

@@ -936,11 +936,18 @@ class SearchEngine:
         leaves: list[tuple] = []
 
         def resolve(leaf: bq.Leaf) -> tuple:
+            # classic field-group scope f:(...) — applies to leaves without
+            # an explicit field of their own; unknown group fields are
+            # ignored (leaves resolve bare, like unknown field: prefixes)
+            gf = leaf.group_field if leaf.group_field in fields else None
             if leaf.kind == "chunk":
                 body = leaf.payload
                 f, _, rest = body.partition(":")
                 if rest and f in fields:
                     return tuple(sorted({f"{f}:{t}" for t in tokenize(rest)}))
+                if gf:
+                    return tuple(sorted({f"{gf}:{t}"
+                                         for t in tokenize(body)}))
                 toks = set(tokenize(body))
                 terms = set(toks)
                 if expand_fields:
@@ -949,15 +956,28 @@ class SearchEngine:
             if leaf.kind == "prefix":
                 raw = leaf.payload
                 f, _, rest = raw.partition(":")
-                pref = f"{f}:{rest}" if (rest and f in fields) else raw
+                pref = (f"{f}:{rest}" if (rest and f in fields)
+                        else f"{gf}:{raw}" if gf else raw)
                 return tuple(self._expand_prefix(pref))
             if leaf.kind == "fuzzy":
+                if gf:
+                    raise ValueError(
+                        "fuzzy terms are not supported inside field groups "
+                        "(the fuzzy expansion space is unfielded)"
+                    )
                 head, me = leaf.payload
                 return tuple(self._expand_fuzzy(head, me))
             if leaf.kind == "wildcard":
-                return tuple(self._expand_wildcard(leaf.payload))
+                pat = leaf.payload
+                f, _, rest = pat.partition(":")
+                if gf and not (rest and f in fields):
+                    pat = f"{gf}:{pat}"
+                return tuple(self._expand_wildcard(pat))
             if leaf.kind == "range":
-                return tuple(self._expand_range(leaf.payload))
+                fld, lo, hi, ilo, ihi = leaf.payload
+                if gf and fld is None:
+                    fld = gf
+                return tuple(self._expand_range((fld, lo, hi, ilo, ihi)))
             raise ValueError(f"unknown leaf kind {leaf.kind!r}")
 
         def conv(nd, scoring: bool):

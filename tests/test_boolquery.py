@@ -62,6 +62,32 @@ def test_parser_shapes():
     assert has_operators("a AND b") and has_operators("(a b)")
     assert has_operators("+a b") and not has_operators("a -b c^2")
 
+
+def test_parser_field_groups():
+    # classic field group f:(...) scopes every bare leaf inside
+    r = parse("source:(a OR b*) x")
+    grp, bare = r.should
+    assert isinstance(grp, Node) and len(grp.should) == 2
+    assert grp.should[0].group_field == "source"
+    assert grp.should[1].group_field == "source"
+    assert grp.should[1].kind == "prefix"
+    assert bare.group_field is None
+
+    # nested explicit field is kept on the leaf (resolution prefers it)
+    r2 = parse("lang:(en OR source:src3)")
+    inner = r2.should[1]
+    assert inner.group_field == "lang" and inner.payload == "source:src3"
+
+    # boost after the group still parses; scope survives
+    r3 = parse("tool:(a b)^2")
+    assert all(lf.group_field == "tool" and lf.boost == 2.0
+               for lf in r3.should)
+
+    # nested sub-group inherits the enclosing scope
+    r4 = parse("tool:((a OR b) AND c)")
+    leaves = [*r4.must[0].should, r4.must[1]]
+    assert all(lf.group_field == "tool" for lf in leaves)
+
     for bad in ["(a", "a)", "a AND", "a OR", '"x y" z', "*lead", "te*st AND *x"]:
         with pytest.raises(ValueError):
             parse(bad)

@@ -123,3 +123,73 @@ def test_expand_fields_multifield_or(feng):
     assert inc == ["role:assistant"]
     inc2, _ = feng.parse_query("assistant", expand_fields=True)
     assert set(inc2) == {"assistant", "role:assistant", "tool:assistant"}
+
+
+# ----------------------------------------------- classic field groups f:(...)
+
+def _bids(hits):
+    return {h["doc_id"] for h in hits}
+
+
+def test_field_group_semantics(feng):
+    """Classic ``f:(a OR b)`` groups (MultiFieldQueryParser surface,
+    reference SourceDbImpl.java:135-139): the field scopes every bare leaf
+    inside the group; explicit inner fields win; unknown group fields fall
+    back to bare resolution (same policy as unknown ``field:`` prefixes)."""
+    assert _bids(feng.search_bool("tool:(web.search OR read_file)",
+                                  k=None)) == {1, 2, 3}
+    assert _bids(feng.search_bool("role:(user OR tool)", k=None)) == {3, 4}
+    # explicit inner field wins over the group scope
+    assert _bids(feng.search_bool("role:(user tool:web.search)",
+                                  k=None)) == {2, 3, 4}
+    # prefix / wildcard / range leaves inherit the scope
+    assert _bids(feng.search_bool("tool:(web* OR zzz)", k=None)) == {2, 3}
+    assert _bids(feng.search_bool("tool:(w?b)", k=None)) == {2, 3}
+    assert _bids(feng.search_bool("role:([assistant TO tool])",
+                                  k=None)) == {1, 2, 3}
+    # unknown group field → leaves resolve bare
+    assert _bids(feng.search_bool("bogus:(error)", k=None)) == {1, 2}
+    # group composes with the boolean tree
+    assert _bids(feng.search_bool("role:(assistant) AND error -tool:read_file",
+                                  k=None)) == {2}
+    # fuzzy inside a field group is rejected (unfielded expansion space)
+    with pytest.raises(ValueError, match="field group"):
+        feng.search_bool("tool:(web~1)", k=None)
+
+
+def test_field_group_driver_distributed_parity(feng):
+    for q in ["tool:(web.search OR read_file)",
+              "role:(user tool:web.search)",
+              "tool:(web* OR zzz) AND error",
+              "role:([assistant TO tool]) -tool:read_file"]:
+        a = [(h["doc_id"], h["score"], h["n_match"])
+             for h in feng.search_bool(q, k=None)]
+        b = [(r["doc_id"], r["score"], r["n_match"])
+             for r in feng.search_bool_df(q, k=None).collect()]
+        assert a == b, q
+
+
+def test_field_group_oracle_parity(feng):
+    import duckdb
+
+    from polaris_spark.gate import bool_scores_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE fixture (doc_id BIGINT, text VARCHAR, role VARCHAR, "
+        "tool VARCHAR)")
+    con.executemany("INSERT INTO fixture VALUES (?, ?, ?, ?)", DOCS)
+    for q in ["tool:(web.search OR read_file)",
+              "role:(user OR tool)",
+              "role:(user tool:web.search)",
+              "tool:(web* OR zzz)",
+              "tool:(w?b)",
+              "role:([assistant TO tool])",
+              "bogus:(error)",
+              "role:(assistant) AND error -tool:read_file"]:
+        got = {(h["doc_id"], round(h["score"] * 10000))
+               for h in feng.search_bool(q, k=None)}
+        want = set(con.execute(
+            bool_scores_sql(q, table="fixture",
+                            field_cols=("role", "tool"))).fetchall())
+        assert got == want, q
