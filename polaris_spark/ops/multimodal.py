@@ -1,17 +1,29 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` + typed metadata.
 
 The Spark-side plumbing — schemas, Arrow batch iteration via ``mapInPandas``,
-partitioning by modality, explode-per-frame — is REAL and tested. The actual
-media decoding is STUBBED: the container has no image/audio libraries, so
-``decode_features`` uses a deterministic byte-level fake, and
-``decode_image``/``decode_audio`` raise ``NotImplementedError`` unless
-PIL/soundfile are importable (import-gated). Swapping in a real decoder only
-changes the per-batch kernel body; schema, batch shape and partitioning stay.
+partitioning by modality, explode-per-frame — is REAL and tested, and so is
+the decode path for the uncompressed container formats, implemented
+numpy-native right here (no external media libraries needed):
+
+- **BMP** (24-bit BGR + 8-bit grayscale): :func:`decode_bmp` /
+  :func:`encode_bmp` — header parse, row padding, bottom-up flip.
+- **WAV** (PCM 16/8-bit, RIFF): :func:`decode_wav` / :func:`encode_wav` —
+  chunk walk, interleaved-channel reshape.
+
+Real kernels built on them: :func:`image_featurizer` (grayscale histogram),
+:func:`audio_featurizer` (8-band spectral energy via rfft),
+:func:`bmp_resizer` (nearest-neighbor resample). COMPRESSED codecs
+(png/jpeg/flac/mp4) remain import-gated on PIL/soundfile, which this
+container lacks — :func:`media_featurizer` sniffs magic bytes and falls
+back to the deterministic byte-level stub for those, so the pipeline is
+total over arbitrary payloads. Swapping a codec only changes the per-batch
+kernel body; schema, batch shape and partitioning stay.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -47,6 +59,144 @@ def synth_assets(spark, n: int = 100, seed: int = 42):
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 
+# --------------------------------------------------------------- codecs
+# Real, numpy-native decode/encode for the uncompressed formats. At 100 TB
+# these run inside Arrow-batched mapInPandas kernels (below) — per-batch
+# Python dispatch, per-asset numpy work, zero per-row Spark overhead.
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Decode an uncompressed BMP (BITMAPINFOHEADER; 24-bit BGR or 8-bit
+    grayscale-palette) → uint8 array of shape (H, W, 3) RGB. Handles
+    4-byte row padding and bottom-up row order. Raises ValueError on
+    non-BMP / compressed / unsupported depth."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", data, 10)[0]
+    hsz, w, h = struct.unpack_from("<Iii", data, 14)
+    if hsz < 40:
+        raise ValueError(f"unsupported BMP header size {hsz}")
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    comp = struct.unpack_from("<I", data, 30)[0]
+    if comp != 0:
+        raise ValueError(f"compressed BMP (method {comp}) unsupported")
+    flip = h > 0
+    h = abs(h)
+    if bpp == 24:
+        stride = (w * 3 + 3) & ~3
+        px = np.frombuffer(data, np.uint8, stride * h, off)
+        px = px.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        rgb = px[:, :, ::-1]  # BGR → RGB
+    elif bpp == 8:
+        ncol = struct.unpack_from("<I", data, 46)[0] or 256
+        pal = np.frombuffer(data, np.uint8, ncol * 4, 14 + hsz)
+        pal = pal.reshape(ncol, 4)[:, :3][:, ::-1]  # BGRA → RGB
+        stride = (w + 3) & ~3
+        idx = np.frombuffer(data, np.uint8, stride * h, off)
+        rgb = pal[idx.reshape(h, stride)[:, :w]]
+    else:
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    return (rgb[::-1] if flip else rgb).copy()
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """uint8 (H, W, 3) RGB → 24-bit uncompressed BMP bytes (bottom-up,
+    4-byte row padding) — the exact inverse of :func:`decode_bmp`."""
+    arr = np.asarray(rgb, dtype=np.uint8)
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # flip + RGB→BGR
+    body = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    return header + info + body
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode a RIFF/WAVE PCM payload (16-bit signed or 8-bit unsigned) →
+    (samples, sample_rate); samples are float64 in [-1, 1], shape
+    (n_samples,) mono or (n_samples, n_channels). Walks the chunk list
+    (fmt/data may be preceded by LIST etc.). Raises ValueError on
+    non-WAV / non-PCM payloads."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        cid, sz = data[pos:pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8: pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            raw = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    codec, nch, rate, _bps, _align, bits = fmt
+    if codec != 1:
+        raise ValueError(f"non-PCM WAV (format {codec}) unsupported")
+    if bits == 16:
+        s = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
+    elif bits == 8:
+        s = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV bit depth {bits}")
+    if nch > 1:
+        s = s[: len(s) - len(s) % nch].reshape(-1, nch)
+    return s, rate
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """float64 [-1, 1] (mono or (n, ch)) → 16-bit PCM WAV bytes — the
+    exact inverse of :func:`decode_wav` (up to int16 quantization)."""
+    arr = np.asarray(samples, dtype=np.float64)
+    nch = 1 if arr.ndim == 1 else arr.shape[1]
+    pcm = np.clip(np.round(arr * 32768.0), -32768, 32767).astype("<i2")
+    body = pcm.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, nch, rate, rate * nch * 2, nch * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(body)) + body)
+
+
+def synth_media_assets(spark, n: int = 60, seed: int = 42):
+    """Deterministic REAL media payloads: BMP gradients+noise (image),
+    PCM sine-mix WAVs (audio), and opaque md5-chain blobs (video — stands
+    in for a compressed container, exercising the stub fallback). Same
+    schema as :func:`synth_assets`; every image/audio payload round-trips
+    through :func:`decode_bmp` / :func:`decode_wav`."""
+    rows = []
+    for i in range(n):
+        kind = KINDS[i % 3]
+        rng = np.random.default_rng(seed * 100_003 + i)
+        if kind == "image":
+            w, h = 16 + (i % 5) * 8, 16 + ((i * 3) % 5) * 8
+            grad = np.linspace(0, 255, w)[None, :] * np.ones((h, 1))
+            px = np.clip(grad[..., None] + rng.integers(0, 64, (h, w, 3)),
+                         0, 255).astype(np.uint8)
+            data, meta = encode_bmp(px), {
+                "width": w, "height": h, "sample_rate": None,
+                "duration_ms": None, "format": "bmp"}
+        elif kind == "audio":
+            rate, dur_ms = 8000, 250 + (i % 4) * 125
+            t = np.arange(int(rate * dur_ms / 1000)) / rate
+            f0 = 200.0 + (i % 7) * 110.0
+            s = 0.6 * np.sin(2 * np.pi * f0 * t) \
+                + 0.25 * np.sin(2 * np.pi * 2.5 * f0 * t) \
+                + 0.05 * rng.standard_normal(len(t))
+            data, meta = encode_wav(np.clip(s, -1, 1), rate), {
+                "width": None, "height": None, "sample_rate": rate,
+                "duration_ms": dur_ms, "format": "wav"}
+        else:
+            blob = hashlib.md5(f"{seed}|{i}".encode()).digest()
+            data, meta = (blob * 200)[: 2048 + i * 13], {
+                "width": None, "height": None, "sample_rate": None,
+                "duration_ms": 1000 + i * 10, "format": "mp4"}
+        rows.append((i, kind, bytearray(data), meta))
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
 def stub_featurizer(data: bytes) -> list[float]:
     """STUB per-asset featurizer: deterministic byte-histogram moments.
     Same signature as a real one (bytes → FEATURE_DIM floats)."""
@@ -54,6 +204,62 @@ def stub_featurizer(data: bytes) -> list[float]:
     hist = np.histogram(arr, bins=FEATURE_DIM, range=(0, 256))[0]
     total = hist.sum() or 1
     return (hist / total).round(6).tolist()
+
+
+def image_featurizer(data: bytes) -> list[float]:
+    """REAL image featurizer over decoded pixels (BMP path, numpy-native):
+    grayscale luminance histogram, FEATURE_DIM bins, L1-normalized — same
+    contract as :func:`stub_featurizer` (bytes → FEATURE_DIM floats)."""
+    rgb = decode_bmp(data)
+    gray = rgb @ np.array([0.299, 0.587, 0.114])
+    hist = np.histogram(gray, bins=FEATURE_DIM, range=(0, 256))[0]
+    total = hist.sum() or 1
+    return (hist / total).round(6).tolist()
+
+
+def audio_featurizer(data: bytes) -> list[float]:
+    """REAL audio featurizer over decoded samples (WAV/PCM path):
+    FEATURE_DIM log-spaced spectral-band energies (rfft power, L1-norm) —
+    same contract as :func:`stub_featurizer`."""
+    s, _rate = decode_wav(data)
+    if s.ndim > 1:
+        s = s.mean(axis=1)
+    if not len(s):
+        return [0.0] * FEATURE_DIM
+    p = np.abs(np.fft.rfft(s)) ** 2
+    edges = np.unique(np.geomspace(1, len(p), FEATURE_DIM + 1).astype(int))
+    bands = np.add.reduceat(p, np.r_[0, edges[:-1]])[:FEATURE_DIM]
+    bands = np.pad(bands, (0, FEATURE_DIM - len(bands)))
+    total = bands.sum() or 1.0
+    return (bands / total).round(6).tolist()
+
+
+def media_featurizer(data: bytes) -> list[float]:
+    """Total featurizer: magic-byte sniff → real BMP/WAV kernel, anything
+    else (compressed codecs this container can't decode) → the
+    deterministic byte-level stub. The swap point production would use to
+    route png/jpeg through PIL stays :func:`decode_features`'s
+    ``featurizer`` argument."""
+    try:
+        if data[:2] == b"BM":
+            return image_featurizer(data)
+        if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+            return audio_featurizer(data)
+    except ValueError:
+        pass  # malformed header: fall through to the byte-level stub
+    return stub_featurizer(data)
+
+
+def bmp_resizer(data: bytes, width: int, height: int) -> bytes:
+    """REAL resize (BMP path): decode, grayscale, nearest-neighbor resample
+    with numpy index maps → w×h luminance bytes — same contract as
+    :func:`stub_resizer` (bytes, w, h → width*height bytes)."""
+    rgb = decode_bmp(data)
+    gray = (rgb @ np.array([0.299, 0.587, 0.114])).astype(np.uint8)
+    h, w = gray.shape
+    yi = (np.arange(height) * h) // height
+    xi = (np.arange(width) * w) // width
+    return gray[np.ix_(yi, xi)].tobytes()
 
 
 def pil_featurizer(data: bytes) -> list[float]:

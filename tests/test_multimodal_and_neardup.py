@@ -161,3 +161,72 @@ def test_real_decoders_are_import_gated(spark):
         pil_featurizer(b"xx")
     with _pytest.raises(NotImplementedError, match="stub"):
         pil_resizer(b"xx", 8, 8)
+
+
+# ------------------------------------------------- real numpy-native codecs
+
+def test_bmp_wav_roundtrip():
+    import numpy as np
+
+    from polaris_spark.ops.multimodal import (decode_bmp, decode_wav,
+                                              encode_bmp, encode_wav)
+
+    rng = np.random.default_rng(11)
+    for w, h in [(5, 3), (16, 16), (33, 7)]:  # odd widths hit row padding
+        px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+    s = np.sin(np.linspace(0, 40, 4000))
+    dec, rate = decode_wav(encode_wav(s, 8000))
+    assert rate == 8000 and np.allclose(dec, s, atol=1 / 32000)
+    st = np.stack([s, -s], axis=1)  # stereo interleave round-trip
+    dec2, _ = decode_wav(encode_wav(st, 8000))
+    assert dec2.shape == st.shape and np.allclose(dec2, st, atol=1 / 32000)
+    with pytest.raises(ValueError):
+        decode_bmp(b"PNG!" + bytes(64))
+    with pytest.raises(ValueError):
+        decode_wav(b"OggS" + bytes(64))
+
+
+def test_real_decode_pipeline_over_spark(spark):
+    """decode_features with the REAL media featurizer over genuine BMP/WAV
+    payloads: image/audio rows go through actual pixel/sample decode
+    (verified against a driver-side reference), video blobs fall back to
+    the byte-level stub — the pipeline is total."""
+    from polaris_spark.ops.multimodal import (FEATURE_DIM, decode_features,
+                                              media_featurizer,
+                                              synth_media_assets)
+
+    assets = synth_media_assets(spark, 30)
+    rows = {r["asset_id"]: r
+            for r in decode_features(assets, featurizer=media_featurizer)
+            .collect()}
+    assert len(rows) == 30
+    for r in assets.collect():
+        want = media_featurizer(bytes(r["data"]))
+        assert rows[r["asset_id"]]["features"] == want
+        assert len(want) == FEATURE_DIM
+
+
+def test_real_resize_over_spark(spark):
+    """resize_images with the REAL nearest-neighbor BMP resizer: output is
+    exactly the driver-side decode+resample of each payload."""
+    import numpy as np
+
+    from polaris_spark.ops.multimodal import (bmp_resizer, decode_bmp,
+                                              resize_images,
+                                              synth_media_assets)
+
+    assets = synth_media_assets(spark, 30)
+    out = {r["asset_id"]: bytes(r["resized"])
+           for r in resize_images(assets, 8, 8, resizer=bmp_resizer)
+           .collect()}
+    imgs = assets.where("kind = 'image'").collect()
+    assert set(out) == {r["asset_id"] for r in imgs}
+    for r in imgs:
+        assert out[r["asset_id"]] == bmp_resizer(bytes(r["data"]), 8, 8)
+        assert len(out[r["asset_id"]]) == 64
+        # sanity: decoded source really is the synthesized gradient
+        rgb = decode_bmp(bytes(r["data"]))
+        assert rgb.shape == (r["meta"]["height"], r["meta"]["width"], 3)
+        grad = np.frombuffer(out[r["asset_id"]], dtype=np.uint8).reshape(8, 8)
+        assert grad[:, -1].mean() > grad[:, 0].mean()  # left→right gradient
