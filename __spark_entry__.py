@@ -37,6 +37,7 @@ Q_BOOL2 = "+query (filter OR slow)^2 -customer"  # +required, group boost
 Q_SLOP = ("spark join", 2)  # sloppy phrase "spark join"~2
 Q_WILDG = "s?an s*t"  # general wildcards: ? and mid-string *
 Q_RANGE = "{merge TO sort] join"  # classic TermRangeQuery (mixed bounds)
+Q_FGROUP = "source:(src3 OR src1*) slow"  # classic field group f:(...)
 Q_BATCH = [  # batched multi-query job: plain, multi-term, boost, prohibit
     "spark join", "customer query window", "slow scan",
     "merge sort", "spark -join", "filter^2 group", "spark join",
@@ -289,11 +290,33 @@ def _q_range(spark, sf_dir):
     return _score_e4(eng.search_df(Q_RANGE, k=None))
 
 
+def _q_field_group(spark, sf_dir):
+    """Classic field group `f:(a OR b*)` (MultiFieldQueryParser surface,
+    reference SourceDbImpl.java:135-139): the field scopes every bare leaf
+    of the parenthesized group — incl. a prefix leaf expanded inside the
+    fielded term space — composed with a ranked bare text term."""
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir, fields=True))
+    return _score_e4(eng.search_bool_df(Q_FGROUP, k=None))
+
+
 def _q_complete(spark, sf_dir):
     from polaris_spark.query.engine import SearchEngine
 
     eng = SearchEngine(spark, _ensure_index(spark, sf_dir))
     return eng.complete(Q_PREFIX, 20)
+
+
+def _q_curate(spark, sf_dir):
+    """End-to-end curation ledger: quality filter → predicted-language
+    filter → exact dedup → LSH near-dup removal (banded candidates,
+    Jaccard-verified, connected components), per-doc (keep, reason) over
+    the full corpus. One DuckDB recursive-CTE mirror gates the whole
+    pipeline (ops/curate.py)."""
+    from polaris_spark.ops.curate import curate
+
+    return curate(_docs(spark, sf_dir))
 
 
 def _q_dedup_exact(spark, sf_dir):
@@ -484,9 +507,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_search": _q_fuzzy,
         "bool_tree_search": _q_bool_tree,
         "bool_required_search": _q_bool_required,
+        "field_group_search": _q_field_group,
         "batch_search": _q_batch_search,
         "phrase_slop": _q_phrase_slop,
         "prefix_complete": _q_complete,
+        "curate": _q_curate,
         "dedup_exact": _q_dedup_exact,
         "minhash_signatures": _q_minhash,
         "lsh_candidate_pairs": _q_lsh_pairs,
@@ -524,6 +549,7 @@ def oracle_sql() -> dict[str, str]:
         tokenize_tf_sql,
     )
     import polaris_spark.ops.analytics as _an
+    from polaris_spark.ops.curate import duckdb_curate_sql
     from polaris_spark.ops.dedup import (
         duckdb_dup_clusters_sql,
         duckdb_minhash_sql,
@@ -614,9 +640,12 @@ SELECT doc_id, lpad(lower(to_hex(val)), 4, '0') AS simhash16 FROM packed"""
         "fuzzy_search": bm25_scores_sql(Q_FUZZY),
         "bool_tree_search": bool_scores_sql(Q_BOOL),
         "bool_required_search": bool_scores_sql(Q_BOOL2),
+        "field_group_search": bool_scores_sql(Q_FGROUP,
+                                              field_cols=FIELD_COLS),
         "batch_search": batch_scores_sql(Q_BATCH),
         "phrase_slop": phrase_sql(Q_SLOP[0], slop=Q_SLOP[1]),
         "prefix_complete": complete_sql(Q_PREFIX, 20),
+        "curate": duckdb_curate_sql(),
         "dedup_exact": (
             "SELECT md5(text) AS fp, count(*)::BIGINT AS n_dups, "
             "min(doc_id) AS keep_doc_id FROM documents GROUP BY md5(text)"
