@@ -327,8 +327,14 @@ def main() -> None:
             data, so its fixed-ish fold cost is Amdahl-visible here while
             negligible at the 10^12-turn design point. Reported alongside
             the total so both are visible."""
-            wl = lo["build_wall_s"] - lo["stage_wall"].get("completion", 0.0)
-            wh = hi["build_wall_s"] - hi["stage_wall"].get("completion", 0.0)
+            def _aux(r):
+                sw = r["stage_wall"]
+                # completion + fuzzy now run as one concurrent region whose
+                # true wall is "aux_tables"; fall back to the sequential key
+                return sw.get("aux_tables", sw.get("completion", 0.0))
+
+            wl = lo["build_wall_s"] - _aux(lo)
+            wh = hi["build_wall_s"] - _aux(hi)
             return round((wl / wh) / 4.0, 3)
 
         reps = []

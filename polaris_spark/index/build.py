@@ -71,6 +71,12 @@ POSTINGS_SCHEMA = (
     "block_last array<bigint>, block_max array<double>"
 )
 
+# Write-side salt for the auxiliary lookup tables (completion/, fuzzy_ngrams/):
+# number of key-hashed files per one-char directory partition. Bounds probe
+# file-listing (≤ SALT footers per dir) while giving the write ~40×SALT
+# balanced tasks instead of ~40 skewed ones.
+AUX_TABLE_SALT = 16
+
 
 @dataclass
 class IndexConfig:
@@ -637,21 +643,40 @@ def build_index(
     # dictionary + 3 regexes per term (VERDICT r1 #2; the analog of the
     # reference's lowercase-at-write PrefixQuery fields,
     # typedb/TypeDbWriterImpl.java:42-47).
-    if cfg.completion and not (resume and _done(fs, man_dir, "completion")):
-        build_completion_table(spark, index_dir)
-        _mark(fs, man_dir, "completion", {})
-        _lap("completion")
-
     # ---- stage 3c: fuzzy n-gram expansion table ----------------------------
     # (gram, term, df) keyed by every character bigram of every term, g1=
     # dir-partitioned + gram-sorted: a ``term~N`` probe reads only its own
     # bigrams' rows (pushed gram IN + dir pruning) instead of running a
     # levenshtein over the whole vocab column (VERDICT r2 wrong-list #1; the
     # same build-time-keys pattern as completion/).
+    #
+    # 3b and 3c both read only dictionary/ and write disjoint dirs, so they
+    # run as CONCURRENT driver-thread jobs (same pattern as the encode
+    # chunks): the scheduler fills each job's stage tails with the other's
+    # tasks. Per-stage walls are timed inside the thread (they overlap, so
+    # stage_wall sums can exceed build wall; "aux_tables" records the
+    # region's true wall for Amdahl accounting in bench --scaling).
+    aux_jobs = []
+    if cfg.completion and not (resume and _done(fs, man_dir, "completion")):
+        aux_jobs.append(("completion",
+                         lambda: build_completion_table(spark, index_dir)))
     if cfg.fuzzy and not (resume and _done(fs, man_dir, "fuzzy_ngrams")):
-        build_fuzzy_table(spark, index_dir)
-        _mark(fs, man_dir, "fuzzy_ngrams", {})
-        _lap("fuzzy_ngrams")
+        aux_jobs.append(("fuzzy_ngrams",
+                         lambda: build_fuzzy_table(spark, index_dir)))
+    if aux_jobs:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _aux(job) -> None:
+            name, fn = job
+            s0 = time.time()
+            fn()
+            _mark(fs, man_dir, name, {})
+            stage_wall[name] = round(time.time() - s0, 3)
+
+        a0 = time.time()
+        with ThreadPoolExecutor(max_workers=len(aux_jobs)) as ex:
+            list(ex.map(_aux, aux_jobs))
+        stage_wall["aux_tables"] = round(time.time() - a0, 3)
 
     wall = time.time() - t0
     metrics = {
@@ -716,8 +741,16 @@ def build_completion_table(spark, index_dir: str, dic=None,
     # a one-char hash shuffle with no sampling. At a 10^9-term vocab widen
     # k1 to a 2-char prefix so per-dir volume stays bounded.
     comp = comp.withColumn("k1", F.substring("key", 1, 1))
+    # Shuffle on (k1, hash(key) % SALT), not k1 alone: a one-char key has
+    # ≤ ~40 distinct values with Zipfian letter skew, which caps the write
+    # at ~20 effective tasks no matter the core count (measured: this stage
+    # scaled 1.77× for 4× cores and was 13% of the 4N build wall). The salt
+    # spreads each k1 dir over ≤ COMPLETION_SALT key-hashed files; files
+    # stay key-sorted so the probe's pushed StartsWith still prunes row
+    # groups, and the probe still lists exactly one k1= dir.
+    salt = F.pmod(F.xxhash64("key"), F.lit(AUX_TABLE_SALT))
     (
-        comp.repartition("k1")
+        comp.repartition(max(par, 32), "k1", salt)
         .sortWithinPartitions("key")
         .write.mode(mode)
         .partitionBy("k1")
@@ -758,8 +791,15 @@ def build_fuzzy_table(spark, index_dir: str, dic=None,
         .select(F.explode(grams).alias("gram"), "term", "df")
         .withColumn("g1", F.substring("gram", 1, 1))
     )
+    # Same salted shuffle as completion/ (see there): g1 alone has ≤ ~40
+    # skewed values and serializes the write. Salting by hash(gram) keeps
+    # every row of one gram in one file (gram-sorted), so the probe's
+    # pushed ``gram IN`` skips row groups exactly as before, with ≤
+    # AUX_TABLE_SALT files per g1= dir.
+    par = spark.sparkContext.defaultParallelism
+    salt = F.pmod(F.xxhash64("gram"), F.lit(AUX_TABLE_SALT))
     (
-        fz.repartition("g1")
+        fz.repartition(max(par, 32), "g1", salt)
         .sortWithinPartitions("gram")
         .write.mode(mode)
         .partitionBy("g1")
