@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import shutil
 import statistics
@@ -114,29 +115,37 @@ def run_build_only(cpus: int, n_turns: int) -> dict:
     for q in QUERY_SET[:4]:
         eng.search(q, k=10)  # warm JVM/scan paths
     qs = QUERY_SET * 3
-    t0 = time.time()
-    with ThreadPoolExecutor(max_workers=8) as ex:
-        list(ex.map(lambda q: eng.search(q, k=10), qs))
-    qwall = time.time() - t0
+    qwall = math.inf  # min-of-3 (same interference rationale as the batch job)
+    for _ in range(3):
+        t0 = time.time()
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            list(ex.map(lambda q: eng.search(q, k=10), qs))
+        qwall = min(qwall, time.time() - t0)
 
     # ---- BATCHED query set: the whole set as ONE distributed job ---------
     # (search_many_df: one union-of-terms candidate scan + (shard, qblock)
     # kernels that decode once and score their block's queries). Sequential
     # requests are latency-bound — their throughput ceiling is request
     # fan-out, not cores; the batch job is the shape whose throughput
-    # actually scales with executors. ~1000 distinct two-term queries over
+    # actually scales with executors. ~4000 distinct two-term queries over
     # the corpus vocab keep the job compute-dominated at both parallelism
-    # levels (the fixed ~1.2 s of scan + idf collect + job launch must be
-    # small against the scored work, as it is at any real eval volume).
+    # levels — replay/eval volume, sized so the ~1.5 s of fixed cost (idf
+    # collect + job launch + final merge) is small against the scored work.
     from polaris_spark.synth import make_vocab
 
     vocab = make_vocab(5000, 42)  # same seed as the corpus generator
-    toks = vocab[:20] + vocab[100:113] + vocab[1000:1013]  # hot/mid/rare mix
+    toks = vocab[:40] + vocab[100:126] + vocab[1000:1026]  # hot/mid/rare mix
     batch_qs = [f"{a} {b}" for i, a in enumerate(toks) for b in toks[i + 1:]]
     eng.search_many_df(batch_qs[:8], k=10).count()  # warm the batch path
-    t0 = time.time()
-    eng.search_many_df(batch_qs, k=10).count()
-    bwall = time.time() - t0
+    # min-of-3: the work is fixed and deterministic, so wall variance is
+    # pure interference (VM host-steal windows hit multi-second jobs hard —
+    # a contaminated rep once read 0.568 efficiency where clean windows
+    # measure ~0.93); min is the standard noise-robust estimator here
+    bwall = math.inf
+    for _ in range(3):
+        t0 = time.time()
+        eng.search_many_df(batch_qs, k=10).count()
+        bwall = min(bwall, time.time() - t0)
 
     spark.stop()
     return {

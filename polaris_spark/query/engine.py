@@ -48,6 +48,55 @@ RESULT_SCHEMA = "doc_id bigint, score double, n_match int"
 BATCH_RESULT_SCHEMA = "query string, doc_id bigint, score double, n_match int"
 
 
+def _murmur3_int32(x: int, seed: int = 42) -> int:
+    """Murmur3_x86_32 of one int32 — bit-identical to Spark's
+    ``Murmur3Hash`` over a single IntegerType column (seed 42), which is
+    what ``repartition(n, col)`` uses to place rows. Verified against
+    ``F.hash`` in tests/test_batch_search.py. Returns SIGNED int32."""
+    def rotl(v, r):
+        return ((v << r) | (v >> (32 - r))) & 0xFFFFFFFF
+
+    k = x & 0xFFFFFFFF
+    k = (k * 0xCC9E2D51) & 0xFFFFFFFF
+    k = rotl(k, 15)
+    k = (k * 0x1B873593) & 0xFFFFFFFF
+    h = seed & 0xFFFFFFFF
+    h ^= k
+    h = rotl(h, 13)
+    h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h ^= 4  # total byte length
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=None)
+def _route_tokens(n: int) -> tuple:
+    """Token table for collision-free task routing: ``toks[p]`` is the
+    smallest non-negative int with ``pmod(murmur3(toks[p]), n) == p``, so
+    hash-partitioning a ``_route = toks[pid]`` column sends each kernel
+    group id pid ∈ 0..n-1 to its OWN shuffle partition (see
+    :meth:`SearchEngine._pin_groups`). Coupon-collector search, ~n·ln n
+    probes, cached per n."""
+    toks = [None] * n
+    left, i = n, 0
+    while left:
+        p = _murmur3_int32(i) % n  # Python % is already non-negative (pmod)
+        if toks[p] is None:
+            toks[p] = i
+            left -= 1
+        i += 1
+        if i > 200 * n + 10_000:  # unreachable; defensive bound
+            raise RuntimeError(f"route token search failed for n={n}")
+    return tuple(toks)
+
+
 import re as _re_mod
 
 _PHRASE_Q_RE = _re_mod.compile(r'^\s*"(?P<p>[^"]*)"(?:~(?P<s>\d+))?\s*$')
@@ -411,7 +460,7 @@ def decode_shard_rows(
     return decoded, max_impact
 
 
-def score_decoded(
+def score_decoded_arrays(
     decoded: dict,
     max_impact: dict,
     idf: dict[str, float],
@@ -423,7 +472,7 @@ def score_decoded(
     n_query_terms: int,
     prune: bool = True,
     excluded: np.ndarray | None = None,
-) -> pd.DataFrame:
+):
     """Exact BM25 accumulation over pre-decoded per-term postings — the
     scoring half of :func:`score_shard` (see its docstring for the MaxScore
     exactness argument). Scores are bit-identical to the single-pass path:
@@ -431,7 +480,12 @@ def score_decoded(
     doc_ids drop BEFORE pruning/scoring so θ₀ derives from the true
     post-exclusion candidate set; shared decoded arrays are never mutated
     (exclusion builds filtered copies), so one group-wide decode safely
-    serves many queries. Only terms present in ``idf`` participate."""
+    serves many queries. Only terms present in ``idf`` participate.
+
+    Returns ``(doc_ids, scores, n_match)`` numpy arrays (or ``None`` when
+    nothing matches) so batch callers can assemble ONE result frame per
+    kernel call; :func:`score_decoded` wraps this in a DataFrame for the
+    single-query path."""
     items = []  # (term, docs, tfs, dls) — term-lexicographic order
     for term in sorted(decoded):
         if term not in idf:
@@ -443,7 +497,7 @@ def score_decoded(
         if len(docs):
             items.append((term, docs, tfs, dls))
     if not items:
-        return _empty_result()
+        return None
 
     do_prune = prune and mode == "or" and k is not None and len(items) > 1
     if do_prune:
@@ -512,6 +566,16 @@ def score_decoded(
         # top-k by (score desc, doc_id asc)
         order = np.lexsort((all_docs, -scores))[:k]
         all_docs, scores, nmatch = all_docs[order], scores[order], nmatch[order]
+    return all_docs, scores, nmatch
+
+
+def score_decoded(*args, **kwargs) -> pd.DataFrame:
+    """DataFrame wrapper over :func:`score_decoded_arrays` (single-query
+    convenience; see that docstring)."""
+    r = score_decoded_arrays(*args, **kwargs)
+    if r is None:
+        return _empty_result()
+    all_docs, scores, nmatch = r
     return pd.DataFrame({"doc_id": all_docs.astype(np.int64),
                          "score": scores,
                          "n_match": nmatch.astype(np.int32)})
@@ -1042,7 +1106,7 @@ class SearchEngine:
         idf = {t: v for t, v in idf_all.items() if t in sterms}
         stats = self.stats
         S = int(stats["n_shards"])
-        routed = self._pin_groups(self._routed(cand, S), S, "shard")
+        routed = self._pin_groups(self._routed(cand, S), S, F.col("shard"))
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             sh = int(pdf["shard"].iloc[0]) if len(pdf) else 0
@@ -1050,7 +1114,7 @@ class SearchEngine:
                                     stats["k1"], stats["b"], k,
                                     n_shards=S, shard=sh)
 
-        scored = routed.groupBy("shard").applyInPandas(kernel, RESULT_SCHEMA)
+        scored = routed.groupBy("_route").applyInPandas(kernel, RESULT_SCHEMA)
         out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
         return out.limit(k) if k is not None else out
 
@@ -1068,17 +1132,35 @@ class SearchEngine:
         return salted.unionByName(unsalted)
 
     @staticmethod
-    def _pin_groups(df, n: int, *keys: str):
-        """Hash-cluster ``df`` on the kernel group keys with an EXPLICIT
-        partition count. AQE's partition coalescing sizes by shuffle BYTES,
-        but kernel groups are a few KB of packed blobs carrying seconds of
-        CPU (varint decode + BM25 over every posting) — letting AQE merge
-        them serializes the kernel (measured: 16 shard groups coalesced to
-        3 tasks, 3.9 s instead of ~1.2 s at 8 cores). A user-specified
-        repartition is exempt from AQE coalescing and already satisfies the
-        groupBy's clustered-distribution requirement, so no extra exchange
-        is inserted."""
-        return df.repartition(n, *keys)
+    def _pin_groups(df, n: int, pid):
+        """Route kernel groups to EXACTLY one task each: append a
+        ``_route`` token column chosen so Spark's hash partitioner places
+        every group id (``pid`` ∈ 0..n-1, a Column) in its OWN partition,
+        then ``repartition(n, "_route")``. Callers must group by
+        ``"_route"`` (one group per (shard[, qblock]) by construction —
+        the kernels read shard/qblock from the rows).
+
+        Two failure modes this kills, both measured:
+        - AQE partition coalescing sizes by shuffle BYTES, but kernel
+          groups are a few KB of packed blobs carrying seconds of CPU
+          (varint decode + BM25 over every posting): 16 shard groups
+          coalesced to 3 tasks, 3.9 s instead of ~1.2 s at 8 cores. A
+          user-specified repartition is exempt from coalescing.
+        - Plain ``repartition(n, keys)`` hash-COLLIDES when n ≈ #groups
+          (murmur3 birthday effect): with 16 groups into 16 partitions,
+          4 partitions land empty and one task gets 4 groups — 10.5 s
+          straggler vs 2.8 s median (event-log evidence, BENCH/
+          BASELINE.md), a serial tail no core count can fix. The token
+          table makes ``pmod(hash32(token), n)`` a bijection onto 0..n-1,
+          so the group→task map is collision-free at ANY cluster size."""
+        from pyspark.sql import functions as F
+
+        toks = _route_tokens(n)
+        route = F.element_at(
+            F.array(*[F.lit(int(t)).cast("int") for t in toks]),
+            pid.cast("int") + F.lit(1),
+        )
+        return df.withColumn("_route", route).repartition(n, "_route")
 
     def _cache_scoped(self, df):
         """Cache a candidate frame for reuse within ONE query (df aggregate
@@ -1279,10 +1361,11 @@ class SearchEngine:
         stats = self.stats
         nq = len(terms)
         S = int(stats["n_shards"])
-        routed = self._pin_groups(self._routed(cand, S), S, "shard")
+        routed = self._pin_groups(self._routed(cand, S), S, F.col("shard"))
 
         if exc:
-            exdf = self._pin_groups(self._excluded_docs_df(exc), S, "shard")
+            exdf = self._pin_groups(self._excluded_docs_df(exc), S,
+                                    F.col("shard"))
 
             def kernel2(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
                 sh = int(left["shard"].iloc[0]) if len(left) else 0
@@ -1295,8 +1378,8 @@ class SearchEngine:
                                    shard=sh, excluded=excl)
 
             scored = (
-                routed.groupBy("shard")
-                .cogroup(exdf.groupBy("shard"))
+                routed.groupBy("_route")
+                .cogroup(exdf.groupBy("_route"))
                 .applyInPandas(kernel2, RESULT_SCHEMA)
             )
         else:
@@ -1307,7 +1390,7 @@ class SearchEngine:
                                    stats["b"], k, mode, nq, n_shards=S,
                                    shard=sh)
 
-            scored = routed.groupBy("shard").applyInPandas(kernel, RESULT_SCHEMA)
+            scored = routed.groupBy("_route").applyInPandas(kernel, RESULT_SCHEMA)
         out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
         return out.limit(k) if k is not None else out
 
@@ -1321,9 +1404,11 @@ class SearchEngine:
 
         Physical plan: one bucket-pruned candidate scan for the UNION of
         every query's terms, one shuffle clustered on ``(shard, qblock)``
-        — queries are round-robined into B = ⌈Q/block_queries⌉ blocks
-        (≤ ``max_blocks``) and the candidate rows fan out to every block,
-        so kernel parallelism is S×B tasks, not capped at n_shards. Each
+        — queries are round-robined into B blocks sized so S×B ≈ 2× the
+        session's cores (see inline comment; ``block_queries`` is kept for
+        API compatibility but B no longer derives from it) and the
+        candidate rows fan out to every block, so kernel parallelism is
+        S×B tasks, not capped at n_shards. Each
         kernel group decodes its shard's packed blobs ONCE
         (:func:`decode_shard_rows`) and scores its block's queries from the
         shared arrays (:func:`score_decoded`) — terms shared across queries
@@ -1368,12 +1453,18 @@ class SearchEngine:
         all_terms = sorted({t for _q, terms, _b, _e in specs for t in terms})
         cand = self._cache_scoped(self._candidates(all_terms))
         idf_all = self._idf_map(cand)
-        qspecs = []  # (query, term_set, idf, n_query_terms)
+        # qspecs: (query, interned term tuple, boosts|None, n_query_terms).
+        # Per-query idf dicts are rebuilt INSIDE the kernel from the one
+        # shared idf_all — shipping Q dict copies made the pickled closure
+        # (and the driver gap before the kernel job) grow ∝ Q; interning
+        # lets pickle memoize the hot terms shared across queries.
+        import sys as _sys
+
+        qspecs = []
         for q, terms, boosts, _exc in specs:
-            idf = {t: idf_all[t] * boosts.get(t, 1.0)
-                   for t in terms if t in idf_all}
-            if idf:
-                qspecs.append((q, set(idf), idf, len(terms)))
+            if any(t in idf_all for t in terms):
+                qspecs.append((q, tuple(_sys.intern(t) for t in terms),
+                               boosts or None, len(terms)))
         if not qspecs:
             return empty
         stats = self.stats
@@ -1382,8 +1473,19 @@ class SearchEngine:
         scorable = {q for q, *_ in qspecs}
 
         # round-robin queries into blocks; candidates fan out to every block
-        # so the group key (shard, qblock) spreads the kernel S×B wide
-        B = max(1, min(math.ceil(len(qspecs) / block_queries), max_blocks))
+        # so the group key (shard, qblock) spreads the kernel S×B wide.
+        # B sizes to the SESSION's core count, not the query count: decode
+        # work is S×B full shard decodes (every block re-decodes its shard's
+        # blobs), so the cheapest B is the smallest that still yields ~2
+        # tasks per core for balance. A fixed per-block query cap (the old
+        # ceil(Q/block_queries) rule) paid ×17 decode duplication at Q=1000
+        # for parallelism an 8-core session couldn't use; measured 1.6×
+        # faster at local[8] with core-derived B, bit-identical results
+        # (blocking never affects per-query candidate rows or idf).
+        cores = max(1, self.spark.sparkContext.defaultParallelism)
+        B = max(1, min(math.ceil(2 * cores / S),       # S×B ≈ 2×cores
+                       math.ceil(len(qspecs) / 8),     # ≥8 queries per block
+                       max_blocks))
         blocks: list[list] = [[] for _ in range(B)]
         qblock_of: dict[str, int] = {}
         for i, spec in enumerate(qspecs):
@@ -1393,7 +1495,8 @@ class SearchEngine:
             "qblock",
             F.explode(F.sequence(F.lit(0), F.lit(B - 1))),
         )
-        routed = self._pin_groups(routed, S * B, "shard", "qblock")
+        routed = self._pin_groups(routed, S * B,
+                                  F.col("shard") * B + F.col("qblock"))
 
         def _empty_batch() -> pd.DataFrame:
             return pd.DataFrame({
@@ -1406,19 +1509,36 @@ class SearchEngine:
         def _score_block(pdf: pd.DataFrame, sh: int, qb: int,
                          excl_by_q: dict) -> pd.DataFrame:
             decoded, max_impact = decode_shard_rows(pdf, n_shards=S, shard=sh)
-            outs = []
-            for q, tset, idf, nq in blocks[qb]:
-                sub = {t: decoded[t] for t in tset if t in decoded}
+            # accumulate numpy arrays per query, ONE frame per kernel call —
+            # a per-query pd.DataFrame + concat costs ~0.3 ms × |block|,
+            # which dominated the kernel at Q in the thousands
+            qn, ql, dl_, sl, ml = [], [], [], [], []
+            for q, terms, boosts, nq in blocks[qb]:
+                if boosts:
+                    qidf = {t: idf_all[t] * boosts.get(t, 1.0)
+                            for t in terms if t in idf_all}
+                else:
+                    qidf = {t: idf_all[t] for t in terms if t in idf_all}
+                sub = {t: decoded[t] for t in qidf if t in decoded}
                 if not sub:
                     continue
-                r = score_decoded(sub, max_impact, idf, avgdl, k1, b, k,
-                                  mode, nq, excluded=excl_by_q.get(q))
-                if len(r):
-                    r.insert(0, "query", q)
-                    outs.append(r)
-            if not outs:
+                r = score_decoded_arrays(sub, max_impact, qidf, avgdl, k1, b,
+                                         k, mode, nq,
+                                         excluded=excl_by_q.get(q))
+                if r is not None and len(r[0]):
+                    qn.append(q)
+                    ql.append(len(r[0]))
+                    dl_.append(r[0])
+                    sl.append(r[1])
+                    ml.append(r[2])
+            if not dl_:
                 return _empty_batch()
-            return pd.concat(outs, ignore_index=True)
+            return pd.DataFrame({
+                "query": np.repeat(np.asarray(qn, dtype=object), ql),
+                "doc_id": np.concatenate(dl_).astype(np.int64),
+                "score": np.concatenate(sl),
+                "n_match": np.concatenate(ml).astype(np.int32),
+            })
 
         exq = [(q, exc) for q, _t, _b2, exc in specs
                if exc and q in scorable]
@@ -1430,7 +1550,8 @@ class SearchEngine:
                  .withColumn("qblock", F.lit(qblock_of[q]))
                  for q, exc in exq],
             )
-            exdf = self._pin_groups(exdf, S * B, "shard", "qblock")
+            exdf = self._pin_groups(exdf, S * B,
+                                    F.col("shard") * B + F.col("qblock"))
 
             def kernel2(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
                 if not len(left):
@@ -1444,8 +1565,8 @@ class SearchEngine:
                 return _score_block(left, sh, qb, excl_by_q)
 
             scored = (
-                routed.groupBy("shard", "qblock")
-                .cogroup(exdf.groupBy("shard", "qblock"))
+                routed.groupBy("_route")
+                .cogroup(exdf.groupBy("_route"))
                 .applyInPandas(kernel2, BATCH_RESULT_SCHEMA)
             )
         else:
@@ -1457,7 +1578,7 @@ class SearchEngine:
                 qb = int(pdf["qblock"].iloc[0])
                 return _score_block(pdf, sh, qb, {})
 
-            scored = routed.groupBy("shard", "qblock").applyInPandas(
+            scored = routed.groupBy("_route").applyInPandas(
                 kernel, BATCH_RESULT_SCHEMA)
         w = Window.partitionBy("query").orderBy(
             F.desc("score"), F.asc("doc_id"))
@@ -1526,14 +1647,14 @@ class SearchEngine:
             return empty
         stats = self.stats
         S = int(stats["n_shards"])
-        routed = self._pin_groups(self._routed(cand, S), S, "shard")
+        routed = self._pin_groups(self._routed(cand, S), S, F.col("shard"))
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             sh = int(pdf["shard"].iloc[0]) if len(pdf) else 0
             return phrase_shard(pdf, terms, idf, stats["avgdl"], stats["k1"],
                                 stats["b"], k, n_shards=S, shard=sh, slop=slop)
 
-        scored = routed.groupBy("shard").applyInPandas(kernel, PHRASE_RESULT_SCHEMA)
+        scored = routed.groupBy("_route").applyInPandas(kernel, PHRASE_RESULT_SCHEMA)
         out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
         return out.limit(k) if k is not None else out
 

@@ -52,3 +52,41 @@ def test_batch_empty_and_dedup(beng):
     assert beng.search_many_df(["!!! ;;;"]).count() == 0
     two = beng.search_many_df(["ka", "ka"], k=3)
     assert two.count() == two.where("query = 'ka'").count() <= 3
+
+
+def test_murmur3_matches_spark_hash(spark):
+    """_pin_groups' routing depends on _murmur3_int32 being bit-identical
+    to Spark's Murmur3Hash over one IntegerType column (what
+    repartition(n, col) places rows with)."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.query.engine import _murmur3_int32
+
+    vals = list(range(-64, 512)) + [2**31 - 1, -(2**31), 987654321]
+    df = spark.createDataFrame([(v,) for v in vals], "x int")
+    for r in df.select("x", F.hash("x").alias("h")).collect():
+        assert r.h == _murmur3_int32(r.x), r.x
+
+
+def test_pin_groups_one_group_per_partition(spark):
+    """Exact routing: n kernel groups land in n distinct shuffle
+    partitions, one group each — no empty-task/straggler skew (the
+    repartition(n, keys) birthday-collision failure mode)."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.query.engine import SearchEngine, _route_tokens
+
+    for n_shards, B in ((16, 1), (8, 4)):
+        n = n_shards * B
+        assert len(set(_route_tokens(n))) == n
+        data = [(sh, qb) for sh in range(n_shards) for qb in range(B)
+                for _ in range(3)]
+        df = spark.createDataFrame(data, "shard int, qblock int")
+        routed = SearchEngine._pin_groups(
+            df, n, F.col("shard") * B + F.col("qblock"))
+        chk = (routed.withColumn("pid", F.spark_partition_id())
+               .groupBy("pid")
+               .agg(F.countDistinct("shard", "qblock").alias("g"))
+               .collect())
+        assert len(chk) == n
+        assert max(r.g for r in chk) == 1
