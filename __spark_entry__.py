@@ -37,6 +37,7 @@ Q_BOOL2 = "+query (filter OR slow)^2 -customer"  # +required, group boost
 Q_SLOP = ("spark join", 2)  # sloppy phrase "spark join"~2
 Q_WILDG = "s?an s*t"  # general wildcards: ? and mid-string *
 Q_RANGE = "{merge TO sort] join"  # classic TermRangeQuery (mixed bounds)
+Q_REGEX = "/qu.+y/ join"  # classic slash-delimited RegexpQuery
 Q_FGROUP = "source:(src3 OR src1*) slow"  # classic field group f:(...)
 Q_BATCH = [  # batched multi-query job: plain, multi-term, boost, prohibit
     "spark join", "customer query window", "slow scan",
@@ -290,6 +291,17 @@ def _q_range(spark, sf_dir):
     return _score_e4(eng.search_df(Q_RANGE, k=None))
 
 
+def _q_regexp(spark, sf_dir):
+    """Classic slash-delimited RegexpQuery `/qu.+y/` (the classic parser's
+    regexp syntax, reference SourceDbImpl.java:135-139): anchored dictionary
+    expansion with the literal prefix ('qu') pushed into the term-sorted
+    scan, scored as BM25 OR with the literal term."""
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir))
+    return _score_e4(eng.search_df(Q_REGEX, k=None))
+
+
 def _q_field_group(spark, sf_dir):
     """Classic field group `f:(a OR b*)` (MultiFieldQueryParser surface,
     reference SourceDbImpl.java:135-139): the field scopes every bare leaf
@@ -503,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_search": _q_wildcard,
         "wildcard_general": _q_wildcard_general,
         "range_search": _q_range,
+        "regexp_search": _q_regexp,
         "boosted_search": _q_boosted,
         "fuzzy_search": _q_fuzzy,
         "bool_tree_search": _q_bool_tree,
@@ -636,6 +649,7 @@ SELECT doc_id, lpad(lower(to_hex(val)), 4, '0') AS simhash16 FROM packed"""
         "wildcard_search": bm25_scores_sql(Q_WILD),
         "wildcard_general": bm25_scores_sql(Q_WILDG),
         "range_search": bm25_scores_sql(Q_RANGE),
+        "regexp_search": bm25_scores_sql(Q_REGEX),
         "boosted_search": bm25_scores_sql(Q_BOOST),
         "fuzzy_search": bm25_scores_sql(Q_FUZZY),
         "bool_tree_search": bool_scores_sql(Q_BOOL),

@@ -12,7 +12,8 @@ from __future__ import annotations
 
 import re as _re
 
-from .query.boolquery import _has_wild, fold_ranges, parse_range
+from .query.boolquery import (_has_wild, fold_ranges, parse_range,
+                              parse_regexp, regexp_literal_prefix)
 from .query.engine import _fuzzy_suffix
 from .tokenizer import duckdb_tokens_sql, tokenize
 
@@ -85,6 +86,15 @@ def _split_chunks(query: str, field_cols: tuple = (),
             # must stay None-free for the sorted() below
             ent = ("range", f or "", lo or "", hi or "", ilo, ihi,
                    f is None or f in fields)
+            if neg:
+                pexc.append(ent)
+            else:
+                pinc.append(ent + (boost,))
+            continue
+        rgx = parse_regexp(body)
+        if rgx is not None:  # before the wildcard sniff: '/p.*t/' has '*'
+            f, pat = rgx
+            ent = ("regexp", f or "", pat, f is None or f in fields)
             if neg:
                 pexc.append(ent)
             else:
@@ -165,6 +175,10 @@ def _qt_cte(terms, prefixes) -> str:
             _k, pat, bare = p[0], p[1], p[2]
             boost = p[3] if len(p) > 3 else 1.0
             cond = _wild_cond(pat, bare)
+        elif p[0] == "regexp":
+            _k, fld, pat, known = p[:4]
+            boost = p[4] if len(p) > 4 else 1.0
+            cond = _regexp_cond(fld, pat, known)
         else:
             pref = p[1]
             boost = p[2] if len(p) > 2 else 1.0
@@ -221,6 +235,26 @@ def _wild_cond(pattern: str, bare: bool) -> str:
     if bare:
         cond += " AND NOT contains(term, ':')"
     return cond
+
+
+def _regexp_cond(fld: str, pat: str, known: bool) -> str:
+    """RegexpQuery term condition (engine ``_expand_regexp`` mirror):
+    pushed literal prefix + the raw pattern matched ANCHORED against whole
+    terms (Java ∩ RE2 dialect — identical in Spark ``rlike`` and DuckDB
+    ``regexp_matches``), bare patterns confined to unfielded terms, unknown
+    field → empty set. ``fld`` is '' for bare."""
+    if not known:
+        return "FALSE"
+    pre = f"{fld}:" if fld else ""
+    lit = (pre + regexp_literal_prefix(pat)).replace("'", "''")
+    rx = ("^" + _re.escape(pre) + pat + "$").replace("'", "''")
+    conds = []
+    if lit:
+        conds.append(f"starts_with(term, '{lit}')")
+    conds.append(f"regexp_matches(term, '{rx}')")
+    if not fld:
+        conds.append("NOT contains(term, ':')")
+    return " AND ".join(conds)
 
 
 def _sql_list(terms: list[str]) -> str:
@@ -392,6 +426,12 @@ def bool_scores_sql(query: str, table: str = "documents",
                 f = gf
             cond = _range_cond(f or "", lo or "", hi or "", ilo, ihi,
                                known=f is None or f in fields)
+        elif leaf.kind == "regexp":
+            f, pat = parse_regexp(leaf.payload)
+            if gf and f is None:
+                f = gf
+            cond = _regexp_cond(f or "", pat,
+                                known=f is None or f in fields)
         else:  # pragma: no cover
             raise ValueError(f"unknown leaf kind {leaf.kind!r}")
         return (

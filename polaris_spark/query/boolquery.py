@@ -45,7 +45,15 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-_TOKEN_RE = re.compile(r"\(|\)|[^\s()]+")
+# One token = a slash-delimited regexp chunk (optionally [+-!]-prefixed,
+# field-qualified and ^boost-suffixed — its parens/operators are pattern
+# text, exactly how Lucene's lexer treats a REGEXPTERM), a paren, or a run
+# of non-space non-paren chars. The regexp alternative must come first so
+# `/s(ca|pa)n/` stays ONE chunk instead of splitting at its parens.
+_TOKEN_RE = re.compile(
+    r"[+\-]?(?:[^\s()/:]+:)?/(?:\\.|[^\\/\s])+/(?:\^[^\s()]+)?"
+    r"|\(|\)|[^\s()]+"
+)
 _KW_AND = {"AND", "&&"}
 _KW_OR = {"OR", "||"}
 _KW_NOT = {"NOT", "!"}
@@ -87,13 +95,59 @@ def parse_range(body: str):
     return (m.group("f"), lo, hi, m.group("o") == "[", m.group("c") == "]")
 
 
+# ---- RegexpQuery (classic `/pattern/`, optionally `field:/pattern/`) -----
+# Lucene's classic parser (4.0+) reads a slash-delimited chunk as a
+# RegexpQuery over the indexed terms; the reference's MultiFieldQueryParser
+# accepts the syntax (sourcedb/SourceDbImpl.java:135-139). A chunk is one
+# whitespace-free token, so the pattern itself cannot contain whitespace —
+# same restriction every other classic multi-term construct has here.
+_REGEXP_RE = re.compile(r"^(?:(?P<f>[^\s:/]+):)?/(?P<p>.+)/$")
+
+# characters that end the pushable literal prefix of a regex (union of the
+# Java and RE2 metacharacter sets plus backslash — anything after the first
+# of these may not be literal)
+_RE_META = set('\\.?*+|(){}[]"~^$<>#@&')
+
+
+def parse_regexp(body: str):
+    """A regexp chunk → ``(field, pattern)`` or None.
+
+    ``field`` is the raw qualifier or None (bare). ``pattern`` is the RAW
+    text between the outer slashes — unanalyzed and case-sensitive like
+    every other multi-term expansion; it is later matched ANCHORED
+    (``^pat$``) against whole index terms, exactly Lucene RegexpQuery's
+    implicit anchoring. The supported dialect is the Java-regex ∩ RE2
+    common subset (literals, ``.``, ``*``, ``+``, ``?``, ``|``, ``()``,
+    ``[]`` classes, ``{m,n}`` intervals) — wider than Lucene's own
+    operators but identical between the Spark engine (``rlike``) and the
+    DuckDB oracle (``regexp_matches``) by construction."""
+    m = _REGEXP_RE.match(body or "")
+    if not m:
+        return None
+    return (m.group("f"), m.group("p"))
+
+
+def regexp_literal_prefix(pattern: str) -> str:
+    """Longest leading run of literal characters — the pushable
+    ``StartsWith`` bound for the dictionary scan (stops at the first
+    metacharacter of either regex dialect)."""
+    out = []
+    for ch in pattern:
+        if ch in _RE_META:
+            break
+        out.append(ch)
+    return "".join(out)
+
+
 @dataclass
 class Leaf:
     """Unresolved query clause.
 
-    kind ∈ {"chunk", "prefix", "fuzzy", "wildcard", "range"}:
+    kind ∈ {"chunk", "prefix", "fuzzy", "wildcard", "range", "regexp"}:
     - "range": classic TermRangeQuery ``field:[a TO b]``; payload is
       :func:`parse_range`'s ``(field, lo, hi, inc_lo, inc_hi)``.
+    - "regexp": classic slash-delimited RegexpQuery ``/pat/`` /
+      ``field:/pat/``; payload is the raw chunk (``field:`` kept).
 
     ``group_field`` carries the classic field-group scope (``f:(a OR b)``
     sets it to ``f`` on every leaf of the group that has no explicit field
@@ -172,6 +226,8 @@ def classify_chunk(body: str) -> Leaf:
     rng = parse_range(body)
     if rng is not None:  # before wildcard sniffing: '[a TO *]' carries '*'
         return Leaf("range", rng, boost)
+    if parse_regexp(body) is not None:  # before wildcard: /p.*t/ has '*'
+        return Leaf("regexp", body, boost)
     fz = _fuzzy_suffix(body)
     if fz is not None:
         return Leaf("fuzzy", fz, boost)

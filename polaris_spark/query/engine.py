@@ -42,7 +42,8 @@ import pandas as pd
 
 from ..tokenizer import tokenize, _BASE_RE
 from ..index.codec import decode_ints, decode_positions
-from .boolquery import _has_wild, fold_ranges, parse_range
+from .boolquery import (_has_wild, fold_ranges, parse_range, parse_regexp,
+                        regexp_literal_prefix)
 
 RESULT_SCHEMA = "doc_id bigint, score double, n_match int"
 BATCH_RESULT_SCHEMA = "query string, doc_id bigint, score double, n_match int"
@@ -727,6 +728,9 @@ class SearchEngine:
             if rng is not None:  # before wildcard: '[a TO *]' carries '*'
                 _add(set(self._expand_range(rng)), neg, boost)
                 continue
+            if parse_regexp(body) is not None:  # before wildcard: /p.*t/
+                _add(set(self._expand_regexp(body)), neg, boost)
+                continue
             fz = _fuzzy_suffix(body)
             if fz is not None:
                 raw, me = fz
@@ -769,6 +773,8 @@ class SearchEngine:
                 except ValueError:
                     pass
             if parse_range(body) is not None:  # ranges are multi-term too
+                return True
+            if parse_regexp(body) is not None:  # regexps are multi-term too
                 return True
             if _has_wild(body):
                 return True
@@ -979,6 +985,59 @@ class SearchEngine:
             .limit(self.max_expansions)
         )
 
+    def _expand_regexp(self, raw: str) -> list[str]:
+        """Classic RegexpQuery expansion: ``/pat/`` (or ``field:/pat/``)
+        matches index terms ANCHORED — Lucene RegexpQuery's implicit
+        ``^pat$`` over the terms enum (the reference's classic parser
+        accepts slash-delimited regexps, sourcedb/SourceDbImpl.java:135-139).
+        The longest literal prefix of the pattern is PUSHED to the
+        term-sorted dictionary scan (StartsWith row-group pruning — a
+        pattern with a literal head never walks the vocab; one with none
+        pays a capped dictionary scan, exactly Lucene's terms-enum walk).
+        Dialect: the Java-regex ∩ RE2 common subset, identical in the
+        engine (``rlike``) and the DuckDB oracle (``regexp_matches``) by
+        construction — see :func:`..query.boolquery.parse_regexp`. Bare
+        patterns never match ``field:token`` terms; ``field:/pat/``
+        expands within that field's term space, unknown fields match
+        nothing (the same confinement rules as prefix/wildcard/range).
+        Capped at ``max_expansions`` by (df desc, term asc)."""
+        return [r["term"] for r in self._regexp_frame(raw).collect()]
+
+    def _regexp_frame(self, raw: str):
+        """The regexp expansion as a DataFrame (pre-collect) — the plan
+        :func:`_expand_regexp` executes; also captured in PLANS.md."""
+        import re as _re
+
+        from pyspark.sql import functions as F
+
+        parsed = parse_regexp(raw)
+        if parsed is None:
+            raise ValueError(f"not a regexp chunk: {raw!r}")
+        fld, pat = parsed
+        fields = set(self.stats.get("field_cols", ()) or ())
+        dic = self.spark.read.parquet(self.dict_path)
+        if fld is not None and fld not in fields:
+            # unknown field → empty, like a TermRangeQuery on an absent field
+            flt = dic.where(F.lit(False))
+            return (flt.groupBy("term").agg(F.sum("df").alias("df"))
+                    .orderBy(F.desc("df"), F.asc("term"))
+                    .limit(self.max_expansions))
+        pre = f"{fld}:" if fld else ""
+        lit = pre + regexp_literal_prefix(pat)
+        rx = "^" + _re.escape(pre) + pat + "$"
+        flt = dic
+        if lit:
+            flt = flt.where(F.col("term").startswith(lit))
+        flt = flt.where(F.col("term").rlike(rx))
+        if not fld:
+            flt = flt.where(~F.col("term").contains(":"))
+        return (
+            flt.groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(self.max_expansions)
+        )
+
     # --------------------------------------------------- boolean trees
 
     def parse_bool(self, query: str, expand_fields: bool = False):
@@ -1042,6 +1101,12 @@ class SearchEngine:
                 if gf and fld is None:
                     fld = gf
                 return tuple(self._expand_range((fld, lo, hi, ilo, ihi)))
+            if leaf.kind == "regexp":
+                raw = leaf.payload
+                rf, _pat = bq.parse_regexp(raw)
+                if gf and rf is None:
+                    raw = f"{gf}:{raw}"
+                return tuple(self._expand_regexp(raw))
             raise ValueError(f"unknown leaf kind {leaf.kind!r}")
 
         def conv(nd, scoring: bool):

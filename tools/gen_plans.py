@@ -133,6 +133,17 @@ def main() -> None:
     ))
 
     SECTIONS.append((
+        "regexp expansion (classic /pattern/, pushed literal prefix)",
+        "A slash-delimited `/qu.+y/` RegexpQuery pushes the pattern's "
+        "longest literal head ('qu') as StringStartsWith into the "
+        "term-sorted dictionary scan; the ANCHORED pattern (rlike) filters "
+        "only the pruned rows — a pattern with a literal head never walks "
+        "the vocab, one without pays a capped dictionary scan (exactly "
+        "Lucene's terms-enum walk).",
+        cap(eng._regexp_frame("/qu.+y/")),
+    ))
+
+    SECTIONS.append((
         "range expansion (classic TermRangeQuery, pushed lexicographic bounds)",
         "`[lo TO hi]` pushes BOTH bounds as GreaterThanOrEqual/LessThanOrEqual "
         "(or strict) filters into the term-sorted dictionary scan — parquet "
