@@ -449,6 +449,24 @@ def _q_fingerprint(spark, sf_dir):
     return _docs(spark, sf_dir).select("doc_id", fingerprint_col(F.col("text")).alias("fp"))
 
 
+def _q_dup_spans(spark, sf_dir):
+    """Substring-level dedup (Lee et al. 2022 shape): maximal duplicated
+    token spans — runs of ≥ n tokens shared by ≥ 2 docs — as the rows a
+    curation pipeline would cut. One shingle-keyed shuffle + per-doc
+    window; pure column work, no Python kernels (ops/dedup.py)."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.ops.dedup import duplicated_spans
+
+    res = duplicated_spans(_docs(spark, sf_dir), n=8, min_docs=2)
+    return res.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_tokens").cast("long").alias("span_tokens"),
+    )
+
+
 def _q_token_counts(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -532,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters_star": _q_dup_clusters_star,
         "neardup_pairs": _q_neardup_pairs,
         "jaccard_pairs": _q_jaccard,
+        "dup_spans": _q_dup_spans,
         "simhash16": _q_simhash,
         "ann_cosine_top10": _q_cosine_top10,
         "ivf_top10": _q_ivf_top10,
@@ -565,6 +584,7 @@ def oracle_sql() -> dict[str, str]:
     from polaris_spark.ops.curate import duckdb_curate_sql
     from polaris_spark.ops.dedup import (
         duckdb_dup_clusters_sql,
+        duckdb_dup_spans_sql,
         duckdb_minhash_sql,
         duckdb_shingles,
     )
@@ -680,6 +700,8 @@ WITH p AS (
 )
 SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.45""",
         "jaccard_pairs": jaccard,
+        "dup_spans": duckdb_dup_spans_sql("documents", "doc_id", "text",
+                                          n=8, min_docs=2),
         "simhash16": simhash,
         "ann_cosine_top10": cosine,
         # nprobe == n_centroids ⇒ IVF is exhaustive ⇒ identical to brute force

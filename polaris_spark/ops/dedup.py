@@ -357,6 +357,101 @@ FROM reach GROUP BY src"""
 
 # --------------------------------------------------------- DuckDB mirrors
 
+def duplicated_spans(docs, text_col="text", id_col="doc_id",
+                     n: int = 8, min_docs: int = 2,
+                     hash_shingles: bool = False):
+    """Maximal duplicated token spans: substring-level dedup (the
+    "repeated substrings across the corpus" operation of Lee et al. 2022,
+    *Deduplicating Training Data Makes Language Models Better* — their
+    suffix-array pass, re-expressed as the Spark-friendly fixed-n shingle
+    variant: every duplicated run of ≥ n tokens is found exactly, with
+    span boundaries rounded to token positions).
+
+    A token n-gram occurring in ≥ ``min_docs`` distinct docs marks its
+    occurrences as duplicated; overlapping/adjacent duplicated n-grams in
+    one doc merge into MAXIMAL spans. Returns
+    (doc_id, span_start, span_end, span_tokens) with 1-based inclusive
+    token positions — the rows a curation pipeline would cut or down-weight.
+
+    Scale shape (100 TB): one shuffle keyed on the shingle (map-side
+    partial aggregation; with ``hash_shingles=True`` the key is
+    ``xxhash64`` of the gram — 8 bytes instead of the string, identical
+    output modulo 2^-64 collisions), one join of occurrences against the
+    duplicated-gram set (broadcastable when dup vocabulary is small, AQE
+    picks), one per-doc window (narrow after the join's doc partitioning).
+    Tokenization/shingling is pure whole-stage-codegen column work —
+    no Python kernels anywhere."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    toks = _ws_tokens(F.col(text_col))
+    d = (docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+             .where(F.size("toks") >= n))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
+    )
+    sh = d.select(
+        "doc_id", F.posexplode(grams).alias("pos0", "sh")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "sh")
+    if hash_shingles:
+        sh = sh.select("doc_id", "pos", F.xxhash64("sh").alias("sh"))
+    dup = (sh.groupBy("sh")
+             .agg(F.countDistinct("doc_id").alias("nd"))
+             .where(F.col("nd") >= min_docs)
+             .select("sh"))
+    hits = sh.join(dup, "sh").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (hits
+           .withColumn("brk", F.when(F.col("pos") - F.lag("pos").over(w)
+                                     <= n, F.lit(0)).otherwise(F.lit(1)))
+           .withColumn("island", F.sum("brk").over(
+               w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (isl.groupBy("doc_id", "island")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + (n - 1)).alias("span_end"))
+            .withColumn("span_tokens",
+                        F.col("span_end") - F.col("span_start") + 1)
+            .select("doc_id", "span_start", "span_end", "span_tokens"))
+
+
+def duckdb_dup_spans_sql(table: str, id_col: str, text_col: str,
+                         n: int = 8, min_docs: int = 2) -> str:
+    """Oracle for :func:`duplicated_spans` (hash_shingles=False): same
+    positional shingling, dup-gram set, and gaps-and-islands merge in SQL."""
+    toks = f"list_filter(string_split_regex({text_col}, '\\s+'), x -> x != '')"
+    return f"""
+WITH d AS (
+  SELECT {id_col} AS doc_id, {toks} AS toks FROM {table}
+  WHERE len({toks}) >= {n}
+), s AS (
+  -- zipped unnests (same length) keep pos and its shingle aligned
+  SELECT doc_id,
+         unnest(range(1, len(toks) - {n} + 2)) AS pos,
+         unnest(list_transform(range(1, len(toks) - {n} + 2),
+                i -> array_to_string(list_slice(toks, i, i + {n - 1}), ' ')))
+           AS sh
+  FROM d
+), dup AS (
+  SELECT sh FROM s GROUP BY sh HAVING count(DISTINCT doc_id) >= {min_docs}
+), h AS (
+  SELECT doc_id, pos FROM s WHERE sh IN (SELECT sh FROM dup)
+), b AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                  <= {n} THEN 0 ELSE 1 END AS brk
+  FROM h
+), i AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM b
+)
+SELECT doc_id, min(pos) AS span_start, max(pos) + {n - 1} AS span_end,
+       max(pos) + {n - 1} - min(pos) + 1 AS span_tokens
+FROM i GROUP BY doc_id, island
+"""
+
+
 def duckdb_shingles(col_sql: str, n: int = N_SHINGLE) -> str:
     toks = f"list_filter(string_split_regex(lower({col_sql}), '\\s+'), x -> x != '')"
     grams = (
