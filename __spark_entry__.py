@@ -467,6 +467,17 @@ def _q_dup_spans(spark, sf_dir):
     )
 
 
+def _q_repetition(spark, sf_dir):
+    """Repetition quality signals (Rae et al. 2021 Gopher filters):
+    duplicate word-2-gram fraction + top-token share, pure column
+    expressions (ops/text.repetition_cols) — no shuffle, no Python."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.ops.text import repetition_cols
+
+    return _docs(spark, sf_dir).select("doc_id", *repetition_cols(F.col("text")))
+
+
 def _q_token_counts(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -559,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
         "token_counts": _q_token_counts,
+        "repetition": _q_repetition,
         "events_hourly": _q_events_hourly,
         "top_docs_per_source": _q_top_docs_per_source,
         "sessionize": _q_sessionize,
@@ -592,6 +604,7 @@ def oracle_sql() -> dict[str, str]:
         duckdb_fingerprint_sql,
         duckdb_langid_sql,
         duckdb_quality_sql,
+        duckdb_repetition_sql,
         duckdb_ws_tokens,
     )
     from polaris_spark.tokenizer import duckdb_tokens_sql
@@ -715,6 +728,9 @@ SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.45""",
         "token_counts": (
             f"SELECT doc_id, len({duckdb_ws_tokens('text')})::BIGINT AS n_ws_tokens, "
             f"len({duckdb_tokens_sql('text')})::BIGINT AS n_terms FROM documents"
+        ),
+        "repetition": (
+            f"SELECT doc_id, {duckdb_repetition_sql('text')} FROM documents"
         ),
         "events_hourly": _an.duckdb_events_hourly_sql(),
         "top_docs_per_source": _an.duckdb_top_docs_sql(3),

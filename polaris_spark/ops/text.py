@@ -176,6 +176,111 @@ def snippet_col(text_col, terms: list[str], before: int = 2, after: int = 3):
 
 # ------------------------------------------------------------ DuckDB mirrors
 
+# ---- PII scan / redaction ------------------------------------------------
+# Patterns restricted to the Java-regex ∩ RE2 common subset so the Spark
+# columns and the DuckDB mirror compute identical results. Ordered: emails
+# first (their local part may contain digits a later pass would chew on),
+# then IPv4, then phone-ish digit runs (IPv4 octets are ≤3 digits and
+# dot-separated, so the phone pattern — space/dash separators only — never
+# fires inside an address).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"\+?\d(?:[ \-]?\d){7,14}"),
+)
+
+
+def pii_cols(text_col):
+    """(n_email, n_ipv4, n_phone, redacted) columns — a training-data
+    pipeline's PII scrub pass: counts per category plus the text with each
+    match replaced by ``<CATEGORY>``. Pure JVM column expressions
+    (``regexp_count``/``regexp_replace``, whole-stage codegen) — no Python
+    touches the strings; at 100 TB this is a narrow map over the corpus."""
+    from pyspark.sql import functions as F
+
+    counts = [
+        F.regexp_count(text_col, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat in PII_PATTERNS
+    ]
+    red = text_col
+    for name, pat in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return (*counts, red.alias("redacted"))
+
+
+def duckdb_pii_sql(col_sql: str) -> str:
+    """SELECT-list fragment mirroring :func:`pii_cols` (counts + redacted)."""
+    parts = []
+    for name, pat in PII_PATTERNS:
+        lit = pat.replace("'", "''")
+        parts.append(
+            f"len(regexp_extract_all({col_sql}, '{lit}'))::BIGINT AS n_{name}"
+        )
+    red = col_sql
+    for name, pat in PII_PATTERNS:
+        lit = pat.replace("'", "''")
+        red = f"regexp_replace({red}, '{lit}', '<{name.upper()}>', 'g')"
+    parts.append(f"{red} AS redacted")
+    return ", ".join(parts)
+
+
+# ---- repetition signals (Gopher-style quality filters) -------------------
+
+def repetition_cols(text_col, n: int = 2):
+    """(dup_ngram_frac, top_token_frac) columns — the Rae et al. 2021
+    (Gopher) repetition filters re-expressed as Spark columns:
+    ``dup_ngram_frac`` = fraction of word n-grams that are repeats of an
+    earlier n-gram in the doc; ``top_token_frac`` = share of the most
+    frequent token. Both pure higher-order column functions (aggregate /
+    transform / array ops) — no shuffle, no Python; docs with fewer than
+    n tokens (or none) report 0.0."""
+    from pyspark.sql import functions as F
+
+    toks = _ws_tokens_col(text_col)
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws("\x00", F.slice(toks, i, n)),
+    )
+    n_grams = F.greatest(k - (n - 1), F.lit(1))
+    dup_frac = F.when(
+        k >= n,
+        (n_grams - F.size(F.array_distinct(grams)))
+        / n_grams.cast("double"),
+    ).otherwise(F.lit(0.0))
+    # top token share: max over distinct tokens of its occurrence count
+    top = F.array_max(F.transform(
+        F.array_distinct(toks),
+        lambda t: F.size(F.filter(toks, lambda x: x == t)),
+    ))
+    top_frac = F.when(k > 0, top / k.cast("double")).otherwise(F.lit(0.0))
+    return (dup_frac.alias("dup_ngram_frac"), top_frac.alias("top_token_frac"))
+
+
+def duckdb_repetition_sql(col_sql: str, n: int = 2) -> str:
+    """SELECT-list fragment mirroring :func:`repetition_cols`."""
+    toks = duckdb_ws_tokens(col_sql)
+    grams = (
+        f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 1) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), chr(0)))"
+    )
+    n_grams = f"greatest(len({toks}) - {n - 1}, 1)"
+    dup = (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"({n_grams} - len(list_distinct({grams}))) / {n_grams}::DOUBLE "
+        "ELSE 0.0 END AS dup_ngram_frac"
+    )
+    top = (
+        f"list_max(list_transform(list_distinct({toks}), "
+        f"t -> len(list_filter({toks}, x -> x = t))))"
+    )
+    topf = (
+        f"CASE WHEN len({toks}) > 0 THEN {top} / len({toks})::DOUBLE "
+        "ELSE 0.0 END AS top_token_frac"
+    )
+    return f"{dup}, {topf}"
+
+
 def duckdb_ws_tokens(col_sql: str) -> str:
     return f"list_filter(string_split_regex({col_sql}, '\\s+'), x -> x != '')"
 
