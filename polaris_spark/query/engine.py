@@ -1495,7 +1495,14 @@ class SearchEngine:
         the fan-out. Duplicate query strings are deduped (the output key is
         the query text). Prohibit terms run through the same distributed
         per-query anti-sets as :meth:`search_df` — no doc_ids reach the
-        driver."""
+        driver.
+
+        Queries are FLAT-parsed (same spec as :meth:`search_df`): classic
+        multi-term constructs (`x*`, `~N`, ranges, `/re/`, boosts, `-not`)
+        all work, but boolean-TREE syntax (parens, AND/OR keywords) is
+        treated as text like every flat path does — route such queries
+        through :meth:`search_bool_df` (only :meth:`search_mixed`
+        auto-routes)."""
         from functools import reduce
 
         from pyspark.sql import Window
