@@ -232,6 +232,12 @@ def run_suite(cpus: int, sf_dir: str, n_turns: int) -> dict:
     lsh_candidate_pairs(docs, k=8, bands=4).count()
     times["dedup_minhash_lsh"] = round(time.time() - t0, 3)
 
+    from polaris_spark.ops.dedup import duplicated_spans
+
+    t0 = time.time()
+    duplicated_spans(docs, n=8, min_docs=2, hash_shingles=True).count()
+    times["dedup_dup_spans"] = round(time.time() - t0, 3)
+
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     qv = [float(x) for x in emb.where("vec_id = 0").collect()[0]["embedding"]]
     from polaris_spark.ops.similarity import cosine_topk

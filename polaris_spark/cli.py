@@ -78,6 +78,33 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("stats", help="print index stats + manifests")
     s.add_argument("--index", required=True)
 
+    cu = sub.add_parser("curate", help="training-data curation ledger "
+                        "(quality → langid → exact dedup → LSH near-dup CC)")
+    cu.add_argument("--input", required=True, help="documents parquet")
+    cu.add_argument("--output", required=True,
+                    help="output parquet of (doc_id, keep, reason)")
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--doc-id-col", default="doc_id")
+    cu.add_argument("--min-quality", type=float, default=0.55)
+    cu.add_argument("--langs", default="en",
+                    help="comma-separated allowed language codes")
+    cu.add_argument("--threshold", type=float, default=0.5,
+                    help="near-dup Jaccard threshold")
+
+    sc = sub.add_parser("scrub", help="PII-redact + annotate quality/"
+                        "repetition/token-count signal columns")
+    sc.add_argument("--input", required=True, help="documents parquet")
+    sc.add_argument("--output", required=True,
+                    help="output parquet: input columns + signals, text "
+                         "replaced by its PII-redacted form")
+    sc.add_argument("--text-col", default="text")
+    sc.add_argument("--doc-id-col", default="doc_id")
+    sc.add_argument("--dup-spans", action="store_true",
+                    help="also write <output>_spans parquet of maximal "
+                         "duplicated ≥n-token spans")
+    sc.add_argument("--span-ngram", type=int, default=8)
+    sc.add_argument("--span-min-docs", type=int, default=2)
+
     sv = sub.add_parser("serve", help="HTTP serving daemon (devserver analog)")
     sv.add_argument("--index", required=True)
     sv.add_argument("--host", default="127.0.0.1")
@@ -141,6 +168,50 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"serving": f"http://{srv.server_address[0]}:{srv.server_address[1]}"}),
               flush=True)
         t.join()
+    elif args.cmd == "curate":
+        from pyspark.sql import functions as F
+
+        from polaris_spark.ops.curate import curate
+
+        spark = _session("polaris_spark_curate")
+        docs = spark.read.parquet(args.input)
+        led = curate(docs, text_col=args.text_col, id_col=args.doc_id_col,
+                     min_quality=args.min_quality,
+                     langs=tuple(x for x in args.langs.split(",") if x),
+                     threshold=args.threshold)
+        led.write.mode("overwrite").parquet(args.output)
+        out = {r["reason"]: r["n"] for r in
+               spark.read.parquet(args.output)
+               .groupBy("reason").agg(F.count("*").alias("n")).collect()}
+        print(json.dumps({"output": args.output, "by_reason": out}))
+    elif args.cmd == "scrub":
+        from pyspark.sql import functions as F
+
+        from polaris_spark.ops.dedup import duplicated_spans
+        from polaris_spark.ops.text import (pii_cols, quality_cols,
+                                            repetition_cols, token_count_cols)
+
+        spark = _session("polaris_spark_scrub")
+        docs = spark.read.parquet(args.input)
+        t = F.col(args.text_col)
+        *pii_counts, redacted = pii_cols(t)
+        ann = docs.select(
+            *[c for c in docs.columns if c != args.text_col],
+            redacted.alias(args.text_col),
+            *pii_counts, *quality_cols(t), *repetition_cols(t),
+            *token_count_cols(t),
+        )
+        ann.write.mode("overwrite").parquet(args.output)
+        res = {"output": args.output, "n_docs": ann.count()}
+        if args.dup_spans:
+            spans = duplicated_spans(docs, text_col=args.text_col,
+                                     id_col=args.doc_id_col,
+                                     n=args.span_ngram,
+                                     min_docs=args.span_min_docs,
+                                     hash_shingles=True)
+            spans.write.mode("overwrite").parquet(args.output + "_spans")
+            res["n_dup_spans"] = spark.read.parquet(args.output + "_spans").count()
+        print(json.dumps(res))
     elif args.cmd == "stats":
         import glob
         import os
