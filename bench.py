@@ -406,7 +406,7 @@ ratios), so that auxiliary fold is Amdahl-visible on the proxy while
 negligible at the 10^12-turn design point. Both numbers reported; the total
 includes everything the default build writes.
 **QUERY-SET scaling, batched job (bqps_4N / bqps_N) / 4 = {bqeff}** — the
-query-volume shape the rule's N→4N criterion actually stresses: ~190
+query-volume shape the rule's N→4N criterion actually stresses: ~4.2k
 distinct two-term queries (hot/mid/rare vocab mix) scored as ONE
 distributed job (`search_many_df`: one union-of-terms candidate scan, one
 shard shuffle, per-shard kernels scoring every query, per-query window

@@ -1472,12 +1472,14 @@ class SearchEngine:
         — queries are round-robined into B blocks sized so S×B ≈ 2× the
         session's cores (see inline comment; ``block_queries`` is kept for
         API compatibility but B no longer derives from it) and the
-        candidate rows fan out to every block, so kernel parallelism is
-        S×B tasks, not capped at n_shards. Each
-        kernel group decodes its shard's packed blobs ONCE
+        candidate rows are routed to exactly the blocks whose queries use
+        their term (broadcast membership join), so kernel parallelism is
+        up to S×B tasks, not capped at n_shards, while total decode work
+        stays ∝ the query set's term postings rather than growing with B.
+        Each kernel group decodes its routed packed blobs ONCE
         (:func:`decode_shard_rows`) and scores its block's queries from the
         shared arrays (:func:`score_decoded`) — terms shared across queries
-        (the common case in a batch) are never re-decoded. Per-query top-k
+        within a block (the common case in a batch) are never re-decoded. Per-query top-k
         via window rank. Per-query results are bit-identical to
         :meth:`search_df` (same candidate rows, same df-summed idf, same
         term-ordered float64 accumulation, MaxScore pruning per query stays
@@ -1489,10 +1491,11 @@ class SearchEngine:
         submitter fan-out rather than cores. Batching amortizes those fixed
         costs across the set — roughly one request's scan + Q cheap kernel
         passes — so throughput scales with executors like any other
-        shuffle-partitioned job. The block fan-out trade-off: ×B shuffle
-        bytes of (tiny) packed candidate rows buys S×B-way CPU parallelism
-        over the decode+score work that dominates; ``max_blocks`` bounds
-        the fan-out. Duplicate query strings are deduped (the output key is
+        shuffle-partitioned job. The block trade-off: terms shared by
+        queries in different blocks are decoded once per such block (hot
+        terms only — bounded by B, which ``max_blocks`` caps), buying up
+        to S×B-way CPU parallelism over the decode+score work that
+        dominates. Duplicate query strings are deduped (the output key is
         the query text). Prohibit terms run through the same distributed
         per-query anti-sets as :meth:`search_df` — no doc_ids reach the
         driver.
@@ -1544,16 +1547,17 @@ class SearchEngine:
         avgdl, k1, b = stats["avgdl"], stats["k1"], stats["b"]
         scorable = {q for q, *_ in qspecs}
 
-        # round-robin queries into blocks; candidates fan out to every block
-        # so the group key (shard, qblock) spreads the kernel S×B wide.
-        # B sizes to the SESSION's core count, not the query count: decode
-        # work is S×B full shard decodes (every block re-decodes its shard's
-        # blobs), so the cheapest B is the smallest that still yields ~2
-        # tasks per core for balance. A fixed per-block query cap (the old
-        # ceil(Q/block_queries) rule) paid ×17 decode duplication at Q=1000
-        # for parallelism an 8-core session couldn't use; measured 1.6×
-        # faster at local[8] with core-derived B, bit-identical results
-        # (blocking never affects per-query candidate rows or idf).
+        # round-robin queries into blocks; the group key (shard, qblock)
+        # spreads the kernel up to S×B wide. B sizes to the SESSION's core
+        # count, not the query count: extra blocks re-decode terms SHARED
+        # across blocks (the term-targeted routing below confines each term
+        # to the blocks that score it), so the cheapest B is the smallest
+        # that still yields ~2 tasks per core for balance. A fixed
+        # per-block query cap (the old ceil(Q/block_queries) rule) paid
+        # ×17 decode duplication at Q=1000 for parallelism an 8-core
+        # session couldn't use; measured 1.6× faster at local[8] with
+        # core-derived B, bit-identical results (blocking never affects
+        # per-query candidate rows or idf).
         cores = max(1, self.spark.sparkContext.defaultParallelism)
         B = max(1, min(math.ceil(2 * cores / S),       # S×B ≈ 2×cores
                        math.ceil(len(qspecs) / 8),     # ≥8 queries per block
@@ -1563,10 +1567,24 @@ class SearchEngine:
         for i, spec in enumerate(qspecs):
             blocks[i % B].append(spec)
             qblock_of[spec[0]] = i % B
-        routed = self._routed(cand, S).withColumn(
-            "qblock",
-            F.explode(F.sequence(F.lit(0), F.lit(B - 1))),
-        )
+        # Term-targeted block routing: a candidate row reaches ONLY the
+        # blocks containing a query that uses its term (broadcast join
+        # against the tiny (term, qblock) membership table) — NOT every
+        # block. Full fan-out made total decode work ∝ S×B, and B grows
+        # with the session's cores, so ADDING cores added decode work and
+        # capped the N→4N batch-query scaling efficiency at ~0.57
+        # (BENCH/BASELINE.md r3 campaign). With term routing the decode
+        # work is ∝ Σ_blocks(postings of that block's terms): a term is
+        # re-decoded only in blocks that actually score it, so work is
+        # ~constant in B (plus hot shared-term duplication, bounded by B)
+        # and the job scales with cores. Results are unchanged: each
+        # query's kernel still sees every candidate row of its own terms.
+        term_blocks = sorted({(t, qb)
+                              for qb, blk in enumerate(blocks)
+                              for _q, _terms, _b3, _n in blk
+                              for t in _terms})
+        tb = self.spark.createDataFrame(term_blocks, "term string, qblock int")
+        routed = self._routed(cand, S).join(F.broadcast(tb), "term")
         routed = self._pin_groups(routed, S * B,
                                   F.col("shard") * B + F.col("qblock"))
 

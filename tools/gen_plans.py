@@ -110,13 +110,16 @@ def main() -> None:
     SECTIONS.append((
         "batched multi-query search (one scan + one shuffle for a query SET)",
         "search_many_df scores every query in ONE job: a single bucket-"
-        "pruned candidate scan for the UNION of all queries' terms, one "
-        "Exchange clustered on (shard, qblock) — queries round-robin into "
-        "B blocks and candidates fan out to every block, so the "
-        "FlatMapGroupsInPandas kernel runs S×B ways (an explicit "
+        "pruned candidate scan for the UNION of all queries' terms, a "
+        "BroadcastHashJoin against the tiny (term, qblock) membership "
+        "table routing each candidate row ONLY to the blocks whose "
+        "queries use its term (never a full ×B fan-out — total decode "
+        "work stays ∝ the set's term postings as B grows with cores), "
+        "then one Exchange clustered on (shard, qblock) so the "
+        "FlatMapGroupsInPandas kernel runs up to S×B ways (an explicit "
         "repartition pins the task count: AQE would coalesce these "
         "few-KB-but-CPU-heavy groups by bytes). Each group decodes its "
-        "shard's packed blobs ONCE and scores its block's queries from the "
+        "routed packed blobs ONCE and scores its block's queries from the "
         "shared arrays; then a per-query window top-k. Q queries ≈ one "
         "query's scan + Q cheap accumulate passes, instead of Q full jobs.",
         cap(eng.search_many_df(

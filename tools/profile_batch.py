@@ -44,9 +44,16 @@ def ensure_corpus_and_index():
 
 
 def batch_queries():
+    # PB_NTOK widens the token pool (more queries => the parallel kernel
+    # dominates the fixed scan/idf costs, which is the regime the N->4N
+    # efficiency criterion is about).
+    n_tok = int(os.environ.get("PB_NTOK", "46"))
     from polaris_spark.synth import make_vocab
     vocab = make_vocab(5000, 42)
-    toks = vocab[:20] + vocab[100:113] + vocab[1000:1013]
+    head = min(n_tok * 20 // 46, 100)
+    rest = n_tok - head
+    toks = (vocab[:head] + vocab[100:100 + rest // 2]
+            + vocab[1000:1000 + rest - rest // 2])
     return [f"{a} {b}" for i, a in enumerate(toks) for b in toks[i + 1:]]
 
 
