@@ -35,6 +35,7 @@ Q_NOT = "spark -join"  # Lucene-classic prohibit operator
 Q_BOOL = "spark AND (join OR merge) -scan"  # classic boolean composition
 Q_BOOL2 = "+query (filter OR slow)^2 -customer"  # +required, group boost
 Q_SLOP = ("spark join", 2)  # sloppy phrase "spark join"~2
+Q_BOOLP = '"slow query" OR (merge AND NOT "spark join")'  # phrase-in-tree
 Q_WILDG = "s?an s*t"  # general wildcards: ? and mid-string *
 Q_RANGE = "{merge TO sort] join"  # classic TermRangeQuery (mixed bounds)
 Q_REGEX = "/qu.+y/ join"  # classic slash-delimited RegexpQuery
@@ -253,6 +254,18 @@ def _q_bool_required(spark, sf_dir):
 
     eng = SearchEngine(spark, _ensure_index(spark, sf_dir))
     return _score_e4(eng.search_bool_df(Q_BOOL2, k=None))
+
+
+def _q_bool_phrase(spark, sf_dir):
+    """Quoted PhraseQuery leaves composed in a boolean tree ('"a b" AND c',
+    phrase under NOT, slop/boost forms) — the classic parser's third
+    composable operator (MultiFieldQueryParser surface, reference
+    SourceDbImpl.java:135-139), evaluated positionally inside the same
+    per-shard tree kernel."""
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir, pos=True))
+    return _score_e4(eng.search_bool_df(Q_BOOLP, k=None))
 
 
 def _q_phrase_slop(spark, sf_dir):
@@ -552,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_group_search": _q_field_group,
         "batch_search": _q_batch_search,
         "phrase_slop": _q_phrase_slop,
+        "bool_phrase_search": _q_bool_phrase,
         "prefix_complete": _q_complete,
         "curate": _q_curate,
         "dedup_exact": _q_dedup_exact,
@@ -687,6 +701,7 @@ SELECT doc_id, lpad(lower(to_hex(val)), 4, '0') AS simhash16 FROM packed"""
         "fuzzy_search": bm25_scores_sql(Q_FUZZY),
         "bool_tree_search": bool_scores_sql(Q_BOOL),
         "bool_required_search": bool_scores_sql(Q_BOOL2),
+        "bool_phrase_search": bool_scores_sql(Q_BOOLP),
         "field_group_search": bool_scores_sql(Q_FGROUP,
                                               field_cols=FIELD_COLS),
         "batch_search": batch_scores_sql(Q_BATCH),

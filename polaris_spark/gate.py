@@ -372,7 +372,26 @@ def bool_scores_sql(query: str, table: str = "documents",
         return "SELECT NULL::BIGINT AS doc_id, NULL::BIGINT AS score_e4 WHERE FALSE"
     fields = tuple(field_cols)
 
-    leaves: list[tuple] = []  # (qt_sql, boost, scoring)
+    leaves: list[tuple] = []  # (qt_sql, boost, scoring, phrase_spec)
+
+    def leaf_phrase(leaf: Leaf) -> tuple:
+        """engine ``resolve_phrase`` mirror → (qt_sql, phrase_spec)."""
+        from .tokenizer import _BASE_RE
+
+        fld, body, slop = leaf.payload
+        if fld in fields or (leaf.group_field in fields
+                             and leaf.group_field is not None):
+            raise ValueError("field-qualified phrases are not supported")
+        if fld is not None:
+            body = f"{fld}:{body}"  # unknown qualifier: plain text
+        seq = _BASE_RE.findall(body)
+        uniq = sorted(set(seq))
+        if not uniq:
+            return "SELECT NULL::VARCHAR AS term WHERE FALSE", None
+        qt = f"SELECT unnest({_sql_list(uniq)}) AS term"
+        if len(seq) == 1:
+            return qt, None  # TermQuery degeneration, like the engine
+        return qt, (seq, int(slop))
 
     def leaf_qt(leaf: Leaf) -> str:
         # engine parse_bool.resolve mirror incl. the f:(...) group scope
@@ -442,7 +461,11 @@ def bool_scores_sql(query: str, table: str = "documents",
 
     def conv(nd, scoring: bool):
         if isinstance(nd, Leaf):
-            leaves.append((leaf_qt(nd), nd.boost, scoring))
+            if nd.kind == "phrase":
+                qt, phrase = leaf_phrase(nd)
+            else:
+                qt, phrase = leaf_qt(nd), None
+            leaves.append((qt, nd.boost, scoring, phrase))
             return ("leaf", len(leaves) - 1)
         return (
             "node",
@@ -482,10 +505,36 @@ def bool_scores_sql(query: str, table: str = "documents",
     leaf_ctes = []
     joins = []
     scoring_qts = []
-    for i, (qt, _boost, scoring) in enumerate(leaves):
+    any_phrase = any(ph for _qt, _b, _sc, ph in leaves)
+    for i, (qt, _boost, scoring, phrase) in enumerate(leaves):
         qt_ctes.append(f"qt{i} AS ({qt})")
         if scoring:
             scoring_qts.append(f"SELECT term FROM qt{i}")
+        if phrase is not None:
+            # quoted PhraseQuery leaf: positional anchor count over sl,
+            # contribution = idf_sum(sequence) × impact(phrase_freq, dl) —
+            # the engine kernel's phrase branch, verbatim
+            seq, slop = phrase
+            t0 = seq[0].replace("'", "''")
+            leaf_ctes.append(
+                f"pf{i} AS (SELECT a0.doc_id, count(*)::BIGINT AS pf "
+                f"FROM sl a0 WHERE a0.tok = '{t0}'\n    AND "
+                + _phrase_cond(seq, slop) + " GROUP BY a0.doc_id)"
+            )
+            if scoring:
+                leaf_ctes.append(
+                    f"l{i} AS (SELECT p.doc_id, ({_phrase_idf_sum(seq)})"
+                    f" * (p.pf * {K1P1_SQL} / (p.pf + {K1_SQL} * "
+                    f"(1.0 - {B_SQL} + {B_SQL} * dl.dl / (s.sumdl / s.N)))) AS c "
+                    f"FROM pf{i} p JOIN dl USING (doc_id) CROSS JOIN stats s)"
+                )
+                joins.append(f"LEFT JOIN l{i} ON l{i}.doc_id = u.doc_id")
+            else:
+                leaf_ctes.append(
+                    f"n{i} AS (SELECT DISTINCT doc_id FROM pf{i})"
+                )
+                joins.append(f"LEFT JOIN n{i} ON n{i}.doc_id = u.doc_id")
+        elif scoring:
             leaf_ctes.append(
                 f"l{i} AS (SELECT doc_id, sum(c) AS c FROM contrib "
                 f"WHERE term IN (SELECT term FROM qt{i}) GROUP BY doc_id)"
@@ -501,6 +550,8 @@ def bool_scores_sql(query: str, table: str = "documents",
     univq = " UNION ALL ".join(scoring_qts) or \
         "SELECT NULL::VARCHAR AS term WHERE FALSE"
     qt_block = ",\n".join(qt_ctes)
+    if any_phrase:
+        leaf_ctes.insert(0, _slot_ctes(table))
     leaf_block = ",\n".join(leaf_ctes)
     sql = base_cte(table, fields) + f""",
 {qt_block},
@@ -573,6 +624,64 @@ GROUP BY doc_id
 HAVING count(DISTINCT term) = {n}"""
 
 
+def _slot_ctes(table: str) -> str:
+    """The positional CTE block shared by every phrase mirror: per-doc base
+    tokens slotted in order (``slotted``) plus camel/separator sub-tokens at
+    their parent slot (``subs``), unioned as ``sl`` — the DuckDB image of
+    ``tokenize_with_positions``'s position-increment-0 convention."""
+    from .tokenizer import BASE_PATTERN, CAMEL1, CAMEL2, SEPS_PATTERN
+
+    base_lit = BASE_PATTERN.replace("'", "''")
+    seps_lit = SEPS_PATTERN.replace("'", "''")
+    camel = (
+        "list_filter(string_split(regexp_replace(regexp_replace(regexp_replace("
+        f"tok, '{CAMEL1[0]}', '\\1 \\2', 'g'), '{CAMEL2[0]}', '\\1 \\2', 'g'), "
+        f"'{seps_lit}', ' ', 'g'), ' '), s -> s != '')"
+    )
+    return f"""bt AS (SELECT doc_id, regexp_extract_all(text, '{base_lit}') AS b FROM {table}),
+slotted AS (
+  SELECT doc_id, unnest(range(1, len(b) + 1))::INT AS slot, unnest(b) AS tok
+  FROM bt
+),
+subs AS (
+  SELECT doc_id, slot,
+         unnest(CASE WHEN len({camel}) > 1 THEN {camel} ELSE [] END) AS tok
+  FROM slotted
+),
+sl AS (SELECT * FROM slotted UNION ALL SELECT * FROM subs)"""
+
+
+def _phrase_cond(terms: list[str], slop: int) -> str:
+    """The anchor-match condition over ``sl`` alias ``a0`` (terms 1..n as
+    correlated subqueries): exact adjacency EXISTS chain at slop=0, the
+    engine's anchor-displacement Σmin form otherwise (an absent term yields
+    a NULL min → NULL sum → row excluded, same all-terms-required rule)."""
+    if slop == 0:
+        return "\n    AND ".join(
+            f"EXISTS (SELECT 1 FROM sl a{i} WHERE a{i}.doc_id = a0.doc_id "
+            f"AND a{i}.slot = a0.slot + {i} AND a{i}.tok = '"
+            + t.replace("'", "''") + "')"
+            for i, t in enumerate(terms[1:], start=1)
+        )
+    mins = " + ".join(
+        f"(SELECT min(abs(a{i}.slot - (a0.slot + {i}))) FROM sl a{i} "
+        f"WHERE a{i}.doc_id = a0.doc_id AND a{i}.tok = '"
+        + t.replace("'", "''") + "')"
+        for i, t in enumerate(terms[1:], start=1)
+    )
+    return f"({mins}) <= {int(slop)}"
+
+
+def _phrase_idf_sum(terms: list[str]) -> str:
+    """Σ_i idf(term_i) over the SEQUENCE (duplicates count twice, like
+    Lucene's sumOfSquaredWeights) as dft-correlated subqueries."""
+    return " + ".join(
+        f"(SELECT ln(1.0 + (s.N - df + 0.5) / (df + 0.5)) FROM dft "
+        f"WHERE term = '" + t.replace("'", "''") + "')"
+        for t in terms
+    )
+
+
 def phrase_sql(phrase: str, table: str = "documents", slop: int = 0) -> str:
     """Phrase matches with e4-rounded scores (``slop`` > 0 mirrors the
     engine's anchor-displacement sloppy semantics: anchor q0 matches when
@@ -590,58 +699,21 @@ def phrase_sql(phrase: str, table: str = "documents", slop: int = 0) -> str:
     for terms 1..n — exactly the engine kernel's live-chain semantics.
     Score = (Σ_i idf(term_i)) × BM25-impact(phrase_freq, dl) with dl from the
     FULL token stream (base + sub tokens)."""
-    from .tokenizer import BASE_PATTERN, CAMEL1, CAMEL2, SEPS_PATTERN, _BASE_RE
+    from .tokenizer import _BASE_RE
 
     terms = _BASE_RE.findall(phrase)
     assert len(terms) >= 2, "phrase oracle needs >= 2 terms"
-    base_lit = BASE_PATTERN.replace("'", "''")
-    seps_lit = SEPS_PATTERN.replace("'", "''")
-    camel = (
-        "list_filter(string_split(regexp_replace(regexp_replace(regexp_replace("
-        f"tok, '{CAMEL1[0]}', '\\1 \\2', 'g'), '{CAMEL2[0]}', '\\1 \\2', 'g'), "
-        f"'{seps_lit}', ' ', 'g'), ' '), s -> s != '')"
-    )
     t0 = terms[0].replace("'", "''")
-    if slop == 0:
-        exists = "\n    AND ".join(
-            f"EXISTS (SELECT 1 FROM sl a{i} WHERE a{i}.doc_id = a0.doc_id "
-            f"AND a{i}.slot = a0.slot + {i} AND a{i}.tok = '"
-            + t.replace("'", "''") + "')"
-            for i, t in enumerate(terms[1:], start=1)
-        )
-    else:
-        mins = " + ".join(
-            f"(SELECT min(abs(a{i}.slot - (a0.slot + {i}))) FROM sl a{i} "
-            f"WHERE a{i}.doc_id = a0.doc_id AND a{i}.tok = '"
-            + t.replace("'", "''") + "')"
-            for i, t in enumerate(terms[1:], start=1)
-        )
-        # an absent term yields a NULL min → NULL sum → row excluded, same
-        # all-terms-required behavior as the exact path
-        exists = f"({mins}) <= {int(slop)}"
+    exists = _phrase_cond(terms, slop)
     qt = _qt_list(" ".join(terms))
-    idf_terms = " + ".join(
-        f"(SELECT ln(1.0 + (s.N - df + 0.5) / (df + 0.5)) FROM dft "
-        f"WHERE term = '" + t.replace("'", "''") + "')"
-        for t in terms
-    )
+    idf_terms = _phrase_idf_sum(terms)
     return base_cte(table) + f""",
 qt AS (SELECT unnest({qt}) AS term),
 dft AS (
   SELECT term, count(*)::BIGINT AS df FROM tf
   WHERE term IN (SELECT term FROM qt) GROUP BY term
 ),
-bt AS (SELECT doc_id, regexp_extract_all(text, '{base_lit}') AS b FROM {table}),
-slotted AS (
-  SELECT doc_id, unnest(range(1, len(b) + 1))::INT AS slot, unnest(b) AS tok
-  FROM bt
-),
-subs AS (
-  SELECT doc_id, slot,
-         unnest(CASE WHEN len({camel}) > 1 THEN {camel} ELSE [] END) AS tok
-  FROM slotted
-),
-sl AS (SELECT * FROM slotted UNION ALL SELECT * FROM subs),
+{_slot_ctes(table)},
 pf AS (
   SELECT a0.doc_id, count(*)::BIGINT AS pf
   FROM sl a0

@@ -95,6 +95,43 @@ def parse_range(body: str):
     return (m.group("f"), lo, hi, m.group("o") == "[", m.group("c") == "]")
 
 
+# ---- PhraseQuery (classic `"a b"` / `"a b"~N`, inside boolean trees) -----
+# A quoted phrase spans whitespace, so the tokenizer pre-folds it exactly
+# like ranges: whitespace (and parens, which the lexer would otherwise split
+# on) inside balanced double quotes becomes \x00, making the construct ONE
+# whitespace-free chunk `"a\x00b"~2^3` the clause machinery (prefix strip,
+# boost strip) already handles.
+_PHRASE_FOLD_RE = re.compile(r'"[^"]*"')
+_PHRASE_RE = re.compile(
+    r'^(?:(?P<f>[^\s:"]+):)?"(?P<body>[^"]*)"(?:~(?P<slop>\d+))?$'
+)
+
+
+def fold_phrases(query: str) -> str:
+    """Replace whitespace and parens inside each balanced double-quoted
+    span with \\x00 so whitespace splitting keeps the phrase intact (parens
+    are phrase text — the analyzer drops them — not group syntax). Runs
+    BEFORE :func:`fold_ranges` so quoted text can never be range-folded.
+    An unbalanced trailing quote is left as-is and rejected downstream."""
+    return _PHRASE_FOLD_RE.sub(
+        lambda m: re.sub(r"[\s()]", "\x00", m.group(0)), query or ""
+    )
+
+
+def parse_phrase(body: str):
+    """A folded phrase chunk → ``(field, phrase_text, slop)`` or None.
+
+    ``field`` is the raw qualifier or None (bare). ``phrase_text`` has its
+    \\x00 placeholders restored to spaces; tokenization (base-token
+    sequence, order and duplicates kept) happens in the consumer. ``slop``
+    is the classic ``~N`` suffix, 0 when absent (exact PhraseQuery)."""
+    m = _PHRASE_RE.match(body or "")
+    if not m:
+        return None
+    return (m.group("f"), m.group("body").replace("\x00", " "),
+            int(m.group("slop") or 0))
+
+
 # ---- RegexpQuery (classic `/pattern/`, optionally `field:/pattern/`) -----
 # Lucene's classic parser (4.0+) reads a slash-delimited chunk as a
 # RegexpQuery over the indexed terms; the reference's MultiFieldQueryParser
@@ -143,11 +180,14 @@ def regexp_literal_prefix(pattern: str) -> str:
 class Leaf:
     """Unresolved query clause.
 
-    kind ∈ {"chunk", "prefix", "fuzzy", "wildcard", "range", "regexp"}:
+    kind ∈ {"chunk", "prefix", "fuzzy", "wildcard", "range", "regexp",
+    "phrase"}:
     - "range": classic TermRangeQuery ``field:[a TO b]``; payload is
       :func:`parse_range`'s ``(field, lo, hi, inc_lo, inc_hi)``.
     - "regexp": classic slash-delimited RegexpQuery ``/pat/`` /
       ``field:/pat/``; payload is the raw chunk (``field:`` kept).
+    - "phrase": classic quoted PhraseQuery ``"a b"`` / ``"a b"~N``;
+      payload is :func:`parse_phrase`'s ``(field, phrase_text, slop)``.
 
     ``group_field`` carries the classic field-group scope (``f:(a OR b)``
     sets it to ``f`` on every leaf of the group that has no explicit field
@@ -200,10 +240,14 @@ def _set_group_field(root, fld: str) -> None:
 
 def has_operators(query: str) -> bool:
     """True when the query uses boolean-tree syntax the flat parser can't
-    express: parens, explicit AND/OR/NOT keywords, or '+' clause prefixes."""
-    for tok in _TOKEN_RE.findall(query or ""):
+    express: parens, explicit AND/OR/NOT keywords, '+' clause prefixes, or
+    a quoted phrase (phrase-in-tree composition — callers route a LONE
+    ``"a b"``/``"a b"~N`` to the dedicated phrase path first, via
+    ``parse_phrase_query``, so it never reaches this check)."""
+    for tok in _TOKEN_RE.findall(fold_phrases(query or "")):
         if tok in ("(", ")") or tok in _KW_AND or tok in _KW_OR \
-                or tok in _KW_NOT or (tok.startswith("+") and len(tok) > 1):
+                or tok in _KW_NOT or (tok.startswith("+") and len(tok) > 1) \
+                or '"' in tok:
             return True
     return False
 
@@ -223,6 +267,13 @@ def classify_chunk(body: str) -> Leaf:
             body = head
         except ValueError:
             pass  # not a boost suffix; '^' is punctuation
+    ph = parse_phrase(body)
+    if ph is not None:  # before everything: the body may hold ~ * ? [ /
+        return Leaf("phrase", ph, boost)
+    if '"' in body:
+        raise ValueError(
+            f"unbalanced or malformed quoted phrase near {body!r}"
+        )
     rng = parse_range(body)
     if rng is not None:  # before wildcard sniffing: '[a TO *]' carries '*'
         return Leaf("range", rng, boost)
@@ -360,11 +411,6 @@ class _Parser:
                 _set_group_field(inner, grp_field)
             return inner
         self.next()
-        if '"' in t:
-            raise ValueError(
-                "quoted phrases inside boolean trees are not supported; "
-                "use search_phrase() for phrase queries"
-            )
         return classify_chunk(t)
 
 
@@ -384,7 +430,7 @@ def _fold_or(prefixed: list) -> Node | Leaf:
 
 def parse(query: str) -> Node | Leaf | None:
     """Query string → AST root (Node or single Leaf), or None when empty."""
-    tokens = _TOKEN_RE.findall(fold_ranges(query))
+    tokens = _TOKEN_RE.findall(fold_ranges(fold_phrases(query)))
     if not tokens:
         return None
     p = _Parser(tokens)

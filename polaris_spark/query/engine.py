@@ -323,7 +323,7 @@ def score_shard_tree(
     merged = _decode_merge(pdf, n_shards, shard)
     if not merged:
         return empty
-    sterms = sorted({t for terms, _bo, sc in leaves if sc
+    sterms = sorted({t for terms, _bo, sc, _ph in leaves if sc
                      for t in terms if t in merged})
     if not sterms:
         return empty
@@ -331,7 +331,7 @@ def score_shard_tree(
     n = len(uni)
     pres: dict[str, np.ndarray] = {}
     contrib: dict[str, np.ndarray] = {}
-    for t in sorted({t for terms, _bo, _sc in leaves for t in terms}):
+    for t in sorted({t for terms, _bo, _sc, _ph in leaves for t in terms}):
         if t not in merged:
             continue
         docs, tfs, dls = merged[t]
@@ -350,7 +350,34 @@ def score_shard_tree(
     zf = np.zeros(n, dtype=np.float64)
     lm: list[np.ndarray] = []
     lc: list[np.ndarray] = []
-    for terms, boost, scoring in leaves:
+    for terms, boost, scoring, phrase in leaves:
+        if phrase is not None:
+            # quoted PhraseQuery leaf: positional match via the phrase
+            # kernel (k=None → every matching doc of this shard slice),
+            # contribution = boost × idf_sum × impact(phrase_freq, dl) —
+            # numerically identical to search_phrase on the same index.
+            seq, slop = phrase
+            uniq = set(seq)
+            sub = pdf[pdf["term"].isin(uniq)]
+            pidf = {t: idf.get(t, 0.0) for t in uniq}  # 0.0 only ever
+            # used under MUST_NOT (match-test, score discarded)
+            pres_df = phrase_shard(sub, list(seq), pidf, avgdl, k1, b,
+                                   None, n_shards=n_shards, shard=shard,
+                                   slop=slop)
+            m = zb.copy()
+            c = zf
+            if len(pres_df):
+                pdocs = pres_df["doc_id"].to_numpy()
+                idxpos = np.searchsorted(uni, pdocs)
+                idx_c = np.minimum(idxpos, n - 1)
+                hit = uni[idx_c] == pdocs
+                m[idx_c[hit]] = True
+                if scoring:
+                    c = zf.copy()
+                    c[idx_c[hit]] = pres_df["score"].to_numpy()[hit] * boost
+            lm.append(m)
+            lc.append(c)
+            continue
         m = zb.copy()
         for t in terms:
             if t in pres:
@@ -396,7 +423,7 @@ def score_shard_tree(
     if not m_root.any():
         return empty
     nmatch = np.zeros(n, dtype=np.int32)
-    for (terms, _bo, scoring), lmi in zip(leaves, lm):
+    for (terms, _bo, scoring, _ph), lmi in zip(leaves, lm):
         if scoring:
             nmatch += lmi
     docs_a, score, nmatch = uni[m_root], score[m_root], nmatch[m_root]
@@ -1043,8 +1070,11 @@ class SearchEngine:
     def parse_bool(self, query: str, expand_fields: bool = False):
         """Lucene-classic boolean composition → (compiled_root, leaves).
 
-        ``leaves[i] = (terms, boost, scoring)``; ``compiled_root`` nests
-        ("node", must, should, must_not) over ("leaf", i) references. See
+        ``leaves[i] = (terms, boost, scoring, phrase)`` where ``phrase`` is
+        None for term-set leaves or ``(term_sequence, slop)`` for quoted
+        PhraseQuery leaves (``"a b"``/``"a b"~N`` composed in the tree,
+        classic-parser surface); ``compiled_root`` nests ("node", must,
+        should, must_not) over ("leaf", i) references. See
         :mod:`..query.boolquery` for grammar and occur semantics and
         :func:`score_shard_tree` for evaluation. Wildcard/fuzzy clauses are
         legal ANYWHERE in the tree (incl. under AND — a leaf matches on any
@@ -1057,6 +1087,32 @@ class SearchEngine:
             return None, []
         fields = set(self.stats.get("field_cols", ()) or ())
         leaves: list[tuple] = []
+
+        def resolve_phrase(leaf: bq.Leaf) -> tuple:
+            """Phrase leaf → (terms, phrase_spec). A 1-token phrase degrades
+            to a TermQuery leaf (Lucene's classic parser does the same); 0
+            tokens → a never-matching leaf. Field-qualified phrases are
+            rejected: positions are text-token only (field terms carry no
+            position stream) — a DOCUMENTED deviation."""
+            fld, body, slop = leaf.payload
+            if fld in fields or (leaf.group_field in fields
+                                 and leaf.group_field is not None):
+                raise ValueError(
+                    "field-qualified phrases are not supported (positions "
+                    "are indexed for text tokens only)"
+                )
+            if fld is not None:
+                body = f"{fld}:{body}"  # unknown qualifier: plain text,
+                # same rule as unknown field: prefixes on chunks
+            seq = tuple(self.phrase_terms(body))
+            if len(seq) <= 1:
+                return seq, None  # TermQuery degeneration, no positions
+            if not self.stats.get("positions"):
+                raise ValueError(
+                    "phrase clauses require an index built with "
+                    "positions=True"
+                )
+            return tuple(sorted(set(seq))), (seq, int(slop))
 
         def resolve(leaf: bq.Leaf) -> tuple:
             # classic field-group scope f:(...) — applies to leaves without
@@ -1111,7 +1167,11 @@ class SearchEngine:
 
         def conv(nd, scoring: bool):
             if isinstance(nd, bq.Leaf):
-                leaves.append((resolve(nd), nd.boost, scoring))
+                if nd.kind == "phrase":
+                    terms, phrase = resolve_phrase(nd)
+                else:
+                    terms, phrase = resolve(nd), None
+                leaves.append((terms, nd.boost, scoring, phrase))
                 return ("leaf", len(leaves) - 1)
             return (
                 "node",
@@ -1130,13 +1190,13 @@ class SearchEngine:
         croot, leaves = self.parse_bool(query, expand_fields)
         if croot is None:
             return []
-        all_terms = sorted({t for terms, _bo, _sc in leaves for t in terms})
+        all_terms = sorted({t for terms, _bo, _sc, _ph in leaves for t in terms})
         if not all_terms:
             return []
         cand = self._candidates_pdf(all_terms)
         if cand.empty:
             return []
-        sterms = {t for terms, _bo, sc in leaves if sc for t in terms}
+        sterms = {t for terms, _bo, sc, _ph in leaves if sc for t in terms}
         idf = {t: v for t, v in self._idf_map(cand).items() if t in sterms}
         res = score_shard_tree(cand, croot, leaves, idf, self.stats["avgdl"],
                                self.stats["k1"], self.stats["b"], k)
@@ -1160,14 +1220,14 @@ class SearchEngine:
         empty = self.spark.createDataFrame([], RESULT_SCHEMA)
         if croot is None:
             return empty
-        all_terms = sorted({t for terms, _bo, _sc in leaves for t in terms})
+        all_terms = sorted({t for terms, _bo, _sc, _ph in leaves for t in terms})
         if not all_terms:
             return empty
         cand = self._cache_scoped(self._candidates(all_terms))
         idf_all = self._idf_map(cand)
         if not idf_all:
             return empty
-        sterms = {t for terms, _bo, sc in leaves if sc for t in terms}
+        sterms = {t for terms, _bo, sc, _ph in leaves if sc for t in terms}
         idf = {t: v for t, v in idf_all.items() if t in sterms}
         stats = self.stats
         S = int(stats["n_shards"])
@@ -1836,7 +1896,7 @@ class SearchEngine:
             try:
                 hits = self.search_bool(query, k=rank_to)
                 _croot, leaves = self.parse_bool(query)
-                terms = sorted({t for ts, _bo, sc in leaves if sc for t in ts})
+                terms = sorted({t for ts, _bo, sc, _ph in leaves if sc for t in ts})
             except ValueError:
                 # operator-LOOKING but malformed (stray paren in pasted
                 # text, etc.): degrade to the flat parser, which treats

@@ -88,7 +88,9 @@ def test_parser_field_groups():
     leaves = [*r4.must[0].should, r4.must[1]]
     assert all(lf.group_field == "tool" for lf in leaves)
 
-    for bad in ["(a", "a)", "a AND", "a OR", '"x y" z', "*lead", "te*st AND *x"]:
+    # '"x y" z' is no longer here: quoted phrases are legal tree leaves
+    # since round 3 (see test_bool_phrase.py)
+    for bad in ["(a", "a)", "a AND", "a OR", '"x y', "*lead", "te*st AND *x"]:
         with pytest.raises(ValueError):
             parse(bad)
 
