@@ -433,6 +433,42 @@ def _q_lookup_by_source(spark, sf_dir):
     return eng.list_by_attr("source", "src3").select("doc_id", "source")
 
 
+MIX_RATES = {"src1": 0.25, "src3": 0.6}  # per-source mixture sampling rates
+MIX_BUDGETS = {"src2": 400, "src5": 150}  # per-source token budgets
+PACK_CAP = 256  # context-window packing capacity (ws tokens)
+
+
+def _q_mixture_sample(spark, sf_dir):
+    """Deterministic stratified mixture sampling: per-source keep rates
+    decided by a cross-engine-exact id hash — a pure map-side filter
+    (zero shuffle), reproducible across runs and partitionings."""
+    from polaris_spark.ops.mixing import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), MIX_RATES,
+                             default_rate=0.9, seed=7) \
+        .select("doc_id", "source", "mix_u", "kept")
+
+
+def _q_token_budget(spark, sf_dir):
+    """Per-source token-budget mixture: keep each source's docs (id order)
+    while the running whitespace-token sum stays within budget — one
+    window shuffle on the group key."""
+    from polaris_spark.ops.mixing import token_budget
+
+    return token_budget(_docs(spark, sf_dir), MIX_BUDGETS,
+                        default_budget=900) \
+        .select("doc_id", "source", "n_ws_tokens", "cum_tokens", "kept")
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """Greedy sequential context-window packing (document-boundary):
+    bin = exclusive-cumulative-tokens div capacity within each source."""
+    from polaris_spark.ops.mixing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), PACK_CAP) \
+        .select("doc_id", "source", "n_ws_tokens", "bin_id")
+
+
 def _q_quality(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -568,6 +604,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_phrase_search": _q_bool_phrase,
         "prefix_complete": _q_complete,
         "curate": _q_curate,
+        "mixture_sample": _q_mixture_sample,
+        "token_budget": _q_token_budget,
+        "pack_sequences": _q_pack_sequences,
         "dedup_exact": _q_dedup_exact,
         "minhash_signatures": _q_minhash,
         "lsh_candidate_pairs": _q_lsh_pairs,
@@ -608,6 +647,9 @@ def oracle_sql() -> dict[str, str]:
     )
     import polaris_spark.ops.analytics as _an
     from polaris_spark.ops.curate import duckdb_curate_sql
+    from polaris_spark.ops.mixing import (duckdb_budget_sql,
+                                          duckdb_pack_sql,
+                                          duckdb_sample_sql)
     from polaris_spark.ops.dedup import (
         duckdb_dup_clusters_sql,
         duckdb_dup_spans_sql,
@@ -708,6 +750,10 @@ SELECT doc_id, lpad(lower(to_hex(val)), 4, '0') AS simhash16 FROM packed"""
         "phrase_slop": phrase_sql(Q_SLOP[0], slop=Q_SLOP[1]),
         "prefix_complete": complete_sql(Q_PREFIX, 20),
         "curate": duckdb_curate_sql(),
+        "mixture_sample": duckdb_sample_sql(MIX_RATES, default_rate=0.9,
+                                            seed=7),
+        "token_budget": duckdb_budget_sql(MIX_BUDGETS, default_budget=900),
+        "pack_sequences": duckdb_pack_sql(PACK_CAP),
         "dedup_exact": (
             "SELECT md5(text) AS fp, count(*)::BIGINT AS n_dups, "
             "min(doc_id) AS keep_doc_id FROM documents GROUP BY md5(text)"

@@ -1,0 +1,207 @@
+"""Data-mixing operators for training-data pipelines: deterministic
+stratified sampling, token-budget mixture selection, and context-window
+sequence packing.
+
+These are the steps between curation and the trainer: given a cleaned
+corpus, (1) subsample each source at its mixture rate, (2) cap each source
+at a token budget, (3) pack the surviving documents into contiguous
+context-window bins. The reference engine has no such surface (it is a code
+search index); these belong to the LLM-data-pipeline extension the same way
+dedup/quality/langid do.
+
+All three are defined by arithmetic specs implementable identically in
+Spark column expressions (JVM-side, zero Python) and DuckDB SQL, so every
+op is value-hash gated:
+
+- sample_hash:  a 31-bit xor-shift-multiply mixer (murmur-finalizer
+  shape): h = (id + seed) mod 2^31, then twice h = ((h ⊕ h>>15)·A) mod
+  2^31 with golden-ratio multipliers, then h ⊕= h>>16; the draw is
+  h mod 10^6. Every intermediate stays below 2^63, so BIGINT arithmetic
+  is exact (no wraparound) in BOTH engines; the xor-shift rounds break
+  the linearity that would otherwise correlate the draw with id-stride
+  patterns (round-robin source assignment). A row is kept when the draw
+  < round(rate·10^6). NOTE: for Spark-only pipelines
+  ``pmod(xxhash64(id, seed), 10^6)`` remains the stronger choice; this
+  spec trades a few avalanche bits for a cross-engine-checkable oracle.
+- token_budget: within each group (ordered by id) keep rows while the
+  INCLUSIVE running sum of whitespace-token counts stays ≤ budget — the
+  "first N tokens of each source" mixture rule. One window per group.
+- pack:         within each group (ordered by id), bin = floor(exclusive
+  running token sum / capacity) — contiguous chunking: a bin takes
+  consecutive docs until their cumulative tokens cross the capacity, and
+  the straddling doc belongs to the bin where it started, so a bin may
+  overflow by < its last doc's length. Docs are never split (document-
+  boundary packing); docs longer than the capacity get a bin of their own
+  by the same rule. This is the standard greedy sequential packer
+  (first-fit on a stream), not global bin-packing — deterministic,
+  single-pass, and window-expressible.
+
+Scale notes (100 TB): sampling is a pure map-side filter — zero shuffle,
+pushed predicates intact. Budget/pack need one hash-partition shuffle on
+the group key plus an in-partition sort — the same shape as sessionize;
+both specs are per-group sequential BY DEFINITION (the order defines the
+bins), so the unit of parallelism is the group. At petabyte scale the
+group key should be (source, shard-date) or similar so no single window
+partition exceeds executor memory; the op takes any key column.
+"""
+
+from __future__ import annotations
+
+_MOD = 2_147_483_648  # 2^31
+_MULT1 = 2_654_435_761  # golden-ratio multipliers (Knuth / murmur-ish)
+_MULT2 = 1_597_334_677
+_RES = 1_000_000  # rate resolution: micro-units
+
+
+def sample_hash_col(id_col, seed: int = 0):
+    """The spec's deterministic per-row draw in [0, 10^6) as a Column."""
+    from pyspark.sql import functions as F
+
+    h = F.pmod(F.col(id_col).cast("long") + F.lit(int(seed)), F.lit(_MOD))
+    for mult in (_MULT1, _MULT2):
+        h = (h.bitwiseXOR(F.shiftrightunsigned(h, 15)) * F.lit(mult)) \
+            % F.lit(_MOD)
+    h = h.bitwiseXOR(F.shiftrightunsigned(h, 16))
+    return F.pmod(h, F.lit(_RES))
+
+
+def stratified_sample(df, rates: dict[str, float], default_rate: float = 1.0,
+                      key: str = "source", id_col: str = "doc_id",
+                      seed: int = 0):
+    """Deterministic per-group mixture sampling: keep each row of group g
+    with probability ``rates.get(g, default_rate)``, decided by the row's
+    id hash alone — reproducible across runs, partitionings and engines,
+    and a pure map-side filter (zero shuffle; scan pushdown unaffected).
+
+    Returns the input rows plus ``mix_u`` (the draw) and ``kept``; filter
+    on ``kept`` for the sampled corpus. Keeping the rejected rows visible
+    makes the op auditable (and value-hash gateable end to end)."""
+    from pyspark.sql import functions as F
+
+    u = sample_hash_col(id_col, seed)
+    thr = F.lit(int(round(default_rate * _RES)))
+    for g, r in sorted(rates.items()):
+        thr = F.when(F.col(key) == g, F.lit(int(round(r * _RES)))) \
+            .otherwise(thr)
+    return df.withColumn("mix_u", u).withColumn("kept", F.col("mix_u") < thr)
+
+
+def token_budget(df, budgets: dict[str, int], default_budget: int,
+                 key: str = "source", id_col: str = "doc_id",
+                 text_col: str = "text"):
+    """Per-group token-budget mixture: within each group (id order), keep
+    rows while the inclusive running whitespace-token sum ≤ the group's
+    budget. Returns rows + (n_ws_tokens, cum_tokens, kept).
+
+    One shuffle: a window partitioned by ``key`` ordered by ``id_col``."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .text import _ws_tokens_col
+
+    w = Window.partitionBy(key).orderBy(id_col) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    bud = F.lit(int(default_budget))
+    for g, b in sorted(budgets.items()):
+        bud = F.when(F.col(key) == g, F.lit(int(b))).otherwise(bud)
+    return (
+        df.withColumn("n_ws_tokens", F.size(_ws_tokens_col(F.col(text_col))))
+        .withColumn("cum_tokens", F.sum("n_ws_tokens").over(w))
+        .withColumn("kept", F.col("cum_tokens") <= bud)
+    )
+
+
+def pack_sequences(df, capacity: int, key: str = "source",
+                   id_col: str = "doc_id", text_col: str = "text"):
+    """Greedy sequential context-window packing (document-boundary): within
+    each group (id order), ``bin_id = floor(exclusive_cum_tokens /
+    capacity)`` — see the module spec for the straddle/overflow rule.
+    Returns rows + (n_ws_tokens, bin_id).
+
+    One shuffle (window partitioned by ``key``); downstream trainers
+    repartition by (key, bin_id) to materialize one sequence per bin."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .text import _ws_tokens_col
+
+    w = Window.partitionBy(key).orderBy(id_col) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    n = F.size(_ws_tokens_col(F.col(text_col)))
+    return (
+        df.withColumn("n_ws_tokens", n)
+        .withColumn("_excl_cum",
+                    F.coalesce(F.sum("n_ws_tokens").over(w), F.lit(0)))
+        # integer DIV, not floor(double /): exact past 2^53 token streams
+        .withColumn("bin_id",
+                    F.expr(f"_excl_cum div {int(capacity)}").cast("long"))
+        .drop("_excl_cum")
+    )
+
+
+# ------------------------------------------------------------ DuckDB mirrors
+
+def _duck_hash(id_sql: str, seed: int) -> str:
+    h = f"((({id_sql}) + {int(seed)}) % {_MOD})"
+    for mult in (_MULT1, _MULT2):
+        h = f"((xor({h}, ({h}) >> 15)) * {mult} % {_MOD})"
+    return f"(xor({h}, ({h}) >> 16)) % {_RES}"
+
+
+def duckdb_sample_sql(rates: dict[str, float], default_rate: float = 1.0,
+                      key: str = "source", id_col: str = "doc_id",
+                      seed: int = 0, table: str = "documents") -> str:
+    thr = str(int(round(default_rate * _RES)))
+    for g, r in sorted(rates.items()):
+        lit = g.replace("'", "''")
+        thr = (f"CASE WHEN {key} = '{lit}' THEN {int(round(r * _RES))} "
+               f"ELSE {thr} END")
+    h = _duck_hash(id_col, seed)
+    return (f"SELECT {id_col}, {key}, {h} AS mix_u, "
+            f"({h}) < ({thr}) AS kept FROM {table}")
+
+
+def duckdb_budget_sql(budgets: dict[str, int], default_budget: int,
+                      key: str = "source", id_col: str = "doc_id",
+                      text_col: str = "text",
+                      table: str = "documents") -> str:
+    from .text import duckdb_ws_tokens
+
+    bud = str(int(default_budget))
+    for g, b in sorted(budgets.items()):
+        lit = g.replace("'", "''")
+        bud = f"CASE WHEN {key} = '{lit}' THEN {int(b)} ELSE {bud} END"
+    n = f"len({duckdb_ws_tokens(text_col)})"
+    return f"""
+WITH t AS (
+  SELECT {id_col}, {key}, {n}::BIGINT AS n_ws_tokens FROM {table}
+),
+c AS (
+  SELECT *, sum(n_ws_tokens) OVER (PARTITION BY {key} ORDER BY {id_col}
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM t
+)
+SELECT {id_col}, {key}, n_ws_tokens, cum_tokens,
+       cum_tokens <= ({bud}) AS kept
+FROM c"""
+
+
+def duckdb_pack_sql(capacity: int, key: str = "source",
+                    id_col: str = "doc_id", text_col: str = "text",
+                    table: str = "documents") -> str:
+    from .text import duckdb_ws_tokens
+
+    n = f"len({duckdb_ws_tokens(text_col)})"
+    return f"""
+WITH t AS (
+  SELECT {id_col}, {key}, {n}::BIGINT AS n_ws_tokens FROM {table}
+),
+c AS (
+  SELECT *, coalesce(sum(n_ws_tokens) OVER (PARTITION BY {key}
+    ORDER BY {id_col} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+    0) AS excl_cum
+  FROM t
+)
+SELECT {id_col}, {key}, n_ws_tokens,
+       (excl_cum // {int(capacity)})::BIGINT AS bin_id
+FROM c"""

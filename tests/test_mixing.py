@@ -1,0 +1,114 @@
+"""Data-mixing ops (training-pipeline): deterministic stratified sampling,
+token-budget mixture, sequence packing — semantics + Spark↔DuckDB parity
+(the same cross-engine-exact arithmetic the gates hash)."""
+
+import duckdb
+import pytest
+
+from polaris_spark.ops.mixing import (_MOD, _MULT1, _MULT2, _RES,
+                                      duckdb_budget_sql, duckdb_pack_sql,
+                                      duckdb_sample_sql, pack_sequences,
+                                      stratified_sample, token_budget)
+
+DOCS = [
+    # (doc_id, source, text) — token counts 3/5/2/1 per doc crafted so
+    # budget/pack boundaries land mid-group
+    (0, "a", "x y z"),
+    (1, "a", "one two three four five"),
+    (2, "a", "p  q"),
+    (3, "a", "solo"),
+    (4, "b", "a b c d e"),
+    (5, "b", "f g h"),
+    (6, "b", "i"),
+    (7, "c", "j k l m n"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, source string, text string")
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute("CREATE TABLE fixture (doc_id BIGINT, source VARCHAR, text VARCHAR)")
+    c.executemany("INSERT INTO fixture VALUES (?, ?, ?)", DOCS)
+    return c
+
+
+def _py_hash(i, seed):
+    h = (i + seed) % _MOD
+    for m in (_MULT1, _MULT2):
+        h = ((h ^ (h >> 15)) * m) % _MOD
+    h = h ^ (h >> 16)
+    return h % _RES
+
+
+def test_sample_spec_and_parity(docs, con):
+    rates = {"a": 0.5, "c": 0.0}
+    out = {r["doc_id"]: (r["mix_u"], r["kept"])
+           for r in stratified_sample(docs, rates, default_rate=1.0,
+                                      seed=42).collect()}
+    # spec: draw is the pure id hash; thresholds per source
+    for i, src, _t in DOCS:
+        u = _py_hash(i, 42)
+        rate = rates.get(src, 1.0)
+        assert out[i] == (u, u < round(rate * _RES)), i
+    # default 1.0 keeps everything in b; rate 0.0 drops all of c
+    assert all(out[i][1] for i in (4, 5, 6))
+    assert not out[7][1]
+    # DuckDB mirror is value-identical
+    want = {r[0]: (r[2], r[3]) for r in con.execute(
+        duckdb_sample_sql(rates, 1.0, seed=42, table="fixture")).fetchall()}
+    assert want == out
+
+
+def test_sample_is_partitioning_invariant(docs):
+    a = stratified_sample(docs, {"a": 0.5}, seed=1).collect()
+    b = stratified_sample(docs.repartition(7), {"a": 0.5}, seed=1).collect()
+    assert {(r["doc_id"], r["kept"]) for r in a} \
+        == {(r["doc_id"], r["kept"]) for r in b}
+
+
+def test_token_budget_semantics(docs, con):
+    # group a counts: 3,5,2,1 → cum 3,8,10,11; budget 10 keeps ids 0,1,2
+    out = {r["doc_id"]: (r["cum_tokens"], r["kept"])
+           for r in token_budget(docs, {"a": 10}, default_budget=6).collect()}
+    assert out[0] == (3, True) and out[1] == (8, True)
+    assert out[2] == (10, True) and out[3] == (11, False)
+    # group b (default 6): cum 5,8,9 → only id 4 kept
+    assert out[4][1] and not out[5][1] and not out[6][1]
+    want = {r[0]: (r[3], r[4]) for r in con.execute(
+        duckdb_budget_sql({"a": 10}, 6, table="fixture")).fetchall()}
+    assert want == out
+
+
+def test_pack_semantics(docs, con):
+    # capacity 5, group a: excl cums 0,3,8,10 → bins 0,0,1,2
+    out = {r["doc_id"]: r["bin_id"]
+           for r in pack_sequences(docs, 5).collect()}
+    assert [out[i] for i in (0, 1, 2, 3)] == [0, 0, 1, 2]
+    # group b: excl 0,5,8 → bins 0,1,1; singleton group c → bin 0
+    assert [out[i] for i in (4, 5, 6)] == [0, 1, 1]
+    assert out[7] == 0
+    want = {r[0]: r[3] for r in con.execute(
+        duckdb_pack_sql(5, table="fixture")).fetchall()}
+    assert want == out
+
+
+def test_pack_oversized_doc_gets_own_bin_progression(docs, con):
+    # capacity 2: doc 1 (5 tokens) straddles but starts in bin 1 (excl=3);
+    # doc 2 starts at excl=8 → bin 4 — bins skip, docs never split
+    out = {r["doc_id"]: r["bin_id"]
+           for r in pack_sequences(docs, 2).collect()}
+    assert [out[i] for i in (0, 1, 2, 3)] == [0, 1, 4, 5]
+    want = {r[0]: r[3] for r in con.execute(
+        duckdb_pack_sql(2, table="fixture")).fetchall()}
+    assert want == out
+
+
+def test_sample_hash_spark_matches_python(docs):
+    got = {r["doc_id"]: r["mix_u"]
+           for r in stratified_sample(docs, {}, seed=7).collect()}
+    assert got == {i: _py_hash(i, 7) for i, _s, _t in DOCS}
