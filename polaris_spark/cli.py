@@ -1,4 +1,5 @@
-"""spark-submit entry points: ``build``, ``query``, ``complete``, ``stats``.
+"""spark-submit entry points: ``build``, ``query``, ``phrase``,
+``complete``, ``stats``, ``curate``, ``scrub``, ``mix``, ``serve``.
 
 Usage (north rule: multi-executor clusters via ``--py-files``):
 
@@ -105,6 +106,29 @@ def main(argv: list[str] | None = None) -> int:
     sc.add_argument("--span-ngram", type=int, default=8)
     sc.add_argument("--span-min-docs", type=int, default=2)
 
+    mx = sub.add_parser("mix", help="data-mixing: deterministic stratified "
+                        "sample → per-source token budget → context-window "
+                        "packing (any stage optional)")
+    mx.add_argument("--input", required=True, help="documents parquet")
+    mx.add_argument("--output", required=True,
+                    help="output parquet of surviving rows (+ mix_u, "
+                         "n_ws_tokens, bin_id columns as applicable)")
+    mx.add_argument("--key", default="source", help="mixture group column")
+    mx.add_argument("--doc-id-col", default="doc_id")
+    mx.add_argument("--text-col", default="text")
+    mx.add_argument("--rates", default="",
+                    help="comma list grp=rate (e.g. web=0.3,code=1.0); "
+                         "unlisted groups use --default-rate")
+    mx.add_argument("--default-rate", type=float, default=1.0)
+    mx.add_argument("--seed", type=int, default=0)
+    mx.add_argument("--budgets", default="",
+                    help="comma list grp=token-budget; unlisted groups use "
+                         "--default-budget (0 = unlimited)")
+    mx.add_argument("--default-budget", type=int, default=0)
+    mx.add_argument("--capacity", type=int, default=0,
+                    help=">0: pack surviving docs into context-window bins "
+                         "of this many whitespace tokens")
+
     sv = sub.add_parser("serve", help="HTTP serving daemon (devserver analog)")
     sv.add_argument("--index", required=True)
     sv.add_argument("--host", default="127.0.0.1")
@@ -184,6 +208,48 @@ def main(argv: list[str] | None = None) -> int:
                spark.read.parquet(args.output)
                .groupBy("reason").agg(F.count("*").alias("n")).collect()}
         print(json.dumps({"output": args.output, "by_reason": out}))
+    elif args.cmd == "mix":
+        from polaris_spark.ops.mixing import (pack_sequences,
+                                              stratified_sample,
+                                              token_budget)
+
+        def _kv(spec: str, cast):
+            out = {}
+            for part in (p for p in spec.split(",") if p):
+                k, _, v = part.partition("=")
+                out[k] = cast(v)
+            return out
+
+        spark = _session("polaris_spark_mix")
+        df = spark.read.parquet(args.input)
+        summary = {"n_in": df.count()}
+        rates = _kv(args.rates, float)
+        if rates or args.default_rate < 1.0:
+            df = stratified_sample(df, rates, args.default_rate,
+                                   key=args.key, id_col=args.doc_id_col,
+                                   seed=args.seed) \
+                .where("kept").drop("kept")
+            summary["n_sampled"] = df.count()
+        budgets = _kv(args.budgets, int)
+        if budgets or args.default_budget > 0:
+            no_cap = 1 << 62  # 0 = unlimited
+            df = token_budget(df, {k: (v if v > 0 else no_cap)
+                                   for k, v in budgets.items()},
+                              args.default_budget or no_cap,
+                              key=args.key, id_col=args.doc_id_col,
+                              text_col=args.text_col) \
+                .where("kept").drop("kept", "n_ws_tokens")
+            summary["n_budget"] = df.count()
+        if args.capacity > 0:
+            df = pack_sequences(df, args.capacity, key=args.key,
+                                id_col=args.doc_id_col,
+                                text_col=args.text_col)
+        df.write.mode("overwrite").parquet(args.output)
+        out = spark.read.parquet(args.output)
+        summary["n_out"] = out.count()
+        if args.capacity > 0:
+            summary["n_bins"] = out.select(args.key, "bin_id").distinct().count()
+        print(json.dumps({"output": args.output, **summary}))
     elif args.cmd == "scrub":
         from pyspark.sql import functions as F
 

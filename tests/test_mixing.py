@@ -112,3 +112,25 @@ def test_sample_hash_spark_matches_python(docs):
     got = {r["doc_id"]: r["mix_u"]
            for r in stratified_sample(docs, {}, seed=7).collect()}
     assert got == {i: _py_hash(i, 7) for i, _s, _t in DOCS}
+
+
+def test_cli_mix_pipeline(spark, docs, tmp_path):
+    """`mix` subcommand end-to-end (in-process; spark-submit packaging is
+    covered by test_cli_spark_submit's shared build/query path)."""
+    import json
+
+    from polaris_spark.cli import main
+
+    inp = str(tmp_path / "docs.parquet")
+    out = str(tmp_path / "mixed.parquet")
+    docs.write.parquet(inp)
+    rc = main(["mix", "--input", inp, "--output", out,
+               "--rates", "c=0.0", "--default-rate", "1.0", "--seed", "1",
+               "--budgets", "a=10", "--default-budget", "6",
+               "--capacity", "5"])
+    assert rc in (0, None)
+    res = spark.read.parquet(out)
+    ids = {r["doc_id"] for r in res.collect()}
+    # c dropped by rate 0; budgets keep a:{0,1,2} (cum 3,8,10) and b:{4}
+    assert ids == {0, 1, 2, 4}
+    assert "bin_id" in res.columns
