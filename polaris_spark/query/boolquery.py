@@ -52,7 +52,7 @@ from dataclasses import dataclass, field
 # `/s(ca|pa)n/` stays ONE chunk instead of splitting at its parens.
 _TOKEN_RE = re.compile(
     r"[+\-]?(?:[^\s()/:]+:)?/(?:\\.|[^\\/\s])+/(?:\^[^\s()]+)?"
-    r"|\(|\)|[^\s()]+"
+    r"|\(|\)|(?:\\.|[^\s()])+"
 )
 _KW_AND = {"AND", "&&"}
 _KW_OR = {"OR", "||"}
@@ -101,7 +101,7 @@ def parse_range(body: str):
 # on) inside balanced double quotes becomes \x00, making the construct ONE
 # whitespace-free chunk `"a\x00b"~2^3` the clause machinery (prefix strip,
 # boost strip) already handles.
-_PHRASE_FOLD_RE = re.compile(r'"[^"]*"')
+_PHRASE_FOLD_RE = re.compile(r'(?<!\\)"[^"]*"')
 _PHRASE_RE = re.compile(
     r'^(?:(?P<f>[^\s:"]+):)?"(?P<body>[^"]*)"(?:~(?P<slop>\d+))?$'
 )
@@ -238,6 +238,30 @@ def _set_group_field(root, fld: str) -> None:
         _set_group_field(ch, fld)
 
 
+# ---- Escapes (classic `\c` — c reads as literal text) ---------------------
+# During classification each `\c` is replaced by a private-use sentinel so
+# the syntax sniffers (boost/phrase/range/regexp/fuzzy/wildcard) only see
+# UNESCAPED specials; payloads are decoded (backslash dropped) on the way
+# out. DOCUMENTED deviation from Lucene: an escape forces the whole token
+# to read as plain text (or a phrase, when unescaped quotes delimit one) —
+# mixing escapes with LIVE multi-term syntax in one token (`te\*t*`) is not
+# supported; the token reads literal.
+_ESC_RE = re.compile(r"\\(.)")
+_SENT_BASE = 0xE000  # unicode private-use area
+
+
+def _esc_encode(s: str) -> str:
+    return _ESC_RE.sub(lambda m: chr(_SENT_BASE + ord(m.group(1))), s)
+
+
+def esc_decode(s: str) -> str:
+    """Sentinels → their literal characters (exported: consumers may hold
+    encoded text only if they sliced payloads themselves)."""
+    return "".join(chr(ord(c) - _SENT_BASE)
+                   if _SENT_BASE <= ord(c) < _SENT_BASE + 0x110 else c
+                   for c in s)
+
+
 def has_operators(query: str) -> bool:
     """True when the query uses boolean-tree syntax the flat parser can't
     express: parens, explicit AND/OR/NOT keywords, '+' clause prefixes, or
@@ -247,7 +271,7 @@ def has_operators(query: str) -> bool:
     for tok in _TOKEN_RE.findall(fold_phrases(query or "")):
         if tok in ("(", ")") or tok in _KW_AND or tok in _KW_OR \
                 or tok in _KW_NOT or (tok.startswith("+") and len(tok) > 1) \
-                or '"' in tok:
+                or '"' in tok or "\\" in tok:
             return True
     return False
 
@@ -259,6 +283,30 @@ def classify_chunk(body: str) -> Leaf:
     trailing-star-only prefix, general wildcard, plain chunk. Leading
     wildcards are rejected like Lucene's default
     (``allowLeadingWildcard=false``)."""
+    if "\\" in body:
+        # escapes force a literal reading (module-level deviation note):
+        # sentinel-encode so only UNESCAPED ^/quotes act as syntax, then
+        # classify as phrase (unescaped quotes) or plain chunk
+        enc = _esc_encode(body)
+        boost = 1.0
+        if "^" in enc:
+            head, _, tail = enc.rpartition("^")
+            try:
+                boost = float(tail)
+                enc = head
+            except ValueError:
+                pass
+        ph = parse_phrase(enc)
+        if ph is not None:
+            f, btxt, slop = ph
+            return Leaf("phrase",
+                        (esc_decode(f) if f else f, esc_decode(btxt), slop),
+                        boost)
+        if '"' in enc:
+            raise ValueError(
+                f"unbalanced or malformed quoted phrase near {body!r}"
+            )
+        return Leaf("chunk", esc_decode(enc), boost)
     boost = 1.0
     if "^" in body:
         head, _, tail = body.rpartition("^")
@@ -387,6 +435,7 @@ class _Parser:
             raise ValueError("expected a clause")
         grp_field = None
         if (t.endswith(":") and len(t) > 1 and ":" not in t[:-1]
+                and not t[:-1].endswith("\\")  # `f\:` is literal, not a group
                 and self.i + 1 < len(self.toks)
                 and self.toks[self.i + 1] == "("):
             # classic field group `f:(...)` — the lexer split `f:` off the

@@ -215,3 +215,41 @@ def test_general_wildcard_oracle_parity(beng, con):
                for h in beng.search(q, k=None)}
         want = set(con.execute(bm25_scores_sql(q, table="fixture")).fetchall())
         assert got == want, q
+
+
+def test_parser_escapes():
+    """Classic `\\c` escapes: an escape forces the token to read literal
+    (documented deviation: escapes don't mix with live multi-term syntax
+    in one token). Payloads come out decoded; the oracle shares them."""
+    r = parse(r"foo\-bar")
+    assert r.kind == "chunk" and r.payload == "foo-bar"
+    # escaped '-' is not a prohibit: both children are MUST
+    r = parse(r"\-term AND x")
+    assert [c.payload for c in r.must] == ["-term", "x"]
+    # escaped parens are text, not groups
+    assert [l.payload for l in parse(r"\(a b\)").should] == ["(a", "b)"]
+    # escaped star: literal chunk, not a wildcard/prefix
+    assert parse(r"te\*t").kind == "chunk"
+    # boost stays live after escaped content
+    r = parse(r"foo\-bar^2")
+    assert r.payload == "foo-bar" and r.boost == 2.0
+    # escaped quotes are literal; unescaped quotes still make phrases
+    assert parse(r"\"ab\"").payload == '"ab"'
+    assert parse(r'"a \-b" AND c').must[0].payload == (None, "a -b", 0)
+    # `f\:` before a paren is literal text, not a field group
+    r = parse(r"f\: (x)")
+    assert r.should[0].payload == "f:"
+    # escapes route to the tree path
+    assert has_operators(r"foo\-bar") and not has_operators("foo-bar")
+
+
+def test_escape_oracle_parity(beng, con):
+    from polaris_spark.gate import bool_scores_sql
+
+    for q in [r"spark\-join AND merge", r"\-spark merge",
+              r"spark AND \(join\)", r"\"spark\" scan",
+              r"spark\:join^2 OR sort"]:
+        got = {(h["doc_id"], round(h["score"] * 10000))
+               for h in beng.search_bool(q, k=None)}
+        want = set(con.execute(bool_scores_sql(q, table="fixture")).fetchall())
+        assert got == want, q
