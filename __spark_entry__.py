@@ -40,9 +40,12 @@ Q_WILDG = "s?an s*t"  # general wildcards: ? and mid-string *
 Q_RANGE = "{merge TO sort] join"  # classic TermRangeQuery (mixed bounds)
 Q_REGEX = "/qu.+y/ join"  # classic slash-delimited RegexpQuery
 Q_FGROUP = "source:(src3 OR src1*) slow"  # classic field group f:(...)
-Q_BATCH = [  # batched multi-query job: plain, multi-term, boost, prohibit
+Q_BATCH = [  # batched multi-query job: plain, multi-term, boost,
+    # prohibit, boolean tree, lone phrase, phrase-in-tree (auto-routed)
     "spark join", "customer query window", "slow scan",
     "merge sort", "spark -join", "filter^2 group", "spark join",
+    "spark AND (join OR merge) -scan", '"slow query"',
+    '"spark join"~1 AND filter',
 ]
 FIELD_COLS = ("source", "lang")
 
@@ -234,12 +237,15 @@ def _q_batch_search(spark, sf_dir):
     distributed job (one union-of-terms candidate scan, one shard shuffle,
     per-shard kernels scoring every query) — the offline-eval /
     query-log-replay shape whose throughput scales with executors instead
-    of being latency-bound per request (BENCH/BASELINE.md query study)."""
+    of being latency-bound per request (BENCH/BASELINE.md query study).
+    The set mixes flat, boolean-tree and phrase queries: each auto-routes
+    inside the same kernels (trees/phrases via eval_tree_decoded over the
+    group's shared decoded arrays)."""
     from pyspark.sql import functions as F
 
     from polaris_spark.query.engine import SearchEngine
 
-    eng = SearchEngine(spark, _ensure_index(spark, sf_dir))
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir, pos=True))
     res = eng.search_many_df(Q_BATCH, k=None)
     return res.select(
         "query", "doc_id",

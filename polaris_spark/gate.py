@@ -592,11 +592,18 @@ def batch_scores_sql(queries: list[str], table: str = "documents",
                      field_cols: tuple = (), expand_fields: bool = False) -> str:
     """Oracle for the batched multi-query search (search_many_df, k=None):
     the UNION ALL of each query's full e4-rounded score set, keyed by the
-    query string. Per-query semantics are exactly :func:`bm25_scores_sql`
-    (incl. boosts, wildcards and '-term' exclusion), so the batch oracle
-    inherits every single-query mirror already proven by the other gates.
-    Duplicate query strings are deduped (first occurrence), matching the
-    engine."""
+    query string. Per-query routing mirrors the engine: quoted phrases and
+    boolean-tree syntax → :func:`bool_scores_sql`, plain text →
+    :func:`bm25_scores_sql` (incl. boosts, wildcards and '-term'
+    exclusion), so the batch oracle inherits every single-query mirror
+    already proven by the other gates. Parse failures degrade to the flat
+    mirror, matching the engine fallback (assumes a positions=True index —
+    the engine's positionless-phrase degrade has no oracle analog; the
+    batch gate builds with positions). Duplicate query strings are deduped
+    (first occurrence), matching the engine."""
+    from .query.boolquery import has_operators
+    from .query.engine import parse_phrase_query
+
     seen: set[str] = set()
     subs = []
     for q in queries:
@@ -604,11 +611,17 @@ def batch_scores_sql(queries: list[str], table: str = "documents",
             continue
         seen.add(q)
         esc = q.replace("'", "''")
+        sub = None
+        if parse_phrase_query(q) is not None or has_operators(q):
+            try:
+                sub = bool_scores_sql(q, table, None, field_cols,
+                                      expand_fields)
+            except ValueError:
+                sub = None  # malformed: flat fallback, like the engine
+        if sub is None:
+            sub = bm25_scores_sql(q, table, None, field_cols, expand_fields)
         subs.append(
-            f"SELECT '{esc}' AS query, doc_id, score_e4\nFROM (\n"
-            + bm25_scores_sql(q, table, None, field_cols, expand_fields)
-            + "\n)"
-        )
+            f"SELECT '{esc}' AS query, doc_id, score_e4\nFROM (\n{sub}\n)")
     return "\nUNION ALL\n".join(subs)
 
 

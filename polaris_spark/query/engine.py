@@ -323,10 +323,41 @@ def score_shard_tree(
     merged = _decode_merge(pdf, n_shards, shard)
     if not merged:
         return empty
+    r = eval_tree_decoded(merged, pdf, croot, leaves, idf, avgdl, k1, b, k,
+                          n_shards=n_shards, shard=shard)
+    if r is None:
+        return empty
+    docs_a, score, nmatch = r
+    return pd.DataFrame({"doc_id": docs_a.astype(np.int64),
+                         "score": score,
+                         "n_match": nmatch.astype(np.int32)})
+
+
+def eval_tree_decoded(
+    merged: dict,
+    pdf: pd.DataFrame,
+    croot,
+    leaves: list,
+    idf: dict[str, float],
+    avgdl: float,
+    k1: float,
+    b: float,
+    k: int | None,
+    n_shards: int | None = None,
+    shard: int | None = None,
+):
+    """The evaluation half of :func:`score_shard_tree` over pre-decoded
+    per-term ``(docs, tfs, dls)`` arrays — shared with the batched path
+    (:meth:`SearchEngine.search_many_df`), which decodes each kernel
+    group's blobs ONCE (:func:`decode_shard_rows`, same array shape) and
+    evaluates every tree query in the group from the shared dict. ``pdf``
+    (the group's raw candidate rows) is consulted ONLY by phrase leaves,
+    which need the packed position streams. Returns ``(doc_ids, scores,
+    n_match)`` numpy arrays or ``None``."""
     sterms = sorted({t for terms, _bo, sc, _ph in leaves if sc
                      for t in terms if t in merged})
     if not sterms:
-        return empty
+        return None
     uni = np.unique(np.concatenate([merged[t][0] for t in sterms]))
     n = len(uni)
     pres: dict[str, np.ndarray] = {}
@@ -421,7 +452,7 @@ def score_shard_tree(
 
     m_root, score = ev(croot)
     if not m_root.any():
-        return empty
+        return None
     nmatch = np.zeros(n, dtype=np.int32)
     for (terms, _bo, scoring, _ph), lmi in zip(leaves, lm):
         if scoring:
@@ -430,9 +461,7 @@ def score_shard_tree(
     if k is not None and len(docs_a) > k:
         order = np.lexsort((docs_a, -score))[:k]
         docs_a, score, nmatch = docs_a[order], score[order], nmatch[order]
-    return pd.DataFrame({"doc_id": docs_a.astype(np.int64),
-                         "score": score,
-                         "n_match": nmatch.astype(np.int32)})
+    return docs_a, score, nmatch
 
 
 def _empty_result() -> pd.DataFrame:
@@ -1560,25 +1589,52 @@ class SearchEngine:
         per-query anti-sets as :meth:`search_df` — no doc_ids reach the
         driver.
 
-        Queries are FLAT-parsed (same spec as :meth:`search_df`): classic
-        multi-term constructs (`x*`, `~N`, ranges, `/re/`, boosts, `-not`)
-        all work, but boolean-TREE syntax (parens, AND/OR keywords) is
-        treated as text like every flat path does — route such queries
-        through :meth:`search_bool_df` (only :meth:`search_mixed`
-        auto-routes)."""
+        Queries auto-route like :meth:`search_mixed`: plain text takes the
+        flat MaxScore fast path (classic multi-term constructs `x*`, `~N`,
+        ranges, `/re/`, boosts, `-not` included); quoted phrases and
+        boolean-tree syntax (parens, AND/OR/NOT, `+required`, escapes)
+        evaluate as clause trees INSIDE the same kernels — per-query
+        results bit-identical to :meth:`search_bool_df` /
+        :meth:`search_phrase` composed in a tree (a lone phrase scores as
+        a one-leaf tree here: n_match counts matched leaves, not
+        phrase_freq). Malformed operator-looking text degrades to the
+        flat parse, same as serving. ``mode`` applies to flat queries
+        only (trees carry their own occur semantics)."""
         from functools import reduce
 
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
+        from .boolquery import has_operators
+
         empty = self.spark.createDataFrame(
             [], BATCH_RESULT_SCHEMA + ", rank int")
         specs = []  # (query, terms, boosts, exc) — first occurrence wins
+        trees: dict[str, tuple] = {}  # query -> (croot, leaves)
         seen: set[str] = set()
         for q in queries:
             if q in seen:
                 continue
             seen.add(q)
+            # auto-route like search_mixed: quoted phrases and boolean-tree
+            # syntax evaluate as clause trees inside the SAME batch kernels
+            # (eval_tree_decoded over the group's shared decoded arrays);
+            # plain queries keep the flat MaxScore fast path. Malformed
+            # operator-looking text (stray paren, positionless-index phrase)
+            # degrades to the flat parse, same as serving.
+            if parse_phrase_query(q) is not None or has_operators(q):
+                try:
+                    croot, leaves = self.parse_bool(q, expand_fields)
+                    if croot is None:
+                        continue
+                    tterms = tuple(sorted({t for ts, _bo, _sc, _ph in leaves
+                                           for t in ts}))
+                    if tterms:
+                        specs.append((q, tterms, None, ()))
+                        trees[q] = (croot, leaves)
+                    continue
+                except ValueError:
+                    pass  # fall through to the flat parse
             self._check_wildcard_mode(q, mode)
             terms, exc, boosts = self.parse_query_boosts(q, expand_fields)
             if terms:
@@ -1664,17 +1720,35 @@ class SearchEngine:
             # which dominated the kernel at Q in the thousands
             qn, ql, dl_, sl, ml = [], [], [], [], []
             for q, terms, boosts, nq in blocks[qb]:
-                if boosts:
+                tree = trees.get(q)
+                if tree is not None:
+                    croot, leaves = tree
+                    sterms = {t for ts, _bo, sc, _ph in leaves if sc
+                              for t in ts}
+                    qidf = {t: idf_all[t] for t in sterms if t in idf_all}
+                    merged = {t: decoded[t] for t in terms if t in decoded}
+                    if not merged:
+                        continue
+                    r = eval_tree_decoded(merged, pdf, croot, leaves, qidf,
+                                          avgdl, k1, b, k,
+                                          n_shards=S, shard=sh)
+                elif boosts:
                     qidf = {t: idf_all[t] * boosts.get(t, 1.0)
                             for t in terms if t in idf_all}
+                    sub = {t: decoded[t] for t in qidf if t in decoded}
+                    if not sub:
+                        continue
+                    r = score_decoded_arrays(sub, max_impact, qidf, avgdl,
+                                             k1, b, k, mode, nq,
+                                             excluded=excl_by_q.get(q))
                 else:
                     qidf = {t: idf_all[t] for t in terms if t in idf_all}
-                sub = {t: decoded[t] for t in qidf if t in decoded}
-                if not sub:
-                    continue
-                r = score_decoded_arrays(sub, max_impact, qidf, avgdl, k1, b,
-                                         k, mode, nq,
-                                         excluded=excl_by_q.get(q))
+                    sub = {t: decoded[t] for t in qidf if t in decoded}
+                    if not sub:
+                        continue
+                    r = score_decoded_arrays(sub, max_impact, qidf, avgdl,
+                                             k1, b, k, mode, nq,
+                                             excluded=excl_by_q.get(q))
                 if r is not None and len(r[0]):
                     qn.append(q)
                     ql.append(len(r[0]))

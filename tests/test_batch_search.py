@@ -90,3 +90,51 @@ def test_pin_groups_one_group_per_partition(spark):
                .collect())
         assert len(chk) == n
         assert max(r.g for r in chk) == 1
+
+
+# --------------------------- classic trees / phrases inside the batch job
+
+TREE_QUERIES = [
+    "kari AND (sato OR elor)",          # boolean tree
+    "+kari sato^2 -web.search",         # +required / boost / prohibit tree
+    '"kari sato"',                      # lone phrase (one-leaf tree here)
+    '"kari sato"~2 AND stable',         # phrase-in-tree with slop
+    r"kari\-sato elor",                 # escaped operator → tree route
+    "ka ri to",                         # plain flat query in the same set
+]
+
+
+@pytest.fixture(scope="module")
+def peng(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("batch_pos_idx"))
+    docs = spark.createDataFrame(make_transcripts(n_turns=1500, seed=13))
+    build_index(spark, docs, d,
+                cfg=IndexConfig(n_buckets=16, n_shards=4, n_chunks=2,
+                                positions=True))
+    return SearchEngine(spark, d)
+
+
+def test_batch_tree_and_phrase_parity(peng):
+    got = peng.search_many_df(TREE_QUERIES, k=None).collect()
+    by_q: dict[str, list] = {}
+    for r in got:
+        by_q.setdefault(r["query"], []).append(r)
+    for q in TREE_QUERIES[:-1]:
+        want = _rows(peng.search_bool_df(q, k=None))
+        have = sorted(by_q.get(q, []), key=lambda r: r["rank"])
+        assert [(r["doc_id"], r["score"], r["n_match"]) for r in have] \
+            == want, q
+    # the flat query in the same set still matches the flat path
+    q = TREE_QUERIES[-1]
+    assert [(r["doc_id"], r["score"], r["n_match"])
+            for r in sorted(by_q.get(q, []), key=lambda r: r["rank"])] \
+        == _rows(peng.search_df(q, k=None)), q
+
+
+def test_batch_phrase_degrades_without_positions(beng):
+    """On a positionless index a quoted phrase can't tree-evaluate; the
+    batch falls back to the flat parse — same degrade as serving."""
+    got = beng.search_many_df(['"kari sato"'], k=None).collect()
+    want = _rows(beng.search_df("kari sato", k=None))
+    assert [(r["doc_id"], r["score"], r["n_match"])
+            for r in sorted(got, key=lambda r: r["rank"])] == want
