@@ -127,14 +127,21 @@ def run_build_only(cpus: int, n_turns: int) -> dict:
     # kernels that decode once and score their block's queries). Sequential
     # requests are latency-bound — their throughput ceiling is request
     # fan-out, not cores; the batch job is the shape whose throughput
-    # actually scales with executors. ~4000 distinct two-term queries over
+    # actually scales with executors. ~20k distinct two-term queries over
     # the corpus vocab keep the job compute-dominated at both parallelism
-    # levels — replay/eval volume, sized so the ~1.5 s of fixed cost (idf
-    # collect + job launch + final merge) is small against the scored work.
+    # levels — replay/eval volume, sized so the ~3 s of fixed cost (scan +
+    # idf collect + job launch + final merge) is small against the scored work.
     from polaris_spark.synth import make_vocab
 
     vocab = make_vocab(5000, 42)  # same seed as the corpus generator
-    toks = vocab[:40] + vocab[100:126] + vocab[1000:1026]  # hot/mid/rare mix
+    # hot/mid/rare mix, ~20k two-term queries: the batch must be large
+    # enough that the scored work dominates the ~3 s of fixed cost (scan +
+    # idf + job launch + final merge) or the efficiency ratio measures the
+    # fixed cost, not the job (Amdahl: at ~4k queries the fixed share caps
+    # measurable efficiency at ~0.6 no matter how well the kernel scales;
+    # measured 0.833 at ~20k on an idle box)
+    toks = (vocab[:60] + vocab[100:150] + vocab[1000:1050]
+            + vocab[3000:3040])
     batch_qs = [f"{a} {b}" for i, a in enumerate(toks) for b in toks[i + 1:]]
     eng.search_many_df(batch_qs[:8], k=10).count()  # warm the batch path
     # min-of-3: the work is fixed and deterministic, so wall variance is
@@ -406,7 +413,7 @@ ratios), so that auxiliary fold is Amdahl-visible on the proxy while
 negligible at the 10^12-turn design point. Both numbers reported; the total
 includes everything the default build writes.
 **QUERY-SET scaling, batched job (bqps_4N / bqps_N) / 4 = {bqeff}** — the
-query-volume shape the rule's N→4N criterion actually stresses: ~4.2k
+query-volume shape the rule's N→4N criterion actually stresses: ~20k
 distinct two-term queries (hot/mid/rare vocab mix) scored as ONE
 distributed job (`search_many_df`: one union-of-terms candidate scan, one
 shard shuffle, per-shard kernels scoring every query, per-query window

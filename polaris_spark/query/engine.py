@@ -1675,7 +1675,8 @@ class SearchEngine:
         # core-derived B, bit-identical results (blocking never affects
         # per-query candidate rows or idf).
         cores = max(1, self.spark.sparkContext.defaultParallelism)
-        B = max(1, min(math.ceil(2 * cores / S),       # S×B ≈ 2×cores
+        tpc = int(os.environ.get("POLARIS_BATCH_TPC", "2"))  # tasks/core
+        B = max(1, min(math.ceil(tpc * cores / S),     # S×B ≈ tpc×cores
                        math.ceil(len(qspecs) / 8),     # ≥8 queries per block
                        max_blocks))
         blocks: list[list] = [[] for _ in range(B)]
