@@ -522,6 +522,25 @@ def _q_dup_spans(spark, sf_dir):
     )
 
 
+def _q_decontam(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix-C 13-gram rule): flag
+    corpus docs sharing any 13-gram with a benchmark slice (here a
+    deterministic subset of the same table: doc_id % 7 == 0). Bench
+    n-gram set is broadcast — one map-only corpus scan, hit-only
+    shuffle (ops/dedup.decontaminate)."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.ops.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 7 == 0)
+    res = decontaminate(docs, bench, n=13)
+    return res.select(
+        "doc_id", "n_hit_ngrams",
+        F.col("contaminated").cast("long").alias("contaminated"),
+    )
+
+
 def _q_repetition(spark, sf_dir):
     """Repetition quality signals (Rae et al. 2021 Gopher filters):
     duplicate word-2-gram fraction + top-token share, pure column
@@ -621,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_pairs": _q_neardup_pairs,
         "jaccard_pairs": _q_jaccard,
         "dup_spans": _q_dup_spans,
+        "decontaminate": _q_decontam,
         "simhash16": _q_simhash,
         "ann_cosine_top10": _q_cosine_top10,
         "ivf_top10": _q_ivf_top10,
@@ -657,6 +677,7 @@ def oracle_sql() -> dict[str, str]:
                                           duckdb_pack_sql,
                                           duckdb_sample_sql)
     from polaris_spark.ops.dedup import (
+        duckdb_decontaminate_sql,
         duckdb_dup_clusters_sql,
         duckdb_dup_spans_sql,
         duckdb_minhash_sql,
@@ -782,6 +803,8 @@ SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.45""",
         "jaccard_pairs": jaccard,
         "dup_spans": duckdb_dup_spans_sql("documents", "doc_id", "text",
                                           n=8, min_docs=2),
+        "decontaminate": duckdb_decontaminate_sql(
+            "documents", "doc_id", "text", "doc_id % 7 = 0", n=13),
         "simhash16": simhash,
         "ann_cosine_top10": cosine,
         # nprobe == n_centroids ⇒ IVF is exhaustive ⇒ identical to brute force

@@ -355,6 +355,55 @@ SELECT src AS doc_id,
 FROM reach GROUP BY src"""
 
 
+def decontaminate(docs, bench, text_col="text", id_col="doc_id",
+                  bench_text_col="text", n: int = 13):
+    """Benchmark decontamination (the GPT-3 appendix-C rule, kept by
+    PaLM/Llama pipelines): flag every corpus document that shares ANY
+    word ``n``-gram (default 13, the published choice) with ANY
+    benchmark/eval example, so the training set can be scrubbed before
+    an eval score is trusted.
+
+    Returns one row per corpus doc: ``(doc_id, n_hit_ngrams,
+    contaminated)`` where ``n_hit_ngrams`` counts DISTINCT benchmark
+    n-grams present in the doc. Shingling is :func:`shingles_col` on
+    BOTH sides (lowercased, whitespace words; a doc shorter than ``n``
+    tokens contributes its full-text join as a single gram, so an exact
+    short-text match still counts — symmetric on both sides).
+
+    Scale shape (100 TB corpus × 10^3-10^6 bench examples): the bench
+    n-gram set is aggregated on the tiny side and BROADCAST, so the
+    corpus pass is one map-only scan (codegen shingle explode + broadcast
+    hash join); the only corpus-keyed shuffle is the per-doc count over
+    HIT rows (≪ corpus). The final per-doc flag join is broadcast in
+    practice (the aggregated hit set is bench-bounded; AQE picks) — a
+    pipeline that only needs the CLEAN corpus should instead anti-join
+    the hit set and skip the per-doc flag row entirely.
+    """
+    from pyspark.sql import functions as F
+
+    bench_grams = (
+        bench.select(
+            F.explode(shingles_col(F.col(bench_text_col), n)).alias("shingle"))
+        .distinct()
+    )
+    hits = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(shingles_col(F.col(text_col), n)).alias("shingle"))
+        .join(F.broadcast(bench_grams), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit_ngrams"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hit_ngrams", F.lit(0)).cast("long").alias("n_hit_ngrams"),
+            (F.coalesce("n_hit_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 # --------------------------------------------------------- DuckDB mirrors
 
 def duplicated_spans(docs, text_col="text", id_col="doc_id",
@@ -449,6 +498,31 @@ WITH d AS (
 SELECT doc_id, min(pos) AS span_start, max(pos) + {n - 1} AS span_end,
        max(pos) + {n - 1} - min(pos) + 1 AS span_tokens
 FROM i GROUP BY doc_id, island
+"""
+
+
+def duckdb_decontaminate_sql(table: str, id_col: str, text_col: str,
+                             bench_where: str, n: int = 13) -> str:
+    """Oracle for :func:`decontaminate` with the bench set defined as
+    ``SELECT {text_col} FROM {table} WHERE {bench_where}`` (the gate
+    derives its benchmark slice from the same view so no extra table is
+    needed). Same shingling as :func:`duckdb_shingles` on both sides;
+    the flag is cast to BIGINT for hash-stable comparison."""
+    return f"""
+WITH bg AS (
+  SELECT DISTINCT unnest({duckdb_shingles(text_col, n)}) AS shingle
+  FROM {table} WHERE {bench_where}
+), ds AS (
+  SELECT {id_col} AS doc_id, unnest({duckdb_shingles(text_col, n)}) AS shingle
+  FROM {table}
+), h AS (
+  SELECT doc_id, count(*) AS n_hit FROM ds
+  WHERE shingle IN (SELECT shingle FROM bg) GROUP BY doc_id
+)
+SELECT d.{id_col} AS doc_id,
+       coalesce(h.n_hit, 0)::BIGINT AS n_hit_ngrams,
+       (coalesce(h.n_hit, 0) > 0)::BIGINT AS contaminated
+FROM {table} d LEFT JOIN h ON d.{id_col} = h.doc_id
 """
 
 

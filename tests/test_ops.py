@@ -275,3 +275,42 @@ def test_dup_clusters_star_on_lsh_candidates(spark, docs):
     a = sorted(tuple(r) for r in dup_clusters(pairs).collect())
     b = sorted(tuple(r) for r in dup_clusters_star(pairs).collect())
     assert a == b and a
+
+
+def test_decontaminate_semantics(spark):
+    """GPT-3 13-gram rule semantics on a hand-built corpus: a doc sharing a
+    bench n-gram is flagged (with the distinct-gram count), an unrelated doc
+    is clean, a short doc is flagged only on exact full-text match."""
+    from polaris_spark.ops.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "tiny text")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the bench 3-grams "alpha beta gamma" + "beta gamma delta"
+            (10, "zero alpha beta gamma delta more words here"),
+            (11, "totally unrelated words only nothing shared at all"),
+            (12, "tiny text"),          # exact short match (fallback gram)
+            (13, "tiny text extended"), # 3 tokens -> gram "tiny text extended", no hit
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_hit_ngrams"], r["contaminated"])
+        for r in decontaminate(corpus, bench, n=3).collect()
+    }
+    assert out == {10: (2, True), 11: (0, False), 12: (1, True), 13: (0, False)}
+
+
+def test_decontaminate_broadcasts_bench(spark):
+    """Plan evidence for the scale claim: the bench n-gram join must be a
+    BroadcastHashJoin (map-only corpus pass, no corpus shuffle on gram)."""
+    from polaris_spark.ops.dedup import decontaminate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from pyspark.sql import functions as F
+
+    plan = decontaminate(docs, docs.where(F.col("doc_id") % 7 == 0), n=13) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

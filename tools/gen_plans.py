@@ -190,6 +190,18 @@ def main() -> None:
         cap(ivf_topk(spark, ivf_dir, qv, k=10, nprobe=1)),
     ))
 
+    from polaris_spark.ops.dedup import decontaminate
+
+    docs_pq = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    SECTIONS.append((
+        "benchmark decontamination (broadcast bench-gram join)",
+        "The benchmark 13-gram set is tiny vs the corpus, so it is "
+        "BROADCAST (BroadcastExchange + BroadcastHashJoin below): the "
+        "corpus pass is one map-only scan, and the only corpus-keyed "
+        "exchange is the per-doc count over hit rows (bench-bounded).",
+        cap(decontaminate(docs_pq, docs_pq.where("doc_id % 7 = 0"), n=13)),
+    ))
+
     out = [
         "# PLANS — physical-plan evidence (captured from the live engine)",
         "",
