@@ -413,6 +413,15 @@ def _q_cosine_top10(spark, sf_dir):
     return cosine_topk(_emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10)
 
 
+def _q_knn_join(spark, sf_dir):
+    """Exact per-row top-3 neighbors (SemDeDup shape) — brute-force form
+    as the gate/verifier; the SRP-bucketed scale path is parity-tested in
+    tests/test_ops.py (ops/similarity.knn_join)."""
+    from polaris_spark.ops.similarity import knn_join
+
+    return knn_join(_emb(spark, sf_dir), k=3)
+
+
 def _q_ivf_top10(spark, sf_dir):
     """Prebuilt IVF probe with nprobe = n_centroids (exhaustive) — must equal
     brute-force cosine top-k exactly, so it shares the brute-force oracle.
@@ -643,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontam,
         "simhash16": _q_simhash,
         "ann_cosine_top10": _q_cosine_top10,
+        "knn_join_top3": _q_knn_join,
         "ivf_top10": _q_ivf_top10,
         "lookup_by_source": _q_lookup_by_source,
         "quality_score": _q_quality,
@@ -683,6 +693,7 @@ def oracle_sql() -> dict[str, str]:
         duckdb_minhash_sql,
         duckdb_shingles,
     )
+    from polaris_spark.ops.similarity import duckdb_knn_join_sql
     from polaris_spark.ops.text import (
         duckdb_fingerprint_sql,
         duckdb_langid_sql,
@@ -807,6 +818,8 @@ SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.45""",
             "documents", "doc_id", "text", "doc_id % 7 = 0", n=13),
         "simhash16": simhash,
         "ann_cosine_top10": cosine,
+        "knn_join_top3": duckdb_knn_join_sql(
+            "embeddings", "vec_id", "embedding", k=3),
         # nprobe == n_centroids ⇒ IVF is exhaustive ⇒ identical to brute force
         "ivf_top10": cosine,
         "lookup_by_source": (

@@ -17,12 +17,15 @@ from __future__ import annotations
 
 
 def _dot(a, b):
+    # widen float32 -> double BEFORE the multiply (matches the DuckDB
+    # oracle's ::DOUBLE[] cast; multiplying in float32 first loses the
+    # last rounded digit on ~1e-5 of pairs)
     from pyspark.sql import functions as F
 
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
-        lambda acc, v: acc + v.cast("double"),
+        lambda acc, v: acc + v,
     )
 
 
@@ -30,7 +33,9 @@ def _norm(a):
     from pyspark.sql import functions as F
 
     return F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double"))
+        F.aggregate(
+            a, F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"))
     )
 
 
@@ -206,6 +211,47 @@ def embedding_neardup_pairs(emb, threshold: float = 0.95,
     )
 
 
+def knn_join(emb, k: int = 3, vec_col: str = "embedding",
+             id_col: str = "vec_id", candidates=None):
+    """Exact k-nearest-neighbor self-join by cosine — the per-row batch
+    variant of ANN search that embedding-level dedup uses (SemDeDup /
+    semantic dedup: Abbas et al. 2023): for EVERY vector its top-k
+    neighbors, as ``(vec_id, neighbor_id, cos, rank)`` with rank 1..k
+    ordered (cos desc, neighbor_id asc — fully deterministic under ties).
+
+    With ``candidates=None`` this is the brute-force all-ordered-pairs
+    form: the exact verifier/oracle shape, O(n²) dot products — right for
+    rerank sets, gates and tests, never for the full corpus. At scale pass
+    ``candidates=srp_candidate_pairs(emb, ...)`` (or IVF cohorts): each
+    vector then scores only its bucket cohort, the cross join never
+    materializes, and the per-vector top-k window runs inside the bucket
+    join's own partitioning (recall < 1 is the documented SRP trade)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    a = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("ea"))
+    b = emb.select(F.col(id_col).alias("neighbor_id"),
+                   F.col(vec_col).alias("eb"))
+    if candidates is None:
+        pairs = a.join(b, F.col("vec_id") != F.col("neighbor_id"))
+    else:
+        sym = candidates.select("vec_a", "vec_b").union(
+            candidates.select(F.col("vec_b").alias("vec_a"),
+                              F.col("vec_a").alias("vec_b")))
+        pairs = (sym.join(a, sym["vec_a"] == a["vec_id"])
+                    .join(b, sym["vec_b"] == b["neighbor_id"])
+                    .select("vec_id", "ea", "neighbor_id", "eb"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.select("vec_id", "neighbor_id", F.round(cos, 6).alias("cos"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def srp_signature_col(vec_col, planes):
     """Signed-random-projection (SimHash-for-vectors) signature: bit i =
     sign(v · plane_i), packed into a bit string. ``planes`` is a seeded
@@ -256,3 +302,26 @@ def duckdb_cosine_topk_sql(table: str, id_col: str, vec_col: str,
         f"SELECT {id_col} AS vec_id, round({dot} / ({n1} * {n2}), 6) AS sim "
         f"FROM {table} ORDER BY sim DESC, vec_id ASC LIMIT {k}"
     )
+
+
+def duckdb_knn_join_sql(table: str, id_col: str, vec_col: str,
+                        k: int = 3) -> str:
+    """Oracle for brute-force :func:`knn_join`: same rounded cosine, same
+    (cos desc, neighbor asc) deterministic ordering."""
+    va, vb = f"a.{vec_col}::DOUBLE[]", f"b.{vec_col}::DOUBLE[]"
+    dot = f"list_sum(list_transform(list_zip({va}, {vb}), p -> p[1] * p[2]))"
+    na = f"sqrt(list_sum(list_transform({va}, x -> x * x)))"
+    nb = f"sqrt(list_sum(list_transform({vb}, x -> x * x)))"
+    return f"""
+WITH p AS (
+  SELECT a.{id_col} AS vec_id, b.{id_col} AS neighbor_id,
+         round({dot} / ({na} * {nb}), 6) AS cos
+  FROM {table} a JOIN {table} b ON a.{id_col} != b.{id_col}
+), r AS (
+  SELECT vec_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM p
+)
+SELECT vec_id, neighbor_id, cos, rank FROM r WHERE rank <= {k}
+"""

@@ -314,3 +314,27 @@ def test_decontaminate_broadcasts_bench(spark):
     plan = decontaminate(docs, docs.where(F.col("doc_id") % 7 == 0), n=13) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_knn_join_bucketed_subset_of_exact(spark):
+    """The SRP-bucketed knn_join must return rows that exist in the exact
+    brute-force result with identical cosines, descending per vec_id (the
+    documented recall<1 trade never invents or mis-scores a neighbor)."""
+    from polaris_spark.ops.similarity import knn_join, srp_candidate_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").where("vec_id < 120")
+    exact_all = {
+        (r["vec_id"], r["neighbor_id"]): r["cos"]
+        for r in knn_join(emb, k=119).collect()
+    }
+    cand = srp_candidate_pairs(emb, n_bits=8, seed=3)
+    got = knn_join(emb, k=3, candidates=cand).collect()
+    assert got, "bucketed path returned nothing"
+    by_vec = {}
+    for r in got:
+        assert exact_all[(r["vec_id"], r["neighbor_id"])] == r["cos"]
+        by_vec.setdefault(r["vec_id"], []).append((r["rank"], r["cos"]))
+    for ranks in by_vec.values():
+        ranks.sort()
+        assert [c for _, c in ranks] == sorted(
+            (c for _, c in ranks), reverse=True)
