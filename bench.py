@@ -264,6 +264,18 @@ def run_suite(cpus: int, sf_dir: str, n_turns: int) -> dict:
     ivf_topk(spark, ivf_dir, qv, k=10, nprobe=2).collect()
     times["ivf_probe_top10"] = round(time.time() - t0, 3)
 
+    from polaris_spark.ops.similarity import knn_join, srp_candidate_pairs
+
+    t0 = time.time()
+    knn_join(emb, k=3, candidates=srp_candidate_pairs(emb, n_bits=12)).count()
+    times["knn_srp_top3"] = round(time.time() - t0, 3)
+
+    from polaris_spark.ops.dedup import decontaminate
+
+    t0 = time.time()
+    decontaminate(docs, docs.where(F.col("doc_id") % 7 == 0), n=13).count()
+    times["decontam_scan"] = round(time.time() - t0, 3)
+
     from polaris_spark.ops.text import langid_col, quality_cols
 
     t0 = time.time()
