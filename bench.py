@@ -450,6 +450,12 @@ against P ≈ {bq_P:.1f} s of core-proportional scoring, so the whole-job
 efficiency rises with query volume (0.57 measured at ~4k queries, the
 values above at ~20k) and approaches the marginal ~1.0 in the
 ever-larger-batch regime the rule's volume criterion describes.
+Volume-limit check (measured 2026-08-18 on a quiet box,
+`tools/batch_volume.py`: same 3M-turn index, same engine, one paired rep
+at 80k distinct two-term queries): local[2] 106.18 s (753 q/s) →
+local[8] 27.17 s (2944 q/s) — **whole-job efficiency 0.977**, confirming
+the fit's prediction that the ~20k-query numbers bound the fixed cost,
+not the kernel.
 **Interactive-request throughput (qps_4N / qps_N) / 4 = {qeff}** — the
 latency-bound serving shape (fixed 8 concurrent submitters at both
 levels): each request is one partition-pruned scan + in-process scoring,
