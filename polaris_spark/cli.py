@@ -129,6 +129,24 @@ def main(argv: list[str] | None = None) -> int:
                     help=">0: pack surviving docs into context-window bins "
                          "of this many whitespace tokens")
 
+    dc = sub.add_parser("decontam", help="benchmark decontamination: flag "
+                        "or drop corpus docs sharing any word n-gram with "
+                        "a benchmark/eval set (GPT-3 appendix-C rule)")
+    dc.add_argument("--input", required=True, help="corpus parquet")
+    dc.add_argument("--bench", required=True,
+                    help="benchmark/eval parquet (small; its n-gram set "
+                         "is broadcast)")
+    dc.add_argument("--output", required=True,
+                    help="output parquet: input columns + n_hit_ngrams + "
+                         "contaminated (or only clean rows with --drop)")
+    dc.add_argument("--text-col", default="text")
+    dc.add_argument("--doc-id-col", default="doc_id")
+    dc.add_argument("--bench-text-col", default="text")
+    dc.add_argument("--ngram", type=int, default=13)
+    dc.add_argument("--drop", action="store_true",
+                    help="write only clean rows (anti-join the hit set; "
+                         "no per-doc flag columns)")
+
     sv = sub.add_parser("serve", help="HTTP serving daemon (devserver analog)")
     sv.add_argument("--index", required=True)
     sv.add_argument("--host", default="127.0.0.1")
@@ -278,6 +296,30 @@ def main(argv: list[str] | None = None) -> int:
             spans.write.mode("overwrite").parquet(args.output + "_spans")
             res["n_dup_spans"] = spark.read.parquet(args.output + "_spans").count()
         print(json.dumps(res))
+    elif args.cmd == "decontam":
+        from polaris_spark.ops.dedup import decontaminate
+
+        spark = _session("polaris_spark_decontam")
+        docs = spark.read.parquet(args.input)
+        bench = spark.read.parquet(args.bench)
+        flags = decontaminate(docs, bench, text_col=args.text_col,
+                              id_col=args.doc_id_col,
+                              bench_text_col=args.bench_text_col,
+                              n=args.ngram)
+        if args.drop:
+            hit = flags.where("contaminated").select(
+                flags["doc_id"].alias(args.doc_id_col))
+            out = docs.join(hit, args.doc_id_col, "left_anti")
+        else:
+            out = docs.join(
+                flags.withColumnRenamed("doc_id", args.doc_id_col),
+                args.doc_id_col, "left")
+        out.write.mode("overwrite").parquet(args.output)
+        n_out = spark.read.parquet(args.output).count()
+        n_in = docs.count()
+        n_hit = flags.where("contaminated").count()
+        print(json.dumps({"output": args.output, "n_in": n_in,
+                          "n_contaminated": n_hit, "n_out": n_out}))
     elif args.cmd == "stats":
         import glob
         import os

@@ -338,3 +338,27 @@ def test_knn_join_bucketed_subset_of_exact(spark):
         ranks.sort()
         assert [c for _, c in ranks] == sorted(
             (c for _, c in ranks), reverse=True)
+
+
+def test_cli_decontam(spark, docs, tmp_path):
+    """`decontam` subcommand end-to-end (in-process), flag + drop modes:
+    drop output rows == flag output minus contaminated ids."""
+    import json
+
+    from polaris_spark.cli import main
+
+    inp, bench = str(tmp_path / "docs.parquet"), str(tmp_path / "bench.parquet")
+    flags_out = str(tmp_path / "flags.parquet")
+    clean_out = str(tmp_path / "clean.parquet")
+    docs.write.parquet(inp)
+    docs.where("doc_id % 7 = 0").write.parquet(bench)
+    assert main(["decontam", "--input", inp, "--bench", bench,
+                 "--output", flags_out]) in (0, None)
+    assert main(["decontam", "--input", inp, "--bench", bench,
+                 "--output", clean_out, "--drop"]) in (0, None)
+    flags = spark.read.parquet(flags_out)
+    clean_ids = {r["doc_id"] for r in spark.read.parquet(clean_out).collect()}
+    bad_ids = {r["doc_id"] for r in flags.where("contaminated").collect()}
+    all_ids = {r["doc_id"] for r in flags.collect()}
+    assert bad_ids and clean_ids == all_ids - bad_ids
+    assert {"n_hit_ngrams", "contaminated"} <= set(flags.columns)
