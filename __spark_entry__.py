@@ -350,6 +350,19 @@ def _q_curate(spark, sf_dir):
     return curate(_docs(spark, sf_dir))
 
 
+def _q_curate_decontam(spark, sf_dir):
+    """Curation ledger with benchmark decontamination as stage 0
+    (highest precedence, reason 'contaminated'): the full LLM-data
+    pipeline shape — eval scrub, then quality/lang filters, then
+    exact + near dedup — one oracle for the whole composition."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.ops.curate import curate
+
+    docs = _docs(spark, sf_dir)
+    return curate(docs, bench=docs.where(F.col("doc_id") % 7 == 0))
+
+
 def _q_dedup_exact(spark, sf_dir):
     from polaris_spark.ops.dedup import exact_dup_groups
 
@@ -638,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_phrase_search": _q_bool_phrase,
         "prefix_complete": _q_complete,
         "curate": _q_curate,
+        "curate_decontam": _q_curate_decontam,
         "mixture_sample": _q_mixture_sample,
         "token_budget": _q_token_budget,
         "pack_sequences": _q_pack_sequences,
@@ -788,6 +802,7 @@ SELECT doc_id, lpad(lower(to_hex(val)), 4, '0') AS simhash16 FROM packed"""
         "phrase_slop": phrase_sql(Q_SLOP[0], slop=Q_SLOP[1]),
         "prefix_complete": complete_sql(Q_PREFIX, 20),
         "curate": duckdb_curate_sql(),
+        "curate_decontam": duckdb_curate_sql(bench_where="doc_id % 7 = 0"),
         "mixture_sample": duckdb_sample_sql(MIX_RATES, default_rate=0.9,
                                             seed=7),
         "token_budget": duckdb_budget_sql(MIX_BUDGETS, default_budget=900),

@@ -91,6 +91,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated allowed language codes")
     cu.add_argument("--threshold", type=float, default=0.5,
                     help="near-dup Jaccard threshold")
+    cu.add_argument("--bench", default=None,
+                    help="optional benchmark/eval parquet: adds "
+                         "decontamination as stage 0 (reason "
+                         "'contaminated', 13-gram rule)")
+    cu.add_argument("--bench-text-col", default="text")
+    cu.add_argument("--decontam-ngram", type=int, default=13)
 
     sc = sub.add_parser("scrub", help="PII-redact + annotate quality/"
                         "repetition/token-count signal columns")
@@ -220,7 +226,11 @@ def main(argv: list[str] | None = None) -> int:
         led = curate(docs, text_col=args.text_col, id_col=args.doc_id_col,
                      min_quality=args.min_quality,
                      langs=tuple(x for x in args.langs.split(",") if x),
-                     threshold=args.threshold)
+                     threshold=args.threshold,
+                     bench=(spark.read.parquet(args.bench)
+                            if args.bench else None),
+                     bench_text_col=args.bench_text_col,
+                     decontam_n=args.decontam_ngram)
         led.write.mode("overwrite").parquet(args.output)
         out = {r["reason"]: r["n"] for r in
                spark.read.parquet(args.output)

@@ -36,7 +36,8 @@ from .dedup import (LSH_BANDS, MINHASH_K, N_SHINGLE, doc_shingles,
                     duckdb_minhash_sql, duckdb_shingles, lsh_candidate_pairs)
 from .text import duckdb_langid_sql, duckdb_quality_sql, langid_col, quality_cols
 
-REASONS = ("kept", "low_quality", "lang", "exact_dup", "near_dup")
+REASONS = ("kept", "contaminated", "low_quality", "lang", "exact_dup",
+           "near_dup")
 
 
 def verified_neardup_pairs(docs, cand, text_col="text", id_col="doc_id",
@@ -72,22 +73,46 @@ def verified_neardup_pairs(docs, cand, text_col="text", id_col="doc_id",
 
 def curate(docs, text_col="text", id_col="doc_id", min_quality: float = 0.55,
            langs: tuple = ("en",), k: int = MINHASH_K, bands: int = LSH_BANDS,
-           threshold: float = 0.5, n: int = N_SHINGLE):
+           threshold: float = 0.5, n: int = N_SHINGLE,
+           bench=None, bench_text_col: str = "text", decontam_n: int = 13):
     """Per-doc curation ledger ``(doc_id, keep, reason)`` — see module doc.
-    ``keep`` is int 0/1 (portable across oracle hash comparison)."""
+    ``keep`` is int 0/1 (portable across oracle hash comparison).
+
+    With ``bench`` set, benchmark decontamination (the 13-gram rule of
+    :func:`..ops.dedup.decontaminate`) runs as stage 0 with the HIGHEST
+    precedence (reason ``contaminated``): an eval-tainted doc must leave
+    the corpus regardless of its quality, and must never survive as the
+    retained representative of a dup group. Same broadcast bench-gram
+    shape — a semi-join flag, no per-doc count needed here."""
     from pyspark.sql import functions as F
 
-    from .dedup import dup_clusters
+    from .dedup import dup_clusters, shingles_col
 
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("text"),
         *quality_cols(F.col(text_col)),
         langid_col(F.col(text_col)).alias("lang"),
-    ).withColumn(
+    )
+    if bench is not None:
+        bg = (bench.select(F.explode(
+                  shingles_col(F.col(bench_text_col), decontam_n))
+                  .alias("shingle")).distinct())
+        hit = (docs.select(F.col(id_col).alias("doc_id"), F.explode(
+                   shingles_col(F.col(text_col), decontam_n))
+                   .alias("shingle"))
+               .join(F.broadcast(bg), "shingle")
+               .select("doc_id").distinct()
+               .withColumn("reason_dc", F.lit("contaminated")))
+        base = base.join(hit, "doc_id", "left")
+    else:
+        base = base.withColumn("reason_dc", F.lit(None).cast("string"))
+    base = base.withColumn(
         "reason0",
-        F.when(F.col("quality") < min_quality, F.lit("low_quality"))
-        .when(~F.col("lang").isin(*langs), F.lit("lang")),
+        F.coalesce(
+            F.col("reason_dc"),
+            F.when(F.col("quality") < min_quality, F.lit("low_quality"))
+            .when(~F.col("lang").isin(*langs), F.lit("lang"))),
     )
     s1 = base.where(F.col("reason0").isNull()).select("doc_id", "text")
 
@@ -122,21 +147,38 @@ def curate(docs, text_col="text", id_col="doc_id", min_quality: float = 0.55,
 def duckdb_curate_sql(table: str = "documents", min_quality: float = 0.55,
                       langs: tuple = ("en",), k: int = MINHASH_K,
                       bands: int = LSH_BANDS, threshold: float = 0.5,
-                      n: int = N_SHINGLE) -> str:
-    """DuckDB mirror of :func:`curate` — the same four stages as one
+                      n: int = N_SHINGLE, bench_where: str | None = None,
+                      decontam_n: int = 13) -> str:
+    """DuckDB mirror of :func:`curate` — the same stages as one
     recursive-CTE chain (components via transitive closure, like
-    :func:`..ops.dedup.duckdb_dup_clusters_sql`)."""
+    :func:`..ops.dedup.duckdb_dup_clusters_sql`). With ``bench_where``,
+    the decontamination stage 0 mirrors ``curate(bench=...)`` using the
+    bench slice ``SELECT ... FROM {table} WHERE {bench_where}``."""
     r = k // bands
     lang_list = ", ".join(f"'{L}'" for L in langs)
+    dc_ctes, dc_case = "", ""
+    if bench_where is not None:
+        sh = duckdb_shingles("text", decontam_n)
+        dc_ctes = f"""bg AS (
+  SELECT DISTINCT unnest({sh}) AS shingle FROM {table} WHERE {bench_where}
+),
+dchit AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest({sh}) AS shingle FROM {table}
+  ) WHERE shingle IN (SELECT shingle FROM bg)
+),
+"""
+        dc_case = ("WHEN doc_id IN (SELECT doc_id FROM dchit) "
+                   "THEN 'contaminated'\n              ")
     return f"""
-WITH RECURSIVE scored AS (
+WITH RECURSIVE {dc_ctes}scored AS (
   SELECT doc_id, text, {duckdb_quality_sql('text')},
          {duckdb_langid_sql('text')} AS lang
   FROM {table}
 ),
 r0 AS (
   SELECT doc_id, text,
-         CASE WHEN quality < {min_quality} THEN 'low_quality'
+         CASE {dc_case}WHEN quality < {min_quality} THEN 'low_quality'
               WHEN lang NOT IN ({lang_list}) THEN 'lang' END AS reason0
   FROM scored
 ),

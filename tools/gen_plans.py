@@ -190,6 +190,17 @@ def main() -> None:
         cap(ivf_topk(spark, ivf_dir, qv, k=10, nprobe=1)),
     ))
 
+    from polaris_spark.ops.similarity import knn_join, srp_candidate_pairs
+
+    SECTIONS.append((
+        "kNN self-join, SRP-bucketed scale path (no cross join)",
+        "Each vector scores only its SRP-bucket cohort: the candidate "
+        "pair set comes from an equi-join on the signature bucket (sort-"
+        "merge/hash join below — never a CartesianProduct), and the "
+        "per-vector top-k window runs on the joined cohort.",
+        cap(knn_join(emb, k=3, candidates=srp_candidate_pairs(emb, n_bits=8))),
+    ))
+
     from polaris_spark.ops.dedup import decontaminate
 
     docs_pq = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
