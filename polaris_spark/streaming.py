@@ -176,3 +176,54 @@ def stateful_sessionize(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+DOCUMENT_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def stream_scrub(
+    spark,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: str = DOCUMENT_SCHEMA,
+    text_col: str = "text",
+    available_now: bool = True,
+):
+    """Streaming training-data scrub: the ZERO-SHUFFLE signal subset of
+    the curation pipeline — PII redaction plus quality / repetition /
+    token-count columns (all pure column expressions, see
+    :mod:`..ops.text`) — as a straight streaming map over a document file
+    source, parquet sink in append mode, per-file exactly-once via the
+    checkpoint. No aggregation state exists, so this scales exactly like
+    the batch `scrub` scan: one narrow pass per micro-batch.
+
+    The corpus-GLOBAL curation stages (exact/near dedup, benchmark
+    decontamination) are deliberately NOT here: they need all-corpus
+    state; stream them via ``foreachBatch`` against materialized state
+    the way :func:`stream_append` folds index generations."""
+    from pyspark.sql import functions as F
+
+    from .ops.text import (pii_cols, quality_cols, repetition_cols,
+                           token_count_cols)
+
+    t = F.col(text_col)
+    *pii_counts, redacted = pii_cols(t)
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    ann = stream.select(
+        *[c for c in stream.columns if c != text_col],
+        redacted.alias(text_col),
+        *pii_counts, *quality_cols(t), *repetition_cols(t),
+        *token_count_cols(t),
+    )
+    writer = (
+        ann.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -108,3 +108,48 @@ def test_stateful_sessionize_gap_and_timeout(spark, dirs):
     assert sess[("A", "2026-01-01 10:00:00")] == ("2026-01-01 10:01:00", 2)
     # B's single-turn session flushed by event-time timeout
     assert sess[("B", "2026-01-01 10:00:30")] == ("2026-01-01 10:00:30", 1)
+
+
+def test_stream_scrub_signals_and_exactly_once(spark, dirs):
+    """stream_scrub annotates each micro-batch with the batch scrub's
+    exact columns (PII-redacted text + signals) and the checkpoint makes
+    file pickup exactly-once across restarts."""
+    from polaris_spark.ops.text import pii_cols
+    from polaris_spark.streaming import stream_scrub
+
+    inp, out, ckpt = dirs
+    rows1 = [(1, "contact me at a@b.com please", "en", "s1", 28),
+             (2, "clean text with no pii at all", "en", "s1", 29)]
+    rows2 = [(3, "ping 10.0.0.1 twice 10.0.0.1", "en", "s2", 28)]
+    cols = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def _wdocs(rows, name):
+        import glob
+        import shutil
+        import tempfile
+
+        stage = tempfile.mkdtemp()
+        spark.createDataFrame(rows, cols).coalesce(1) \
+            .write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(inp, f"{name}.parquet"))
+        shutil.rmtree(stage, ignore_errors=True)
+
+    _wdocs(rows1, "f1")
+    _run_stream(stream_scrub, spark, inp, out, ckpt)
+    assert spark.read.parquet(out).count() == 2
+    _wdocs(rows2, "f2")
+    _run_stream(stream_scrub, spark, inp, out, ckpt)
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert len(got) == 3  # exactly-once: f1 not re-ingested
+    # redaction + counts match the BATCH operator on the same rows
+    batch = spark.createDataFrame(rows1 + rows2, cols)
+    *pii_counts, redacted = pii_cols(batch["text"])
+    exp = {r["doc_id"]: r for r in batch.select(
+        "doc_id", redacted.alias("text"), *pii_counts).collect()}
+    for i in got:
+        assert got[i]["text"] == exp[i]["text"]
+        assert got[i]["n_email"] == exp[i]["n_email"]
+        assert got[i]["n_ipv4"] == exp[i]["n_ipv4"]
+    assert got[1]["n_email"] == 1 and got[3]["n_ipv4"] == 2
+    assert "quality" in spark.read.parquet(out).columns
