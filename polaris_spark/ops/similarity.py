@@ -235,9 +235,11 @@ def knn_join(emb, k: int = 3, vec_col: str = "embedding",
     if candidates is None:
         pairs = a.join(b, F.col("vec_id") != F.col("neighbor_id"))
     else:
+        # distinct: a duplicate candidate pair (e.g. caller passes an
+        # already-symmetrized set) must not occupy two ranks in the top-k
         sym = candidates.select("vec_a", "vec_b").union(
             candidates.select(F.col("vec_b").alias("vec_a"),
-                              F.col("vec_a").alias("vec_b")))
+                              F.col("vec_a").alias("vec_b"))).distinct()
         pairs = (sym.join(a, sym["vec_a"] == a["vec_id"])
                     .join(b, sym["vec_b"] == b["neighbor_id"])
                     .select("vec_id", "ea", "neighbor_id", "eb"))
