@@ -88,6 +88,13 @@ def test_mini_query_goldens(spark, mini_index):
     # AND semantics = posting intersection
     hits = eng.search("hello world", k=10, mode="and")
     assert [h["doc_id"] for h in hits] == [3]
+    # T6 limit-k probe (SURVEY §2.6: the reference's search(query, 2)
+    # not-found/ambiguous existence test): k truncates, and the k=2
+    # result is exactly the 2-prefix of the k=10 ranking
+    top10 = [(h["doc_id"], h["score"]) for h in eng.search("hello world", k=10)]
+    top2 = [(h["doc_id"], h["score"]) for h in eng.search("hello world", k=2)]
+    assert len(top2) == 2 and top2 == top10[:2]
+    assert len(eng.search("search it", k=2)) == 1  # fewer hits than k
 
 
 def test_point_lookups(spark, mini_index):
