@@ -268,27 +268,46 @@ def srp_signature_col(vec_col, planes):
 
 
 def srp_candidate_pairs(emb, n_bits: int = 16, seed: int = 42,
-                        vec_col: str = "embedding", id_col: str = "vec_id"):
+                        vec_col: str = "embedding", id_col: str = "vec_id",
+                        n_tables: int = 1):
     """Cosine-LSH candidates: vectors sharing an SRP bucket. The bucket join
     replaces the O(n²) cross join — at 10^12 vectors the signature table is
-    partitioned by bucket and the join is per-bucket local."""
+    partitioned by bucket and the join is per-bucket local.
+
+    ``n_tables`` is the recall dial (multi-table LSH, the SRP analog of
+    MinHash banding): a pair collides if it shares a bucket in ANY of the
+    L independently-seeded tables, so recall = 1 − (1 − p^n_bits)^L with
+    p = 1 − θ/π per bit. One table is plenty for near-dup thresholds
+    (cos ≥ 0.95 ⇒ p ≈ 0.9); kNN over MODERATE-cosine neighborhoods needs
+    fewer bits and more tables (measured on the 500-vec test set, whose
+    RANDOM vectors are LSH's worst case — no cluster structure: recall@3
+    0.14 at n_bits=4 L=1 → 0.70 at L=8 → 0.91 at L=16; real clustered
+    embeddings hit the same recall with far fewer candidates). Cost is L
+    signature passes and ≤ L× candidate volume — pay it per recall
+    target, never with a wider cross join."""
     import numpy as np
     from pyspark.sql import functions as F
 
     dim = len(emb.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_bits, dim))
-    sig = emb.select(
-        F.col(id_col).alias("vec_id"),
-        srp_signature_col(F.col(vec_col), planes).alias("bucket"),
-    )
-    a, b = sig.alias("a"), sig.alias("b")
-    return (
-        a.join(b, "bucket")
-        .where(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
-    )
+    tables = []
+    for t in range(n_tables):
+        planes = rng.standard_normal((n_bits, dim))
+        sig = emb.select(
+            F.col(id_col).alias("vec_id"),
+            srp_signature_col(F.col(vec_col), planes).alias("bucket"),
+        )
+        a, b = sig.alias("a"), sig.alias("b")
+        tables.append(
+            a.join(b, "bucket")
+            .where(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"))
+        )
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.union(t)
+    return out.distinct()
 
 
 # --------------------------------------------------------- DuckDB mirror
