@@ -267,7 +267,8 @@ def run_suite(cpus: int, sf_dir: str, n_turns: int) -> dict:
     from polaris_spark.ops.similarity import knn_join, srp_candidate_pairs
 
     t0 = time.time()
-    knn_join(emb, k=3, candidates=srp_candidate_pairs(emb, n_bits=12)).count()
+    knn_join(emb, k=3, candidates=srp_candidate_pairs(
+        emb, n_bits=4, n_tables=8)).count()  # the recall~0.7 dial setting
     times["knn_srp_top3"] = round(time.time() - t0, 3)
 
     from polaris_spark.ops.dedup import decontaminate
