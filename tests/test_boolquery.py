@@ -253,3 +253,24 @@ def test_escape_oracle_parity(beng, con):
                for h in beng.search_bool(q, k=None)}
         want = set(con.execute(bool_scores_sql(q, table="fixture")).fetchall())
         assert got == want, q
+
+
+def test_parser_fuzz_only_valueerror():
+    """Robustness contract the daemon relies on (server.py maps ValueError
+    -> 400): no input, however malformed, may raise anything but
+    ValueError from the classic parser. 30k seeded random strings over the
+    full special-character alphabet."""
+    import random
+
+    from polaris_spark.query.boolquery import has_operators, parse
+
+    random.seed(7)
+    alpha = list('abc ()"~^*?-+:[]{}/\\.|&!05eANDORT')
+    for _ in range(30000):
+        s = "".join(random.choice(alpha)
+                    for _ in range(random.randint(1, 24)))
+        try:
+            has_operators(s)
+            parse(s)
+        except ValueError:
+            pass  # documented rejection of malformed classic syntax
