@@ -7,10 +7,11 @@ JSON line: {"metric", "value" (total sec), "unit": "sec", "queries": {...},
 "sf", plus informative extras (throughput, latency percentiles)}.
 
 --scaling mode: runs the SAME index-build job on the SAME input at two
-parallelism levels (local[8] vs local[32]) in fresh subprocesses and writes
+parallelism levels (local[2] vs local[8]; see BENCH/BASELINE.md for why
+not 8-vs-32 on this box) in fresh subprocesses and writes
 BENCH/BASELINE.md with throughput at both plus scaling efficiency
-(= (thr_32/thr_8)/4) — the sandbox proxy for the north rule's N→4N executor
-criterion (no real cluster available here).
+(= (thr_4N/thr_N)/4) — the sandbox proxy for the north rule's N→4N
+executor criterion (no real cluster available here).
 """
 
 from __future__ import annotations
