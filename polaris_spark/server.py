@@ -20,6 +20,9 @@ Methods (POST JSON to /api/<method>):
                  (CodeSearchImpl.search:71-92, SourceDbImpl.java:147-157,
                  SearchMixer.java:63-89). ``payload:false`` returns bare
                  (doc_id, score, n_match) hits.
+- ``searchMany`` {queries: [...], k?} → per-query top-k hits, the whole
+                 list scored as ONE distributed job (engine.search_many_df
+                 — replay/eval volume; bit-identical to per-query search).
 - ``complete``   {query, limit?} → completion rows —
                  CodeSearchImpl.complete:121-138.
 - ``source``     {docIds: [...]} → doc_map identity rows —
@@ -100,6 +103,24 @@ class _Handler(BaseHTTPRequestHandler):
             mode=b.get("mode", "or"),
             payload=bool(b.get("payload", True)),
         )
+
+    def _m_searchMany(self, b):
+        """Batch search: the whole query list scored as ONE distributed
+        job (engine.search_many_df — the replay/eval shape; per-query
+        results bit-identical to sequential /api/search calls). Response:
+        {results: {query: [{doc_id, score, n_match, rank}, ...]}}."""
+        queries = list(b["queries"])
+        if not queries:
+            raise ValueError("queries must be a non-empty list")
+        out: dict = {q: [] for q in queries}
+        rows = self.engine.search_many_df(
+            queries, k=int(b.get("k", b.get("rankTo", 10)))).collect()
+        for r in rows:
+            d = r.asDict()
+            out[d.pop("query")].append(d)
+        for hits in out.values():
+            hits.sort(key=lambda h: h["rank"])
+        return {"results": out}
 
     def _m_complete(self, b):
         return {"completions": _rows(

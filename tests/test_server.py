@@ -117,3 +117,18 @@ def test_error_paths(daemon):
     # degrades to the flat parser (stray paren treated as punctuation)
     ok = _post(base, "search", {"query": "ridash)"})
     assert "hits" in ok
+
+
+def test_searchmany_endpoint_bit_identical(spark, daemon):
+    """/api/searchMany scores the list as one job; per-query hits must be
+    bit-identical to sequential /api/search (the search_many_df contract)."""
+    base, d, pdf = daemon
+    qs = [pdf["text"].iloc[0].split()[0],
+          " ".join(pdf["text"].iloc[1].split()[:2]),
+          "nonexistenttermxyz"]
+    got = _post(base, "searchMany", {"queries": qs, "k": 5})["results"]
+    eng = SearchEngine(spark, d)
+    for q in qs:
+        want = [(h["doc_id"], round(h["score"], 9)) for h in eng.search(q, k=5)]
+        assert [(h["doc_id"], round(h["score"], 9)) for h in got[q]] == want
+    assert got["nonexistenttermxyz"] == []
