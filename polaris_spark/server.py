@@ -109,7 +109,9 @@ class _Handler(BaseHTTPRequestHandler):
         job (engine.search_many_df — the replay/eval shape; per-query
         results bit-identical to sequential /api/search calls). Response:
         {results: {query: [{doc_id, score, n_match, rank}, ...]}}."""
-        queries = list(b["queries"])
+        # dedupe, order-preserving: a repeated query must not double its
+        # hit list (results are keyed by query string anyway)
+        queries = list(dict.fromkeys(b["queries"]))
         if not queries:
             raise ValueError("queries must be a non-empty list")
         out: dict = {q: [] for q in queries}

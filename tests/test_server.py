@@ -126,7 +126,8 @@ def test_searchmany_endpoint_bit_identical(spark, daemon):
     qs = [pdf["text"].iloc[0].split()[0],
           " ".join(pdf["text"].iloc[1].split()[:2]),
           "nonexistenttermxyz"]
-    got = _post(base, "searchMany", {"queries": qs, "k": 5})["results"]
+    # duplicate query in the request must not double its hit list
+    got = _post(base, "searchMany", {"queries": qs + [qs[0]], "k": 5})["results"]
     eng = SearchEngine(spark, d)
     for q in qs:
         want = [(h["doc_id"], round(h["score"], 9)) for h in eng.search(q, k=5)]
