@@ -450,6 +450,26 @@ def _q_ivf_top10(spark, sf_dir):
     return ivf_topk(spark, d, _query_vec(spark, sf_dir), k=10, nprobe=4)
 
 
+def _q_ivf_many(spark, sf_dir):
+    """Batched IVF ANN (ivf_topk_many — the embedding analog of
+    search_many_df): 3 query vectors scored as ONE job over the prebuilt
+    index at nprobe = n_centroids (exhaustive ⇒ per-query brute force,
+    same oracle shape as ivf_top10); the pruned nprobe<all path shares
+    ivf_topk's plan evidence (single partition-pruned scan)."""
+    from polaris_spark.ops.similarity import build_ivf, ivf_topk_many
+
+    d = os.path.join(
+        CACHE, f"ivf_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_c4"
+    )
+    if not os.path.exists(os.path.join(d, "_centroids.json")):
+        os.makedirs(CACHE, exist_ok=True)
+        build_ivf(spark, _emb(spark, sf_dir), d, n_centroids=4, seed=7)
+    qs = [[float(x) for x in r["embedding"]]
+          for r in _emb(spark, sf_dir).where("vec_id IN (0, 1, 2)")
+          .orderBy("vec_id").collect()]
+    return ivf_topk_many(spark, d, qs, k=5, nprobe=4)
+
+
 def _q_lookup_by_source(spark, sf_dir):
     """Attribute point-lookup endpoint (the listTypesInFile analog,
     reference CodeSearchImpl.java:189-214): all docs whose stored 'source'
@@ -668,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_top10": _q_cosine_top10,
         "knn_join_top3": _q_knn_join,
         "ivf_top10": _q_ivf_top10,
+        "ivf_many_top5": _q_ivf_many,
         "lookup_by_source": _q_lookup_by_source,
         "quality_score": _q_quality,
         "langid": _q_langid,
@@ -707,7 +728,8 @@ def oracle_sql() -> dict[str, str]:
         duckdb_minhash_sql,
         duckdb_shingles,
     )
-    from polaris_spark.ops.similarity import duckdb_knn_join_sql
+    from polaris_spark.ops.similarity import (duckdb_ivf_many_sql,
+                                              duckdb_knn_join_sql)
     from polaris_spark.ops.text import (
         duckdb_fingerprint_sql,
         duckdb_langid_sql,
@@ -837,6 +859,10 @@ SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.45""",
             "embeddings", "vec_id", "embedding", k=3),
         # nprobe == n_centroids ⇒ IVF is exhaustive ⇒ identical to brute force
         "ivf_top10": cosine,
+        "ivf_many_top5": duckdb_ivf_many_sql(
+            "embeddings", "vec_id", "embedding",
+            [f"(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = {i})"
+             for i in (0, 1, 2)], k=5),
         "lookup_by_source": (
             "SELECT doc_id, source FROM documents WHERE source = 'src3'"
         ),

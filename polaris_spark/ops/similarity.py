@@ -193,6 +193,52 @@ def ivf_topk(spark, ivf_dir: str, query: list[float], k: int = 10,
     )
 
 
+def ivf_topk_many(spark, ivf_dir: str, queries: list[list[float]],
+                  k: int = 10, nprobe: int = 2):
+    """Batched IVF ANN: Q query vectors scored as ONE job — the embedding
+    analog of ``search_many_df`` (offline-eval / replay volume). Centroid
+    ranking per query happens driver-side over the tiny centroid list;
+    the scan reads the UNION of every query's probe partitions ONCE
+    (PartitionFilters at file-listing time), a broadcast (qid,
+    centroid_id, qvec) table fans each row out only to the queries
+    actually probing its partition, and a per-qid window takes the
+    top-k. Scan cost ∝ |union of probed partitions|, never Q separate
+    jobs. Returns ``(qid, vec_id, sim, rank)``, rank 1..k by (sim desc,
+    vec_id asc); with ``nprobe == n_centroids`` every query's result is
+    exactly brute force."""
+    import json
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..fs import get_fs
+
+    centroids = json.loads(
+        get_fs(spark, ivf_dir).read_text(os.path.join(ivf_dir, "_centroids.json"))
+    )
+    rows = []
+    for qid, q in enumerate(queries):
+        for c in _rank_centroids(centroids, q, nprobe):
+            rows.append((qid, int(c), [float(x) for x in q]))
+    probes = spark.createDataFrame(
+        rows, "qid int, centroid_id int, qvec array<double>")
+    union_ids = sorted({r[1] for r in rows})
+    vecs = (spark.read.parquet(os.path.join(ivf_dir, "vectors"))
+            .where(F.col("centroid_id").isin(union_ids)))
+    sim = F.round(
+        _dot(F.col("embedding"), F.col("qvec"))
+        / (_norm(F.col("embedding")) * _norm(F.col("qvec"))), 6)
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        vecs.join(F.broadcast(probes), "centroid_id")
+        .select("qid", "vec_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "vec_id", "sim", "rank")
+    )
+
+
 def embedding_neardup_pairs(emb, threshold: float = 0.95,
                             vec_col: str = "embedding", id_col: str = "vec_id"):
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cos ≥ threshold).
@@ -323,6 +369,29 @@ def duckdb_cosine_topk_sql(table: str, id_col: str, vec_col: str,
         f"SELECT {id_col} AS vec_id, round({dot} / ({n1} * {n2}), 6) AS sim "
         f"FROM {table} ORDER BY sim DESC, vec_id ASC LIMIT {k}"
     )
+
+
+def duckdb_ivf_many_sql(table: str, id_col: str, vec_col: str,
+                        queries_sql: list[str], k: int = 5) -> str:
+    """Oracle for :func:`ivf_topk_many` at nprobe == n_centroids
+    (exhaustive ⇒ per-query brute force): UNION ALL of one ranked
+    cosine scan per query vector. ``queries_sql[i]`` is a SQL expression
+    yielding query i's DOUBLE[] (e.g. a scalar subquery on the same
+    table, so the oracle needs no engine-side literals)."""
+    parts = []
+    for qid, qlit in enumerate(queries_sql):
+        vec = f"{vec_col}::DOUBLE[]"
+        dot = f"list_sum(list_transform(list_zip({vec}, {qlit}), p -> p[1] * p[2]))"
+        n1 = f"sqrt(list_sum(list_transform({vec}, x -> x * x)))"
+        n2 = f"sqrt(list_sum(list_transform({qlit}, x -> x * x)))"
+        sim = f"round({dot} / ({n1} * {n2}), 6)"
+        parts.append(f"""
+SELECT qid, vec_id, sim, rank FROM (
+  SELECT {qid} AS qid, {id_col} AS vec_id, {sim} AS sim,
+         row_number() OVER (ORDER BY {sim} DESC, {id_col} ASC) AS rank
+  FROM {table}
+) WHERE rank <= {k}""")
+    return " UNION ALL ".join(parts)
 
 
 def duckdb_knn_join_sql(table: str, id_col: str, vec_col: str,

@@ -384,3 +384,25 @@ def test_knn_srp_multitable_recall_dial(spark):
     r1, r8, r16 = recall(4, 1), recall(4, 8), recall(4, 16)
     assert r1 < r8 < r16
     assert r8 >= 0.6 and r16 >= 0.85
+
+
+def test_ivf_many_matches_single_query_probes(spark, tmp_path):
+    """ivf_topk_many must be bit-identical per query to Q separate
+    ivf_topk calls at the same nprobe — batching changes the job count,
+    never the results (including the pruned nprobe < n_centroids path)."""
+    from polaris_spark.ops.similarity import build_ivf, ivf_topk, ivf_topk_many
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    d = str(tmp_path / "ivf")
+    build_ivf(spark, emb, d, n_centroids=4, seed=7)
+    qs = [[float(x) for x in r["embedding"]]
+          for r in emb.where("vec_id IN (3, 4)").orderBy("vec_id").collect()]
+    for nprobe in (1, 4):
+        many = {}
+        for r in ivf_topk_many(spark, d, qs, k=5, nprobe=nprobe).collect():
+            many.setdefault(r["qid"], []).append(
+                (r["rank"], r["vec_id"], r["sim"]))
+        for qid, q in enumerate(qs):
+            single = [(i + 1, r["vec_id"], r["sim"]) for i, r in
+                      enumerate(ivf_topk(spark, d, q, k=5, nprobe=nprobe).collect())]
+            assert sorted(many[qid]) == single
