@@ -265,6 +265,14 @@ def run_suite(cpus: int, sf_dir: str, n_turns: int) -> dict:
     ivf_topk(spark, ivf_dir, qv, k=10, nprobe=2).collect()
     times["ivf_probe_top10"] = round(time.time() - t0, 3)
 
+    from polaris_spark.ops.similarity import ivf_topk_many
+
+    qvs = [[float(x) for x in r["embedding"]]
+           for r in emb.where("vec_id < 8").collect()]
+    t0 = time.time()
+    ivf_topk_many(spark, ivf_dir, qvs, k=10, nprobe=2).count()
+    times["ivf_many_probe8"] = round(time.time() - t0, 3)
+
     from polaris_spark.ops.similarity import knn_join, srp_candidate_pairs
 
     t0 = time.time()
