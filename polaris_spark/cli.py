@@ -153,6 +153,23 @@ def main(argv: list[str] | None = None) -> int:
                     help="write only clean rows (anti-join the hit set; "
                          "no per-doc flag columns)")
 
+    kn = sub.add_parser("neighbors", help="k-nearest-neighbor self-join "
+                        "over an embeddings parquet (SemDeDup prep): "
+                        "exact, or multi-table SRP-LSH at scale")
+    kn.add_argument("--input", required=True,
+                    help="embeddings parquet (id + array<float> column)")
+    kn.add_argument("--output", required=True,
+                    help="output parquet (vec_id, neighbor_id, cos, rank)")
+    kn.add_argument("--id-col", default="vec_id")
+    kn.add_argument("--vec-col", default="embedding")
+    kn.add_argument("-k", type=int, default=3)
+    kn.add_argument("--srp-bits", type=int, default=0,
+                    help=">0: SRP-LSH candidates (bits per table) instead "
+                         "of the exact O(n²) join")
+    kn.add_argument("--srp-tables", type=int, default=8,
+                    help="LSH tables (recall dial; only with --srp-bits)")
+    kn.add_argument("--seed", type=int, default=42)
+
     sv = sub.add_parser("serve", help="HTTP serving daemon (devserver analog)")
     sv.add_argument("--index", required=True)
     sv.add_argument("--host", default="127.0.0.1")
@@ -306,6 +323,24 @@ def main(argv: list[str] | None = None) -> int:
             spans.write.mode("overwrite").parquet(args.output + "_spans")
             res["n_dup_spans"] = spark.read.parquet(args.output + "_spans").count()
         print(json.dumps(res))
+    elif args.cmd == "neighbors":
+        from polaris_spark.ops.similarity import knn_join, srp_candidate_pairs
+
+        spark = _session("polaris_spark_neighbors")
+        emb = spark.read.parquet(args.input)
+        cand = None
+        if args.srp_bits > 0:
+            cand = srp_candidate_pairs(
+                emb, n_bits=args.srp_bits, seed=args.seed,
+                vec_col=args.vec_col, id_col=args.id_col,
+                n_tables=args.srp_tables)
+        out = knn_join(emb, k=args.k, vec_col=args.vec_col,
+                       id_col=args.id_col, candidates=cand)
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(json.dumps({"output": args.output, "n_vectors": emb.count(),
+                          "n_neighbor_rows": n,
+                          "mode": ("srp" if cand is not None else "exact")}))
     elif args.cmd == "decontam":
         from polaris_spark.ops.dedup import decontaminate
 

@@ -406,3 +406,29 @@ def test_ivf_many_matches_single_query_probes(spark, tmp_path):
             single = [(i + 1, r["vec_id"], r["sim"]) for i, r in
                       enumerate(ivf_topk(spark, d, q, k=5, nprobe=nprobe).collect())]
             assert sorted(many[qid]) == single
+
+
+def test_cli_neighbors(spark, tmp_path):
+    """`neighbors` subcommand: exact mode equals the library op; SRP mode
+    rows are a subset with identical cosines."""
+    import json
+
+    from polaris_spark.cli import main
+    from polaris_spark.ops.similarity import knn_join
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").where("vec_id < 80")
+    inp = str(tmp_path / "emb.parquet")
+    out_e = str(tmp_path / "nn_exact.parquet")
+    out_s = str(tmp_path / "nn_srp.parquet")
+    emb.write.parquet(inp)
+    assert main(["neighbors", "--input", inp, "--output", out_e,
+                 "-k", "2"]) in (0, None)
+    got = sorted(map(tuple, spark.read.parquet(out_e).collect()))
+    want = sorted(map(tuple, knn_join(emb, k=2).collect()))
+    assert got == want
+    assert main(["neighbors", "--input", inp, "--output", out_s, "-k", "2",
+                 "--srp-bits", "4", "--srp-tables", "8"]) in (0, None)
+    exact_cos = {(r["vec_id"], r["neighbor_id"]): r["cos"]
+                 for r in knn_join(emb, k=79).collect()}
+    for r in spark.read.parquet(out_s).collect():
+        assert exact_cos[(r["vec_id"], r["neighbor_id"])] == r["cos"]
