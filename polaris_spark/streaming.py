@@ -200,10 +200,12 @@ def stream_scrub(
     checkpoint. No aggregation state exists, so this scales exactly like
     the batch `scrub` scan: one narrow pass per micro-batch.
 
-    The corpus-GLOBAL curation stages (exact/near dedup, benchmark
-    decontamination) are deliberately NOT here: they need all-corpus
-    state; stream them via ``foreachBatch`` against materialized state
-    the way :func:`stream_append` folds index generations."""
+    The corpus-GLOBAL curation stages (exact/near dedup) are deliberately
+    NOT here: they need all-corpus state; stream them via ``foreachBatch``
+    against materialized state the way :func:`stream_append` folds index
+    generations. Benchmark decontamination is different — the bench side
+    is STATIC, so each row's verdict depends only on itself:
+    :func:`stream_decontam` streams it per micro-batch."""
     from pyspark.sql import functions as F
 
     from .ops.text import (pii_cols, quality_cols, repetition_cols,
@@ -223,6 +225,51 @@ def stream_scrub(
         .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_decontam(
+    spark,
+    input_dir: str,
+    bench_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: str = DOCUMENT_SCHEMA,
+    text_col: str = "text",
+    n: int = 13,
+    drop: bool = True,
+    available_now: bool = True,
+):
+    """Streaming benchmark decontamination: the bench/eval set is FIXED,
+    so a document's verdict depends only on its own text — no cross-batch
+    state. Each micro-batch runs the batch operator
+    (:func:`..ops.dedup.decontaminate`: broadcast bench-gram join) via
+    ``foreachBatch`` and appends either the clean rows (``drop=True``,
+    the scrub-before-train shape) or all rows + flags to ``out_dir``.
+    Exactly-once per input file via the checkpoint; bench grams are
+    re-read per batch from ``bench_path`` (tiny by definition — pin a
+    cached DataFrame instead if batches are very frequent)."""
+    from .ops.dedup import decontaminate
+
+    def sink(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bench = spark.read.parquet(bench_path)
+        flags = decontaminate(batch_df, bench, text_col=text_col, n=n)
+        if drop:
+            hit = flags.where("contaminated").select("doc_id")
+            out = batch_df.join(hit, "doc_id", "left_anti")
+        else:
+            out = batch_df.join(flags, "doc_id")
+        out.write.mode("append").parquet(out_dir)
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

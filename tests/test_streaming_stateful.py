@@ -153,3 +153,37 @@ def test_stream_scrub_signals_and_exactly_once(spark, dirs):
         assert got[i]["n_ipv4"] == exp[i]["n_ipv4"]
     assert got[1]["n_email"] == 1 and got[3]["n_ipv4"] == 2
     assert "quality" in spark.read.parquet(out).columns
+
+
+def test_stream_decontam_drop_and_exactly_once(spark, dirs, tmp_path):
+    """stream_decontam: bench-static decontamination per micro-batch —
+    contaminated rows dropped, clean rows appended, files exactly-once."""
+    from polaris_spark.streaming import stream_decontam
+
+    inp, out, ckpt = dirs
+    cols = "doc_id long, text string, lang string, source string, n_chars long"
+    bench_rows = [(100, "alpha beta gamma delta epsilon", "en", "b", 30)]
+    bench = str(tmp_path / "bench.parquet")
+    spark.createDataFrame(bench_rows, cols).write.parquet(bench)
+
+    def _wdocs(rows, name):
+        import glob
+        import shutil
+        import tempfile
+
+        stage = tempfile.mkdtemp()
+        spark.createDataFrame(rows, cols).coalesce(1) \
+            .write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(inp, f"{name}.parquet"))
+        shutil.rmtree(stage, ignore_errors=True)
+
+    _wdocs([(1, "zz alpha beta gamma qq rr ss", "en", "s", 28),   # hit (3-gram)
+            (2, "completely unrelated clean words here", "en", "s", 37)], "f1")
+    q = stream_decontam(spark, inp, bench, out, ckpt, n=3)
+    q.awaitTermination()
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {2}
+    _wdocs([(3, "more clean text entirely", "en", "s", 24)], "f2")
+    q = stream_decontam(spark, inp, bench, out, ckpt, n=3)
+    q.awaitTermination()
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {2, 3}
