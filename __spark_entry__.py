@@ -594,6 +594,16 @@ def _q_repetition(spark, sf_dir):
     return _docs(spark, sf_dir).select("doc_id", *repetition_cols(F.col("text")))
 
 
+def _q_quality_percentile(spark, sf_dir):
+    """Per-source quality percentile filter (CCNet-style per-domain
+    thresholding): keep the best 30% by quality within each source;
+    full auditable ledger with deterministic percent_rank
+    (ops/text.quality_percentile_filter). One window shuffle."""
+    from polaris_spark.ops.text import quality_percentile_filter
+
+    return quality_percentile_filter(_docs(spark, sf_dir), keep_frac=0.3)
+
+
 def _q_token_counts(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -691,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_many_top5": _q_ivf_many,
         "lookup_by_source": _q_lookup_by_source,
         "quality_score": _q_quality,
+        "quality_percentile": _q_quality_percentile,
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
         "token_counts": _q_token_counts,
@@ -733,6 +744,7 @@ def oracle_sql() -> dict[str, str]:
     from polaris_spark.ops.text import (
         duckdb_fingerprint_sql,
         duckdb_langid_sql,
+        duckdb_quality_percentile_sql,
         duckdb_quality_sql,
         duckdb_repetition_sql,
         duckdb_ws_tokens,
@@ -867,6 +879,8 @@ SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.45""",
             "SELECT doc_id, source FROM documents WHERE source = 'src3'"
         ),
         "quality_score": f"SELECT doc_id, {duckdb_quality_sql('text')} FROM documents",
+        "quality_percentile": duckdb_quality_percentile_sql(
+            "documents", keep_frac=0.3),
         "langid": f"SELECT doc_id, {duckdb_langid_sql('text')} AS lang_pred FROM documents",
         "fingerprint": f"SELECT doc_id, {duckdb_fingerprint_sql('text')} AS fp FROM documents",
         "token_counts": (

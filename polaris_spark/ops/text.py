@@ -324,3 +324,60 @@ def duckdb_langid_sql(col_sql: str) -> str:
 
 def duckdb_fingerprint_sql(col_sql: str) -> str:
     return f"md5(trim(regexp_replace(lower({col_sql}), '\\s+', ' ', 'g')))"
+
+
+def quality_percentile_filter(docs, keep_frac: float = 0.3,
+                              by: str = "source", text_col: str = "text",
+                              id_col: str = "doc_id"):
+    """Per-group quality PERCENTILE filter: keep the best ``keep_frac``
+    of documents by :func:`quality_cols` score WITHIN each ``by`` group —
+    the per-domain thresholding curation pipelines use when one global
+    cut would wipe out whole domains (CCNet-style quality bucketing).
+
+    Returns ``(doc_id, grp, quality, pct_rank, kept)`` over the FULL
+    corpus (auditable, like the curation ledger): ``pct_rank`` is
+    percent_rank over (quality desc, doc_id asc) — the doc_id tiebreak
+    makes ranks unique and the whole output deterministic — and
+    ``kept = pct_rank <= keep_frac`` as int.
+
+    Scale: ONE window shuffle on the group key. At 10^12 docs a bare
+    `source` partition can exceed an executor — refine ``by`` to a
+    composite (source, shard) column the same way the mixing ops do; the
+    percentile is then per refined group, which is the operational intent
+    anyway (thresholds drift over time slices)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    q = quality_cols(F.col(text_col))[-1]
+    w = Window.partitionBy("grp").orderBy(F.desc("quality"),
+                                          F.asc("doc_id"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.col(by).alias("grp"), q)
+        .withColumn("pct_rank", F.percent_rank().over(w))
+        .withColumn("kept",
+                    (F.col("pct_rank") <= keep_frac).cast("int"))
+        .select("doc_id", "grp", "quality", "pct_rank", "kept")
+    )
+
+
+def duckdb_quality_percentile_sql(table: str, keep_frac: float = 0.3,
+                                  by: str = "source",
+                                  text_col: str = "text",
+                                  id_col: str = "doc_id") -> str:
+    """Oracle for :func:`quality_percentile_filter` — identical
+    percent_rank definition ((rank-1)/(n-1), unique ordering)."""
+    return f"""
+WITH q AS (
+  SELECT {id_col} AS doc_id, {by} AS grp, {duckdb_quality_sql(text_col)}
+  FROM {table}
+), r AS (
+  SELECT doc_id, grp, quality,
+         percent_rank() OVER (PARTITION BY grp
+                              ORDER BY quality DESC, doc_id ASC) AS pct_rank
+  FROM q
+)
+SELECT doc_id, grp, quality, pct_rank,
+       (pct_rank <= {keep_frac})::INT AS kept
+FROM r
+"""

@@ -432,3 +432,25 @@ def test_cli_neighbors(spark, tmp_path):
                  for r in knn_join(emb, k=79).collect()}
     for r in spark.read.parquet(out_s).collect():
         assert exact_cos[(r["vec_id"], r["neighbor_id"])] == r["cos"]
+
+
+def test_quality_percentile_per_group_semantics(spark):
+    """Per-group percentile: the kept set within each source is exactly
+    the quality-descending prefix at pct_rank <= keep_frac, and no group
+    loses all rows (its rank-0 best is always kept)."""
+    from polaris_spark.ops.text import quality_percentile_filter
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = quality_percentile_filter(docs, keep_frac=0.3).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append(r)
+    assert set(by_grp) == {r["source"] for r in docs.select("source").distinct().collect()}
+    for grp, rows in by_grp.items():
+        rows.sort(key=lambda r: (-r["quality"], r["doc_id"]))
+        kept_flags = [r["kept"] for r in rows]
+        # kept is a PREFIX of the quality-desc ordering (no holes)
+        assert kept_flags == sorted(kept_flags, reverse=True)
+        assert kept_flags[0] == 1  # the group's best is always kept
+        frac = sum(kept_flags) / len(rows)
+        assert frac <= 0.3 + 1.0 / len(rows)  # ceil slack of one row
