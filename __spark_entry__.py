@@ -594,6 +594,16 @@ def _q_repetition(spark, sf_dir):
     return _docs(spark, sf_dir).select("doc_id", *repetition_cols(F.col("text")))
 
 
+def _q_token_ids(spark, sf_dir):
+    """Vocabulary-indexed corpus encoding ("tokenize to ids"): dense
+    frequency-ranked vocab ids over the index tokenizer's emission
+    order (ops/text.encode_token_ids). Map-side explode + vocab-sized
+    aggregate + broadcast encode join."""
+    from polaris_spark.ops.text import encode_token_ids
+
+    return encode_token_ids(_docs(spark, sf_dir))
+
+
 def _q_quality_percentile(spark, sf_dir):
     """Per-source quality percentile filter (CCNet-style per-domain
     thresholding): keep the best 30% by quality within each source;
@@ -705,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
         "token_counts": _q_token_counts,
+        "token_ids": _q_token_ids,
         "repetition": _q_repetition,
         "events_hourly": _q_events_hourly,
         "top_docs_per_source": _q_top_docs_per_source,
@@ -747,6 +758,7 @@ def oracle_sql() -> dict[str, str]:
         duckdb_quality_percentile_sql,
         duckdb_quality_sql,
         duckdb_repetition_sql,
+        duckdb_token_ids_sql,
         duckdb_ws_tokens,
     )
     from polaris_spark.tokenizer import duckdb_tokens_sql
@@ -890,6 +902,7 @@ SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.45""",
         "repetition": (
             f"SELECT doc_id, {duckdb_repetition_sql('text')} FROM documents"
         ),
+        "token_ids": duckdb_token_ids_sql("documents"),
         "events_hourly": _an.duckdb_events_hourly_sql(),
         "top_docs_per_source": _an.duckdb_top_docs_sql(3),
         "sessionize": _an.duckdb_sessionize_sql(),

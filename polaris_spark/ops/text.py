@@ -381,3 +381,61 @@ SELECT doc_id, grp, quality, pct_rank,
        (pct_rank <= {keep_frac})::INT AS kept
 FROM r
 """
+
+
+def encode_token_ids(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Vocabulary-indexed corpus encoding — the "tokenize to ids" step of
+    a training-data pipeline: every doc's token stream mapped to dense
+    integer ids from a corpus-derived vocabulary, frequency-ranked
+    (token_id = row_number over (df desc, term asc) — the classic vocab
+    ordering, deterministic via the term tiebreak). Tokenization is the
+    index tokenizer (:func:`..tokenizer.tokens_col` — sub-tokens in
+    emission order), so ids compose with the engine's dictionary.
+    Returns exploded ``(doc_id, pos, token_id)`` rows, pos 1-based.
+
+    Scale: the token explode is map-side; the vocab aggregate is
+    dictionary-fold sized (vocab rows, ≪ corpus) and the encode join
+    broadcasts it when it fits, else shuffles on the term. The one
+    honest caveat: the dense-id window is a single task over VOCAB rows
+    — fine into the 10⁸-term range (a few GB of (term, df)); past that,
+    assign ids with sorted zipWithIndex or accept banded ids. The
+    corpus-side cost is exactly the tf_invert shuffle shape."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..tokenizer import tokens_col
+
+    toks = (docs.select(F.col(id_col).alias("doc_id"),
+                        F.posexplode(tokens_col(F.col(text_col)))
+                        .alias("pos0", "term"))
+            .select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"),
+                    "term"))
+    vocab = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    w = Window.orderBy(F.desc("df"), F.asc("term"))
+    vid = vocab.select(
+        "term", F.row_number().over(w).cast("long").alias("token_id"))
+    return toks.join(vid, "term").select("doc_id", "pos", "token_id")
+
+
+def duckdb_token_ids_sql(table: str, text_col: str = "text",
+                         id_col: str = "doc_id") -> str:
+    """Oracle for :func:`encode_token_ids`: same tokenizer mirror, same
+    frequency-ranked dense vocabulary (zipped unnests keep pos aligned)."""
+    from ..tokenizer import duckdb_tokens_sql
+
+    toks = duckdb_tokens_sql(text_col)
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS doc_id, {toks} AS toks FROM {table}
+), s AS (
+  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos,
+         unnest(toks) AS term
+  FROM t
+), v AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM s GROUP BY term
+), vid AS (
+  SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS token_id
+  FROM v
+)
+SELECT doc_id, pos, token_id FROM s JOIN vid USING (term)
+"""
