@@ -274,3 +274,57 @@ def test_parser_fuzz_only_valueerror():
             parse(s)
         except ValueError:
             pass  # documented rejection of malformed classic syntax
+
+
+def test_randomized_trees_vs_independent_python_oracle(beng):
+    """200+ random classic boolean queries (AND/OR/adjacency, +/-/NOT,
+    nested parens, present AND absent terms): the engine's matched doc
+    set must equal an INDEPENDENT Python evaluation of the documented
+    occur truth table (boolquery module docstring) over the fixture —
+    the randomized complement to the hand-checked goldens."""
+    import random
+
+    from polaris_spark.tokenizer import tokenize
+
+    doc_toks = {i: set(tokenize(t)) for i, t in DOCS}
+    vocab = sorted({t for s in doc_toks.values() for t in s}) + ["absentxyz"]
+
+    def matches(node, toks):
+        if isinstance(node, Leaf):
+            return bool(set(tokenize(str(node.payload))) & toks)
+        if any(matches(c, toks) for c in node.must_not):
+            return False
+        if not all(matches(c, toks) for c in node.must):
+            return False
+        if node.must:
+            return True
+        return any(matches(c, toks) for c in node.should)
+
+    rng = random.Random(11)
+
+    def gen(depth):
+        if depth == 0 or rng.random() < 0.4:
+            return rng.choice(vocab)
+        parts = []
+        for _ in range(rng.randint(2, 3)):
+            child = gen(depth - 1)
+            if " " in child:
+                child = f"({child})"
+            parts.append(rng.choice(["", "", "", "+", "-", "NOT "]) + child)
+        return rng.choice([" AND ", " OR ", " "]).join(parts)
+
+    checked = 0
+    for _ in range(300):
+        q = gen(2)
+        try:
+            tree = parse(q)
+        except ValueError:
+            continue  # generator occasionally renders malformed prefixes
+        if tree is None:
+            continue
+        want = {i for i, toks in doc_toks.items() if matches(tree, toks)}
+        got = {h["doc_id"] for h in beng.search_bool(q, k=None)}
+        assert got == want, (
+            f"{q!r}: engine {sorted(got)} vs oracle {sorted(want)}")
+        checked += 1
+    assert checked >= 200
