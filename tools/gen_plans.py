@@ -213,6 +213,23 @@ def main() -> None:
         cap(decontaminate(docs_pq, docs_pq.where("doc_id % 7 = 0"), n=13)),
     ))
 
+    from polaris_spark.ops.text import (encode_token_ids,
+                                        quality_percentile_filter)
+
+    SECTIONS.append((
+        "quality percentile filter (one window exchange, codegen quality expr)",
+        "The quality expression rides the scan (WholeStageCodegen); the "
+        "only exchange is the window's hash partitioning on the group key.",
+        cap(quality_percentile_filter(docs_pq, keep_frac=0.3)),
+    ))
+    SECTIONS.append((
+        "token-id encoding (map-side explode, vocab-sized agg, broadcast encode join)",
+        "Corpus side is Generate (explode) with no shuffle; the vocab "
+        "aggregate and its dense-id window run over VOCAB rows only, and "
+        "the encode join broadcasts the finished vocab back.",
+        cap(encode_token_ids(docs_pq)),
+    ))
+
     out = [
         "# PLANS — physical-plan evidence (captured from the live engine)",
         "",
