@@ -497,6 +497,30 @@ def _q_mixture_sample(spark, sf_dir):
         .select("doc_id", "source", "mix_u", "kept")
 
 
+SPLIT_FRACS = {"val": 0.1, "test": 0.05}  # remaining 85% → train
+
+
+def _q_split_assign(spark, sf_dir):
+    """Deterministic disjoint train/val/test assignment from the same
+    cross-engine-exact id hash as mixture sampling: a pure map-side
+    projection (zero shuffle) where each split owns a contiguous hash
+    interval (ops/mixing.split_assign)."""
+    from polaris_spark.ops.mixing import split_assign
+
+    return split_assign(_docs(spark, sf_dir), SPLIT_FRACS, seed=11) \
+        .select("doc_id", "split_u", "split")
+
+
+def _q_embed_quantize(spark, sf_dir):
+    """Per-vector symmetric int8 quantization of the embedding column
+    (float32→int8, the 4× ANN memory lever): exploded (vec_id, dim, q,
+    scale) rows, exact-in-doubles spec mirrored by DuckDB
+    (ops/similarity.quantize_embeddings)."""
+    from polaris_spark.ops.similarity import quantize_embeddings
+
+    return quantize_embeddings(_emb(spark, sf_dir), bits=8)
+
+
 def _q_token_budget(spark, sf_dir):
     """Per-source token-budget mixture: keep each source's docs (id order)
     while the running whitespace-token sum stays within budget — one
@@ -693,6 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate": _q_curate,
         "curate_decontam": _q_curate_decontam,
         "mixture_sample": _q_mixture_sample,
+        "split_assign": _q_split_assign,
         "token_budget": _q_token_budget,
         "pack_sequences": _q_pack_sequences,
         "dedup_exact": _q_dedup_exact,
@@ -707,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash16": _q_simhash,
         "ann_cosine_top10": _q_cosine_top10,
         "knn_join_top3": _q_knn_join,
+        "embed_quantize": _q_embed_quantize,
         "ivf_top10": _q_ivf_top10,
         "ivf_many_top5": _q_ivf_many,
         "lookup_by_source": _q_lookup_by_source,
@@ -742,7 +768,8 @@ def oracle_sql() -> dict[str, str]:
     from polaris_spark.ops.curate import duckdb_curate_sql
     from polaris_spark.ops.mixing import (duckdb_budget_sql,
                                           duckdb_pack_sql,
-                                          duckdb_sample_sql)
+                                          duckdb_sample_sql,
+                                          duckdb_split_sql)
     from polaris_spark.ops.dedup import (
         duckdb_decontaminate_sql,
         duckdb_dup_clusters_sql,
@@ -751,7 +778,8 @@ def oracle_sql() -> dict[str, str]:
         duckdb_shingles,
     )
     from polaris_spark.ops.similarity import (duckdb_ivf_many_sql,
-                                              duckdb_knn_join_sql)
+                                              duckdb_knn_join_sql,
+                                              duckdb_quantize_sql)
     from polaris_spark.ops.text import (
         duckdb_fingerprint_sql,
         duckdb_langid_sql,
@@ -851,6 +879,7 @@ SELECT doc_id, lpad(lower(to_hex(val)), 4, '0') AS simhash16 FROM packed"""
         "curate_decontam": duckdb_curate_sql(bench_where="doc_id % 7 = 0"),
         "mixture_sample": duckdb_sample_sql(MIX_RATES, default_rate=0.9,
                                             seed=7),
+        "split_assign": duckdb_split_sql(SPLIT_FRACS, seed=11),
         "token_budget": duckdb_budget_sql(MIX_BUDGETS, default_budget=900),
         "pack_sequences": duckdb_pack_sql(PACK_CAP),
         "dedup_exact": (
@@ -881,6 +910,8 @@ SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.45""",
         "ann_cosine_top10": cosine,
         "knn_join_top3": duckdb_knn_join_sql(
             "embeddings", "vec_id", "embedding", k=3),
+        "embed_quantize": duckdb_quantize_sql(
+            "embeddings", "vec_id", "embedding", bits=8),
         # nprobe == n_centroids ⇒ IVF is exhaustive ⇒ identical to brute force
         "ivf_top10": cosine,
         "ivf_many_top5": duckdb_ivf_many_sql(

@@ -23,6 +23,11 @@ op is value-hash gated:
   < round(rate·10^6). NOTE: for Spark-only pipelines
   ``pmod(xxhash64(id, seed), 10^6)`` remains the stronger choice; this
   spec trades a few avalanche bits for a cross-engine-checkable oracle.
+- split_assign:  disjoint named splits (train/val/test) from the SAME
+  draw: split = first name (name-sorted) whose cumulative threshold
+  exceeds the draw, else the default split. Zero shuffle; each split
+  owns a contiguous hash interval (see the function docstring for the
+  monotone-growth property).
 - token_budget: within each group (ordered by id) keep rows while the
   INCLUSIVE running sum of whitespace-token counts stays ≤ budget — the
   "first N tokens of each source" mixture rule. One window per group.
@@ -84,6 +89,37 @@ def stratified_sample(df, rates: dict[str, float], default_rate: float = 1.0,
         thr = F.when(F.col(key) == g, F.lit(int(round(r * _RES)))) \
             .otherwise(thr)
     return df.withColumn("mix_u", u).withColumn("kept", F.col("mix_u") < thr)
+
+
+def split_assign(df, fractions: dict[str, float], default_split: str = "train",
+                 id_col: str = "doc_id", seed: int = 0):
+    """Deterministic disjoint train/val/test split: each row's named split
+    is decided by the same cross-engine-exact id hash as
+    ``stratified_sample`` — stacked cumulative thresholds over
+    ``fractions`` (name-sorted), remaining mass → ``default_split``.
+
+    Properties a training pipeline needs and ad-hoc ``rand()`` splits
+    lack: reproducible across runs/partitionings/engines, a pure map-side
+    projection (ZERO shuffle, scan pushdown intact), and disjoint +
+    exhaustive by construction. Each split owns a contiguous hash
+    interval [lo, hi) under name-sorted stacking, so growing a split's
+    fraction while name-earlier fractions stay fixed yields a SUPERSET
+    of its previous membership (monotone eval-set growth); all churn is
+    confined to interval boundaries. Returns rows + ``split_u`` (the
+    draw) + ``split``."""
+    from pyspark.sql import functions as F
+
+    u = sample_hash_col(id_col, seed)
+    expr, lo = None, 0
+    for name, frac in sorted(fractions.items()):
+        hi = lo + int(round(frac * _RES))
+        cond = F.col("split_u") < F.lit(hi)
+        expr = F.when(cond, F.lit(name)) if expr is None \
+            else expr.when(cond, F.lit(name))
+        lo = hi
+    split = F.lit(default_split) if expr is None \
+        else expr.otherwise(F.lit(default_split))
+    return df.withColumn("split_u", u).withColumn("split", split)
 
 
 def token_budget(df, budgets: dict[str, int], default_budget: int,
@@ -159,6 +195,23 @@ def duckdb_sample_sql(rates: dict[str, float], default_rate: float = 1.0,
     h = _duck_hash(id_col, seed)
     return (f"SELECT {id_col}, {key}, {h} AS mix_u, "
             f"({h}) < ({thr}) AS kept FROM {table}")
+
+
+def duckdb_split_sql(fractions: dict[str, float],
+                     default_split: str = "train", id_col: str = "doc_id",
+                     seed: int = 0, table: str = "documents") -> str:
+    h = _duck_hash(id_col, seed)
+    cases, lo = [], 0
+    for name, frac in sorted(fractions.items()):
+        hi = lo + int(round(frac * _RES))
+        lit = name.replace("'", "''")
+        cases.append(f"WHEN ({h}) < {hi} THEN '{lit}'")
+        lo = hi
+    dflt = default_split.replace("'", "''")
+    case = (f"CASE {' '.join(cases)} ELSE '{dflt}' END" if cases
+            else f"'{dflt}'")
+    return (f"SELECT {id_col}, {h} AS split_u, {case} AS split "
+            f"FROM {table}")
 
 
 def duckdb_budget_sql(budgets: dict[str, int], default_budget: int,

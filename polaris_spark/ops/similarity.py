@@ -356,6 +356,41 @@ def srp_candidate_pairs(emb, n_bits: int = 16, seed: int = 42,
     return out.distinct()
 
 
+def quantize_embeddings(emb, bits: int = 8, vec_col: str = "embedding",
+                        id_col: str = "vec_id"):
+    """Per-vector symmetric integer quantization — the memory lever that
+    makes billion-vector ANN fit executor RAM (float32 → int8 is 4×; at
+    10^9 × 768-dim that is 3 TB → 0.77 TB, the difference between
+    broadcast-able probe sets and not).
+
+    Spec (exact in IEEE doubles, so the DuckDB mirror is value-hash
+    identical): qmax = 2^(bits-1) - 1; mx = max(|v_i|) over the vector
+    (float32 widened to double first — widening is exact);
+    scale = mx / qmax; q_i = floor(v_i / scale + 0.5) (round-half-up,
+    |q_i| ≤ qmax by construction). A zero vector quantizes to zeros with
+    scale 0. Dequantization is q_i · scale with max abs error scale/2.
+
+    Pure column expressions over one map-side projection — zero shuffle,
+    zero Python; returns EXPLODED rows (vec_id, dim, q, scale) to match
+    the gate's scalar-row compare (same shape as minhash_signatures)."""
+    from pyspark.sql import functions as F
+
+    qmax = (1 << (bits - 1)) - 1
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = mx / F.lit(float(qmax))
+    q = F.transform(
+        v,
+        lambda x: F.when(mx == 0, F.lit(0))
+        .otherwise(F.floor(x / scale + F.lit(0.5)).cast("int")),
+    )
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.when(mx == 0, F.lit(0.0)).otherwise(scale).alias("scale"),
+        F.posexplode(q).alias("dim", "q"),
+    ).select("vec_id", "dim", "q", "scale")
+
+
 # --------------------------------------------------------- DuckDB mirror
 
 def duckdb_cosine_topk_sql(table: str, id_col: str, vec_col: str,
@@ -392,6 +427,28 @@ SELECT qid, vec_id, sim, rank FROM (
   FROM {table}
 ) WHERE rank <= {k}""")
     return " UNION ALL ".join(parts)
+
+
+def duckdb_quantize_sql(table: str, id_col: str, vec_col: str,
+                        bits: int = 8) -> str:
+    """Oracle for :func:`quantize_embeddings` — the same double-widened
+    floor(x / (mx/qmax) + 0.5) expression shape, so every FP operation
+    matches the Spark plan bit for bit."""
+    qmax = float((1 << (bits - 1)) - 1)
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS vec_id,
+         list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+  FROM {table}
+), s AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM t
+)
+SELECT vec_id,
+       CAST(unnest(range(len(v))) AS INTEGER) AS dim,
+       unnest(list_transform(v, x -> CASE WHEN mx = 0 THEN CAST(0 AS INTEGER)
+         ELSE CAST(floor(x / (mx / {qmax!r}) + 0.5) AS INTEGER) END)) AS q,
+       CASE WHEN mx = 0 THEN 0.0 ELSE mx / {qmax!r} END AS scale
+FROM s"""
 
 
 def duckdb_knn_join_sql(table: str, id_col: str, vec_col: str,

@@ -134,3 +134,43 @@ def test_cli_mix_pipeline(spark, docs, tmp_path):
     # c dropped by rate 0; budgets keep a:{0,1,2} (cum 3,8,10) and b:{4}
     assert ids == {0, 1, 2, 4}
     assert "bin_id" in res.columns
+
+
+# ------------------------------------------------------------ split_assign
+
+def test_split_disjoint_exhaustive_and_parity(docs, con):
+    from polaris_spark.ops.mixing import duckdb_split_sql, split_assign
+
+    out = split_assign(docs, {"val": 0.25, "test": 0.25}, seed=3).collect()
+    assert len(out) == len(DOCS)  # one split per row, no dupes/drops
+    assert all(r["split"] in ("train", "val", "test") for r in out)
+    # draw is the shared sample hash — same as stratified_sample's mix_u
+    assert {r["doc_id"]: r["split_u"] for r in out} == \
+        {i: _py_hash(i, 3) for i, _s, _t in DOCS}
+    want = {r[0]: r[2] for r in con.execute(duckdb_split_sql(
+        {"val": 0.25, "test": 0.25}, seed=3, table="fixture")).fetchall()}
+    assert want == {r["doc_id"]: r["split"] for r in out}
+
+
+def test_split_monotone_growth_of_name_first_split(docs):
+    """Growing the name-first split's fraction (name-earlier fractions
+    vacuously fixed) yields a superset of its previous membership."""
+    from polaris_spark.ops.mixing import split_assign
+
+    small = {r["doc_id"] for r in
+             split_assign(docs, {"eval": 0.2}, seed=5).collect()
+             if r["split"] == "eval"}
+    big = {r["doc_id"] for r in
+           split_assign(docs, {"eval": 0.6}, seed=5).collect()
+           if r["split"] == "eval"}
+    assert small <= big and len(big) > len(small)
+
+
+def test_split_is_partition_invariant(docs):
+    from polaris_spark.ops.mixing import split_assign
+
+    a = {(r["doc_id"], r["split"]) for r in
+         split_assign(docs, {"val": 0.3}, seed=9).collect()}
+    b = {(r["doc_id"], r["split"]) for r in
+         split_assign(docs.repartition(7), {"val": 0.3}, seed=9).collect()}
+    assert a == b

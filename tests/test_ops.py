@@ -454,3 +454,34 @@ def test_quality_percentile_per_group_semantics(spark):
         assert kept_flags[0] == 1  # the group's best is always kept
         frac = sum(kept_flags) / len(rows)
         assert frac <= 0.3 + 1.0 / len(rows)  # ceil slack of one row
+
+
+def test_quantize_embeddings_semantics(spark):
+    """int8 symmetric quantization: |q| <= 127, dequant error <= scale/2,
+    zero vector -> zeros with scale 0, and round-half-up at the boundary."""
+    from polaris_spark.ops.similarity import quantize_embeddings
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, -0.5, 0.25]), (1, [0.0, 0.0]), (2, [-2.0, 2.0])],
+        "vec_id long, embedding array<float>")
+    rows = quantize_embeddings(emb, bits=8).collect()
+    by_vec = {}
+    for r in rows:
+        by_vec.setdefault(r["vec_id"], {})[r["dim"]] = (r["q"], r["scale"])
+    # vec 0: mx=1.0, scale=1/127; q = round(v*127) half-up
+    assert [by_vec[0][d][0] for d in range(3)] == [127, -63, 32]
+    # zero vector: all-zero q, scale 0 (no div-by-zero NaN/Inf)
+    assert [by_vec[1][d] for d in range(2)] == [(0, 0.0), (0, 0.0)]
+    # symmetric extremes hit +/-qmax exactly... -2/scale+0.5 floors to -127
+    assert [by_vec[2][d][0] for d in range(2)] == [-127, 127]
+    # dequant error bound over the real embeddings table
+    emb2 = spark.read.parquet(f"{SF}/embeddings.parquet")
+    from pyspark.sql import functions as F
+    q = quantize_embeddings(emb2, bits=8)
+    orig = emb2.select("vec_id", F.posexplode(
+        F.transform("embedding", lambda x: x.cast("double"))).alias("dim", "x"))
+    j = q.join(orig, ["vec_id", "dim"])
+    bad = j.where(
+        (F.abs(F.col("q") * F.col("scale") - F.col("x")) > F.col("scale") / 2 + 1e-12)
+        | (F.abs("q") > 127)).count()
+    assert bad == 0
