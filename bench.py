@@ -373,8 +373,12 @@ def main() -> None:
             the total so both are visible."""
             def _aux(r):
                 sw = r["stage_wall"]
-                # completion + fuzzy now run as one concurrent region whose
-                # true wall is "aux_tables"; fall back to the sequential key
+                # the aux region now runs CONCURRENTLY with the encode
+                # chunks; only its tail past the last chunk ("aux_tail")
+                # still costs build wall. Older builds recorded the serial
+                # region ("aux_tables") / sequential key — fall back.
+                if "aux_tail" in sw:
+                    return sw["aux_tail"]
                 return sw.get("aux_tables", sw.get("completion", 0.0))
 
             wl = lo["build_wall_s"] - _aux(lo)

@@ -48,6 +48,7 @@ def _load_cfg(spark, index_dir: str) -> IndexConfig:
         attr_cols=tuple(s.get("attr_cols", ()) or ()),
         completion=bool(s.get("completion", True)),
         fuzzy=bool(s.get("fuzzy", True)),
+        parquet_codec=s.get("parquet_codec", "zstd"),
     ), s
 
 
@@ -104,15 +105,17 @@ def append_index(
     )
     # map-side write (no shuffle) — same as the full build's stage 1
     tf_path = os.path.join(index_dir, "tf")
-    tf.write.mode("append").partitionBy("chunk").parquet(tf_path)
+    tf.write.mode("append").option(
+        "compression", cfg.parquet_codec).partitionBy("chunk").parquet(tf_path)
 
-    nm.write.mode("append").parquet(doc_map_path)
+    nm.write.mode("append").option(
+        "compression", cfg.parquet_codec).parquet(doc_map_path)
     doc_stats_path = os.path.join(index_dir, "doc_stats")
     new_tf = spark.read.parquet(tf_path).where(F.col("chunk") >= gen_base)
     dls = new_tf.select("doc_id", "dl").dropDuplicates(["doc_id"])
     nm.select("doc_id").join(dls, "doc_id", "left").fillna(0, subset=["dl"]).write.mode(
         "append"
-    ).parquet(doc_stats_path)
+    ).option("compression", cfg.parquet_codec).parquet(doc_stats_path)
 
     # refreshed global stats
     ds = spark.read.parquet(doc_stats_path)
@@ -140,9 +143,9 @@ def append_index(
         )
         seg = tf_c.groupBy("bucket", "shard").applyInPandas(kernel, POSTINGS_SCHEMA)
         seg = seg.repartition(max(1, cfg.n_buckets // cfg.n_chunks), "bucket")
-        seg.sortWithinPartitions("term", "shard").write.mode("overwrite").partitionBy(
-            "bucket"
-        ).parquet(os.path.join(post_root, f"chunk={cid}"))
+        seg.sortWithinPartitions("term", "shard").write.mode("overwrite").option(
+            "compression", cfg.parquet_codec
+        ).partitionBy("bucket").parquet(os.path.join(post_root, f"chunk={cid}"))
         _mark(fs, man_dir, f"chunk_{cid:05d}",
               {"seg_id": f"chunk_{cid:05d}", "chunk": cid, "generation": gen})
 
@@ -167,7 +170,8 @@ def append_index(
         .repartition(max(1, par // 4), "term")
         .sortWithinPartitions("term")
     )
-    delta_dic.write.mode("append").parquet(dict_path)
+    delta_dic.write.mode("append").option(
+        "compression", cfg.parquet_codec).parquet(dict_path)
 
     # hot-term sketch refresh: only terms in the delta can change totals, so
     # totals are folded for JUST those terms (semijoin against the delta's
@@ -193,12 +197,14 @@ def append_index(
     if cfg.completion:
         from .build import build_completion_table
 
-        build_completion_table(spark, index_dir, dic=delta_dic, mode="append")
+        build_completion_table(spark, index_dir, dic=delta_dic, mode="append",
+                               codec=cfg.parquet_codec)
 
     if cfg.fuzzy:
         from .build import build_fuzzy_table
 
-        build_fuzzy_table(spark, index_dir, dic=delta_dic, mode="append")
+        build_fuzzy_table(spark, index_dir, dic=delta_dic, mode="append",
+                          codec=cfg.parquet_codec)
 
     fs.write_text_atomic(
         os.path.join(index_dir, "_stats.json"), json.dumps(stats, indent=1)
@@ -247,9 +253,9 @@ def compact_index(spark, index_dir: str, gc: bool = True) -> dict:
     seg = tf.groupBy("bucket", "shard").applyInPandas(kernel, POSTINGS_SCHEMA)
     seg = seg.repartition(max(1, cfg.n_buckets // max(1, cfg.n_chunks)), "bucket")
     tmp = os.path.join(index_dir, "postings_compacted")
-    seg.sortWithinPartitions("term", "shard").write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(tmp)
+    seg.sortWithinPartitions("term", "shard").write.mode("overwrite").option(
+        "compression", cfg.parquet_codec
+    ).partitionBy("bucket").parquet(tmp)
 
     # compaction swap through the FS abstraction: works identically on a
     # local disk and (via Hadoop FileSystem) on HDFS/object stores
@@ -269,17 +275,18 @@ def compact_index(spark, index_dir: str, gc: bool = True) -> dict:
         .sortWithinPartitions("term")
     )
     dic_tmp = os.path.join(index_dir, "dictionary_compacted")
-    dic.write.mode("overwrite").parquet(dic_tmp)
+    dic.write.mode("overwrite").option(
+        "compression", cfg.parquet_codec).parquet(dic_tmp)
     fs.delete(dict_path)
     fs.rename(dic_tmp, dict_path)
     if cfg.completion:
         from .build import build_completion_table
 
-        build_completion_table(spark, index_dir)
+        build_completion_table(spark, index_dir, codec=cfg.parquet_codec)
     if cfg.fuzzy:
         from .build import build_fuzzy_table
 
-        build_fuzzy_table(spark, index_dir)
+        build_fuzzy_table(spark, index_dir, codec=cfg.parquet_codec)
 
     if gc:
         gc_tf(spark, index_dir)

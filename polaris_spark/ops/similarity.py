@@ -141,6 +141,9 @@ def build_ivf(spark, emb, ivf_dir: str, centroids: list[list[float]] | None = No
     (
         assigned.repartition("centroid_id")
         .write.mode("overwrite")
+        # zstd: float arrays compress ~25-35% better than snappy; probe
+        # reads (the hot path) decompress zstd at parquet-scan speed
+        .option("compression", "zstd")
         .partitionBy("centroid_id")
         .parquet(os.path.join(ivf_dir, "vectors"))
     )
