@@ -48,6 +48,10 @@ Q_BATCH = [  # batched multi-query job: plain, multi-term, boost,
     '"spark join"~1 AND filter',
 ]
 FIELD_COLS = ("source", "lang")
+Q_FACET = Q_OR  # facet the OR match set by the stored 'source' attribute
+SUGGEST_TERM = "querry"  # misspelling of 'query' (long enough for the
+# n-gram probe path: >2×max_edits bigrams)
+SHUFFLE_SEED = 13  # corpus-shuffle gate seed
 
 _INDEX_CFG = dict(n_buckets=32, n_shards=8, n_chunks=4)
 
@@ -481,6 +485,36 @@ def _q_lookup_by_source(spark, sf_dir):
     return eng.list_by_attr("source", "src3").select("doc_id", "source")
 
 
+def _q_facet_counts(spark, sf_dir):
+    """Facet counts over the FULL match set by the stored 'source'
+    attribute (Lucene facets analog): same candidate scan + per-shard
+    kernels as search (k=None), doc_map equi-join, partial-agg groupBy."""
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir))
+    return eng.facet_counts(Q_FACET, "source")
+
+
+def _q_suggest(spark, sf_dir):
+    """Spell-suggest ("did you mean", Lucene DirectSpellChecker analog):
+    vocab terms within 2 edits of a misspelling, ranked (dist, df desc,
+    term), served from the fuzzy n-gram table's pruned probe."""
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir))
+    return eng.suggest_df(SUGGEST_TERM, n=5, max_edits=2)
+
+
+def _q_corpus_shuffle(spark, sf_dir):
+    """Deterministic global corpus shuffle: contiguous 0-based ordinal in
+    seeded-hash order via the two-pass distributed global rank (range
+    exchange + per-partition offsets — no single-partition window)."""
+    from polaris_spark.ops.mixing import shuffle_rows
+
+    return shuffle_rows(_docs(spark, sf_dir), seed=SHUFFLE_SEED) \
+        .select("doc_id", "shuffle_key", "shuffle_pos")
+
+
 MIX_RATES = {"src1": 0.25, "src3": 0.6}  # per-source mixture sampling rates
 MIX_BUDGETS = {"src2": 400, "src5": 150}  # per-source token budgets
 PACK_CAP = 256  # context-window packing capacity (ws tokens)
@@ -736,6 +770,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_top10": _q_ivf_top10,
         "ivf_many_top5": _q_ivf_many,
         "lookup_by_source": _q_lookup_by_source,
+        "facet_counts": _q_facet_counts,
+        "suggest": _q_suggest,
+        "corpus_shuffle": _q_corpus_shuffle,
         "quality_score": _q_quality,
         "quality_percentile": _q_quality_percentile,
         "langid": _q_langid,
@@ -761,7 +798,9 @@ def oracle_sql() -> dict[str, str]:
         complete_sql,
         dictionary_sql,
         doc_stats_sql,
+        facet_sql,
         phrase_sql,
+        suggest_sql,
         tokenize_tf_sql,
     )
     import polaris_spark.ops.analytics as _an
@@ -769,6 +808,7 @@ def oracle_sql() -> dict[str, str]:
     from polaris_spark.ops.mixing import (duckdb_budget_sql,
                                           duckdb_pack_sql,
                                           duckdb_sample_sql,
+                                          duckdb_shuffle_sql,
                                           duckdb_split_sql)
     from polaris_spark.ops.dedup import (
         duckdb_decontaminate_sql,
@@ -921,6 +961,9 @@ SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.45""",
         "lookup_by_source": (
             "SELECT doc_id, source FROM documents WHERE source = 'src3'"
         ),
+        "facet_counts": facet_sql(Q_FACET, "source"),
+        "suggest": suggest_sql(SUGGEST_TERM, 5, 2),
+        "corpus_shuffle": duckdb_shuffle_sql(seed=SHUFFLE_SEED),
         "quality_score": f"SELECT doc_id, {duckdb_quality_sql('text')} FROM documents",
         "quality_percentile": duckdb_quality_percentile_sql(
             "documents", keep_frac=0.3),

@@ -76,6 +76,20 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-k", type=int, default=10)
     p.add_argument("--distributed", action="store_true")
 
+    sg = sub.add_parser("suggest", help="spell-correction suggestions "
+                        "('did you mean') from the fuzzy n-gram table")
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--term", required=True)
+    sg.add_argument("-n", type=int, default=5)
+    sg.add_argument("--max-edits", type=int, default=2)
+
+    fc = sub.add_parser("facets", help="per-attribute-value counts over the "
+                        "full match set (Lucene facets analog)")
+    fc.add_argument("--index", required=True)
+    fc.add_argument("--query", required=True)
+    fc.add_argument("--attr", required=True)
+    fc.add_argument("--mode", choices=["or", "and"], default="or")
+
     s = sub.add_parser("stats", help="print index stats + manifests")
     s.add_argument("--index", required=True)
 
@@ -225,6 +239,21 @@ def main(argv: list[str] | None = None) -> int:
         spark = _session("polaris_spark_complete")
         eng = SearchEngine(spark, args.index)
         print(json.dumps([r.asDict() for r in eng.complete(args.prefix, args.n).collect()]))
+    elif args.cmd == "suggest":
+        from polaris_spark.query.engine import SearchEngine
+
+        spark = _session("polaris_spark_suggest")
+        eng = SearchEngine(spark, args.index)
+        print(json.dumps(eng.suggest(args.term, args.n, args.max_edits)))
+    elif args.cmd == "facets":
+        from polaris_spark.query.engine import SearchEngine
+
+        spark = _session("polaris_spark_facets")
+        eng = SearchEngine(spark, args.index)
+        rows = [r.asDict() for r in
+                eng.facet_counts(args.query, args.attr, args.mode).collect()]
+        rows.sort(key=lambda r: (-r["n"], str(r["facet"])))
+        print(json.dumps(rows))
     elif args.cmd == "serve":
         from polaris_spark.server import serve
 

@@ -763,3 +763,34 @@ def complete_sql(prefix: str, n: int = 20, table: str = "documents") -> str:
    OR (length({acro}) > 1 AND starts_with({acro}, '{u}'))
 ORDER BY df DESC, term ASC LIMIT {n}""",
     )
+
+
+def facet_sql(query: str, attr: str = "source", table: str = "documents",
+              field_cols: tuple = (), expand_fields: bool = False) -> str:
+    """Facet-counts mirror (engine ``facet_counts``): every doc matching
+    the query (same BM25 OR match semantics as ``bm25_scores_sql`` with no
+    limit), counted per value of the stored attribute."""
+    inner = bm25_scores_sql(query, table, None, field_cols, expand_fields)
+    return (
+        f"SELECT d.{attr} AS facet, count(*)::BIGINT AS n\n"
+        f"FROM ({inner}) m JOIN {table} d USING (doc_id)\n"
+        f"GROUP BY 1"
+    )
+
+
+def suggest_sql(term: str, n: int = 5, max_edits: int = 2,
+                table: str = "documents") -> str:
+    """Spell-suggest mirror (engine ``suggest_df``): vocabulary terms
+    within ``max_edits`` Levenshtein edits of ``term`` (input excluded),
+    ranked (dist asc, df desc, term asc). The engine's n-gram-table probe
+    is a provably lossless candidate filter, so the full-vocab oracle must
+    agree exactly."""
+    lit = term.replace("'", "''")
+    return (
+        f"SELECT term, levenshtein(term, '{lit}')::BIGINT AS dist, df\n"
+        f"FROM ({dictionary_sql(table)}) d\n"
+        f"WHERE term <> '{lit}'\n"
+        f"  AND levenshtein(term, '{lit}') <= {int(max_edits)}\n"
+        f"  AND term NOT LIKE '%:%'\n"
+        f"ORDER BY dist ASC, df DESC, term ASC\nLIMIT {int(n)}"
+    )

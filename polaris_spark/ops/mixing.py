@@ -175,6 +175,75 @@ def pack_sequences(df, capacity: int, key: str = "source",
     )
 
 
+def shuffle_rows(df, seed: int = 0, id_col: str = "doc_id"):
+    """Deterministic global corpus shuffle: every row gets a contiguous
+    0-based ordinal (``shuffle_pos``) in seeded-hash order — the "shuffle
+    the training corpus once, reproducibly" step before sharding to the
+    trainer. Spec: order rows by (shuffle_key, id), where shuffle_key is
+    the same cross-engine-exact xor-shift-multiply draw as
+    :func:`stratified_sample`; shuffle_pos = 0-based rank in that order.
+    The result is a pure function of the row ids — independent of input
+    partitioning, task order, and cluster size.
+
+    Scale shape (100 TB): a single-partition ``row_number()`` window would
+    serialize the corpus through one task; instead this is ONE range
+    exchange on (shuffle_key, id) — Spark's ordinary global-sort shuffle —
+    followed by the classic two-pass global-rank: per-partition row counts
+    (one long per partition) come to the driver, cumulative offsets go
+    back in the closure, and each partition numbers its own rows
+    (mapInPandas, batches arrive in stored order). The driver never sees
+    row data, only the count vector. The frame is localCheckpoint-pinned
+    between the passes so both see identical partition boundaries; the
+    ordinal itself is boundary-independent (range partitions are disjoint
+    in the sort key), the pin only guards against resampled boundaries
+    double-counting a row across the two passes.
+
+    Returns (id_col, shuffle_key, shuffle_pos).
+    """
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    npart = max(1, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    keyed = (
+        df.select(id_col)
+        .withColumn("shuffle_key", sample_hash_col(id_col, seed).cast("long"))
+        .repartitionByRange(npart, "shuffle_key", id_col)
+        .sortWithinPartitions("shuffle_key", id_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = {
+        int(r["_pid"]): int(r["n"])
+        for r in keyed.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_schema = T.StructType(
+        [f for f in keyed.schema.fields if f.name != "_pid"]
+        + [T.StructField("shuffle_pos", T.LongType(), False)]
+    )
+
+    def _number(batches):
+        local, base = 0, None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if base is None:
+                base = offsets[int(pdf["_pid"].iloc[0])]
+            pdf = pdf.drop(columns=["_pid"])
+            pdf["shuffle_pos"] = np.arange(
+                base + local, base + local + len(pdf), dtype=np.int64)
+            local += len(pdf)
+            yield pdf
+
+    return keyed.mapInPandas(_number, out_schema)
+
+
 # ------------------------------------------------------------ DuckDB mirrors
 
 def _duck_hash(id_sql: str, seed: int) -> str:
@@ -258,3 +327,15 @@ c AS (
 SELECT {id_col}, {key}, n_ws_tokens,
        (excl_cum // {int(capacity)})::BIGINT AS bin_id
 FROM c"""
+
+
+def duckdb_shuffle_sql(seed: int = 0, id_col: str = "doc_id",
+                       table: str = "documents") -> str:
+    """Oracle for :func:`shuffle_rows` — the whole-corpus row_number()
+    window the distributed two-pass rank must equal exactly."""
+    h = _duck_hash(id_col, seed)
+    return (
+        f"SELECT {id_col}, ({h})::BIGINT AS shuffle_key,\n"
+        f"       (row_number() OVER (ORDER BY {h}, {id_col}) - 1)::BIGINT"
+        f" AS shuffle_pos\nFROM {table}"
+    )

@@ -2098,6 +2098,76 @@ class SearchEngine:
             )
         return dm.where(F.col(attr) == value).orderBy("doc_id")
 
+    def facet_counts(self, query: str, attr: str, mode: str = "or",
+                     expand_fields: bool = False):
+        """Facet counts over the FULL match set (the Lucene facets analog —
+        faceted drill-down counts next to search hits): how many matching
+        docs carry each value of a stored attribute. Returns
+        (facet, n) — one row per attribute value with ≥1 matching doc.
+
+        Spark shape: the match set comes from the same bucket-pruned
+        candidate scan + per-shard scoring kernels as :meth:`search_df`
+        (k=None — no top-k cut, same query semantics incl. boolean
+        operators the parser accepts), equi-joined to doc_map on doc_id
+        for the attribute, then a partial-aggregated groupBy: each task
+        pre-folds to at most |attribute values| rows, so the reduce moves
+        |values| × partitions tiny rows regardless of match-set size."""
+        from pyspark.sql import functions as F
+
+        dm = self.spark.read.parquet(self.doc_map_path)
+        if attr not in dm.columns:
+            raise ValueError(
+                f"attribute {attr!r} not stored in doc_map "
+                f"(available: {[c for c in dm.columns if c != 'doc_id']})"
+            )
+        hits = self.search_df(query, k=None, mode=mode,
+                              expand_fields=expand_fields)
+        return (
+            hits.select("doc_id")
+            .join(dm.select("doc_id", F.col(attr).alias("facet")), "doc_id")
+            .groupBy("facet")
+            .agg(F.count("*").alias("n"))
+        )
+
+    def suggest_df(self, term: str, n: int = 5, max_edits: int = 2):
+        """Spell-correction suggestions ("did you mean") — the Lucene
+        DirectSpellChecker analog over the index vocabulary: dictionary
+        terms within ``max_edits`` Levenshtein edits of ``term`` (the
+        input term itself excluded), ranked (distance asc, df desc,
+        term asc), limited to ``n``. Returns (term, dist, df).
+
+        Served from the prebuilt ``fuzzy_ngrams/`` table when the index
+        has one — the same pushed ``gram IN`` + ``g1=`` dir-pruned probe
+        as ``term~N`` expansion, never a vocab scan — else the
+        length-banded dictionary fallback. Bare suggestions never leave
+        the text field (``field:token`` entries filtered — the same
+        confinement rule as fuzzy/prefix expansion)."""
+        from pyspark.sql import functions as F
+
+        fz_path = os.path.join(self.index_dir, "fuzzy_ngrams")
+        if self.fs.exists(fz_path):
+            cand = self._fuzzy_gram_candidates(term, max_edits)
+        else:
+            cand = self.spark.read.parquet(self.dict_path).groupBy("term").agg(
+                F.sum("df").alias("df")
+            )
+        L = len(term)
+        return (
+            cand.where(~F.col("term").contains(":"))
+            .where(F.col("term") != term)
+            .where(F.length("term").between(L - max_edits, L + max_edits))
+            .withColumn(
+                "dist", F.levenshtein(F.col("term"), F.lit(term)).cast("long"))
+            .where(F.col("dist") <= max_edits)
+            .select("term", "dist", F.col("df").cast("long").alias("df"))
+            .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+            .limit(n)
+        )
+
+    def suggest(self, term: str, n: int = 5, max_edits: int = 2) -> list[dict]:
+        """Driver-path spell-suggest: [{term, dist, df}] (see suggest_df)."""
+        return [r.asDict() for r in self.suggest_df(term, n, max_edits).collect()]
+
     # --------------------------------------------------------- completion
 
     def complete(self, prefix: str, n: int = 20):

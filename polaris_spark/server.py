@@ -33,6 +33,11 @@ Methods (POST JSON to /api/<method>):
                  CodeSearchImpl.listUsages:216-232.
 - ``getTurn``    {convId, turnIdx} → exact-key doc attributes —
                  getType/getField/getMethod analog:163-280.
+- ``suggest``    {term, n?, maxEdits?} → spell-correction candidates
+                 ("did you mean"; Lucene DirectSpellChecker analog over
+                 the fuzzy n-gram table's pruned probe).
+- ``facets``     {query, attr, mode?} → per-attribute-value match counts
+                 over the FULL match set (Lucene facets analog).
 
 Unknown method → 404; malformed body → 400; handler exception → 500 with
 the error message (the reference propagates RPC error codes similarly).
@@ -145,6 +150,17 @@ class _Handler(BaseHTTPRequestHandler):
         return {"docs": _rows(
             self.engine.get_turn(b["convId"], int(b["turnIdx"]))
         )}
+
+    def _m_suggest(self, b):
+        return {"suggestions": self.engine.suggest(
+            b["term"], int(b.get("n", 5)), int(b.get("maxEdits", 2))
+        )}
+
+    def _m_facets(self, b):
+        rows = _rows(self.engine.facet_counts(
+            b["query"], b["attr"], mode=b.get("mode", "or")))
+        rows.sort(key=lambda r: (-r["n"], str(r["facet"])))
+        return {"facets": rows}
 
     # ---------------------------------------------------------- plumbing
 

@@ -119,6 +119,33 @@ def test_error_paths(daemon):
     assert "hits" in ok
 
 
+def test_suggest_and_facets_endpoints(spark, daemon):
+    """/api/suggest and /api/facets must return exactly the engine's
+    suggest() / facet_counts() results."""
+    base, d, pdf = daemon
+    eng = SearchEngine(spark, d)
+    # a plain lowercase corpus word (whitespace tokens can carry punctuation
+    # or camel-case that whole-word-splits differently in the index vocab)
+    term = next(w for line in pdf["text"] for w in line.split()
+                if w.isalpha() and w.islower() and len(w) >= 6)
+    probe = term[:-1] + ("x" if term[-1] != "x" else "y")  # 1-edit misspelling
+    got = _post(base, "suggest", {"term": probe, "n": 10})["suggestions"]
+    assert got == eng.suggest(probe, n=10, max_edits=2)
+    assert any(s["term"] == term for s in got)
+
+    q = " ".join(pdf["text"].iloc[1].split()[:2])
+    got = _post(base, "facets", {"query": q, "attr": "role"})["facets"]
+    want = {(r["facet"], r["n"])
+            for r in eng.facet_counts(q, "role").collect()}
+    assert {(f["facet"], f["n"]) for f in got} == want and want
+    # sorted n desc for display
+    assert [f["n"] for f in got] == sorted((f["n"] for f in got), reverse=True)
+    # unknown attr → 400 (ValueError mapping)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base, "facets", {"query": q, "attr": "nope"})
+    assert e.value.code == 400
+
+
 def test_searchmany_endpoint_bit_identical(spark, daemon):
     """/api/searchMany scores the list as one job; per-query hits must be
     bit-identical to sequential /api/search (the search_many_df contract)."""

@@ -230,6 +230,46 @@ def main() -> None:
         cap(encode_token_ids(docs_pq)),
     ))
 
+    SECTIONS.append((
+        "facet counts (match-set decode + partial-agg groupBy, no stray sort)",
+        "The match set is the same pruned candidate scan + per-shard "
+        "kernels as search (k=None); Catalyst's EliminateSorts drops the "
+        "search-path ordering below the Aggregate, the doc_map equi-join "
+        "carries only (doc_id, attr), and HashAggregate partial-folds per "
+        "task to ≤ |attribute values| rows before the exchange.",
+        cap(eng.facet_counts("spark join", "source")),
+    ))
+
+    SECTIONS.append((
+        "spell-suggest probe (fuzzy n-gram table, pushed gram IN + g1 pruning)",
+        "Suggest rides the same fuzzy_ngrams/ probe as term~N expansion "
+        "(the probe term is long enough for the lossless gram bound — "
+        "shorter terms take the length-banded dictionary fallback): "
+        "PartitionFilters on g1=, gram IN in PushedFilters — the vocab is "
+        "never scanned; ranking is a TakeOrderedAndProject over the "
+        "candidate rows.",
+        cap(eng.suggest_df("querxes", n=5, max_edits=2)),
+    ))
+
+    from polaris_spark.ops.mixing import sample_hash_col, shuffle_rows
+
+    pre = (
+        docs_pq.select("doc_id")
+        .withColumn("shuffle_key", sample_hash_col("doc_id", 13).cast("long"))
+        .repartitionByRange(16, "shuffle_key", "doc_id")
+        .sortWithinPartitions("shuffle_key", "doc_id")
+    )
+    SECTIONS.append((
+        "corpus shuffle (range exchange + per-partition offset numbering)",
+        "Two plans: (a) the sort pass — ONE Exchange rangepartitioning on "
+        "(shuffle_key, id), Spark's ordinary global-sort shuffle, no "
+        "single-partition window; (b) the numbering pass over the "
+        "checkpoint-pinned result — MapInPandas against driver-computed "
+        "per-partition offsets (the checkpoint truncates lineage, which "
+        "is exactly what pins partition boundaries between the passes).",
+        cap(pre) + "\n" + cap(shuffle_rows(docs_pq, seed=13)),
+    ))
+
     out = [
         "# PLANS — physical-plan evidence (captured from the live engine)",
         "",
