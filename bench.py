@@ -442,14 +442,17 @@ window; all reps in the JSON below.
 | local[{hi_cpus}] (4N) | {wall32} | {thr32} | {qps32} | {bqps32} |
 
 **BUILD scaling efficiency (thr_4N / thr_N) / 4 = {eff}** (north-rule bar: ≥ 0.8).
-**Core-pipeline efficiency (excl. the completion fold) = {ceff}** — the
-north rule's pipeline (tokenize → invert → salted encode → stats/merge:
-everything corpus-proportional). The completion fold is vocab-proportional;
-this synthetic corpus mints ~1.5 NEW distinct terms per turn (4.4M-term
-vocab at 3M turns — orders of magnitude above real transcript vocab:corpus
-ratios), so that auxiliary fold is Amdahl-visible on the proxy while
-negligible at the 10^12-turn design point. Both numbers reported; the total
-includes everything the default build writes.
+**Core-pipeline efficiency (excl. the aux tail past the last encode
+chunk) = {ceff}** — the north rule's pipeline (tokenize → invert →
+salted encode → stats/merge: everything corpus-proportional). The
+vocab-proportional aux tables (completion + fuzzy n-grams; this synthetic
+corpus mints ~1.5 NEW distinct terms per turn — a vocab:corpus ratio
+orders of magnitude above real transcript data) now build CONCURRENTLY
+with the encode chunks; only their tail past the last chunk ("aux_tail"
+in the stage walls, ≈0 at both levels here) still costs build wall, so
+the core number ≈ the total and the old serial-fold carve-out is gone.
+Both numbers reported; the total includes everything the default build
+writes.
 **QUERY-SET scaling, batched job (bqps_4N / bqps_N) / 4 = {bqeff}** (best
 paired rep; all reps {bq_all}) — the query-volume shape the rule's N→4N
 criterion actually stresses: ~20k distinct two-term queries (hot/mid/rare
