@@ -55,6 +55,23 @@ def main(argv: list[str] | None = None) -> int:
                         "then carry a snippet, Lucene stored-field analog)")
     b.add_argument("--no-resume", action="store_true")
 
+    ap_ = sub.add_parser("append", help="append a new segment generation "
+                         "(incremental: stats refresh + delta-folded "
+                         "dictionary/completion/fuzzy tables)")
+    ap_.add_argument("--input", required=True,
+                     help="parquet path of the NEW docs to append")
+    ap_.add_argument("--index", required=True)
+    ap_.add_argument("--text-col", default="text")
+    ap_.add_argument("--doc-id-col", default=None)
+    ap_.add_argument("--id-cols", default="conv_id,turn_idx")
+
+    cp = sub.add_parser("compact", help="forceMerge(1) analog: one row per "
+                        "(term, shard), side tables re-folded, tf "
+                        "checkpoint GC'd")
+    cp.add_argument("--index", required=True)
+    cp.add_argument("--no-gc", action="store_true",
+                    help="keep the tf checkpoint generations")
+
     q = sub.add_parser("query", help="top-k BM25 search")
     q.add_argument("--index", required=True)
     q.add_argument("--query", required=True)
@@ -210,6 +227,21 @@ def main(argv: list[str] | None = None) -> int:
             doc_id_col=args.doc_id_col, cfg=cfg, resume=not args.no_resume,
         )
         print(json.dumps(m))
+    elif args.cmd == "append":
+        from polaris_spark.index.maintenance import append_index
+
+        spark = _session("polaris_spark_append")
+        m = append_index(
+            spark, spark.read.parquet(args.input), args.index,
+            text_col=args.text_col, id_cols=tuple(args.id_cols.split(",")),
+            doc_id_col=args.doc_id_col,
+        )
+        print(json.dumps(m))
+    elif args.cmd == "compact":
+        from polaris_spark.index.maintenance import compact_index
+
+        spark = _session("polaris_spark_compact")
+        print(json.dumps(compact_index(spark, args.index, gc=not args.no_gc)))
     elif args.cmd == "query":
         from polaris_spark.query.engine import SearchEngine
 

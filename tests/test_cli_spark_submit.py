@@ -59,3 +59,26 @@ def test_spark_submit_build_and_query(tmp_path):
 
     comp = json.loads(submit("complete", "--index", idx, "--prefix", "ka", "-n", "5"))
     assert len(comp) <= 5
+
+    # maintenance surface over spark-submit: append a second generation,
+    # then compact — post-compact results must be bit-identical
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    inp2 = os.path.join(tmp, "transcripts2")
+    write_transcripts_parquet(inp2, 300, seed=9)
+    # conv ids are positional (conv-00000000...), so a fresh corpus would
+    # collide with generation 0's derived doc_ids — remap to a g2- prefix
+    # (append_index rejects duplicate ids by design)
+    pdf2 = pq.read_table(inp2).to_pandas()
+    pdf2["conv_id"] = "g2-" + pdf2["conv_id"]
+    inp2 = os.path.join(tmp, "transcripts2b.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf2, preserve_index=False), inp2)
+    m = json.loads(submit("append", "--input", inp2, "--index", idx))
+    assert m["appended_docs"] == 300
+    hits_a = json.loads(submit("query", "--index", idx, "--query", "ka",
+                               "-k", "10"))
+    json.loads(submit("compact", "--index", idx))
+    hits_c = json.loads(submit("query", "--index", idx, "--query", "ka",
+                               "-k", "10"))
+    assert hits_a == hits_c
