@@ -107,6 +107,30 @@ def main(argv: list[str] | None = None) -> int:
     fc.add_argument("--attr", required=True)
     fc.add_argument("--mode", choices=["or", "and"], default="or")
 
+    us = sub.add_parser("usages", help="decoded (doc_id, tf) occurrence "
+                        "list for a term (the reference's `polaris "
+                        "findusages`, cli/command/FindUsages.java)")
+    us.add_argument("--index", required=True)
+    us.add_argument("--term", required=True)
+
+    so = sub.add_parser("source", help="doc_map identity rows for doc ids "
+                        "(the reference's `polaris source`, "
+                        "cli/command/Source.java)")
+    so.add_argument("--index", required=True)
+    so.add_argument("--ids", required=True, help="comma-separated doc ids")
+
+    pl = sub.add_parser("plan", help="dump a query's physical plan — the "
+                        "Catalyst analog of the reference's `polaris plan` "
+                        "Crunch-plan dump (cli/command/Plan.java writes the "
+                        "pipeline .dot; here the optimizer owns the plan, "
+                        "so the dump is explain('formatted') of the "
+                        "distributed search)")
+    pl.add_argument("--index", required=True)
+    pl.add_argument("--query", required=True)
+    pl.add_argument("-k", type=int, default=10)
+    pl.add_argument("--out", default=None,
+                    help="write the plan to a file instead of stdout")
+
     s = sub.add_parser("stats", help="print index stats + manifests")
     s.add_argument("--index", required=True)
 
@@ -286,6 +310,41 @@ def main(argv: list[str] | None = None) -> int:
                 eng.facet_counts(args.query, args.attr, args.mode).collect()]
         rows.sort(key=lambda r: (-r["n"], str(r["facet"])))
         print(json.dumps(rows))
+    elif args.cmd == "usages":
+        from polaris_spark.query.engine import SearchEngine
+
+        spark = _session("polaris_spark_usages")
+        eng = SearchEngine(spark, args.index)
+        print(json.dumps(eng.lookup_postings(args.term)))
+    elif args.cmd == "source":
+        from polaris_spark.query.engine import SearchEngine
+
+        spark = _session("polaris_spark_source")
+        eng = SearchEngine(spark, args.index)
+        rows = sorted(
+            (r.asDict(recursive=True)
+             for r in eng.lookup_docs(
+                 [int(i) for i in args.ids.split(",")]).collect()),
+            key=lambda r: r["doc_id"])
+        print(json.dumps(rows, default=str))
+    elif args.cmd == "plan":
+        import io
+        from contextlib import redirect_stdout
+
+        from polaris_spark.query.engine import SearchEngine
+
+        spark = _session("polaris_spark_plan")
+        eng = SearchEngine(spark, args.index)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            eng.search_df(args.query, args.k).explain("formatted")
+        text = buf.getvalue()
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(text)
+            print(json.dumps({"written": args.out, "bytes": len(text)}))
+        else:
+            print(text)
     elif args.cmd == "serve":
         from polaris_spark.server import serve
 
