@@ -225,6 +225,19 @@ def main(argv: list[str] | None = None) -> int:
                     help="LSH tables (recall dial; only with --srp-bits)")
     kn.add_argument("--seed", type=int, default=42)
 
+    st = sub.add_parser("ingest-stream", help="streaming ingest: stream "
+                        "parquet files landing in a directory into an "
+                        "EXISTING index (foreachBatch append_index; "
+                        "exactly-once file pickup via the checkpoint)")
+    st.add_argument("--input-dir", required=True,
+                    help="directory watched for new parquet files")
+    st.add_argument("--index", required=True)
+    st.add_argument("--checkpoint", required=True,
+                    help="streaming checkpoint dir (exactly-once pickup)")
+    st.add_argument("--follow", action="store_true",
+                    help="keep running and pick up new files "
+                         "(default: drain available files, then exit)")
+
     sv = sub.add_parser("serve", help="HTTP serving daemon (devserver analog)")
     sv.add_argument("--index", required=True)
     sv.add_argument("--host", default="127.0.0.1")
@@ -345,6 +358,21 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"written": args.out, "bytes": len(text)}))
         else:
             print(text)
+    elif args.cmd == "ingest-stream":
+        import os
+
+        from polaris_spark.fs import get_fs
+        from polaris_spark.streaming import stream_append
+
+        spark = _session("polaris_spark_ingest_stream")
+        q = stream_append(spark, args.input_dir, args.index, args.checkpoint,
+                          available_now=not args.follow)
+        q.awaitTermination()
+        fs = get_fs(spark, args.index)
+        stats = json.loads(
+            fs.read_text(os.path.join(args.index, "_stats.json")))
+        print(json.dumps({"n_docs": stats.get("N"),
+                          "avgdl": stats.get("avgdl")}))
     elif args.cmd == "serve":
         from polaris_spark.server import serve
 
