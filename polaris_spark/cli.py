@@ -348,9 +348,21 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = _session("polaris_spark_plan")
         eng = SearchEngine(spark, args.index)
+        # same per-query routing as the serving endpoint (search_mixed):
+        # quoted phrase / boolean tree / flat — each on its DISTRIBUTED path
+        from polaris_spark.query.boolquery import has_operators
+        from polaris_spark.query.engine import parse_phrase_query
+
+        pq = parse_phrase_query(args.query)
+        if pq is not None:
+            df = eng.search_phrase_df(pq[0], args.k, slop=pq[1])
+        elif has_operators(args.query):
+            df = eng.search_bool_df(args.query, args.k)
+        else:
+            df = eng.search_df(args.query, args.k)
         buf = io.StringIO()
         with redirect_stdout(buf):
-            eng.search_df(args.query, args.k).explain("formatted")
+            df.explain("formatted")
         text = buf.getvalue()
         if args.out:
             with open(args.out, "w") as f:
