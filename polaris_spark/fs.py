@@ -77,6 +77,12 @@ class LocalFS:
                 total += os.path.getsize(os.path.join(root, fn))
         return total
 
+    def listdir(self, path: str) -> list[str]:
+        """Child entry NAMES of a directory; absent path → empty list."""
+        if not os.path.isdir(path):
+            return []
+        return sorted(os.listdir(path))
+
 
 class HadoopFS:
     """org.apache.hadoop.fs.FileSystem via the SparkSession JVM gateway.
@@ -165,6 +171,14 @@ class HadoopFS:
         if not self._fs.exists(p):
             return 0
         return int(self._fs.getContentSummary(p).getLength())
+
+    def listdir(self, path: str) -> list[str]:
+        """Child entry NAMES of a directory; absent path → empty list."""
+        p = self._p(path)
+        if not self._fs.exists(p):
+            return []
+        return sorted(st.getPath().getName()
+                      for st in self._fs.listStatus(p))
 
 
 def get_fs(spark, path: str):

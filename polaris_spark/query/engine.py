@@ -699,8 +699,36 @@ class SearchEngine:
         self.dict_path = os.path.join(index_dir, "dictionary")
         self.doc_map_path = os.path.join(index_dir, "doc_map")
         # cache the (lazy) postings DataFrame: avoids re-listing/schema
-        # inference per query; bucket partition-pruning still applies
-        self._posts = self.spark.read.parquet(self.post_root)
+        # inference per query; bucket partition-pruning still applies.
+        #
+        # SNAPSHOT GATE (serve-during-append safety): an engine constructed
+        # WHILE a build/append is writing postings could otherwise list a
+        # partially-committed chunk dir (part files land one task commit at
+        # a time) or a fully-written new generation whose global stats swap
+        # hasn't happened yet — both would score against inconsistent
+        # state. Serve a chunk only if (a) its manifest marker is complete
+        # AND (b) it belongs to a generation ≤ the one the loaded
+        # _stats.json was computed over (append chunk namespace =
+        # 1000×generation; the stats swap is the generation's publish
+        # point, exactly a Lucene commit point). The filter is a partition
+        # predicate, so excluded chunk dirs are pruned at file-listing
+        # time; both conditions are fixed at construction, preserving the
+        # engine's point-in-time-reader semantics.
+        man_dir = os.path.join(index_dir, "manifest")
+        gen_cap = 1000 * (int(self.stats.get("generations", 0)) + 1)
+        self._serve_chunks = sorted(
+            c for c in (
+                int(n[len("chunk_"):-len(".json")])
+                for n in self.fs.listdir(man_dir)
+                if n.startswith("chunk_") and n.endswith(".json")
+            ) if c < gen_cap
+        )
+        posts = self.spark.read.parquet(self.post_root)
+        if "chunk" in posts.columns:
+            from pyspark.sql import functions as F
+
+            posts = posts.where(F.col("chunk").isin(self._serve_chunks))
+        self._posts = posts
         self._cache_cap = int(cache_terms)
         self._term_cache: dict[str, pd.DataFrame] = {}
         # the serving daemon runs one engine under ThreadingHTTPServer: cache
