@@ -29,6 +29,7 @@ from ..fs import get_fs
 from .build import (
     IndexConfig,
     POSTINGS_SCHEMA,
+    _done,
     _encode_kernel,
     _explode_tf,
     _mark,
@@ -82,40 +83,93 @@ def append_index(
     if new_docs.rdd.getNumPartitions() < par:
         new_docs = new_docs.repartition(par)
 
-    # collision check: new ids must be unique AND disjoint from existing
+    # ---- retry-safe ingest protocol ---------------------------------------
+    # foreachBatch (streaming ingest) is at-least-once: a batch whose append
+    # died mid-way WILL be replayed. The generation number only advances at
+    # the publish point (the _stats.json swap), so a replay computes the
+    # SAME gen — phase markers (manifest/gen_XXXX_<phase>.json) let the
+    # retry roll FORWARD, skipping phases whose write jobs committed, and a
+    # batch fingerprint distinguishes a legitimate replay from a different
+    # batch colliding with an in-flight generation. Each Spark write is
+    # all-or-nothing at job granularity (output-committer rename), so a
+    # phase is either fully present or absent; the only residual window is
+    # a crash between a phase's job commit and its ~ms marker write —
+    # documented, and healed for doc_map/doc_stats by presence checks (and
+    # for the side tables by compaction's full refold).
     doc_map_path = os.path.join(index_dir, "doc_map")
     old_map = spark.read.parquet(doc_map_path).select("doc_id")
     extra = [c for c in cfg.attr_cols if c not in id_cols and c != "doc_id"]
     nm = new_docs.select("doc_id", *[c for c in id_cols if c != "doc_id"], *extra)
     counts = nm.agg(
-        F.count("*").alias("n"), F.countDistinct("doc_id").alias("nd")
+        F.count("*").alias("n"), F.countDistinct("doc_id").alias("nd"),
+        # order-independent batch fingerprint, exact in BIGINT
+        F.sum(F.pmod(F.xxhash64("doc_id"), F.lit(2_147_483_647))).alias("h"),
     ).collect()[0]
     if counts["n"] != counts["nd"]:
         raise ValueError("doc_id collision within appended batch")
-    overlap = nm.join(old_map, "doc_id", "inner").count()
-    if overlap:
-        raise ValueError(f"{overlap} appended doc_ids already exist in the index")
 
     gen = int(stats.get("generations", 0)) + 1
     gen_base = 1000 * gen  # chunk namespace for this generation
+    gmark = f"gen_{gen:04d}"
+    fp = {"n": int(counts["n"]), "h": int(counts["h"] or 0)}
+    retry = False
+    if _done(fs, man_dir, f"{gmark}_ingest"):
+        prev = _read_mark(fs, man_dir, f"{gmark}_ingest")
+        if prev.get("n") != fp["n"] or prev.get("h") != fp["h"]:
+            raise ValueError(
+                f"generation {gen} has an in-flight append of a DIFFERENT "
+                "batch (fingerprint mismatch); retry that batch or "
+                "compact_index() to heal")
+        retry = True
+
+    overlap = nm.join(old_map, "doc_id", "inner").count()
+    if overlap and not retry:
+        raise ValueError(f"{overlap} appended doc_ids already exist in the index")
+    if retry and overlap not in (0, fp["n"]):
+        raise ValueError(
+            f"partial doc_map state for generation {gen} ({overlap} of "
+            f"{fp['n']} ids present) — compact_index() to heal")
+    if not retry:
+        _mark(fs, man_dir, f"{gmark}_ingest", fp)
 
     # new-segment tf + doc stats
     tf = _tf_dataframe(new_docs, cfg, text_col).withColumn(
         "chunk", (F.col("chunk") + gen_base).cast("int")
     )
-    # map-side write (no shuffle) — same as the full build's stage 1
+    # map-side write (no shuffle) — same as the full build's stage 1.
+    # DYNAMIC partition overwrite: the generation owns its chunk= range
+    # exclusively, so overwrite replaces only this gen's partitions — a
+    # replay cannot duplicate tf rows (idempotent without a marker).
     tf_path = os.path.join(index_dir, "tf")
-    tf.write.mode("append").option(
-        "compression", cfg.parquet_codec).partitionBy("chunk").parquet(tf_path)
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    old_mode = spark.conf.get(conf_key, "static")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        tf.write.mode("overwrite").option(
+            "compression", cfg.parquet_codec).partitionBy("chunk").parquet(tf_path)
+    finally:
+        spark.conf.set(conf_key, old_mode)
 
-    nm.write.mode("append").option(
-        "compression", cfg.parquet_codec).parquet(doc_map_path)
+    if not (retry and overlap == fp["n"]):
+        nm.write.mode("append").option(
+            "compression", cfg.parquet_codec).parquet(doc_map_path)
     doc_stats_path = os.path.join(index_dir, "doc_stats")
     new_tf = spark.read.parquet(tf_path).where(F.col("chunk") >= gen_base)
     dls = new_tf.select("doc_id", "dl").dropDuplicates(["doc_id"])
-    nm.select("doc_id").join(dls, "doc_id", "left").fillna(0, subset=["dl"]).write.mode(
-        "append"
-    ).option("compression", cfg.parquet_codec).parquet(doc_stats_path)
+    ds_present = (
+        spark.read.parquet(doc_stats_path).join(nm.select("doc_id"), "doc_id",
+                                                "inner").count()
+        if retry else 0
+    )
+    if ds_present not in (0, fp["n"]):
+        raise ValueError(
+            f"partial doc_stats state for generation {gen} — "
+            "compact_index() to heal")
+    if ds_present == 0:
+        nm.select("doc_id").join(dls, "doc_id", "left").fillna(
+            0, subset=["dl"]
+        ).write.mode("append").option(
+            "compression", cfg.parquet_codec).parquet(doc_stats_path)
 
     # refreshed global stats
     ds = spark.read.parquet(doc_stats_path)
@@ -133,6 +187,8 @@ def append_index(
     post_root = os.path.join(index_dir, "postings")
     for c in range(cfg.n_chunks):
         cid = gen_base + c
+        if retry and _done(fs, man_dir, f"chunk_{cid:05d}"):
+            continue  # committed by the dead attempt (write is job-atomic)
         tf_c = _explode_tf(spark.read.parquet(tf_path).where(F.col("chunk") == cid), cfg)
         is_hot = F.col("term").isin(hot_terms) if hot_terms else F.lit(False)
         tf_c = tf_c.withColumn("is_hot", is_hot).withColumn(
@@ -170,8 +226,10 @@ def append_index(
         .repartition(max(1, par // 4), "term")
         .sortWithinPartitions("term")
     )
-    delta_dic.write.mode("append").option(
-        "compression", cfg.parquet_codec).parquet(dict_path)
+    if not _done(fs, man_dir, f"{gmark}_dict"):
+        delta_dic.write.mode("append").option(
+            "compression", cfg.parquet_codec).parquet(dict_path)
+        _mark(fs, man_dir, f"{gmark}_dict", {})
 
     # hot-term sketch refresh: only terms in the delta can change totals, so
     # totals are folded for JUST those terms (semijoin against the delta's
@@ -194,18 +252,22 @@ def append_index(
     _mark(fs, man_dir, "hot_terms", {"hot_terms": hot_terms})
 
     # completion + fuzzy tables: append the delta's keys only
-    if cfg.completion:
+    if cfg.completion and not _done(fs, man_dir, f"{gmark}_completion"):
         from .build import build_completion_table
 
         build_completion_table(spark, index_dir, dic=delta_dic, mode="append",
                                codec=cfg.parquet_codec)
+        _mark(fs, man_dir, f"{gmark}_completion", {})
 
-    if cfg.fuzzy:
+    if cfg.fuzzy and not _done(fs, man_dir, f"{gmark}_fuzzy"):
         from .build import build_fuzzy_table
 
         build_fuzzy_table(spark, index_dir, dic=delta_dic, mode="append",
                           codec=cfg.parquet_codec)
+        _mark(fs, man_dir, f"{gmark}_fuzzy", {})
 
+    # PUBLISH: the stats swap advances `generations`, making this gen's
+    # chunks servable (engine snapshot gate) and retiring its retry markers
     fs.write_text_atomic(
         os.path.join(index_dir, "_stats.json"), json.dumps(stats, indent=1)
     )

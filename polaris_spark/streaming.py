@@ -9,7 +9,11 @@ micro-batch to the index as a new segment generation
 
 ``trigger(availableNow=True)`` drains everything currently available and
 stops — the batch-incremental pattern that also works on a cron'd cluster
-job. Checkpointing makes ingest exactly-once per file.
+job. Checkpointing makes file pickup exactly-once; foreachBatch delivery
+is at-least-once, and ``append_index`` is a retry-safe sink (generation
+phase markers + batch fingerprint — a replayed batch rolls forward to the
+identical published state, tests/test_append_retry.py), so end-to-end
+ingest is exactly-once.
 """
 
 from __future__ import annotations
