@@ -276,9 +276,9 @@ def append_index(
 
 
 def compact_index(spark, index_dir: str, gc: bool = True) -> dict:
-    """forceMerge(1) analog: re-encode all generations into one row per
-    (term, shard). Decode+merge happens inside the SAME applyInPandas kernel
-    family, distributed across (bucket, shard) groups.
+    """forceMerge(1) analog: re-encode all PUBLISHED generations into one
+    row per (term, shard). Decode+merge happens inside the SAME
+    applyInPandas kernel family, distributed across (bucket, shard) groups.
 
     Also re-folds the vocabulary side tables (dictionary / completion /
     fuzzy_ngrams) from per-generation delta rows back to one row per term,
@@ -286,7 +286,17 @@ def compact_index(spark, index_dir: str, gc: bool = True) -> dict:
     wrong-list #4: tf otherwise doubles index storage forever). Safe: every
     consumer of tf gates on its chunk manifest being incomplete; once all
     segments are manifest-complete, resume never reads tf again
-    (:func:`gc_tf` re-verifies before deleting)."""
+    (:func:`gc_tf` re-verifies before deleting).
+
+    HEAL: compaction is also the recovery path for an abandoned in-flight
+    append (the error messages in :func:`append_index` point here). It
+    folds only chunks that are manifest-complete AND published (the
+    engine's snapshot rule), deletes any doc_map/doc_stats rows the dead
+    generation landed (identified from its tf chunks — tf is written
+    before doc_map, so dead doc_map ids ⊆ dead tf ids), and purges the
+    dead generation's chunk dirs, chunk markers, and gen_* retry markers —
+    without the purge, the next append of a different batch would hit the
+    stale fingerprint marker and be rejected forever."""
     from pyspark.sql import functions as F
 
     from .read import postings_to_tf
@@ -297,10 +307,43 @@ def compact_index(spark, index_dir: str, gc: bool = True) -> dict:
     post_root = os.path.join(index_dir, "postings")
     man_dir = os.path.join(index_dir, "manifest")
 
-    # logical rows back from every generation (positions included for
-    # positional indexes — compaction must not drop them), then one clean
-    # re-encode
-    tf = postings_to_tf(spark, index_dir, with_pos=cfg.positions).withColumn(
+    # published-snapshot rule (same as SearchEngine): manifest-complete AND
+    # generation ≤ the published one
+    gen_cap = 1000 * (int(stats.get("generations", 0)) + 1)
+    marked = {
+        int(n[len("chunk_"):-len(".json")])
+        for n in fs.listdir(man_dir)
+        if n.startswith("chunk_") and n.endswith(".json")
+    }
+    published = sorted(c for c in marked if c < gen_cap)
+
+    # heal doc_map/doc_stats: drop rows landed by a dead unpublished
+    # generation (its ids come from its tf chunks; tf precedes doc_map in
+    # the append phase order, so this covers every landed row)
+    tf_path = os.path.join(index_dir, "tf")
+    healed_docs = 0
+    if fs.exists(tf_path):
+        dead_tf = spark.read.parquet(tf_path).where(F.col("chunk") >= gen_cap)
+        dead_ids = dead_tf.select("doc_id").distinct()
+        n_dead = dead_ids.count()
+        if n_dead:
+            for tbl in ("doc_map", "doc_stats"):
+                p = os.path.join(index_dir, tbl)
+                cur = spark.read.parquet(p)
+                kept = cur.join(dead_ids, "doc_id", "left_anti")
+                healed_docs = max(
+                    healed_docs, cur.count() - kept.count())
+                tmp = p + "_healed"
+                kept.write.mode("overwrite").option(
+                    "compression", cfg.parquet_codec).parquet(tmp)
+                fs.delete(p)
+                fs.rename(tmp, p)
+
+    # logical rows back from every PUBLISHED generation (positions included
+    # for positional indexes — compaction must not drop them), then one
+    # clean re-encode
+    tf = postings_to_tf(spark, index_dir, with_pos=cfg.positions,
+                        chunks=published).withColumn(
         "bucket", (F.crc32(F.col("term").cast("binary")) % cfg.n_buckets).cast("int")
     )
     hot_terms = _read_mark(fs, man_dir, "hot_terms")["hot_terms"]
@@ -350,12 +393,25 @@ def compact_index(spark, index_dir: str, gc: bool = True) -> dict:
 
         build_fuzzy_table(spark, index_dir, codec=cfg.parquet_codec)
 
+    # purge the dead generation's remains: its chunk markers and every
+    # gen_* retry marker (its postings dirs vanished with the swap above;
+    # PUBLISHED chunk markers stay — build/append resume still relies on
+    # them). Without this, a stale gen fingerprint marker would reject the
+    # next append of a different batch forever.
+    for n in fs.listdir(man_dir):
+        if n.startswith("gen_") and n.endswith(".json"):
+            fs.delete(os.path.join(man_dir, n))
+        elif n.startswith("chunk_") and n.endswith(".json"):
+            if int(n[len("chunk_"):-len(".json")]) >= gen_cap:
+                fs.delete(os.path.join(man_dir, n))
+
     if gc:
         gc_tf(spark, index_dir)
     _mark(fs, man_dir, "compaction",
           {"generations_merged": stats.get("generations", 0),
+           "healed_docs": int(healed_docs),
            "wall_s": round(time.time() - t0, 3)})
-    return {"wall_s": round(time.time() - t0, 3)}
+    return {"wall_s": round(time.time() - t0, 3), "healed_docs": int(healed_docs)}
 
 
 def gc_tf(spark, index_dir: str) -> dict:

@@ -14,12 +14,16 @@ TF_SCHEMA = "doc_id bigint, term string, tf bigint, dl bigint"
 TF_SCHEMA_POS = TF_SCHEMA + ", pos array<int>"
 
 
-def postings_to_tf(spark, index_dir: str, with_pos: bool = False):
+def postings_to_tf(spark, index_dir: str, with_pos: bool = False,
+                   chunks: list[int] | None = None):
     """(doc_id, term, tf, dl[, pos]) rows decoded from the postings segments
     — the logical inverse of the build's encode kernel (used by roundtrip
     checks, compaction, and as the engine-side of the tokenize-tf
     correctness gate). ``with_pos=True`` additionally decodes per-posting
-    position arrays (requires a positions=True index)."""
+    position arrays (requires a positions=True index). ``chunks`` restricts
+    the decode to those chunk partitions (dir-pruned at file listing) —
+    compaction passes the PUBLISHED set so a dead unpublished generation is
+    never folded into the merged index."""
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -55,6 +59,10 @@ def postings_to_tf(spark, index_dir: str, with_pos: bool = False):
             yield pd.DataFrame(out)
 
     posts = spark.read.parquet(os.path.join(index_dir, "postings"))
+    if chunks is not None and "chunk" in posts.columns:
+        from pyspark.sql import functions as F
+
+        posts = posts.where(F.col("chunk").isin([int(c) for c in chunks]))
     cols = ["term", "doc_ids", "tfs", "dls"]
     if with_pos:
         cols.append("pos")
