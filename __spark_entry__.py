@@ -505,6 +505,29 @@ def _q_suggest(spark, sf_dir):
     return eng.suggest_df(SUGGEST_TERM, n=5, max_edits=2)
 
 
+DELETE_PRED = "doc_id % 11 = 0"  # tombstone slice for the delete gate
+
+
+def _q_delete_search(spark, sf_dir):
+    """Logical document deletion (Lucene deleteDocuments analog): tombstoned
+    docs vanish from every search surface while BM25 stats stay pre-delete
+    until compaction — so the oracle is the FULL-corpus scoring filtered by
+    the tombstone predicate. Uses a dedicated index dir (the shared ones
+    must stay delete-free for the other gates)."""
+    from polaris_spark.index.build import IndexConfig, build_index
+    from polaris_spark.index.maintenance import delete_docs
+    from polaris_spark.query.engine import SearchEngine
+
+    d = _index_dir(sf_dir, "v5del")
+    os.makedirs(CACHE, exist_ok=True)
+    docs = _docs(spark, sf_dir)
+    build_index(spark, docs, d, doc_id_col="doc_id",
+                cfg=IndexConfig(**_INDEX_CFG, attr_cols=FIELD_COLS))
+    if not os.path.exists(os.path.join(d, "deletes")):
+        delete_docs(spark, d, docs.where(DELETE_PRED).select("doc_id"))
+    return _score_e4(SearchEngine(spark, d).search_df(Q_OR, k=None))
+
+
 def _q_corpus_shuffle(spark, sf_dir):
     """Deterministic global corpus shuffle: contiguous 0-based ordinal in
     seeded-hash order via the two-pass distributed global rank (range
@@ -773,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": _q_facet_counts,
         "suggest": _q_suggest,
         "corpus_shuffle": _q_corpus_shuffle,
+        "delete_search": _q_delete_search,
         "quality_score": _q_quality,
         "quality_percentile": _q_quality_percentile,
         "langid": _q_langid,
@@ -964,6 +988,12 @@ SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.45""",
         "facet_counts": facet_sql(Q_FACET, "source"),
         "suggest": suggest_sql(SUGGEST_TERM, 5, 2),
         "corpus_shuffle": duckdb_shuffle_sql(seed=SHUFFLE_SEED),
+        # logical deletes: FULL-corpus BM25 (stats stay pre-delete until
+        # compaction) filtered by the tombstone predicate
+        "delete_search": (
+            f"SELECT doc_id, score_e4 FROM ({bm25_scores_sql(Q_OR)}) s\n"
+            f"WHERE NOT ({DELETE_PRED})"
+        ),
         "quality_score": f"SELECT doc_id, {duckdb_quality_sql('text')} FROM documents",
         "quality_percentile": duckdb_quality_percentile_sql(
             "documents", keep_frac=0.3),

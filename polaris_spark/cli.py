@@ -66,11 +66,20 @@ def main(argv: list[str] | None = None) -> int:
     ap_.add_argument("--id-cols", default="conv_id,turn_idx")
 
     cp = sub.add_parser("compact", help="forceMerge(1) analog: one row per "
-                        "(term, shard), side tables re-folded, tf "
-                        "checkpoint GC'd")
+                        "(term, shard), side tables re-folded, tombstones "
+                        "applied (expungeDeletes), tf checkpoint GC'd")
     cp.add_argument("--index", required=True)
     cp.add_argument("--no-gc", action="store_true",
                     help="keep the tf checkpoint generations")
+
+    dl = sub.add_parser("delete", help="tombstone documents (Lucene "
+                        "deleteDocuments analog; logical until compact "
+                        "applies them physically — the data-removal path)")
+    dl.add_argument("--index", required=True)
+    dl.add_argument("--ids", default=None,
+                    help="comma-separated doc ids")
+    dl.add_argument("--ids-parquet", default=None,
+                    help="parquet path with a doc_id column")
 
     q = sub.add_parser("query", help="top-k BM25 search")
     q.add_argument("--index", required=True)
@@ -279,6 +288,17 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = _session("polaris_spark_compact")
         print(json.dumps(compact_index(spark, args.index, gc=not args.no_gc)))
+    elif args.cmd == "delete":
+        from polaris_spark.index.maintenance import delete_docs
+
+        spark = _session("polaris_spark_delete")
+        if args.ids_parquet:
+            ids = spark.read.parquet(args.ids_parquet)
+        elif args.ids:
+            ids = [int(i) for i in args.ids.split(",")]
+        else:
+            raise SystemExit("delete: provide --ids or --ids-parquet")
+        print(json.dumps(delete_docs(spark, args.index, ids)))
     elif args.cmd == "query":
         from polaris_spark.query.engine import SearchEngine
 

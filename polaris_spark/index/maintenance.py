@@ -275,6 +275,36 @@ def append_index(
             "N": stats["N"], "wall_s": round(time.time() - t0, 3)}
 
 
+def delete_docs(spark, index_dir: str, doc_ids) -> dict:
+    """Tombstone documents — the Lucene ``deleteDocuments`` analog for the
+    data-removal requests a training corpus must honor. ``doc_ids`` is a
+    list of ids or a DataFrame carrying a ``doc_id`` column.
+
+    Deletes are LOGICAL until compaction: every engine search/lookup path
+    constructed afterwards filters the tombstone set (liveDocs), while BM25
+    stats (N, avgdl, df) intentionally stay pre-delete — exactly Lucene's
+    scoring semantics for deleted-but-unmerged docs. ``compact_index``
+    applies them PHYSICALLY (expungeDeletes): postings re-encoded without
+    the docs, doc_map/doc_stats rows dropped, stats recomputed, tombstones
+    retired — after which scores equal a fresh build without the docs.
+
+    Idempotent: tombstones dedupe at read, so re-deleting is a no-op.
+    Unknown ids are tolerated (tombstones are a filter, not a lookup)."""
+    from pyspark.sql import functions as F
+
+    cfg, _stats = _load_cfg(spark, index_dir)
+    p = os.path.join(index_dir, "deletes")
+    if isinstance(doc_ids, (list, tuple, set)):
+        df = spark.createDataFrame(
+            [(int(i),) for i in sorted(doc_ids)], "doc_id bigint")
+    else:
+        df = doc_ids.select(F.col("doc_id").cast("long").alias("doc_id"))
+    df.distinct().write.mode("append").option(
+        "compression", cfg.parquet_codec).parquet(p)
+    n = spark.read.parquet(p).select("doc_id").distinct().count()
+    return {"n_tombstones": n}
+
+
 def compact_index(spark, index_dir: str, gc: bool = True) -> dict:
     """forceMerge(1) analog: re-encode all PUBLISHED generations into one
     row per (term, shard). Decode+merge happens inside the SAME
@@ -322,28 +352,59 @@ def compact_index(spark, index_dir: str, gc: bool = True) -> dict:
     # the append phase order, so this covers every landed row)
     tf_path = os.path.join(index_dir, "tf")
     healed_docs = 0
+    drop_ids = None
     if fs.exists(tf_path):
         dead_tf = spark.read.parquet(tf_path).where(F.col("chunk") >= gen_cap)
         dead_ids = dead_tf.select("doc_id").distinct()
-        n_dead = dead_ids.count()
-        if n_dead:
-            for tbl in ("doc_map", "doc_stats"):
-                p = os.path.join(index_dir, tbl)
-                cur = spark.read.parquet(p)
-                kept = cur.join(dead_ids, "doc_id", "left_anti")
-                healed_docs = max(
-                    healed_docs, cur.count() - kept.count())
-                tmp = p + "_healed"
-                kept.write.mode("overwrite").option(
-                    "compression", cfg.parquet_codec).parquet(tmp)
-                fs.delete(p)
-                fs.rename(tmp, p)
+        if dead_ids.count():
+            drop_ids = dead_ids
+
+    # tombstones (delete_docs): applied PHYSICALLY here — expungeDeletes
+    del_path = os.path.join(index_dir, "deletes")
+    deletes = None
+    n_purged = 0
+    if fs.exists(del_path):
+        deletes = spark.read.parquet(del_path).select("doc_id").distinct()
+        n_purged = deletes.count()
+        if n_purged:
+            drop_ids = deletes if drop_ids is None \
+                else drop_ids.unionByName(deletes).distinct()
+        else:
+            deletes = None
+
+    if drop_ids is not None:
+        for tbl in ("doc_map", "doc_stats"):
+            p = os.path.join(index_dir, tbl)
+            cur = spark.read.parquet(p)
+            kept = cur.join(drop_ids, "doc_id", "left_anti")
+            healed_docs = max(healed_docs, cur.count() - kept.count())
+            tmp = p + "_healed"
+            kept.write.mode("overwrite").option(
+                "compression", cfg.parquet_codec).parquet(tmp)
+            fs.delete(p)
+            fs.rename(tmp, p)
+    healed_docs -= n_purged  # heal count excludes requested deletions
+
+    if deletes is not None:
+        # deletions change the corpus: recompute global BM25 stats so the
+        # compacted index scores exactly like a fresh build without the
+        # deleted docs (the block-max encode below uses the new avgdl too)
+        ds = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
+        agg = ds.agg(F.count("*").alias("N"),
+                     F.sum("dl").alias("sum_dl")).collect()[0]
+        stats["N"] = int(agg["N"])
+        stats["sum_dl"] = int(agg["sum_dl"] or 0)
+        stats["avgdl"] = (float(stats["sum_dl"]) / stats["N"]
+                          if stats["N"] else 0.0)
 
     # logical rows back from every PUBLISHED generation (positions included
     # for positional indexes — compaction must not drop them), then one
     # clean re-encode
     tf = postings_to_tf(spark, index_dir, with_pos=cfg.positions,
-                        chunks=published).withColumn(
+                        chunks=published)
+    if deletes is not None:
+        tf = tf.join(deletes, "doc_id", "left_anti")
+    tf = tf.withColumn(
         "bucket", (F.crc32(F.col("term").cast("binary")) % cfg.n_buckets).cast("int")
     )
     hot_terms = _read_mark(fs, man_dir, "hot_terms")["hot_terms"]
@@ -405,13 +466,20 @@ def compact_index(spark, index_dir: str, gc: bool = True) -> dict:
             if int(n[len("chunk_"):-len(".json")]) >= gen_cap:
                 fs.delete(os.path.join(man_dir, n))
 
+    if deletes is not None:
+        # publish the post-delete stats and retire the applied tombstones
+        fs.write_text_atomic(
+            os.path.join(index_dir, "_stats.json"), json.dumps(stats, indent=1))
+        fs.delete(del_path)
+
     if gc:
         gc_tf(spark, index_dir)
     _mark(fs, man_dir, "compaction",
           {"generations_merged": stats.get("generations", 0),
-           "healed_docs": int(healed_docs),
+           "healed_docs": int(healed_docs), "purged_deletes": int(n_purged),
            "wall_s": round(time.time() - t0, 3)})
-    return {"wall_s": round(time.time() - t0, 3), "healed_docs": int(healed_docs)}
+    return {"wall_s": round(time.time() - t0, 3),
+            "healed_docs": int(healed_docs), "purged_deletes": int(n_purged)}
 
 
 def gc_tf(spark, index_dir: str) -> dict:

@@ -140,6 +140,7 @@ def phrase_shard(
     n_shards: int | None = None,
     shard: int | None = None,
     slop: int = 0,
+    excluded: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Phrase matching + scoring over candidate posting rows.
 
@@ -203,6 +204,10 @@ def phrase_shard(
     # doc intersection across unique terms, rarest first
     order_terms = sorted(uniq, key=lambda t: len(merged[t][0]))
     cand = merged[order_terms[0]][0]
+    if excluded is not None and len(cand):
+        cand = cand[~np.isin(cand, excluded)]  # tombstone liveness filter
+        if not len(cand):
+            return empty
     for t in order_terms[1:]:
         cand = cand[np.isin(cand, merged[t][0], assume_unique=True)]
         if not len(cand):
@@ -294,6 +299,7 @@ def score_shard_tree(
     k: int | None,
     n_shards: int | None = None,
     shard: int | None = None,
+    excluded: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Boolean-tree BM25 over candidate posting rows (the MultiFieldQuery-
     Parser composition surface, reference SourceDbImpl.java:135-139).
@@ -323,11 +329,20 @@ def score_shard_tree(
     merged = _decode_merge(pdf, n_shards, shard)
     if not merged:
         return empty
-    r = eval_tree_decoded(merged, pdf, croot, leaves, idf, avgdl, k1, b, k,
+    # with tombstones the per-shard cut happens AFTER the liveness filter
+    # (pre-cut filtering keeps the global top-k exact)
+    r = eval_tree_decoded(merged, pdf, croot, leaves, idf, avgdl, k1, b,
+                          None if excluded is not None else k,
                           n_shards=n_shards, shard=shard)
     if r is None:
         return empty
     docs_a, score, nmatch = r
+    if excluded is not None and len(docs_a):
+        keep = ~np.isin(docs_a, excluded)
+        docs_a, score, nmatch = docs_a[keep], score[keep], nmatch[keep]
+        if k is not None and len(docs_a) > k:
+            o = np.lexsort((docs_a, -score))[:k]
+            docs_a, score, nmatch = docs_a[o], score[o], nmatch[o]
     return pd.DataFrame({"doc_id": docs_a.astype(np.int64),
                          "score": score,
                          "n_match": nmatch.astype(np.int32)})
@@ -731,6 +746,7 @@ class SearchEngine:
         self._posts = posts
         self._cache_cap = int(cache_terms)
         self._term_cache: dict[str, pd.DataFrame] = {}
+        self._del_cache = "unloaded"  # see _deletes_np
         # the serving daemon runs one engine under ThreadingHTTPServer: cache
         # BOOKKEEPING (hit-bump / insert / evict) must be mutually exclusive
         # or a concurrent evict between the `in` check and `pop` 500s a
@@ -1250,13 +1266,17 @@ class SearchEngine:
         all_terms = sorted({t for terms, _bo, _sc, _ph in leaves for t in terms})
         if not all_terms:
             return []
+        if isinstance(self._deletes_np(), str):  # tombstones too big to collect
+            return self.search_bool_df(query, k=k, expand_fields=expand_fields) \
+                .toPandas().to_dict("records")
         cand = self._candidates_pdf(all_terms)
         if cand.empty:
             return []
         sterms = {t for terms, _bo, sc, _ph in leaves if sc for t in terms}
         idf = {t: v for t, v in self._idf_map(cand).items() if t in sterms}
         res = score_shard_tree(cand, croot, leaves, idf, self.stats["avgdl"],
-                               self.stats["k1"], self.stats["b"], k)
+                               self.stats["k1"], self.stats["b"], k,
+                               excluded=self._deletes_np())
         res = res.sort_values(["score", "doc_id"], ascending=[False, True],
                               kind="mergesort")
         if k is not None:
@@ -1290,13 +1310,33 @@ class SearchEngine:
         S = int(stats["n_shards"])
         routed = self._pin_groups(self._routed(cand, S), S, F.col("shard"))
 
-        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            sh = int(pdf["shard"].iloc[0]) if len(pdf) else 0
-            return score_shard_tree(pdf, croot, leaves, idf, stats["avgdl"],
-                                    stats["k1"], stats["b"], k,
-                                    n_shards=S, shard=sh)
+        tomb = self._tomb_shard_df(S)
+        if tomb is not None:
+            exdf = self._pin_groups(tomb, S, F.col("shard"))
 
-        scored = routed.groupBy("_route").applyInPandas(kernel, RESULT_SCHEMA)
+            def kernel2(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+                sh = int(left["shard"].iloc[0]) if len(left) else 0
+                excl = (np.unique(right["doc_id"].to_numpy(dtype=np.int64))
+                        if len(right) else None)
+                return score_shard_tree(left, croot, leaves, idf,
+                                        stats["avgdl"], stats["k1"],
+                                        stats["b"], k, n_shards=S, shard=sh,
+                                        excluded=excl)
+
+            scored = (
+                routed.groupBy("_route")
+                .cogroup(exdf.groupBy("_route"))
+                .applyInPandas(kernel2, RESULT_SCHEMA)
+            )
+        else:
+
+            def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+                sh = int(pdf["shard"].iloc[0]) if len(pdf) else 0
+                return score_shard_tree(pdf, croot, leaves, idf, stats["avgdl"],
+                                        stats["k1"], stats["b"], k,
+                                        n_shards=S, shard=sh)
+
+            scored = routed.groupBy("_route").applyInPandas(kernel, RESULT_SCHEMA)
         out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
         return out.limit(k) if k is not None else out
 
@@ -1365,6 +1405,64 @@ class SearchEngine:
     def query_terms(self, query: str) -> list[str]:
         """Positive index terms of the query (see :meth:`parse_query`)."""
         return self.parse_query(query)[0]
+
+    # ------------------------------------------------------- tombstones
+
+    def _deletes_df(self):
+        """Tombstoned doc_ids as a deduped (doc_id) DataFrame, or None —
+        the Lucene liveDocs analog. Written by ``maintenance.delete_docs``,
+        applied PHYSICALLY by ``compact_index`` (expungeDeletes); until
+        then every search/lookup path filters against it while BM25 stats
+        (N, avgdl, df) intentionally stay pre-delete — exactly Lucene's
+        deleted-docs scoring semantics until a merge."""
+        p = os.path.join(self.index_dir, "deletes")
+        if not self.fs.exists(p):
+            return None
+        return self.spark.read.parquet(p).select("doc_id").distinct()
+
+    def _deletes_np(self):
+        """Driver-side tombstone array (cached; point-in-time like the rest
+        of the engine). None = no tombstones; the string ``"big"`` = more
+        than ``exclude_driver_limit`` tombstones — driver paths then
+        delegate to their distributed twins, which route tombstones through
+        the cogrouped per-shard exclusion frames instead of the driver."""
+        if isinstance(self._del_cache, str) and self._del_cache == "unloaded":
+            df = self._deletes_df()
+            if df is None:
+                self._del_cache = None
+            elif df.count() > self.exclude_driver_limit:
+                self._del_cache = "big"
+            else:
+                arr = np.asarray([r["doc_id"] for r in df.collect()],
+                                 dtype=np.int64)
+                self._del_cache = np.unique(arr) if len(arr) else None
+        return self._del_cache
+
+    def _with_tombstones(self, excluded: np.ndarray | None):
+        """Union a driver-side exclusion array with the tombstone set
+        (both unique-sorted, so downstream assume_unique stays valid)."""
+        t = self._deletes_np()
+        if t is None or isinstance(t, str):
+            return excluded
+        return t if excluded is None else np.union1d(excluded, t)
+
+    def _tomb_shard_df(self, S: int):
+        """Tombstones as a shard-routed (shard, doc_id) frame for the
+        cogrouped kernels, or None."""
+        t = self._deletes_df()
+        if t is None:
+            return None
+        from pyspark.sql import functions as F
+
+        return t.withColumn(
+            "shard", F.pmod(F.col("doc_id"), F.lit(S)).cast("int")
+        ).select("shard", "doc_id")
+
+    def _live(self, dm):
+        """Hide tombstoned docs from a doc_map-shaped frame (anti-join —
+        broadcast-able while the delete set is small)."""
+        t = self._deletes_df()
+        return dm if t is None else dm.join(t, "doc_id", "left_anti")
 
     def _excluded_docs(self, exc: list[str]) -> np.ndarray | None:
         """Union of doc_ids carrying any excluded term (driver-side decode
@@ -1493,7 +1591,8 @@ class SearchEngine:
         terms, exc, boosts = self.parse_query_boosts(query, expand_fields)
         if not terms:
             return []  # reference behavior: unparseable/empty query → empty
-        if exc and self._excluded_postings_total(exc) > self.exclude_driver_limit:
+        if (exc and self._excluded_postings_total(exc) > self.exclude_driver_limit) \
+                or isinstance(self._deletes_np(), str):
             res = self.search_df(query, k=k, mode=mode,
                                  expand_fields=expand_fields).toPandas()
             return res.to_dict("records")
@@ -1510,7 +1609,7 @@ class SearchEngine:
         # complete and term-ordered)
         res = score_shard(cand, idf, self.stats["avgdl"], self.stats["k1"],
                           self.stats["b"], k, mode, len(terms),
-                          excluded=self._excluded_docs(exc))
+                          excluded=self._with_tombstones(self._excluded_docs(exc)))
         res = res.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
         if k is not None:
             res = res.head(k)
@@ -1545,9 +1644,13 @@ class SearchEngine:
         S = int(stats["n_shards"])
         routed = self._pin_groups(self._routed(cand, S), S, F.col("shard"))
 
-        if exc:
-            exdf = self._pin_groups(self._excluded_docs_df(exc), S,
-                                    F.col("shard"))
+        tomb = self._tomb_shard_df(S)
+        if exc or tomb is not None:
+            parts = ([self._excluded_docs_df(exc)] if exc else []) \
+                + ([tomb] if tomb is not None else [])
+            exdf = parts[0] if len(parts) == 1 \
+                else parts[0].unionByName(parts[1])
+            exdf = self._pin_groups(exdf, S, F.col("shard"))
 
             def kernel2(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
                 sh = int(left["shard"].iloc[0]) if len(left) else 0
@@ -1744,6 +1847,16 @@ class SearchEngine:
         def _score_block(pdf: pd.DataFrame, sh: int, qb: int,
                          excl_by_q: dict) -> pd.DataFrame:
             decoded, max_impact = decode_shard_rows(pdf, n_shards=S, shard=sh)
+            # tombstones arrive under the "*" key (query-independent) and
+            # union into every query's exclusion set
+            star = excl_by_q.get("*")
+
+            def _excl(q):
+                e = excl_by_q.get(q)
+                if star is None:
+                    return e
+                return star if e is None else np.union1d(e, star)
+
             # accumulate numpy arrays per query, ONE frame per kernel call —
             # a per-query pd.DataFrame + concat costs ~0.3 ms × |block|,
             # which dominated the kernel at Q in the thousands
@@ -1758,9 +1871,20 @@ class SearchEngine:
                     merged = {t: decoded[t] for t in terms if t in decoded}
                     if not merged:
                         continue
+                    # with tombstones: cut AFTER the liveness filter (same
+                    # exactness rule as score_shard_tree)
                     r = eval_tree_decoded(merged, pdf, croot, leaves, qidf,
-                                          avgdl, k1, b, k,
+                                          avgdl, k1, b,
+                                          None if star is not None else k,
                                           n_shards=S, shard=sh)
+                    if r is not None and star is not None and len(r[0]):
+                        da, sc_, nm = r
+                        keep = ~np.isin(da, star)
+                        da, sc_, nm = da[keep], sc_[keep], nm[keep]
+                        if k is not None and len(da) > k:
+                            o = np.lexsort((da, -sc_))[:k]
+                            da, sc_, nm = da[o], sc_[o], nm[o]
+                        r = (da, sc_, nm)
                 elif boosts:
                     qidf = {t: idf_all[t] * boosts.get(t, 1.0)
                             for t in terms if t in idf_all}
@@ -1769,7 +1893,7 @@ class SearchEngine:
                         continue
                     r = score_decoded_arrays(sub, max_impact, qidf, avgdl,
                                              k1, b, k, mode, nq,
-                                             excluded=excl_by_q.get(q))
+                                             excluded=_excl(q))
                 else:
                     qidf = {t: idf_all[t] for t in terms if t in idf_all}
                     sub = {t: decoded[t] for t in qidf if t in decoded}
@@ -1777,7 +1901,7 @@ class SearchEngine:
                         continue
                     r = score_decoded_arrays(sub, max_impact, qidf, avgdl,
                                              k1, b, k, mode, nq,
-                                             excluded=excl_by_q.get(q))
+                                             excluded=_excl(q))
                 if r is not None and len(r[0]):
                     qn.append(q)
                     ql.append(len(r[0]))
@@ -1795,14 +1919,22 @@ class SearchEngine:
 
         exq = [(q, exc) for q, _t, _b2, exc in specs
                if exc and q in scorable]
-        if exq:
-            exdf = reduce(
-                lambda a, c: a.unionByName(c),
-                [self._excluded_docs_df(exc)
-                 .withColumn("query", F.lit(q))
-                 .withColumn("qblock", F.lit(qblock_of[q]))
-                 for q, exc in exq],
-            )
+        tomb = self._tomb_shard_df(S)
+        if exq or tomb is not None:
+            frames = [self._excluded_docs_df(exc)
+                      .withColumn("query", F.lit(q))
+                      .withColumn("qblock", F.lit(qblock_of[q]))
+                      for q, exc in exq]
+            if tomb is not None:
+                # tombstones apply to EVERY query: replicate per qblock (≤ B
+                # copies — block count, not query count) under the "*" key
+                used_blocks = sorted(set(qblock_of.values()))
+                bdf = self.spark.createDataFrame(
+                    [(int(b2),) for b2 in used_blocks], "qblock int")
+                frames.append(
+                    tomb.crossJoin(bdf).withColumn("query", F.lit("*"))
+                    .select("shard", "doc_id", "query", "qblock"))
+            exdf = reduce(lambda a, c: a.unionByName(c), frames)
             exdf = self._pin_groups(exdf, S * B,
                                     F.col("shard") * B + F.col("qblock"))
 
@@ -1862,6 +1994,9 @@ class SearchEngine:
             res = self.search(terms[0], k=k)
             return [{"doc_id": r["doc_id"], "score": r["score"],
                      "phrase_freq": None} for r in res]
+        if isinstance(self._deletes_np(), str):  # tombstones too big to collect
+            return self.search_phrase_df(phrase, k=k, slop=slop) \
+                .toPandas().to_dict("records")
         cand = self._candidates_pdf(sorted(set(terms)))
         if cand.empty:
             return []
@@ -1869,7 +2004,8 @@ class SearchEngine:
         if set(terms) - set(idf):
             return []
         res = phrase_shard(cand, terms, idf, self.stats["avgdl"],
-                           self.stats["k1"], self.stats["b"], k, slop=slop)
+                           self.stats["k1"], self.stats["b"], k, slop=slop,
+                           excluded=self._deletes_np())
         res = res.sort_values(["score", "doc_id"], ascending=[False, True],
                               kind="mergesort")
         if k is not None:
@@ -1902,12 +2038,33 @@ class SearchEngine:
         S = int(stats["n_shards"])
         routed = self._pin_groups(self._routed(cand, S), S, F.col("shard"))
 
-        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            sh = int(pdf["shard"].iloc[0]) if len(pdf) else 0
-            return phrase_shard(pdf, terms, idf, stats["avgdl"], stats["k1"],
-                                stats["b"], k, n_shards=S, shard=sh, slop=slop)
+        tomb = self._tomb_shard_df(S)
+        if tomb is not None:
+            exdf = self._pin_groups(tomb, S, F.col("shard"))
 
-        scored = routed.groupBy("_route").applyInPandas(kernel, PHRASE_RESULT_SCHEMA)
+            def kernel2(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+                sh = int(left["shard"].iloc[0]) if len(left) else 0
+                excl = (np.unique(right["doc_id"].to_numpy(dtype=np.int64))
+                        if len(right) else None)
+                return phrase_shard(left, terms, idf, stats["avgdl"],
+                                    stats["k1"], stats["b"], k, n_shards=S,
+                                    shard=sh, slop=slop, excluded=excl)
+
+            scored = (
+                routed.groupBy("_route")
+                .cogroup(exdf.groupBy("_route"))
+                .applyInPandas(kernel2, PHRASE_RESULT_SCHEMA)
+            )
+        else:
+
+            def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+                sh = int(pdf["shard"].iloc[0]) if len(pdf) else 0
+                return phrase_shard(pdf, terms, idf, stats["avgdl"], stats["k1"],
+                                    stats["b"], k, n_shards=S, shard=sh,
+                                    slop=slop)
+
+            scored = routed.groupBy("_route").applyInPandas(
+                kernel, PHRASE_RESULT_SCHEMA)
         out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
         return out.limit(k) if k is not None else out
 
@@ -2079,7 +2236,7 @@ class SearchEngine:
         conv_id."""
         from pyspark.sql import functions as F
 
-        dm = self.spark.read.parquet(self.doc_map_path)
+        dm = self._live(self.spark.read.parquet(self.doc_map_path))
         if "conv_id" not in dm.columns:
             raise ValueError("index doc_map carries no conv_id column")
         return dm.where(F.col("conv_id") == conv_id).orderBy("turn_idx")
@@ -2091,7 +2248,7 @@ class SearchEngine:
         from pyspark.sql import functions as F
 
         ids = self.spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id bigint")
-        dm = self.spark.read.parquet(self.doc_map_path)
+        dm = self._live(self.spark.read.parquet(self.doc_map_path))
         return dm.join(F.broadcast(ids), "doc_id")
 
     def get_turn(self, conv_id, turn_idx: int):
@@ -2103,7 +2260,7 @@ class SearchEngine:
         pruning applies on the equality filters."""
         from pyspark.sql import functions as F
 
-        dm = self.spark.read.parquet(self.doc_map_path)
+        dm = self._live(self.spark.read.parquet(self.doc_map_path))
         if "conv_id" not in dm.columns:
             raise ValueError("index doc_map carries no conv_id column")
         return dm.where(
@@ -2118,7 +2275,7 @@ class SearchEngine:
         (or an id column). Equality filter is pushed to the doc_map scan."""
         from pyspark.sql import functions as F
 
-        dm = self.spark.read.parquet(self.doc_map_path)
+        dm = self._live(self.spark.read.parquet(self.doc_map_path))
         if attr not in dm.columns:
             raise ValueError(
                 f"attribute {attr!r} not stored in doc_map "
