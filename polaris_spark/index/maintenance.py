@@ -289,7 +289,13 @@ def delete_docs(spark, index_dir: str, doc_ids) -> dict:
     retired — after which scores equal a fresh build without the docs.
 
     Idempotent: tombstones dedupe at read, so re-deleting is a no-op.
-    Unknown ids are tolerated (tombstones are a filter, not a lookup)."""
+    Unknown ids are tolerated (tombstones are a filter, not a lookup).
+
+    Updating (re-adding) a tombstoned id requires ``compact_index`` FIRST:
+    tombstones filter by doc_id, so a pre-compaction re-add would be hidden
+    by its own tombstone — ``append_index``'s collision check (the old row
+    is still in doc_map) rejects it until the purge, deliberately. The
+    update recipe is delete → compact → append."""
     from pyspark.sql import functions as F
 
     cfg, _stats = _load_cfg(spark, index_dir)

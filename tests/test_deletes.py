@@ -151,3 +151,22 @@ def test_compact_applies_deletes_physically(spark, deleted_idx, tmp_path):
         assert eng.search(q, k=None) == ref.search(q, k=None), q
     assert eng.stats["N"] == ref.stats["N"]
     assert abs(eng.stats["avgdl"] - ref.stats["avgdl"]) < 1e-12
+
+    # update recipe: post-compact the tombstoned id can be re-added...
+    from polaris_spark.index.maintenance import append_index
+
+    m2 = append_index(spark, _mk(spark, [(2, "a", "alpha reborn")]), d,
+                      doc_id_col="doc_id")
+    assert m2["appended_docs"] == 1
+    assert 2 in {h["doc_id"]
+                 for h in SearchEngine(spark, d).search("reborn", k=None)}
+
+
+def test_readd_of_tombstoned_id_rejected_before_compact(spark, deleted_idx):
+    """Tombstones filter by doc_id, so a pre-compaction re-add would be
+    hidden by its own tombstone — the collision check must reject it."""
+    from polaris_spark.index.maintenance import append_index
+
+    with pytest.raises(ValueError, match="already exist"):
+        append_index(spark, _mk(spark, [(2, "a", "alpha reborn")]),
+                     deleted_idx, doc_id_col="doc_id")
