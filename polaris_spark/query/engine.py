@@ -747,6 +747,7 @@ class SearchEngine:
         self._cache_cap = int(cache_terms)
         self._term_cache: dict[str, pd.DataFrame] = {}
         self._del_cache = "unloaded"  # see _deletes_np
+        self._del_df_cache = "unloaded"  # see _deletes_df
         # the serving daemon runs one engine under ThreadingHTTPServer: cache
         # BOOKKEEPING (hit-bump / insert / evict) must be mutually exclusive
         # or a concurrent evict between the `in` check and `pop` 500s a
@@ -1414,11 +1415,18 @@ class SearchEngine:
         applied PHYSICALLY by ``compact_index`` (expungeDeletes); until
         then every search/lookup path filters against it while BM25 stats
         (N, avgdl, df) intentionally stay pre-delete — exactly Lucene's
-        deleted-docs scoring semantics until a merge."""
-        p = os.path.join(self.index_dir, "deletes")
-        if not self.fs.exists(p):
-            return None
-        return self.spark.read.parquet(p).select("doc_id").distinct()
+        deleted-docs scoring semantics until a merge.
+
+        Cached at first use (existence probe + file listing happen once):
+        the engine is a point-in-time reader, so per-query re-probing would
+        buy nothing and cost a filesystem RPC on every serving request."""
+        if isinstance(self._del_df_cache, str):  # "unloaded" sentinel
+            p = os.path.join(self.index_dir, "deletes")
+            self._del_df_cache = (
+                self.spark.read.parquet(p).select("doc_id").distinct()
+                if self.fs.exists(p) else None
+            )
+        return self._del_df_cache
 
     def _deletes_np(self):
         """Driver-side tombstone array (cached; point-in-time like the rest
