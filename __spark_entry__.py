@@ -505,6 +505,15 @@ def _q_suggest(spark, sf_dir):
     return eng.suggest_df(SUGGEST_TERM, n=5, max_edits=2)
 
 
+def _q_lm_score(spark, sf_dir):
+    """Corpus bigram-LM quality score (the CCNet perplexity-filter shape):
+    train add-one-smoothed bigram stats on the corpus, score each doc by
+    the average negative log-probability of its bigrams."""
+    from polaris_spark.ops.text import lm_score
+
+    return lm_score(_docs(spark, sf_dir))
+
+
 DELETE_PRED = "doc_id % 11 = 0"  # tombstone slice for the delete gate
 
 
@@ -797,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest": _q_suggest,
         "corpus_shuffle": _q_corpus_shuffle,
         "delete_search": _q_delete_search,
+        "lm_score": _q_lm_score,
         "quality_score": _q_quality,
         "quality_percentile": _q_quality_percentile,
         "langid": _q_langid,
@@ -847,6 +857,7 @@ def oracle_sql() -> dict[str, str]:
     from polaris_spark.ops.text import (
         duckdb_fingerprint_sql,
         duckdb_langid_sql,
+        duckdb_lm_sql,
         duckdb_quality_percentile_sql,
         duckdb_quality_sql,
         duckdb_repetition_sql,
@@ -994,6 +1005,7 @@ SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.45""",
             f"SELECT doc_id, score_e4 FROM ({bm25_scores_sql(Q_OR)}) s\n"
             f"WHERE NOT ({DELETE_PRED})"
         ),
+        "lm_score": duckdb_lm_sql(),
         "quality_score": f"SELECT doc_id, {duckdb_quality_sql('text')} FROM documents",
         "quality_percentile": duckdb_quality_percentile_sql(
             "documents", keep_frac=0.3),

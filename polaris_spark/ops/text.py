@@ -439,3 +439,144 @@ WITH t AS (
 )
 SELECT doc_id, pos, token_id FROM s JOIN vid USING (term)
 """
+
+
+# ----------------------------------------------------- corpus bigram LM
+
+def train_bigram_lm(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Train a corpus bigram language model — the statistics behind a
+    CCNet-style perplexity filter (CCNet trains KenLM on a reference
+    corpus and buckets documents by perplexity; here the model is an
+    add-one-smoothed bigram LM trained on the corpus itself, a spec both
+    Spark and DuckDB can evaluate EXACTLY for the oracle gate).
+
+    Tokens = whitespace tokens of lowercased text. Returns
+    (bigram_counts DF (w1, w2, c2), prefix_counts DF (w1, c1), V) where
+    c2 = corpus count of the ordered bigram, c1 = Σ_w2 c2 (the token's
+    count as a bigram prefix), and V = |distinct corpus tokens|.
+
+    Scale shape (100 TB): one map-side explode then two hash aggregations
+    keyed by bigram/token — sub-linear outputs (bounded by the distinct
+    bigram/vocab counts), full map-side partial aggregation, no windows.
+    """
+    from pyspark.sql import functions as F
+
+    toks = _ws_tokens_col(F.lower(F.col(text_col)))
+    t = docs.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+    bg = (
+        t.where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("t", i).alias("w1"),
+                        F.element_at("t", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = int(
+        t.select(F.explode("t").alias("tok")).agg(
+            F.countDistinct("tok").alias("v")
+        ).collect()[0]["v"]
+    )
+    return c2, c1, vocab
+
+
+def lm_score(docs, model=None, text_col: str = "text",
+             id_col: str = "doc_id"):
+    """Per-document LM quality score: average negative log-probability of
+    the doc's bigrams under the (add-one smoothed) corpus bigram model —
+    low = fluent/typical, high = garbled/atypical, exactly the quantity a
+    CCNet perplexity bucket thresholds (perplexity = exp(score)).
+
+    ``model`` is a ``train_bigram_lm`` result; None trains on ``docs``
+    itself (the self-scoring shape the gate pins). Returns one row per
+    input doc: (doc_id, n_bigrams, nlp_e6) with nlp_e6 = round(avg ·10⁶)
+    as BIGINT (cross-engine value-hashable) and NULL for docs with fewer
+    than 2 tokens (n_bigrams 0).
+
+    Scale shape: the score join is keyed by bigram — the standard
+    LM-scoring shuffle (both sides hash-partitioned on (w1, w2)); per-doc
+    folding is one partial-aggregated groupBy."""
+    from pyspark.sql import functions as F
+
+    c2, c1, vocab = model if model is not None else train_bigram_lm(
+        docs, text_col, id_col)
+    toks = _ws_tokens_col(F.lower(F.col(text_col)))
+    t = docs.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+    bg = (
+        t.where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("t", i).alias("w1"),
+                        F.element_at("t", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    nlp = -F.log(
+        (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1.0))
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(float(vocab)))
+    )
+    scored = (
+        bg.join(c2, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .select("doc_id", nlp.alias("nlp"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"),
+             F.round(F.avg("nlp") * 1e6).cast("long").alias("nlp_e6"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            "nlp_e6",
+        )
+    )
+
+
+def duckdb_lm_sql(table: str = "documents", id_col: str = "doc_id",
+                  text_col: str = "text") -> str:
+    """Oracle for :func:`lm_score` (self-scoring shape): identical token,
+    count, smoothing and rounding spec evaluated by DuckDB."""
+    toks = duckdb_ws_tokens(f"lower({text_col})")
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS doc_id, {toks} AS t FROM {table}
+), bg AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM t, unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+), c2 AS (
+  SELECT w1, w2, count(*)::BIGINT AS c2 FROM bg GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, count(*)::BIGINT AS c1 FROM bg GROUP BY 1
+), v AS (
+  SELECT count(DISTINCT tok)::BIGINT AS vocab
+  FROM (SELECT unnest(t) AS tok FROM t)
+), scored AS (
+  SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+         CAST(round(avg(-ln((c2.c2 + 1.0) / (c1.c1 + v.vocab))) * 1e6)
+              AS BIGINT) AS nlp_e6
+  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+  GROUP BY bg.doc_id
+)
+SELECT d.{id_col} AS doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
+       s.nlp_e6
+FROM {table} d LEFT JOIN scored s ON d.{id_col} = s.doc_id
+"""
