@@ -293,6 +293,12 @@ def run_suite(cpus: int, sf_dir: str, n_turns: int) -> dict:
                 langid_col(F.col("text")).alias("lang")).count()
     times["text_quality_scan"] = round(time.time() - t0, 3)
 
+    from polaris_spark.ops.text import lm_score
+
+    t0 = time.time()
+    lm_score(docs).count()  # train + score in one pass (CCNet-filter shape)
+    times["lm_score_scan"] = round(time.time() - t0, 3)
+
     spark.stop()
     return {"times": times, **extras}
 

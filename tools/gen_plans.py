@@ -251,6 +251,17 @@ def main() -> None:
         cap(eng.suggest_df("querxes", n=5, max_edits=2)),
     ))
 
+    from polaris_spark.ops.text import lm_score
+
+    SECTIONS.append((
+        "bigram-LM scoring (two hash aggs + bigram-keyed score join)",
+        "Training is two partial-aggregated HashAggregates over the "
+        "exploded bigrams (sub-linear outputs); scoring joins the doc "
+        "bigrams to the count tables keyed by bigram and folds per doc — "
+        "no windows, no driver data path beyond the scalar vocab count.",
+        cap(lm_score(docs_pq)),
+    ))
+
     from polaris_spark.ops.mixing import sample_hash_col, shuffle_rows
 
     pre = (
