@@ -328,16 +328,24 @@ def duckdb_fingerprint_sql(col_sql: str) -> str:
 
 def quality_percentile_filter(docs, keep_frac: float = 0.3,
                               by: str = "source", text_col: str = "text",
-                              id_col: str = "doc_id"):
+                              id_col: str = "doc_id",
+                              score_col: str | None = None,
+                              ascending: bool = False):
     """Per-group quality PERCENTILE filter: keep the best ``keep_frac``
     of documents by :func:`quality_cols` score WITHIN each ``by`` group —
     the per-domain thresholding curation pipelines use when one global
     cut would wipe out whole domains (CCNet-style quality bucketing).
 
+    ``score_col`` swaps in ANY precomputed signal column instead of the
+    built-in quality score — e.g. :func:`lm_score`'s ``nlp_e6`` with
+    ``ascending=True`` (lower perplexity = better) is exactly CCNet's
+    per-domain perplexity bucketing. ``ascending`` orders the rank so
+    "best" matches the signal's polarity.
+
     Returns ``(doc_id, grp, quality, pct_rank, kept)`` over the FULL
     corpus (auditable, like the curation ledger): ``pct_rank`` is
-    percent_rank over (quality desc, doc_id asc) — the doc_id tiebreak
-    makes ranks unique and the whole output deterministic — and
+    percent_rank over (quality best-first, doc_id asc) — the doc_id
+    tiebreak makes ranks unique and the whole output deterministic — and
     ``kept = pct_rank <= keep_frac`` as int.
 
     Scale: ONE window shuffle on the group key. At 10^12 docs a bare
@@ -348,9 +356,10 @@ def quality_percentile_filter(docs, keep_frac: float = 0.3,
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    q = quality_cols(F.col(text_col))[-1]
-    w = Window.partitionBy("grp").orderBy(F.desc("quality"),
-                                          F.asc("doc_id"))
+    q = (F.col(score_col).alias("quality") if score_col
+         else quality_cols(F.col(text_col))[-1])
+    order = F.asc("quality") if ascending else F.desc("quality")
+    w = Window.partitionBy("grp").orderBy(order, F.asc("doc_id"))
     return (
         docs.select(F.col(id_col).alias("doc_id"),
                     F.col(by).alias("grp"), q)

@@ -71,3 +71,23 @@ def test_unseen_bigrams_smoothed(spark, docs):
     out = lm_score(new, model=model).collect()[0]
     # (a,zzz): (0+1)/(c1(a)=2+3); (zzz,b): (0+1)/(0+3)
     assert (out["n_bigrams"], out["nlp_e6"]) == (2, _nlp(1 / 5, 1 / 3))
+
+
+def test_lm_feeds_percentile_bucketing(spark, docs):
+    """score_col/ascending wire lm_score into the CCNet-style per-domain
+    percentile filter: lowest-nlp (most fluent) docs are kept."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.ops.text import quality_percentile_filter
+
+    scored = (docs.join(lm_score(docs), "doc_id")
+              .where(F.col("nlp_e6").isNotNull())
+              .withColumn("source", F.lit("all")))
+    out = quality_percentile_filter(scored, keep_frac=0.5,
+                                    score_col="nlp_e6", ascending=True)
+    rows = {r["doc_id"]: (r["quality"], r["kept"]) for r in out.collect()}
+    by_nlp = sorted(rows, key=lambda d: (rows[d][0], d))
+    n_kept = sum(k for _q, k in rows.values())
+    assert 0 < n_kept < len(rows)
+    # kept set = the lowest-nlp prefix of the (nlp asc, doc_id asc) order
+    assert [d for d in by_nlp if rows[d][1]] == by_nlp[:n_kept]
