@@ -162,6 +162,18 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--bench-text-col", default="text")
     cu.add_argument("--decontam-ngram", type=int, default=13)
 
+    lm = sub.add_parser("lm", help="corpus bigram-LM scoring (CCNet "
+                        "perplexity-filter shape): train on --train-input "
+                        "(default: the corpus itself), score every doc")
+    lm.add_argument("--input", required=True, help="documents parquet")
+    lm.add_argument("--output", required=True,
+                    help="output parquet: (doc_id, n_bigrams, nlp_e6)")
+    lm.add_argument("--train-input", default=None,
+                    help="reference corpus to fit the model on "
+                         "(train once, score any stream)")
+    lm.add_argument("--text-col", default="text")
+    lm.add_argument("--doc-id-col", default="doc_id")
+
     sc = sub.add_parser("scrub", help="PII-redact + annotate quality/"
                         "repetition/token-count signal columns")
     sc.add_argument("--input", required=True, help="documents parquet")
@@ -475,6 +487,27 @@ def main(argv: list[str] | None = None) -> int:
         if args.capacity > 0:
             summary["n_bins"] = out.select(args.key, "bin_id").distinct().count()
         print(json.dumps({"output": args.output, **summary}))
+    elif args.cmd == "lm":
+        from polaris_spark.ops.text import lm_score, train_bigram_lm
+
+        spark = _session("polaris_spark_lm")
+        docs = spark.read.parquet(args.input)
+        model = None
+        if args.train_input:
+            model = train_bigram_lm(spark.read.parquet(args.train_input),
+                                    args.text_col, args.doc_id_col)
+        out = lm_score(docs, model=model, text_col=args.text_col,
+                       id_col=args.doc_id_col)
+        out.write.mode("overwrite").parquet(args.output)
+        res = spark.read.parquet(args.output)
+        import pyspark.sql.functions as F
+
+        agg = res.agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("nlp_e6") / 1e6, 4).alias("mean_nlp"),
+        ).collect()[0]
+        print(json.dumps({"n_docs": int(agg["n"]),
+                          "mean_nlp": float(agg["mean_nlp"] or 0.0)}))
     elif args.cmd == "scrub":
         from pyspark.sql import functions as F
 
