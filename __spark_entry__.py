@@ -505,6 +505,56 @@ def _q_suggest(spark, sf_dir):
     return eng.suggest_df(SUGGEST_TERM, n=5, max_edits=2)
 
 
+def _q_explain(spark, sf_dir):
+    """Score explanation (IndexSearcher.explain analog): the per-term BM25
+    breakdown — (term, df, tf, dl, e4-rounded contribution) — for the
+    top-1 doc of the flagship query. The engine picks the doc with its own
+    ranking; the oracle re-derives the same pick from its scored CTE, so a
+    hash match pins BOTH the ranking and the per-term decomposition."""
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir))
+    top = eng.search(Q_OR, k=1)
+    rows = eng.explain(Q_OR, int(top[0]["doc_id"])) if top else []
+    return spark.createDataFrame(
+        [(r["term"], int(r["df"]), int(r["tf"]), int(r["dl"]),
+          int(round(r["contribution"] * 10000))) for r in rows],
+        "term string, df bigint, tf bigint, dl bigint, contrib_e4 bigint",
+    )
+
+
+def _q_mlt(spark, sf_dir):
+    """MoreLikeThis (Lucene queries/mlt analog): source doc = the corpus's
+    min doc_id; its top tf·idf terms scored as a flat BM25 OR over every
+    OTHER doc, exact top-10."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir))
+    src = (_docs(spark, sf_dir)
+           .orderBy("doc_id").select("doc_id", "text").limit(1).collect()[0])
+    out = eng.more_like_this_df(src["text"], k=10, max_terms=8,
+                                exclude_doc_id=int(src["doc_id"]))
+    return _score_e4(out)
+
+
+def _q_index_check(spark, sf_dir):
+    """Index integrity verification (Lucene CheckIndex analog): the
+    violation-count table over the fixed check inventory, expected
+    all-zero — hashed against the constant oracle, so a pass REQUIRES the
+    positions-enabled gate index to verify clean end-to-end."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.index.check import check_index
+
+    rep = check_index(spark, _ensure_index(spark, sf_dir, pos=True))
+    rows = sorted(rep["checks"].items())
+    return spark.createDataFrame(
+        [(k, int(v)) for k, v in rows], "chk string, violations bigint"
+    ).orderBy("chk")
+
+
 def _q_lm_score(spark, sf_dir):
     """Corpus bigram-LM quality score (the CCNet perplexity-filter shape):
     train add-one-smoothed bigram stats on the corpus, score each doc by
@@ -804,6 +854,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lookup_by_source": _q_lookup_by_source,
         "facet_counts": _q_facet_counts,
         "suggest": _q_suggest,
+        "explain_score": _q_explain,
+        "more_like_this": _q_mlt,
+        "index_check": _q_index_check,
         "corpus_shuffle": _q_corpus_shuffle,
         "delete_search": _q_delete_search,
         "lm_score": _q_lm_score,
@@ -832,7 +885,10 @@ def oracle_sql() -> dict[str, str]:
         complete_sql,
         dictionary_sql,
         doc_stats_sql,
+        explain_sql,
         facet_sql,
+        index_check_sql,
+        mlt_sql,
         phrase_sql,
         suggest_sql,
         tokenize_tf_sql,
@@ -998,6 +1054,9 @@ SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.45""",
         ),
         "facet_counts": facet_sql(Q_FACET, "source"),
         "suggest": suggest_sql(SUGGEST_TERM, 5, 2),
+        "explain_score": explain_sql(Q_OR),
+        "more_like_this": mlt_sql(max_terms=8, k=10),
+        "index_check": index_check_sql(),
         "corpus_shuffle": duckdb_shuffle_sql(seed=SHUFFLE_SEED),
         # logical deletes: FULL-corpus BM25 (stats stay pre-delete until
         # compaction) filtered by the tombstone predicate

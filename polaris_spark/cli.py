@@ -143,6 +143,31 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("stats", help="print index stats + manifests")
     s.add_argument("--index", required=True)
 
+    ck = sub.add_parser("check", help="index integrity verification "
+                        "(Lucene CheckIndex analog): decode every posting "
+                        "blob and verify the aux tables' congruence; "
+                        "exits 1 on any violation")
+    ck.add_argument("--index", required=True)
+
+    ex = sub.add_parser("explain", help="per-term BM25 score breakdown for "
+                        "one (query, doc) — the IndexSearcher.explain "
+                        "analog")
+    ex.add_argument("--index", required=True)
+    ex.add_argument("--query", required=True)
+    ex.add_argument("--doc", required=True, type=int)
+
+    ml = sub.add_parser("mlt", help="MoreLikeThis: top-k docs most similar "
+                        "to a given doc's text (top tf-idf terms scored as "
+                        "a BM25 OR, source doc excluded)")
+    ml.add_argument("--index", required=True)
+    ml.add_argument("--doc", required=True, type=int,
+                    help="source doc_id (its text must be stored in "
+                         "doc_map, or pass --text)")
+    ml.add_argument("--text", default=None,
+                    help="explicit source text (skips the doc_map lookup)")
+    ml.add_argument("-k", type=int, default=10)
+    ml.add_argument("--max-terms", type=int, default=8)
+
     cu = sub.add_parser("curate", help="training-data curation ledger "
                         "(quality → langid → exact dedup → LSH near-dup CC)")
     cu.add_argument("--input", required=True, help="documents parquet")
@@ -578,6 +603,35 @@ def main(argv: list[str] | None = None) -> int:
         n_hit = flags.where("contaminated").count()
         print(json.dumps({"output": args.output, "n_in": n_in,
                           "n_contaminated": n_hit, "n_out": n_out}))
+    elif args.cmd == "check":
+        from polaris_spark.index.check import check_index
+
+        spark = _session("polaris_spark_check")
+        rep = check_index(spark, args.index)
+        print(json.dumps(rep, indent=1, sort_keys=True))
+        return 0 if rep["ok"] else 1
+    elif args.cmd == "explain":
+        from polaris_spark.query.engine import SearchEngine
+
+        spark = _session("polaris_spark_explain")
+        eng = SearchEngine(spark, args.index)
+        print(json.dumps(eng.explain(args.query, args.doc)))
+    elif args.cmd == "mlt":
+        from polaris_spark.query.engine import SearchEngine
+
+        spark = _session("polaris_spark_mlt")
+        eng = SearchEngine(spark, args.index)
+        text = args.text
+        if text is None:
+            rows = eng.lookup_docs([args.doc]).collect()
+            if not rows or "text" not in rows[0].asDict():
+                raise SystemExit(
+                    "doc text not stored in doc_map; pass --text"
+                )
+            text = rows[0]["text"]
+        print(json.dumps(eng.more_like_this(
+            text, k=args.k, max_terms=args.max_terms,
+            exclude_doc_id=args.doc)))
     elif args.cmd == "stats":
         import glob
         import os

@@ -794,3 +794,109 @@ def suggest_sql(term: str, n: int = 5, max_edits: int = 2,
         f"  AND term NOT LIKE '%:%'\n"
         f"ORDER BY dist ASC, df DESC, term ASC\nLIMIT {int(n)}"
     )
+
+
+def explain_sql(query: str, table: str = "documents") -> str:
+    """Score-explanation mirror (engine ``explain``): the per-term BM25
+    breakdown (term, df, tf, dl, e4-rounded contribution) for the TOP-1
+    document of the query — the Lucene ``IndexSearcher.explain`` surface
+    (the reference's ranked search rides on Lucene 4.3 scoring; explain
+    exposes the same decomposition the ``bm25_scores`` gate sums). The
+    doc pick reuses the scored CTE's exact (score desc, doc_id asc) order,
+    so both sides explain the same document whenever ``bm25_top10``
+    agrees."""
+    inc, pinc, _exc, _pexc = _split_chunks(query)
+    return base_cte(table) + f""",
+qt AS (
+  {_qt_cte(inc, pinc)}
+),
+dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf
+  WHERE term IN (SELECT term FROM qt) GROUP BY term
+),
+contrib AS (
+  SELECT tf.doc_id, tf.term AS term, dft.df AS df, tf.tf AS tf, dl.dl AS dl,
+         qt.boost
+         * ln(1.0 + (s.N - dft.df + 0.5) / (dft.df + 0.5))
+         * (tf.tf * {K1P1_SQL}
+            / (tf.tf + {K1_SQL} * (1.0 - {B_SQL} + {B_SQL} * dl.dl / (s.sumdl / s.N)))) AS c
+  FROM tf
+  JOIN dft USING (term)
+  JOIN qt USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+),
+pick AS (
+  SELECT doc_id FROM contrib GROUP BY doc_id
+  ORDER BY sum(c) DESC, doc_id ASC LIMIT 1
+)
+SELECT term, df, tf, dl, CAST(round(c * 10000) AS BIGINT) AS contrib_e4
+FROM contrib WHERE doc_id = (SELECT doc_id FROM pick)
+ORDER BY term"""
+
+
+def mlt_sql(table: str = "documents", max_terms: int = 8,
+            k: int = 10) -> str:
+    """MoreLikeThis mirror (engine ``more_like_this``): source doc = the
+    table's min doc_id; its distinct terms ranked by tf(doc) × idf(corpus)
+    (desc, term asc), top ``max_terms`` kept; those terms scored as a flat
+    BM25 OR over every OTHER doc, exact top-``k`` by (score desc, doc_id
+    asc). idf is the engine's BM25 idf — the same selection the engine
+    computes from its dictionary probe."""
+    return base_cte(table) + f""",
+src AS (SELECT min(doc_id) AS doc_id FROM {table}),
+dt AS (
+  SELECT term, tf FROM tf WHERE doc_id = (SELECT doc_id FROM src)
+),
+dfa AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf
+  WHERE term IN (SELECT term FROM dt) GROUP BY term
+),
+sel AS (
+  SELECT dt.term AS term, dfa.df AS df
+  FROM dt JOIN dfa USING (term) CROSS JOIN stats s
+  ORDER BY dt.tf * ln(1.0 + (s.N - dfa.df + 0.5) / (dfa.df + 0.5)) DESC,
+           dt.term ASC
+  LIMIT {int(max_terms)}
+),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.N - sel.df + 0.5) / (sel.df + 0.5))
+         * (tf.tf * {K1P1_SQL}
+            / (tf.tf + {K1_SQL} * (1.0 - {B_SQL} + {B_SQL} * dl.dl / (s.sumdl / s.N)))) AS c
+  FROM tf
+  JOIN sel USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  WHERE tf.doc_id <> (SELECT doc_id FROM src)
+),
+scored AS (
+  SELECT doc_id, CAST(round(sum(c) * 10000) AS BIGINT) AS score_e4,
+         sum(c) AS raw_score
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, score_e4 FROM scored
+ORDER BY raw_score DESC, doc_id ASC LIMIT {int(k)}"""
+
+
+# the fixed check inventory of index.check.check_index — the gate's oracle
+# is this constant all-zeros table, so a hash match REQUIRES every
+# integrity check to actually pass on the gate-built index
+INDEX_CHECKS = (
+    "block_last", "block_max_bound", "block_shape", "bucket_key", "cf_sum",
+    "completion_subset", "decode_error", "df_len", "dict_congruence",
+    "doc_map_n", "doc_stats_n", "docs_sorted", "fuzzy_subset",
+    "positions", "salted_shard", "sum_dl", "tf_positive",
+)
+
+
+def index_check_sql() -> str:
+    """CheckIndex mirror: the expected (all-zero) violation table. The
+    Spark side computes real violation counts over the index
+    (``index.check.check_index``); equality with this constant is the
+    integrity assertion."""
+    rows = ",\n  ".join(f"('{c}', 0)" for c in INDEX_CHECKS)
+    return (
+        "SELECT chk, CAST(violations AS BIGINT) AS violations FROM (VALUES\n"
+        f"  {rows}\n) AS t(chk, violations)\nORDER BY chk"
+    )

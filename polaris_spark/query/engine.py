@@ -1634,8 +1634,6 @@ class SearchEngine:
         shard's exclusion slice — no doc_ids ever reach the driver, and
         exclusion still happens BEFORE scoring so MaxScore's θ₀ derives from
         the true post-exclusion candidate set (pruning stays exact)."""
-        from pyspark.sql import functions as F
-
         self._check_wildcard_mode(query, mode)
         terms, exc, boosts = self.parse_query_boosts(query, expand_fields)
         empty = self.spark.createDataFrame([], RESULT_SCHEMA)
@@ -1647,17 +1645,32 @@ class SearchEngine:
             return empty
         if boosts:
             idf = {t: w * boosts.get(t, 1.0) for t, w in idf.items()}
+        return self._flat_scored_df(cand, idf, k, mode, len(terms),
+                                    exc_terms=exc)
+
+    def _flat_scored_df(self, cand, idf, k, mode, nq, exc_terms=(),
+                        extra_excluded=None):
+        """The kernel half of :meth:`search_df` over pre-resolved candidate
+        rows + idf weights: per-shard kernels, distributed exclusion
+        (prohibit terms' postings + tombstones + an optional caller-supplied
+        ``(shard, doc_id)`` frame — :meth:`more_like_this_df` routes its
+        source doc through it), global (score desc, doc_id asc) limit.
+        Factored so term-list queries (MoreLikeThis) reuse the exact plan
+        the parser-driven path runs."""
+        from pyspark.sql import functions as F
+
         stats = self.stats
-        nq = len(terms)
         S = int(stats["n_shards"])
         routed = self._pin_groups(self._routed(cand, S), S, F.col("shard"))
 
         tomb = self._tomb_shard_df(S)
-        if exc or tomb is not None:
-            parts = ([self._excluded_docs_df(exc)] if exc else []) \
-                + ([tomb] if tomb is not None else [])
-            exdf = parts[0] if len(parts) == 1 \
-                else parts[0].unionByName(parts[1])
+        parts = ([self._excluded_docs_df(exc_terms)] if exc_terms else []) \
+            + ([tomb] if tomb is not None else []) \
+            + ([extra_excluded] if extra_excluded is not None else [])
+        if parts:
+            exdf = parts[0]
+            for p in parts[1:]:
+                exdf = exdf.unionByName(p)
             exdf = self._pin_groups(exdf, S, F.col("shard"))
 
             def kernel2(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -1686,6 +1699,164 @@ class SearchEngine:
             scored = routed.groupBy("_route").applyInPandas(kernel, RESULT_SCHEMA)
         out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
         return out.limit(k) if k is not None else out
+
+    # ------------------------------------------------------------- explain
+
+    def explain(self, query: str, doc_id: int,
+                expand_fields: bool = False) -> list[dict]:
+        """Per-term BM25 score breakdown for ONE document — the
+        ``IndexSearcher.explain`` analog (the reference's ranked search
+        rides on Lucene 4.3 scoring, sourcedb/SourceDbImpl.java:141-145;
+        Lucene's Explanation exposes exactly this decomposition).
+
+        Returns one row per query term PRESENT in the doc, term-ascending:
+        ``{term, df, idf, boost, tf, dl, impact, contribution}`` with
+        ``contribution = idf × boost × impact`` — the same float64 factors
+        the scorer multiplies, so the sequential term-ordered sum of
+        ``contribution`` equals the doc's :meth:`search` score BIT-FOR-BIT
+        (tested). A doc suppressed by a prohibit term or tombstone returns
+        ``[]`` (it has no score to explain). Cost: one bucket+term-pruned
+        candidate fetch — the same driver-path scan one query pays."""
+        from pyspark.sql import functions as F
+
+        terms, exc, boosts = self.parse_query_boosts(query, expand_fields)
+        if not terms:
+            return []
+        doc_id = int(doc_id)
+        if exc and self._excluded_docs_df(exc).where(
+                F.col("doc_id") == doc_id).limit(1).count():
+            return []
+        t = self._deletes_np()
+        if isinstance(t, str):
+            if self._deletes_df().where(
+                    F.col("doc_id") == doc_id).limit(1).count():
+                return []
+        elif t is not None and bool(np.isin(doc_id, t, assume_unique=True)):
+            return []
+        cand = self._candidates_pdf(terms)
+        if cand.empty:
+            return []
+        dfs = cand.groupby("term")["df"].sum().to_dict()
+        N = self.stats["N"]
+        avgdl, k1, b = (self.stats["avgdl"], self.stats["k1"],
+                        self.stats["b"])
+        merged = _decode_merge(cand)
+        out: list[dict] = []
+        for term in sorted(merged):
+            docs, tfs, dls = merged[term]
+            i = int(np.searchsorted(docs, doc_id))
+            if i >= len(docs) or int(docs[i]) != doc_id:
+                continue
+            idf = _idf(N, int(dfs[term]))
+            boost = boosts.get(term, 1.0)
+            # the scorer's exact expression shape (numpy float64 ≡ these
+            # Python-float ops on the same scalars)
+            impact = tfs[i] * (k1 + 1.0) / (
+                tfs[i] + k1 * (1.0 - b + b * dls[i] / avgdl)
+            )
+            out.append({
+                "term": term,
+                "df": int(dfs[term]),
+                "idf": idf,
+                "boost": boost,
+                "tf": int(tfs[i]),
+                "dl": int(dls[i]),
+                "impact": float(impact),
+                "contribution": float(idf * boost * impact),
+            })
+        return out
+
+    # -------------------------------------------------------- MoreLikeThis
+
+    def mlt_select_terms(self, text: str, max_terms: int = 8) -> list[str]:
+        """MoreLikeThis term selection (the Lucene queries/mlt
+        ``MoreLikeThis.like(Reader)`` shape — re-analyze the text, rank its
+        terms by tf·idf, keep the top few as the interesting terms):
+        tokenize ``text`` with the INDEX tokenizer, rank distinct terms by
+        ``tf(text) × idf(index)`` (desc, term asc), return the top
+        ``max_terms``. df comes from a ``term IN``-pushed dictionary probe
+        (row-group pruned — never a vocab scan); terms absent from the
+        index drop out (they cannot retrieve anything)."""
+        from collections import Counter
+
+        from pyspark.sql import functions as F
+
+        tf = Counter(tokenize(text))
+        if not tf:
+            return []
+        rows = (
+            self.spark.read.parquet(self.dict_path)
+            .where(F.col("term").isin(sorted(tf)))
+            .groupBy("term")  # per-generation delta rows fold here
+            .agg(F.sum("df").alias("df"))
+            .collect()
+        )
+        N = self.stats["N"]
+        ranked = sorted(
+            (-(tf[r["term"]] * _idf(N, int(r["df"]))), r["term"]) for r in rows
+        )
+        return [t for _s, t in ranked[:max_terms]]
+
+    def more_like_this(self, text: str, k: int | None = 10,
+                       max_terms: int = 8,
+                       exclude_doc_id: int | None = None) -> list[dict]:
+        """Driver-path MoreLikeThis: docs most similar to ``text`` — the
+        selected terms (:meth:`mlt_select_terms`) scored as a flat BM25 OR,
+        the source doc (``exclude_doc_id``) excluded pre-scoring. Returns
+        [{doc_id, score, n_match}] by (score desc, doc_id asc) — identical
+        to :meth:`more_like_this_df` on the same index (tested)."""
+        terms = self.mlt_select_terms(text, max_terms)
+        if not terms:
+            return []
+        if isinstance(self._deletes_np(), str):
+            return self.more_like_this_df(
+                text, k, max_terms, exclude_doc_id
+            ).toPandas().to_dict("records")
+        cand = self._candidates_pdf(terms)
+        if cand.empty:
+            return []
+        idf = self._idf_map(cand)
+        excl = (np.asarray([int(exclude_doc_id)], dtype=np.int64)
+                if exclude_doc_id is not None else None)
+        res = score_shard(cand, idf, self.stats["avgdl"], self.stats["k1"],
+                          self.stats["b"], k, "or", len(terms),
+                          excluded=self._with_tombstones(excl))
+        res = res.sort_values(["score", "doc_id"],
+                              ascending=[False, True], kind="mergesort")
+        if k is not None:
+            res = res.head(k)
+        return res.to_dict("records")
+
+    def more_like_this_df(self, text: str, k: int | None = 10,
+                          max_terms: int = 8,
+                          exclude_doc_id: int | None = None):
+        """Distributed MoreLikeThis: the selected terms run through the
+        SAME per-shard kernel plan as :meth:`search_df`
+        (:meth:`_flat_scored_df`); the source doc rides the distributed
+        exclusion frame, so MaxScore's θ₀ derives from the true
+        post-exclusion candidate set and pruning stays exact."""
+        from pyspark.sql import functions as F
+
+        empty = self.spark.createDataFrame([], RESULT_SCHEMA)
+        terms = self.mlt_select_terms(text, max_terms)
+        if not terms:
+            return empty
+        cand = self._cache_scoped(self._candidates(terms))
+        idf = self._idf_map(cand)
+        if not idf:
+            return empty
+        extra = None
+        if exclude_doc_id is not None:
+            S = int(self.stats["n_shards"])
+            extra = (
+                self.spark.createDataFrame(
+                    [(int(exclude_doc_id),)], "doc_id bigint")
+                .withColumn(
+                    "shard", F.pmod(F.col("doc_id"), F.lit(S)).cast("int"))
+                .select("shard", "doc_id")
+            )
+        return self._flat_scored_df(cand, idf, k, "or", len(terms),
+                                    extra_excluded=extra)
 
     def search_many_df(self, queries: list[str], k: int | None = 10,
                        mode: str = "or", expand_fields: bool = False,
