@@ -38,6 +38,12 @@ Methods (POST JSON to /api/<method>):
                  the fuzzy n-gram table's pruned probe).
 - ``facets``     {query, attr, mode?} → per-attribute-value match counts
                  over the FULL match set (Lucene facets analog).
+- ``explain``    {query, docId} → the per-term BM25 score breakdown for
+                 one hit (IndexSearcher.explain analog); contributions sum
+                 to the hit's score bit-exactly.
+- ``mlt``        {docId} or {text} → MoreLikeThis hits: docs most similar
+                 to the given doc's stored text (or the raw text), the
+                 source doc excluded (Lucene queries/mlt analog).
 
 Unknown method → 404; malformed body → 400; handler exception → 500 with
 the error message (the reference propagates RPC error codes similarly).
@@ -161,6 +167,29 @@ class _Handler(BaseHTTPRequestHandler):
             b["query"], b["attr"], mode=b.get("mode", "or")))
         rows.sort(key=lambda r: (-r["n"], str(r["facet"])))
         return {"facets": rows}
+
+    def _m_explain(self, b):
+        return {"explanation": self.engine.explain(
+            b["query"], int(b["docId"])
+        )}
+
+    def _m_mlt(self, b):
+        text = b.get("text")
+        exclude = None
+        if text is None:
+            doc_id = int(b["docId"])
+            rows = _rows(self.engine.lookup_docs([doc_id]))
+            if not rows or "text" not in rows[0]:
+                raise ValueError(
+                    "doc text not stored in doc_map; pass 'text' explicitly"
+                )
+            text, exclude = rows[0]["text"], doc_id
+        elif "docId" in b:
+            exclude = int(b["docId"])
+        return {"hits": self.engine.more_like_this(
+            text, k=int(b.get("k", 10)),
+            max_terms=int(b.get("maxTerms", 8)), exclude_doc_id=exclude,
+        )}
 
     # ---------------------------------------------------------- plumbing
 

@@ -160,3 +160,25 @@ def test_searchmany_endpoint_bit_identical(spark, daemon):
         want = [(h["doc_id"], round(h["score"], 9)) for h in eng.search(q, k=5)]
         assert [(h["doc_id"], round(h["score"], 9)) for h in got[q]] == want
     assert got["nonexistenttermxyz"] == []
+
+
+def test_explain_and_mlt_endpoints(spark, daemon):
+    base, d, pdf = daemon
+    eng = SearchEngine(spark, d)
+    q = pdf["text"].iloc[0].split()[0]
+    top = eng.search(q, k=1)
+    assert top
+    exp = _post(base, "explain",
+                {"query": q, "docId": top[0]["doc_id"]})["explanation"]
+    assert exp == eng.explain(q, top[0]["doc_id"])
+    assert sum(r["contribution"] for r in exp) == top[0]["score"]
+    # mlt by docId uses the stored text and excludes the source doc
+    src = int(spark.read.parquet(d + "/doc_map")
+              .orderBy("doc_id").limit(1).collect()[0]["doc_id"])
+    hits = _post(base, "mlt", {"docId": src, "k": 5})["hits"]
+    want = eng.more_like_this(
+        eng.lookup_docs([src]).collect()[0]["text"], k=5,
+        exclude_doc_id=src)
+    assert [(h["doc_id"], round(h["score"], 9)) for h in hits] == \
+           [(h["doc_id"], round(h["score"], 9)) for h in want]
+    assert src not in {h["doc_id"] for h in hits}
