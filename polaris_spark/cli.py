@@ -72,6 +72,12 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--no-gc", action="store_true",
                     help="keep the tf checkpoint generations")
 
+    mg = sub.add_parser("merge", help="tiered generation merge (Lucene "
+                        "TieredMergePolicy analog): merge all appended "
+                        "generations into one, leaving the base segment "
+                        "untouched; compact remains the full forceMerge(1)")
+    mg.add_argument("--index", required=True)
+
     dl = sub.add_parser("delete", help="tombstone documents (Lucene "
                         "deleteDocuments analog; logical until compact "
                         "applies them physically — the data-removal path)")
@@ -320,6 +326,11 @@ def main(argv: list[str] | None = None) -> int:
             doc_id_col=args.doc_id_col,
         )
         print(json.dumps(m))
+    elif args.cmd == "merge":
+        from polaris_spark.index.maintenance import merge_generations
+
+        spark = _session("polaris_spark_merge")
+        print(json.dumps(merge_generations(spark, args.index)))
     elif args.cmd == "compact":
         from polaris_spark.index.maintenance import compact_index
 

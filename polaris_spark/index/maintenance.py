@@ -311,6 +311,133 @@ def delete_docs(spark, index_dir: str, doc_ids) -> dict:
     return {"n_tombstones": n}
 
 
+def _superseded_range(stats) -> tuple[int, int] | None:
+    sup = stats.get("superseded")
+    return (int(sup[0]), int(sup[1])) if sup else None
+
+
+def _purge_superseded(spark, fs, index_dir: str, man_dir: str, sup) -> None:
+    """Physically remove chunk dirs + markers inside the superseded range
+    (readers already exclude them via the stats gate, so this is pure
+    storage reclamation — safe to re-run, the crash-recovery tail of
+    :func:`merge_generations`)."""
+    if sup is None:
+        return
+    lo, hi = sup
+    post_root = os.path.join(index_dir, "postings")
+    for n in fs.listdir(man_dir):
+        if n.startswith("chunk_") and n.endswith(".json"):
+            c = int(n[len("chunk_"):-len(".json")])
+            if lo <= c <= hi:
+                fs.delete(os.path.join(man_dir, n))
+    if fs.exists(post_root):
+        for n in fs.listdir(post_root):
+            if n.startswith("chunk="):
+                c = int(n[len("chunk="):])
+                if lo <= c <= hi:
+                    fs.delete(os.path.join(post_root, n))
+
+
+def merge_generations(spark, index_dir: str) -> dict:
+    """Tiered generation merge — the Lucene TieredMergePolicy analog
+    (merge the SMALL segments, leave the big one): re-encode every
+    APPENDED generation's postings into ONE new merged generation while
+    the base build (chunks < 1000 — the corpus-sized segment) stays
+    untouched. :func:`compact_index` remains the ``forceMerge(1)``
+    everything-rewrite; this is the steady-state maintenance op for
+    streaming ingest, whose cost is ∝ the appended generations' size, not
+    the corpus — at 10^12 base docs a full compact is a monster rewrite,
+    while merging a day's micro-batch generations is a day-sized job that
+    restores per-(term, shard) row locality for queries all the same.
+
+    Publish protocol (double-count-free): the merged generation encodes
+    into ``chunk=1000·(G+1)`` — invisible while ≥ the published gen_cap —
+    then ONE atomic ``_stats.json`` swap bumps ``generations`` AND sets
+    ``superseded = [1000, 1000·(G+1) − 1]``, atomically flipping readers
+    from the source generations to the merged one (the engine's snapshot
+    gate excludes superseded chunk ids; a Lucene segments_N switch).
+    Old dirs/markers are then physically purged; a crash between publish
+    and purge is healed by the purge-on-entry of the next merge/compact.
+
+    Tombstones are NOT applied here (they keep filtering at query time);
+    ``compact_index`` is the expungeDeletes path. Stats (N, avgdl, df)
+    are unchanged — a merge moves postings, not corpus. Run quiescently
+    (no concurrent append), like compaction."""
+    from pyspark.sql import functions as F
+
+    from .read import postings_to_tf
+
+    cfg, stats = _load_cfg(spark, index_dir)
+    fs = get_fs(spark, index_dir)
+    man_dir = os.path.join(index_dir, "manifest")
+    post_root = os.path.join(index_dir, "postings")
+    t0 = time.time()
+
+    sup = _superseded_range(stats)
+    _purge_superseded(spark, fs, index_dir, man_dir, sup)  # crash-recovery
+
+    G = int(stats.get("generations", 0))
+    gen_cap = 1000 * (G + 1)
+    marked = {
+        int(n[len("chunk_"):-len(".json")])
+        for n in fs.listdir(man_dir)
+        if n.startswith("chunk_") and n.endswith(".json")
+    }
+    merge_chunks = sorted(
+        c for c in marked
+        if 1000 <= c < gen_cap and not (sup and sup[0] <= c <= sup[1])
+    )
+    if not merge_chunks or (
+        len(merge_chunks) == 1
+        and "merged_from" in _read_mark(fs, man_dir,
+                                        f"chunk_{merge_chunks[0]:05d}")
+    ):
+        # nothing appended, or the only candidate is already one merged
+        # segment — re-merging it alone would be a pure rewrite
+        return {"merged_generations": 0, "merged_chunks": 0,
+                "wall_s": round(time.time() - t0, 3)}
+
+    new_gen = G + 1
+    gen_base = 1000 * new_gen
+    tf = postings_to_tf(spark, index_dir, with_pos=cfg.positions,
+                        chunks=merge_chunks)
+    tf = tf.withColumn(
+        "bucket",
+        (F.crc32(F.col("term").cast("binary")) % cfg.n_buckets).cast("int"),
+    )
+    hot_terms = _read_mark(fs, man_dir, "hot_terms")["hot_terms"]
+    is_hot = F.col("term").isin(hot_terms) if hot_terms else F.lit(False)
+    tf = tf.withColumn("is_hot", is_hot).withColumn(
+        "shard",
+        F.when(F.col("is_hot"), F.pmod(F.col("doc_id"), F.lit(cfg.n_shards)))
+        .otherwise(F.crc32(F.col("term").cast("binary")) % cfg.n_shards)
+        .cast("int"),
+    )
+    kernel = _encode_kernel(cfg, stats["avgdl"])
+    seg = tf.groupBy("bucket", "shard").applyInPandas(kernel, POSTINGS_SCHEMA)
+    seg = seg.repartition(max(1, cfg.n_buckets // max(1, cfg.n_chunks)),
+                          "bucket")
+    seg.sortWithinPartitions("term", "shard").write.mode("overwrite").option(
+        "compression", cfg.parquet_codec
+    ).partitionBy("bucket").parquet(os.path.join(post_root, f"chunk={gen_base}"))
+    _mark(fs, man_dir, f"chunk_{gen_base:05d}",
+          {"seg_id": f"chunk_{gen_base:05d}", "chunk": gen_base,
+           "generation": new_gen, "merged_from": merge_chunks})
+
+    # PUBLISH: one atomic swap — merged gen in, source gens out
+    stats["generations"] = new_gen
+    stats["superseded"] = [1000, gen_cap - 1]
+    fs.write_text_atomic(
+        os.path.join(index_dir, "_stats.json"), json.dumps(stats, indent=1)
+    )
+    _purge_superseded(spark, fs, index_dir, man_dir,
+                      _superseded_range(stats))
+    n_gens = len({c // 1000 for c in merge_chunks})
+    return {"merged_generations": n_gens,
+            "merged_chunks": len(merge_chunks), "generation": new_gen,
+            "wall_s": round(time.time() - t0, 3)}
+
+
 def compact_index(spark, index_dir: str, gc: bool = True) -> dict:
     """forceMerge(1) analog: re-encode all PUBLISHED generations into one
     row per (term, shard). Decode+merge happens inside the SAME
@@ -344,14 +471,21 @@ def compact_index(spark, index_dir: str, gc: bool = True) -> dict:
     man_dir = os.path.join(index_dir, "manifest")
 
     # published-snapshot rule (same as SearchEngine): manifest-complete AND
-    # generation ≤ the published one
+    # generation ≤ the published one AND not superseded by a tiered merge
+    # (a crash between merge publish and purge leaves source-gen markers
+    # behind; folding them here would double-count their postings)
+    sup = _superseded_range(stats)
+    _purge_superseded(spark, fs, index_dir, man_dir, sup)
     gen_cap = 1000 * (int(stats.get("generations", 0)) + 1)
     marked = {
         int(n[len("chunk_"):-len(".json")])
         for n in fs.listdir(man_dir)
         if n.startswith("chunk_") and n.endswith(".json")
     }
-    published = sorted(c for c in marked if c < gen_cap)
+    published = sorted(
+        c for c in marked
+        if c < gen_cap and not (sup and sup[0] <= c <= sup[1])
+    )
 
     # heal doc_map/doc_stats: drop rows landed by a dead unpublished
     # generation (its ids come from its tf chunks; tf precedes doc_map in
@@ -472,10 +606,13 @@ def compact_index(spark, index_dir: str, gc: bool = True) -> dict:
             if int(n[len("chunk_"):-len(".json")]) >= gen_cap:
                 fs.delete(os.path.join(man_dir, n))
 
+    # publish: post-delete stats (when tombstones were applied) and the
+    # cleared superseded range (everything now lives in chunk=0); retire
+    # applied tombstones
+    stats.pop("superseded", None)
+    fs.write_text_atomic(
+        os.path.join(index_dir, "_stats.json"), json.dumps(stats, indent=1))
     if deletes is not None:
-        # publish the post-delete stats and retire the applied tombstones
-        fs.write_text_atomic(
-            os.path.join(index_dir, "_stats.json"), json.dumps(stats, indent=1))
         fs.delete(del_path)
 
     if gc:
@@ -499,11 +636,19 @@ def gc_tf(spark, index_dir: str) -> dict:
     cfg, stats = _load_cfg(spark, index_dir)
     fs = get_fs(spark, index_dir)
     man_dir = os.path.join(index_dir, "manifest")
+    sup = _superseded_range(stats)
     expected = [f"chunk_{c:05d}" for c in range(cfg.n_chunks)]
     for g in range(1, int(stats.get("generations", 0)) + 1):
-        expected.extend(
-            f"chunk_{1000 * g + c:05d}" for c in range(cfg.n_chunks)
-        )
+        base = 1000 * g
+        if sup and sup[0] <= base and base + 999 <= sup[1]:
+            continue  # generation merged away — its postings live in the
+            # merged chunk, so its tf can never be needed again
+        head = f"chunk_{base:05d}"
+        if fs.exists(os.path.join(man_dir, f"{head}.json")) \
+                and "merged_from" in _read_mark(fs, man_dir, head):
+            expected.append(head)  # a merged generation is ONE chunk
+            continue
+        expected.extend(f"chunk_{base + c:05d}" for c in range(cfg.n_chunks))
     missing = [n for n in expected
                if not fs.exists(os.path.join(man_dir, f"{n}.json"))]
     if missing:

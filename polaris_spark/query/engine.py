@@ -729,14 +729,21 @@ class SearchEngine:
         # predicate, so excluded chunk dirs are pruned at file-listing
         # time; both conditions are fixed at construction, preserving the
         # engine's point-in-time-reader semantics.
+        # A tiered generation merge (maintenance.merge_generations) retires
+        # its source generations in the SAME stats swap that publishes the
+        # merged one: stats["superseded"] = [lo, hi] excludes their chunk
+        # ids here, so the flip from N source gens to 1 merged gen is
+        # atomic for readers even before the old dirs are physically
+        # removed (double-count-free, exactly a Lucene segments_N switch).
         man_dir = os.path.join(index_dir, "manifest")
         gen_cap = 1000 * (int(self.stats.get("generations", 0)) + 1)
+        sup = self.stats.get("superseded")
         self._serve_chunks = sorted(
             c for c in (
                 int(n[len("chunk_"):-len(".json")])
                 for n in self.fs.listdir(man_dir)
                 if n.startswith("chunk_") and n.endswith(".json")
-            ) if c < gen_cap
+            ) if c < gen_cap and not (sup and sup[0] <= c <= sup[1])
         )
         posts = self.spark.read.parquet(self.post_root)
         if "chunk" in posts.columns:
