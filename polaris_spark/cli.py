@@ -289,6 +289,9 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--follow", action="store_true",
                     help="keep running and pick up new files "
                          "(default: drain available files, then exit)")
+    st.add_argument("--merge-every", type=int, default=None,
+                    help="tiered-merge accumulated generations once this "
+                         "many are unmerged (TieredMergePolicy loop)")
 
     sv = sub.add_parser("serve", help="HTTP serving daemon (devserver analog)")
     sv.add_argument("--index", required=True)
@@ -446,7 +449,8 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = _session("polaris_spark_ingest_stream")
         q = stream_append(spark, args.input_dir, args.index, args.checkpoint,
-                          available_now=not args.follow)
+                          available_now=not args.follow,
+                          merge_every=args.merge_every)
         q.awaitTermination()
         fs = get_fs(spark, args.index)
         stats = json.loads(

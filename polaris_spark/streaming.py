@@ -30,14 +30,42 @@ def stream_append(
     checkpoint_dir: str,
     schema: str = TRANSCRIPT_SCHEMA,
     available_now: bool = True,
+    merge_every: int | None = None,
 ):
     """Stream parquet files from ``input_dir`` into the index. Returns the
-    StreamingQuery (await it with ``.awaitTermination()``)."""
-    from .index.maintenance import append_index
+    StreamingQuery (await it with ``.awaitTermination()``).
+
+    ``merge_every=K`` folds accumulated generations with the tiered merge
+    (:func:`..index.maintenance.merge_generations`) once K unmerged
+    generations have piled up — the TieredMergePolicy loop that keeps
+    per-(term, shard) row counts O(1) under indefinite micro-batch ingest
+    while each merge costs ∝ the merged batches, never the corpus. The
+    merge runs at the START of a sink call, BEFORE that batch's append
+    (foreachBatch sinks are serial, so the index is quiescent): a crash
+    mid-merge replays the batch, re-enters the merge (idempotent — an
+    unpublished merged chunk is invisible and re-encoded; a published one
+    leaves nothing pending), and only then appends — the exactly-once
+    ingest protocol is untouched."""
+    import json as _json
+    import os as _os
+
+    from .index.maintenance import append_index, merge_generations
+
+    def _pending_generations() -> int:
+        from .fs import get_fs
+
+        fs = get_fs(spark, index_dir)
+        st = _json.loads(
+            fs.read_text(_os.path.join(index_dir, "_stats.json")))
+        sup = st.get("superseded")
+        merged_gen = (int(sup[1]) + 1) // 1000 if sup else 0
+        return int(st.get("generations", 0)) - merged_gen
 
     def sink(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if merge_every and _pending_generations() >= int(merge_every):
+            merge_generations(spark, index_dir)
         append_index(spark, batch_df, index_dir)
 
     stream = (

@@ -143,3 +143,51 @@ def test_append_compact_gc_after_merge(spark, tmp_path):
     stats = json.load(open(os.path.join(d, "_stats.json")))
     assert "superseded" not in stats
     assert check_index(spark, d)["ok"]
+
+
+def test_streaming_ingest_with_merge_every(spark, tmp_path):
+    """stream_append(merge_every=2): once two unmerged generations have
+    accumulated, the next sink call tiered-merges BEFORE appending; results
+    stay identical to a from-scratch union build."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from polaris_spark.streaming import stream_append
+
+    full = make_transcripts(n_turns=800, seed=21)
+    base, parts = full.iloc[:200], [full.iloc[200:400], full.iloc[400:600],
+                                    full.iloc[600:]]
+    d = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(base), d, cfg=IndexConfig(**CFG))
+
+    inbox = str(tmp_path / "inbox")
+    os.makedirs(inbox)
+    schema = pa.schema([("conv_id", pa.string()), ("turn_idx", pa.int32()),
+                        ("role", pa.string()), ("text", pa.string()),
+                        ("tool", pa.string()), ("ts", pa.timestamp("us"))])
+    # three separate drains → three generations (one batch each)
+    for i, part in enumerate(parts):
+        pq.write_table(
+            pa.Table.from_pandas(part, schema=schema, preserve_index=False),
+            os.path.join(inbox, f"f{i}.parquet"))
+        q = stream_append(spark, inbox, d, str(tmp_path / "ckpt"),
+                          merge_every=2)
+        q.awaitTermination(300)
+
+    stats = json.load(open(os.path.join(d, "_stats.json")))
+    # gens 1, 2 appended; drain 3 saw 2 pending → merged them into gen 3,
+    # then appended gen 4
+    assert stats["generations"] == 4
+    assert stats["superseded"] == [1000, 2999]
+    merged_mark = json.load(
+        open(os.path.join(d, "manifest", "chunk_03000.json")))
+    assert merged_mark["merged_from"]
+
+    eng = SearchEngine(spark, d)
+    assert eng.stats["N"] == 800
+    ref = str(tmp_path / "ref")
+    build_index(spark, spark.createDataFrame(full), ref, cfg=IndexConfig(**CFG))
+    assert _hits(spark, d) == _hits(spark, ref)
+    assert check_index(spark, d)["ok"]
