@@ -1726,6 +1726,15 @@ class SearchEngine:
         candidate fetch — the same driver-path scan one query pays."""
         from pyspark.sql import functions as F
 
+        from .boolquery import has_operators
+
+        if parse_phrase_query(query) is not None or has_operators(query):
+            raise ValueError(
+                "explain supports flat queries only (terms, field:value, "
+                "wildcards, fuzzy, boosts, -prohibit) — boolean trees and "
+                "quoted phrases have per-leaf semantics the flat "
+                "decomposition cannot represent"
+            )
         terms, exc, boosts = self.parse_query_boosts(query, expand_fields)
         if not terms:
             return []

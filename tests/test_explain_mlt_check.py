@@ -206,3 +206,15 @@ def test_check_cli(spark, idx):
 
     rc = cli.main(["check", "--index", idx])
     assert rc == 0
+
+
+def test_explain_rejects_tree_and_phrase_queries(spark, idx):
+    """Operator queries must 400 at the surface, not silently flat-parse
+    AND/OR as corpus tokens."""
+    import pytest as _pt
+
+    eng = SearchEngine(spark, idx)
+    with _pt.raises(ValueError):
+        eng.explain("kato AND muor", 1)
+    with _pt.raises(ValueError):
+        eng.explain('"kato muor"', 1)

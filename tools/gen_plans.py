@@ -281,6 +281,32 @@ def main() -> None:
         cap(pre) + "\n" + cap(shuffle_rows(docs_pq, seed=13)),
     ))
 
+    src_text = docs_pq.orderBy("doc_id").select("text").limit(1) \
+        .collect()[0]["text"]
+    SECTIONS.append((
+        "MoreLikeThis (term-list query through the search_df kernel plan)",
+        "mlt_select_terms probes the dictionary with a pushed `term IN` "
+        "filter (PushedFilters — never a vocab scan); the selected terms "
+        "then run the EXACT search_df shape (pruned candidate scan, "
+        "per-shard kernels, TakeOrderedAndProject), with the source doc "
+        "riding the cogrouped exclusion frame.",
+        cap(eng.more_like_this_df(src_text, k=10, exclude_doc_id=1)),
+    ))
+
+    from polaris_spark.index.check import check_index as _ci  # noqa: F401
+    from pyspark.sql import functions as _F
+
+    chk_scan = eng._posts.select("term", "df").groupBy("term").agg(
+        _F.sum("df").alias("df_p"))
+    SECTIONS.append((
+        "index check congruence aggregate (column-pruned postings read)",
+        "check_index's dictionary-congruence leg reads ONLY the stat "
+        "columns of the postings (ReadSchema excludes the packed binary "
+        "blobs — the decode scan is a separate mapInPandas pass) and "
+        "reduces to per-term partial-aggregated counts.",
+        cap(chk_scan),
+    ))
+
     out = [
         "# PLANS — physical-plan evidence (captured from the live engine)",
         "",
