@@ -734,6 +734,28 @@ def _q_repetition(spark, sf_dir):
     return _docs(spark, sf_dir).select("doc_id", *repetition_cols(F.col("text")))
 
 
+def _q_gopher_rules(spark, sf_dir):
+    """Gopher rule filter (Rae et al. 2021 Table A1): per-doc rule columns
+    + pass flag, pure JVM column expressions (ops/text.gopher_cols) — no
+    shuffle, no Python. min_words lowered to 5 so the synthetic short docs
+    exercise both branches of every rule."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.ops.text import gopher_cols
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", *gopher_cols(F.col("text"), min_words=5))
+
+
+def _q_chunk_windows(spark, sf_dir):
+    """Context-window chunking (size=32, stride=24 token windows over each
+    doc, standard pre-tokenizer sequence prep): one JVM Generate, no
+    shuffle (ops/text.chunk_windows)."""
+    from polaris_spark.ops.text import chunk_windows
+
+    return chunk_windows(_docs(spark, sf_dir), size=32, stride=24)
+
+
 def _q_token_ids(spark, sf_dir):
     """Vocabulary-indexed corpus encoding ("tokenize to ids"): dense
     frequency-ranked vocab ids over the index tokenizer's emission
@@ -867,6 +889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "token_ids": _q_token_ids,
         "repetition": _q_repetition,
+        "gopher_rules": _q_gopher_rules,
+        "chunk_windows": _q_chunk_windows,
         "events_hourly": _q_events_hourly,
         "top_docs_per_source": _q_top_docs_per_source,
         "sessionize": _q_sessionize,
@@ -911,7 +935,9 @@ def oracle_sql() -> dict[str, str]:
                                               duckdb_knn_join_sql,
                                               duckdb_quantize_sql)
     from polaris_spark.ops.text import (
+        duckdb_chunks_sql,
         duckdb_fingerprint_sql,
+        duckdb_gopher_sql,
         duckdb_langid_sql,
         duckdb_lm_sql,
         duckdb_quality_percentile_sql,
@@ -1077,6 +1103,11 @@ SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.45""",
         "repetition": (
             f"SELECT doc_id, {duckdb_repetition_sql('text')} FROM documents"
         ),
+        "gopher_rules": (
+            f"SELECT doc_id, {duckdb_gopher_sql('text', min_words=5)} "
+            f"FROM documents"
+        ),
+        "chunk_windows": duckdb_chunks_sql("documents", size=32, stride=24),
         "token_ids": duckdb_token_ids_sql("documents"),
         "events_hourly": _an.duckdb_events_hourly_sql(),
         "top_docs_per_source": _an.duckdb_top_docs_sql(3),

@@ -589,3 +589,212 @@ SELECT d.{id_col} AS doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
        s.nlp_e6
 FROM {table} d LEFT JOIN scored s ON d.{id_col} = s.doc_id
 """
+
+
+# ---- Gopher rule filter (Rae et al. 2021, Table A1 quality rules) --------
+
+# The 8 "required word" function words of the Gopher rule set; a doc must
+# contain at least `min_stop_hits` distinct ones.
+GOPHER_REQUIRED = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_cols(text_col,
+                min_words: int = 50, max_words: int = 100_000,
+                min_mean_word_len: float = 3.0, max_mean_word_len: float = 10.0,
+                max_symbol_ratio: float = 0.1, max_bullet_ratio: float = 0.9,
+                max_ellipsis_ratio: float = 0.3, min_alpha_frac: float = 0.8,
+                min_stop_hits: int = 2):
+    """Per-document Gopher rule columns (Rae et al. 2021, *Scaling Language
+    Models: Methods, Analysis & Insights from Training Gopher*, Table A1) —
+    the standard pre-training quality gate, as pure JVM column expressions
+    (no Python, no shuffle; a narrow map at 100 TB):
+
+    - ``n_words``            whitespace tokens
+    - ``mean_word_len``      mean characters per word
+    - ``frac_alpha_words``   fraction of words containing >=1 [A-Za-z]
+    - ``symbol_ratio``       ('#' + '...') occurrences per word
+    - ``bullet_ratio``       fraction of lines starting with -, * or •
+    - ``ellipsis_line_ratio``fraction of lines ending with '...' or '…'
+    - ``stop_hits``          distinct GOPHER_REQUIRED words present
+    - ``gopher_pass``        1 iff every rule passes (thresholds above are
+                             the paper's defaults; all keyword-tunable)
+
+    Ratio columns are rounded to 4dp for display; the pass flag compares
+    the UNROUNDED values (both engines divide the same exact integers, so
+    IEEE doubles — and therefore comparisons — agree bit-for-bit).
+    The repetition rules of the same table live in :func:`repetition_cols`.
+    """
+    from pyspark.sql import functions as F
+
+    ws = _ws_tokens_col(text_col)
+    n_words = F.size(ws)
+    nw_d = n_words.cast("double")
+    safe = lambda num, den: F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
+
+    sum_len = F.aggregate(ws, F.lit(0).cast("long"),
+                          lambda acc, x: acc + F.length(x))
+    mean_wl = safe(sum_len, nw_d)
+
+    alpha_words = F.size(F.filter(ws, lambda x: x.rlike("[A-Za-z]")))
+    frac_alpha = safe(alpha_words, nw_d)
+
+    n_hash = F.length(text_col) - F.length(F.replace(text_col, F.lit("#")))
+    n_ell = ((F.length(text_col)
+              - F.length(F.replace(text_col, F.lit("...")))) / 3).cast("long")
+    symbol_ratio = safe(n_hash + n_ell, nw_d)
+
+    lines = F.split(text_col, "\n")
+    n_lines = F.size(lines)
+    bullet = F.size(F.filter(
+        lines, lambda l: F.substring(F.ltrim(l), 1, 1).isin("-", "*", "•")))
+    bullet_ratio = safe(bullet, n_lines.cast("double"))
+    ell_lines = F.size(F.filter(
+        lines, lambda l: F.endswith(F.rtrim(l), F.lit("..."))
+        | F.endswith(F.rtrim(l), F.lit("…"))))
+    ellipsis_ratio = safe(ell_lines, n_lines.cast("double"))
+
+    lws = F.transform(ws, lambda x: F.lower(x))
+    stop_hits = F.size(F.filter(
+        F.array(*[F.lit(w) for w in GOPHER_REQUIRED]),
+        lambda w: F.array_contains(lws, w)))
+
+    gpass = (
+        (n_words >= min_words) & (n_words <= max_words)
+        & (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+        & (symbol_ratio < max_symbol_ratio)
+        & (bullet_ratio < max_bullet_ratio)
+        & (ellipsis_ratio < max_ellipsis_ratio)
+        & (frac_alpha >= min_alpha_frac)
+        & (stop_hits >= min_stop_hits)
+    )
+    return (
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(frac_alpha, 4).alias("frac_alpha_words"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        F.round(bullet_ratio, 4).alias("bullet_ratio"),
+        F.round(ellipsis_ratio, 4).alias("ellipsis_line_ratio"),
+        stop_hits.cast("long").alias("stop_hits"),
+        gpass.cast("int").alias("gopher_pass"),
+    )
+
+
+def duckdb_gopher_sql(col_sql: str,
+                      min_words: int = 50, max_words: int = 100_000,
+                      min_mean_word_len: float = 3.0,
+                      max_mean_word_len: float = 10.0,
+                      max_symbol_ratio: float = 0.1,
+                      max_bullet_ratio: float = 0.9,
+                      max_ellipsis_ratio: float = 0.3,
+                      min_alpha_frac: float = 0.8,
+                      min_stop_hits: int = 2) -> str:
+    """SELECT-list fragment mirroring :func:`gopher_cols` exactly."""
+    ws = duckdb_ws_tokens(col_sql)
+    n_words = f"len({ws})"
+    safe = lambda num, den: f"(CASE WHEN {den} > 0 THEN ({num})::DOUBLE / {den} ELSE 0.0 END)"
+    sum_len = f"list_sum(list_transform({ws}, x -> length(x)))"
+    mean_wl = safe(f"coalesce({sum_len}, 0)", n_words)
+    alpha = f"len(list_filter({ws}, x -> regexp_matches(x, '[A-Za-z]')))"
+    frac_alpha = safe(alpha, n_words)
+    n_hash = f"(length({col_sql}) - length(replace({col_sql}, '#', '')))"
+    n_ell = f"((length({col_sql}) - length(replace({col_sql}, '...', ''))) // 3)"
+    symbol_ratio = safe(f"{n_hash} + {n_ell}", n_words)
+    lines = f"string_split({col_sql}, chr(10))"
+    n_lines = f"len({lines})"
+    bullet = (f"len(list_filter({lines}, "
+              f"l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•')))")
+    bullet_ratio = safe(bullet, n_lines)
+    ell = (f"len(list_filter({lines}, "
+           f"l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))")
+    ellipsis_ratio = safe(ell, n_lines)
+    lws = f"list_transform({ws}, x -> lower(x))"
+    req = _duck_list(GOPHER_REQUIRED)
+    stop_hits = f"len(list_filter({req}, w -> list_contains({lws}, w)))"
+    gpass = (
+        f"(({n_words} >= {min_words}) AND ({n_words} <= {max_words}) "
+        f"AND ({mean_wl} >= {min_mean_word_len}) AND ({mean_wl} <= {max_mean_word_len}) "
+        f"AND ({symbol_ratio} < {max_symbol_ratio}) "
+        f"AND ({bullet_ratio} < {max_bullet_ratio}) "
+        f"AND ({ellipsis_ratio} < {max_ellipsis_ratio}) "
+        f"AND ({frac_alpha} >= {min_alpha_frac}) "
+        f"AND ({stop_hits} >= {min_stop_hits}))"
+    )
+    return (
+        f"{n_words}::BIGINT AS n_words, "
+        f"round({mean_wl}, 4) AS mean_word_len, "
+        f"round({frac_alpha}, 4) AS frac_alpha_words, "
+        f"round({symbol_ratio}, 4) AS symbol_ratio, "
+        f"round({bullet_ratio}, 4) AS bullet_ratio, "
+        f"round({ellipsis_ratio}, 4) AS ellipsis_line_ratio, "
+        f"{stop_hits}::BIGINT AS stop_hits, "
+        f"({gpass})::INT AS gopher_pass"
+    )
+
+
+# ---- context-window chunking (training-sequence preprocessing) -----------
+
+def chunk_windows(docs, size: int = 512, stride: int = 384,
+                  text_col: str = "text", id_col: str = "doc_id"):
+    """Split each document's whitespace tokens into fixed-``size`` windows
+    advancing by ``stride`` tokens (overlap = size - stride), the standard
+    context-window chunking step before tokenizer packing. Returns
+    (doc_id, chunk_idx, chunk_start, n_tokens, chunk_text) with 1-based
+    inclusive token positions; the final window may be shorter, windows
+    cover every token, and a doc with <= size tokens yields exactly one
+    window. Docs with zero tokens are dropped.
+
+    Physical shape: split/sequence/posexplode — one JVM-side Generate over
+    a narrow map, no shuffle, no Python; output rows ~= corpus_tokens /
+    stride regardless of document skew (one 10^9-token doc explodes into
+    rows, never into one task's memory as a group)."""
+    from pyspark.sql import functions as F
+
+    if size <= 0 or stride <= 0:
+        raise ValueError("size and stride must be positive")
+    toks = _ws_tokens_col(F.col(text_col))
+    d = (docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+             .withColumn("n", F.size("toks"))
+             .where(F.col("n") > 0))
+    n = F.col("n")
+    n_chunks = F.when(n <= size, F.lit(1)).otherwise(
+        1 + F.floor(((n - size) + (stride - 1)) / stride).cast("int"))
+    out = (
+        d.select("doc_id", "toks", "n",
+                 F.posexplode(F.sequence(F.lit(0), n_chunks - 1))
+                  .alias("chunk_idx", "_k"))
+         .withColumn("chunk_start", F.lit(1) + F.col("_k") * stride)
+         .withColumn("chunk_toks", F.slice("toks", F.col("chunk_start"), size))
+         .select(
+             "doc_id",
+             F.col("chunk_idx").cast("long").alias("chunk_idx"),
+             F.col("chunk_start").cast("long").alias("chunk_start"),
+             F.size("chunk_toks").cast("long").alias("n_tokens"),
+             F.concat_ws(" ", "chunk_toks").alias("chunk_text"),
+         )
+    )
+    return out
+
+
+def duckdb_chunks_sql(table: str = "documents", size: int = 512,
+                      stride: int = 384, text_col: str = "text",
+                      id_col: str = "doc_id") -> str:
+    """Oracle for :func:`chunk_windows` — identical window arithmetic."""
+    toks = duckdb_ws_tokens(text_col)
+    return f"""
+WITH d AS (
+  SELECT {id_col} AS doc_id, {toks} AS toks, len({toks}) AS n
+  FROM {table}
+), nz AS (
+  SELECT * FROM d WHERE n > 0
+), k AS (
+  SELECT doc_id, toks, n,
+         unnest(range(0, CASE WHEN n <= {size} THEN 1
+                         ELSE 1 + (n - {size} + {stride} - 1) // {stride} END)) AS k
+  FROM nz
+)
+SELECT doc_id, k::BIGINT AS chunk_idx, (1 + k * {stride})::BIGINT AS chunk_start,
+       (least(k * {stride} + {size}, n) - k * {stride})::BIGINT AS n_tokens,
+       array_to_string(toks[(1 + k * {stride}):least(k * {stride} + {size}, n)], ' ')
+         AS chunk_text
+FROM k
+"""
