@@ -1729,12 +1729,23 @@ class SearchEngine:
         from .boolquery import has_operators
 
         if parse_phrase_query(query) is not None or has_operators(query):
-            raise ValueError(
-                "explain supports flat queries only (terms, field:value, "
-                "wildcards, fuzzy, boosts, -prohibit) — boolean trees and "
-                "quoted phrases have per-leaf semantics the flat "
-                "decomposition cannot represent"
-            )
+            # Mirror search_mixed/search_many routing exactly: only a query
+            # that genuinely PARSES as a tree/phrase is rejected; operator-
+            # LOOKING but malformed text (stray paren in a pasted corpus
+            # token, etc.) degrades to the flat parser, which serves it —
+            # so explain must serve it too.
+            try:
+                self.parse_bool(query)
+                is_tree = True
+            except ValueError:
+                is_tree = False
+            if is_tree:
+                raise ValueError(
+                    "explain supports flat queries only (terms, field:value, "
+                    "wildcards, fuzzy, boosts, -prohibit) — boolean trees and "
+                    "quoted phrases have per-leaf semantics the flat "
+                    "decomposition cannot represent"
+                )
         terms, exc, boosts = self.parse_query_boosts(query, expand_fields)
         if not terms:
             return []

@@ -218,3 +218,16 @@ def test_explain_rejects_tree_and_phrase_queries(spark, idx):
         eng.explain("kato AND muor", 1)
     with _pt.raises(ValueError):
         eng.explain('"kato muor"', 1)
+
+
+def test_explain_degrades_malformed_operator_text(spark, idx):
+    """Operator-LOOKING but malformed text (stray paren from a pasted
+    corpus token) must flat-parse and explain — exactly the queries
+    search_mixed serves via its ValueError fallover (regression: the
+    daemon's /api/explain 400'd on 'ridash)' while /api/search served it)."""
+    eng = SearchEngine(spark, idx)
+    top = eng.search("kato)", k=1)
+    assert top
+    exp = eng.explain("kato)", top[0]["doc_id"])
+    assert exp == eng.explain("kato", top[0]["doc_id"])
+    assert sum(r["contribution"] for r in exp) == top[0]["score"]
