@@ -407,6 +407,21 @@ def _q_neardup_pairs(spark, sf_dir):
     return embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.45)
 
 
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup ledger at n_centroids=1 (exact brute-force setting — the
+    clustered path is gated by the subset/identity tests in test_semdedup);
+    threshold 0.45 marks a small non-empty drop set on this corpus.
+    ``dup_of`` is coalesced to -1 for the gate (kept rows are NULL in the
+    library API; the driver's row-sort compare needs NULL-free values)."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.ops.similarity import semantic_dedup
+
+    led = semantic_dedup(_emb(spark, sf_dir), n_centroids=1, threshold=0.45)
+    return led.select("vec_id", "centroid_id",
+                      F.coalesce("dup_of", F.lit(-1)).alias("dup_of"), "keep")
+
+
 def _q_jaccard(spark, sf_dir):
     from polaris_spark.ops.dedup import jaccard_pairs
 
@@ -864,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": _q_dup_clusters,
         "dup_clusters_star": _q_dup_clusters_star,
         "neardup_pairs": _q_neardup_pairs,
+        "semdedup": _q_semdedup,
         "jaccard_pairs": _q_jaccard,
         "dup_spans": _q_dup_spans,
         "decontaminate": _q_decontam,
@@ -933,6 +949,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from polaris_spark.ops.similarity import (duckdb_ivf_many_sql,
                                               duckdb_knn_join_sql,
+                                              duckdb_semdedup_sql,
                                               duckdb_quantize_sql)
     from polaris_spark.ops.text import (
         duckdb_chunks_sql,
@@ -1058,6 +1075,8 @@ WITH p AS (
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.45""",
+        "semdedup": duckdb_semdedup_sql(
+            "embeddings", "vec_id", "embedding", threshold=0.45),
         "jaccard_pairs": jaccard,
         "dup_spans": duckdb_dup_spans_sql("documents", "doc_id", "text",
                                           n=8, min_docs=2),

@@ -299,6 +299,22 @@ def run_suite(cpus: int, sf_dir: str, n_turns: int) -> dict:
     lm_score(docs).count()  # train + score in one pass (CCNet-filter shape)
     times["lm_score_scan"] = round(time.time() - t0, 3)
 
+    from polaris_spark.ops.text import chunk_windows, gopher_cols
+
+    t0 = time.time()
+    docs.select("doc_id", *gopher_cols(F.col("text"), min_words=5)).count()
+    times["gopher_rules_scan"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    chunk_windows(docs, size=128, stride=96).count()
+    times["chunk_windows_scan"] = round(time.time() - t0, 3)
+
+    from polaris_spark.ops.similarity import semantic_dedup
+
+    t0 = time.time()
+    semantic_dedup(emb, n_centroids=8, threshold=0.45).count()
+    times["semdedup_cluster8"] = round(time.time() - t0, 3)
+
     spark.stop()
     return {"times": times, **extras}
 

@@ -192,6 +192,11 @@ def main(argv: list[str] | None = None) -> int:
                          "'contaminated', 13-gram rule)")
     cu.add_argument("--bench-text-col", default="text")
     cu.add_argument("--decontam-ngram", type=int, default=13)
+    cu.add_argument("--gopher", action="store_true",
+                    help="add the Gopher rule filter as a stage between "
+                         "decontamination and the quality score "
+                         "(reason 'gopher')")
+    cu.add_argument("--gopher-min-words", type=int, default=50)
 
     lm = sub.add_parser("lm", help="corpus bigram-LM scoring (CCNet "
                         "perplexity-filter shape): train on --train-input "
@@ -218,6 +223,40 @@ def main(argv: list[str] | None = None) -> int:
                          "duplicated ≥n-token spans")
     sc.add_argument("--span-ngram", type=int, default=8)
     sc.add_argument("--span-min-docs", type=int, default=2)
+    sc.add_argument("--gopher", action="store_true",
+                    help="also annotate the Gopher rule columns + pass "
+                         "flag (Rae et al. 2021 Table A1)")
+    sc.add_argument("--gopher-min-words", type=int, default=50)
+
+    ch = sub.add_parser("chunk", help="context-window chunking: split each "
+                        "doc's whitespace tokens into fixed-size windows "
+                        "with stride (pre-tokenizer sequence prep)")
+    ch.add_argument("--input", required=True, help="documents parquet")
+    ch.add_argument("--output", required=True,
+                    help="output parquet (doc_id, chunk_idx, chunk_start, "
+                         "n_tokens, chunk_text)")
+    ch.add_argument("--text-col", default="text")
+    ch.add_argument("--doc-id-col", default="doc_id")
+    ch.add_argument("--size", type=int, default=512,
+                    help="window size in whitespace tokens")
+    ch.add_argument("--stride", type=int, default=384,
+                    help="window advance (overlap = size - stride)")
+
+    sd = sub.add_parser("semdedup", help="SemDeDup semantic dedup ledger "
+                        "(Abbas et al. 2023): k-means cluster, then drop "
+                        "within-cluster near-duplicates keeping the min-id "
+                        "representative")
+    sd.add_argument("--input", required=True,
+                    help="embeddings parquet (id + array<float> column)")
+    sd.add_argument("--output", required=True,
+                    help="ledger parquet (vec_id, centroid_id, dup_of, keep)")
+    sd.add_argument("--id-col", default="vec_id")
+    sd.add_argument("--vec-col", default="embedding")
+    sd.add_argument("--centroids", type=int, default=8,
+                    help="k-means clusters (1 = exact brute force)")
+    sd.add_argument("--threshold", type=float, default=0.9,
+                    help="rounded-cosine near-duplicate threshold")
+    sd.add_argument("--seed", type=int, default=42)
 
     mx = sub.add_parser("mix", help="data-mixing: deterministic stratified "
                         "sample → per-source token budget → context-window "
@@ -479,7 +518,9 @@ def main(argv: list[str] | None = None) -> int:
                      bench=(spark.read.parquet(args.bench)
                             if args.bench else None),
                      bench_text_col=args.bench_text_col,
-                     decontam_n=args.decontam_ngram)
+                     decontam_n=args.decontam_ngram,
+                     gopher=args.gopher,
+                     gopher_min_words=args.gopher_min_words)
         led.write.mode("overwrite").parquet(args.output)
         out = {r["reason"]: r["n"] for r in
                spark.read.parquet(args.output)
@@ -552,18 +593,21 @@ def main(argv: list[str] | None = None) -> int:
         from pyspark.sql import functions as F
 
         from polaris_spark.ops.dedup import duplicated_spans
-        from polaris_spark.ops.text import (pii_cols, quality_cols,
-                                            repetition_cols, token_count_cols)
+        from polaris_spark.ops.text import (gopher_cols, pii_cols,
+                                            quality_cols, repetition_cols,
+                                            token_count_cols)
 
         spark = _session("polaris_spark_scrub")
         docs = spark.read.parquet(args.input)
         t = F.col(args.text_col)
         *pii_counts, redacted = pii_cols(t)
+        extra = (gopher_cols(t, min_words=args.gopher_min_words)
+                 if args.gopher else ())
         ann = docs.select(
             *[c for c in docs.columns if c != args.text_col],
             redacted.alias(args.text_col),
             *pii_counts, *quality_cols(t), *repetition_cols(t),
-            *token_count_cols(t),
+            *token_count_cols(t), *extra,
         )
         ann.write.mode("overwrite").parquet(args.output)
         res = {"output": args.output, "n_docs": ann.count()}
@@ -576,6 +620,35 @@ def main(argv: list[str] | None = None) -> int:
             spans.write.mode("overwrite").parquet(args.output + "_spans")
             res["n_dup_spans"] = spark.read.parquet(args.output + "_spans").count()
         print(json.dumps(res))
+    elif args.cmd == "chunk":
+        from polaris_spark.ops.text import chunk_windows
+
+        spark = _session("polaris_spark_chunk")
+        docs = spark.read.parquet(args.input)
+        out = chunk_windows(docs, size=args.size, stride=args.stride,
+                            text_col=args.text_col, id_col=args.doc_id_col)
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(json.dumps({"output": args.output, "n_docs": docs.count(),
+                          "n_chunks": n, "size": args.size,
+                          "stride": args.stride}))
+    elif args.cmd == "semdedup":
+        from pyspark.sql import functions as F
+
+        from polaris_spark.ops.similarity import semantic_dedup
+
+        spark = _session("polaris_spark_semdedup")
+        emb = spark.read.parquet(args.input)
+        led = semantic_dedup(emb, n_centroids=args.centroids,
+                             seed=args.seed, threshold=args.threshold,
+                             vec_col=args.vec_col, id_col=args.id_col)
+        led.write.mode("overwrite").parquet(args.output)
+        led = spark.read.parquet(args.output)
+        n_drop = led.where(F.col("keep") == 0).count()
+        print(json.dumps({"output": args.output, "n_vectors": led.count(),
+                          "n_dropped": n_drop,
+                          "n_clusters": args.centroids,
+                          "threshold": args.threshold}))
     elif args.cmd == "neighbors":
         from polaris_spark.ops.similarity import knn_join, srp_candidate_pairs
 

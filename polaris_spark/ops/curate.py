@@ -74,7 +74,8 @@ def verified_neardup_pairs(docs, cand, text_col="text", id_col="doc_id",
 def curate(docs, text_col="text", id_col="doc_id", min_quality: float = 0.55,
            langs: tuple = ("en",), k: int = MINHASH_K, bands: int = LSH_BANDS,
            threshold: float = 0.5, n: int = N_SHINGLE,
-           bench=None, bench_text_col: str = "text", decontam_n: int = 13):
+           bench=None, bench_text_col: str = "text", decontam_n: int = 13,
+           gopher: bool = False, gopher_min_words: int = 50):
     """Per-doc curation ledger ``(doc_id, keep, reason)`` — see module doc.
     ``keep`` is int 0/1 (portable across oracle hash comparison).
 
@@ -83,16 +84,27 @@ def curate(docs, text_col="text", id_col="doc_id", min_quality: float = 0.55,
     precedence (reason ``contaminated``): an eval-tainted doc must leave
     the corpus regardless of its quality, and must never survive as the
     retained representative of a dup group. Same broadcast bench-gram
-    shape — a semi-join flag, no per-doc count needed here."""
+    shape — a semi-join flag, no per-doc count needed here.
+
+    With ``gopher=True`` the Gopher rule filter (:func:`..ops.text.
+    gopher_cols`) runs after decontamination and before the quality score
+    (reason ``gopher``) — the standard rule-based cut ahead of the
+    model/score-based one, zero extra shuffle (pure columns on the same
+    scan)."""
     from pyspark.sql import functions as F
 
     from .dedup import dup_clusters, shingles_col
+    from .text import gopher_cols
 
+    gcols = ((gopher_cols(F.col(text_col),
+                          min_words=gopher_min_words)[-1],)
+             if gopher else ())
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("text"),
         *quality_cols(F.col(text_col)),
         langid_col(F.col(text_col)).alias("lang"),
+        *gcols,
     )
     if bench is not None:
         bg = (bench.select(F.explode(
@@ -107,11 +119,15 @@ def curate(docs, text_col="text", id_col="doc_id", min_quality: float = 0.55,
         base = base.join(hit, "doc_id", "left")
     else:
         base = base.withColumn("reason_dc", F.lit(None).cast("string"))
+    rule_chain = (
+        F.when(F.col("gopher_pass") == 0, F.lit("gopher")) if gopher
+        else F.when(F.lit(False), F.lit("gopher")))
     base = base.withColumn(
         "reason0",
         F.coalesce(
             F.col("reason_dc"),
-            F.when(F.col("quality") < min_quality, F.lit("low_quality"))
+            rule_chain
+            .when(F.col("quality") < min_quality, F.lit("low_quality"))
             .when(~F.col("lang").isin(*langs), F.lit("lang"))),
     )
     s1 = base.where(F.col("reason0").isNull()).select("doc_id", "text")
@@ -148,7 +164,9 @@ def duckdb_curate_sql(table: str = "documents", min_quality: float = 0.55,
                       langs: tuple = ("en",), k: int = MINHASH_K,
                       bands: int = LSH_BANDS, threshold: float = 0.5,
                       n: int = N_SHINGLE, bench_where: str | None = None,
-                      decontam_n: int = 13) -> str:
+                      decontam_n: int = 13,
+                      gopher: bool = False,
+                      gopher_min_words: int = 50) -> str:
     """DuckDB mirror of :func:`curate` — the same stages as one
     recursive-CTE chain (components via transitive closure, like
     :func:`..ops.dedup.duckdb_dup_clusters_sql`). With ``bench_where``,
@@ -170,15 +188,21 @@ dchit AS (
 """
         dc_case = ("WHEN doc_id IN (SELECT doc_id FROM dchit) "
                    "THEN 'contaminated'\n              ")
+    gop_col, gop_case = "", ""
+    if gopher:
+        from .text import duckdb_gopher_sql
+
+        gop_col = f", {duckdb_gopher_sql('text', min_words=gopher_min_words)}"
+        gop_case = "WHEN gopher_pass = 0 THEN 'gopher'\n              "
     return f"""
 WITH RECURSIVE {dc_ctes}scored AS (
   SELECT doc_id, text, {duckdb_quality_sql('text')},
-         {duckdb_langid_sql('text')} AS lang
+         {duckdb_langid_sql('text')} AS lang{gop_col}
   FROM {table}
 ),
 r0 AS (
   SELECT doc_id, text,
-         CASE {dc_case}WHEN quality < {min_quality} THEN 'low_quality'
+         CASE {dc_case}{gop_case}WHEN quality < {min_quality} THEN 'low_quality'
               WHEN lang NOT IN ({lang_list}) THEN 'lang' END AS reason0
   FROM scored
 ),

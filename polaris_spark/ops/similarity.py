@@ -475,3 +475,90 @@ WITH p AS (
 )
 SELECT vec_id, neighbor_id, cos, rank FROM r WHERE rank <= {k}
 """
+
+
+def semantic_dedup(emb, centroids: list[list[float]] | None = None,
+                   n_centroids: int = 8, seed: int = 42,
+                   threshold: float = 0.9,
+                   vec_col: str = "embedding", id_col: str = "vec_id"):
+    """SemDeDup ledger (Abbas et al. 2023, *SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication*): cluster the
+    embeddings with k-means, then WITHIN each cluster drop every vector
+    that has a near-duplicate (rounded cosine ≥ ``threshold``) with a
+    smaller id — each semantic-duplicate neighborhood keeps its min-id
+    representative (deterministic stand-in for the paper's
+    keep-low-centroid-similarity policy, chosen so the DuckDB oracle can
+    mirror it exactly). Returns the full auditable ledger
+    ``(vec_id, centroid_id, dup_of, keep)``: ``dup_of`` = the smallest
+    same-cluster near-duplicate id (NULL when kept), ``keep`` ∈ {0,1}.
+
+    Scale shape (the paper's own argument): the O(n²) pair join is scoped
+    to each cluster — n_centroids clusters of ~n/K vectors cost n²/K pair
+    work, and the join key (centroid_id) partitions it evenly when k-means
+    is balanced. For adversarially hot clusters, pre-chunk with
+    :func:`srp_candidate_pairs` inside the cluster (same composition as
+    :func:`knn_join`'s candidates argument). With ``n_centroids=1`` this
+    is exactly the brute-force verifier (the gate setting; the clustered
+    path can only MISS cross-cluster pairs, tested as a subset property).
+    """
+    from pyspark.sql import functions as F
+
+    if centroids is None:
+        centroids = (
+            [[0.0]] if n_centroids == 1 else
+            kmeans_centroids(emb, n_centroids, seed,
+                             vec_col=vec_col, id_col=id_col)
+        )
+    if len(centroids) == 1:
+        # single cluster: skip the trivial all-zero assignment scan
+        assigned = emb.select(F.col(id_col).alias("vec_id"),
+                              F.lit(0).alias("centroid_id"),
+                              F.col(vec_col).alias("embedding"))
+    else:
+        assigned = assign_centroids(emb, centroids, vec_col, id_col)
+    a = assigned.select(F.col("vec_id").alias("vec_a"), "centroid_id",
+                        F.col("embedding").alias("ea"))
+    b = assigned.select(F.col("vec_id").alias("vec_b"),
+                        F.col("centroid_id").alias("cb"),
+                        F.col("embedding").alias("eb"))
+    cos = F.round(
+        _dot(F.col("ea"), F.col("eb"))
+        / (_norm(F.col("ea")) * _norm(F.col("eb"))), 6)
+    dup = (
+        a.join(b, (F.col("centroid_id") == F.col("cb"))
+               & (F.col("vec_a") > F.col("vec_b")))
+        .where(cos >= threshold)
+        .groupBy("vec_a")
+        .agg(F.min("vec_b").alias("dup_of"))
+        .withColumnRenamed("vec_a", "vec_id")
+    )
+    return (
+        assigned.select("vec_id", "centroid_id")
+        .join(dup, "vec_id", "left")
+        .select("vec_id", "centroid_id", "dup_of",
+                F.col("dup_of").isNull().cast("int").alias("keep"))
+    )
+
+
+def duckdb_semdedup_sql(table: str, id_col: str, vec_col: str,
+                        threshold: float = 0.9) -> str:
+    """Oracle for :func:`semantic_dedup` at ``n_centroids=1`` (single
+    cluster ⇒ brute-force pair semantics): same rounded cosine, same
+    min-smaller-id keep policy. ``dup_of`` is coalesced to -1 (kept rows)
+    to match the NULL-free gate projection in ``__spark_entry__``."""
+    va, vb = f"a.{vec_col}::DOUBLE[]", f"b.{vec_col}::DOUBLE[]"
+    dot = f"list_sum(list_transform(list_zip({va}, {vb}), p -> p[1] * p[2]))"
+    na = f"sqrt(list_sum(list_transform({va}, x -> x * x)))"
+    nb = f"sqrt(list_sum(list_transform({vb}, x -> x * x)))"
+    return f"""
+WITH d AS (
+  SELECT a.{id_col} AS va, min(b.{id_col}) AS dup_of
+  FROM {table} a JOIN {table} b ON a.{id_col} > b.{id_col}
+  WHERE round({dot} / ({na} * {nb}), 6) >= {threshold!r}
+  GROUP BY a.{id_col}
+)
+SELECT t.{id_col} AS vec_id, 0 AS centroid_id,
+       coalesce(d.dup_of, -1) AS dup_of,
+       (CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END) AS keep
+FROM {table} t LEFT JOIN d ON t.{id_col} = d.va
+"""

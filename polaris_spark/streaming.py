@@ -223,10 +223,13 @@ def stream_scrub(
     schema: str = DOCUMENT_SCHEMA,
     text_col: str = "text",
     available_now: bool = True,
+    gopher: bool = False,
+    gopher_min_words: int = 50,
 ):
     """Streaming training-data scrub: the ZERO-SHUFFLE signal subset of
     the curation pipeline — PII redaction plus quality / repetition /
-    token-count columns (all pure column expressions, see
+    token-count columns (optionally the Gopher rule columns + pass flag
+    with ``gopher=True``; all pure column expressions, see
     :mod:`..ops.text`) — as a straight streaming map over a document file
     source, parquet sink in append mode, per-file exactly-once via the
     checkpoint. No aggregation state exists, so this scales exactly like
@@ -240,17 +243,18 @@ def stream_scrub(
     :func:`stream_decontam` streams it per micro-batch."""
     from pyspark.sql import functions as F
 
-    from .ops.text import (pii_cols, quality_cols, repetition_cols,
-                           token_count_cols)
+    from .ops.text import (gopher_cols, pii_cols, quality_cols,
+                           repetition_cols, token_count_cols)
 
     t = F.col(text_col)
     *pii_counts, redacted = pii_cols(t)
+    extra = gopher_cols(t, min_words=gopher_min_words) if gopher else ()
     stream = spark.readStream.schema(schema).parquet(input_dir)
     ann = stream.select(
         *[c for c in stream.columns if c != text_col],
         redacted.alias(text_col),
         *pii_counts, *quality_cols(t), *repetition_cols(t),
-        *token_count_cols(t),
+        *token_count_cols(t), *extra,
     )
     writer = (
         ann.writeStream.format("parquet")

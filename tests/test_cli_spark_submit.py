@@ -82,3 +82,59 @@ def test_spark_submit_build_and_query(tmp_path):
     hits_c = json.loads(submit("query", "--index", idx, "--query", "ka",
                                "-k", "10"))
     assert hits_a == hits_c
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT), reason="no spark-submit")
+def test_spark_submit_pipeline_ops(tmp_path):
+    """chunk / semdedup / scrub --gopher over spark-submit, each checked
+    against an independent DuckDB computation of the same spec."""
+    import duckdb
+
+    tmp = str(tmp_path)
+    zp = _zip_pkg(tmp)
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    env = {**os.environ, "PYSPARK_PYTHON": sys.executable,
+           "PYSPARK_DRIVER_PYTHON": sys.executable}
+
+    def submit(*args):
+        cmd = [SPARK_SUBMIT, "--master", "local[4]",
+               "--conf", "spark.ui.enabled=false",
+               "--conf", "spark.sql.shuffle.partitions=4",
+               "--py-files", zp, os.path.join(REPO, "cli_shim.py"), *args]
+        r = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=600)
+        assert r.returncode == 0, r.stderr[-3000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    out = submit("chunk", "--input", docs, "--output",
+                 os.path.join(tmp, "chunks.parquet"),
+                 "--size", "32", "--stride", "24")
+    want = duckdb.sql(f"""
+        SELECT sum(CASE WHEN n <= 32 THEN 1 ELSE 1 + (n - 32 + 23) // 24 END)
+        FROM (SELECT len(list_filter(string_split_regex(text, '\\s+'),
+                                     x -> x != '')) AS n FROM '{docs}')
+        WHERE n > 0""").fetchone()[0]
+    assert out["n_chunks"] == want
+
+    out = submit("semdedup", "--input", emb, "--output",
+                 os.path.join(tmp, "led.parquet"),
+                 "--centroids", "1", "--threshold", "0.45")
+    dot = ("list_sum(list_transform(list_zip(a.embedding::DOUBLE[], "
+           "b.embedding::DOUBLE[]), p -> p[1] * p[2]))")
+    na = "sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x -> x * x)))"
+    nb = "sqrt(list_sum(list_transform(b.embedding::DOUBLE[], x -> x * x)))"
+    want = duckdb.sql(f"""
+        SELECT count(DISTINCT a.vec_id)
+        FROM '{emb}' a JOIN '{emb}' b ON a.vec_id > b.vec_id
+        WHERE round({dot} / ({na} * {nb}), 6) >= 0.45""").fetchone()[0]
+    assert out["n_dropped"] == want and out["n_vectors"] == 500
+
+    out = submit("scrub", "--input", docs, "--output",
+                 os.path.join(tmp, "scrubbed.parquet"),
+                 "--gopher", "--gopher-min-words", "5")
+    cols = duckdb.sql(
+        f"SELECT * FROM '{os.path.join(tmp, 'scrubbed.parquet', '*.parquet')}'"
+        " LIMIT 0"
+    ).columns
+    assert {"gopher_pass", "stop_hits", "bullet_ratio"} <= set(cols)
+    assert out["n_docs"] == 500

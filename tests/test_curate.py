@@ -83,3 +83,26 @@ def test_sf_corpus_parity(spark):
             for r in con.execute(duckdb_curate_sql()).fetchall()}
     assert got == want
     assert len(got) == docs.count()
+
+
+def test_gopher_stage_parity_and_precedence(spark):
+    """Opt-in Gopher rule stage (reason 'gopher', after decontam / before
+    the quality score): oracle parity on the fixture, and precedence —
+    a doc failing BOTH gopher and quality reads 'gopher'."""
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {r["doc_id"]: (r["keep"], r["reason"])
+           for r in curate(docs, gopher=True, gopher_min_words=5).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fixture (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO fixture VALUES (?, ?)", DOCS)
+    want = {r[0]: (r[1], r[2])
+            for r in con.execute(duckdb_curate_sql(
+                table="fixture", gopher=True,
+                gopher_min_words=5)).fetchall()}
+    assert got == want
+    # JUNK fails the alpha-word rule (and quality): gopher wins precedence
+    assert got[2] == (0, "gopher")
+    # default (gopher=False) ledger is unchanged by the new parameter
+    base = {r["doc_id"]: (r["keep"], r["reason"])
+            for r in curate(docs).collect()}
+    assert base[2] == (0, "low_quality")

@@ -307,6 +307,36 @@ def main() -> None:
         cap(chk_scan),
     ))
 
+    from polaris_spark.ops.similarity import semantic_dedup
+    from polaris_spark.ops.text import chunk_windows, gopher_cols
+
+    SECTIONS.append((
+        "Gopher rule filter (zero-shuffle codegen scan)",
+        "Every rule column (word/line splits, ratios, required-word hits, "
+        "pass flag) is a single Project over the scan — no Exchange, no "
+        "Python; the whole filter rides any corpus read.",
+        cap(docs.select("doc_id", *gopher_cols(F.col("text"), min_words=5))),
+    ))
+
+    SECTIONS.append((
+        "context-window chunking (one Generate, no shuffle)",
+        "Window starts come from a sequence+posexplode Generate; slicing "
+        "and re-joining tokens are codegen array ops. Output volume is "
+        "corpus_tokens/stride ROWS — document skew never concentrates in "
+        "one task's memory (no grouping anywhere).",
+        cap(chunk_windows(docs, size=32, stride=24)),
+    ))
+
+    emb_df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    SECTIONS.append((
+        "SemDeDup within-cluster pair join (centroid-keyed, no cartesian)",
+        "The pair join is keyed on centroid_id (SortMergeJoin/ShuffledHash "
+        "on the cluster key — NEVER CartesianProduct), so pair work is "
+        "n²/K and partitions by cluster; the keep policy is one "
+        "aggregation over the pair stream plus a left join back.",
+        cap(semantic_dedup(emb_df, n_centroids=4, threshold=0.45)),
+    ))
+
     out = [
         "# PLANS — physical-plan evidence (captured from the live engine)",
         "",
