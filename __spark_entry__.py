@@ -579,6 +579,32 @@ def _q_lm_score(spark, sf_dir):
     return lm_score(_docs(spark, sf_dir))
 
 
+def _q_browse(spark, sf_dir):
+    """Hierarchical corpus browse (SourceDb.listDirectory analog,
+    reference SourceDb.java:23-25): one level down from path=("src1",)
+    over the (source, lang) attribute hierarchy — the lang "directories"
+    under source src1 with their subtree doc counts."""
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir))
+    return eng.browse(path=("src1",), levels=("source", "lang"))
+
+
+DOC_TERMS_ID = 7  # fixed doc for the forward-listing gate
+
+
+def _q_doc_terms(spark, sf_dir):
+    """Per-doc forward term listing (UsageDb.findUsagesInFile /
+    TypeDb.getTypesInFile analog): (term, tf, df) for one document —
+    index-tokenizer re-analysis + term-IN-pushed dictionary df probe.
+    The gate index stores no text, so the documents table is passed as
+    the text side (the search_with_payload escape hatch)."""
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir))
+    return eng.doc_terms(DOC_TERMS_ID, docs=_docs(spark, sf_dir))
+
+
 DELETE_PRED = "doc_id % 11 = 0"  # tombstone slice for the delete gate
 
 
@@ -890,6 +916,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_top10": _q_ivf_top10,
         "ivf_many_top5": _q_ivf_many,
         "lookup_by_source": _q_lookup_by_source,
+        "browse_listing": _q_browse,
+        "doc_terms": _q_doc_terms,
         "facet_counts": _q_facet_counts,
         "suggest": _q_suggest,
         "explain_score": _q_explain,
@@ -918,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from polaris_spark.gate import (
+        base_cte,
         batch_scores_sql,
         bm25_scores_sql,
         bool_scores_sql,
@@ -1097,6 +1126,14 @@ SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.45""",
         "lookup_by_source": (
             "SELECT doc_id, source FROM documents WHERE source = 'src3'"
         ),
+        "browse_listing": (
+            "SELECT lang AS child, 'dir' AS kind, count(*)::BIGINT AS n_docs "
+            "FROM documents WHERE source = 'src1' GROUP BY lang"
+        ),
+        "doc_terms": base_cte("documents") + f""",
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+SELECT tf.term, tf.tf, dft.df
+FROM tf JOIN dft USING (term) WHERE tf.doc_id = {DOC_TERMS_ID}""",
         "facet_counts": facet_sql(Q_FACET, "source"),
         "suggest": suggest_sql(SUGGEST_TERM, 5, 2),
         "explain_score": explain_sql(Q_OR),

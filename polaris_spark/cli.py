@@ -134,6 +134,31 @@ def main(argv: list[str] | None = None) -> int:
     so.add_argument("--index", required=True)
     so.add_argument("--ids", required=True, help="comma-separated doc ids")
 
+    ls_ = sub.add_parser("ls", help="hierarchical corpus browse over the "
+                         "stored attribute levels (the reference's "
+                         "SourceDb.listDirectory, sourcedb/SourceDb.java:"
+                         "23-25; transcripts have no filesystem, so the "
+                         "attr columns are the directory levels and docs "
+                         "the files)")
+    ls_.add_argument("--index", required=True)
+    ls_.add_argument("--path", default="",
+                     help="slash-separated attr values fixing the leading "
+                          "levels (empty = root)")
+    ls_.add_argument("--levels", default=None,
+                     help="comma-separated level columns (default: every "
+                          "non-id doc_map attribute)")
+
+    dt = sub.add_parser("doc-terms", help="forward term listing for one "
+                        "document: (term, tf, df) — the reference's "
+                        "UsageDb.findUsagesInFile / TypeDb.getTypesInFile "
+                        "analog (needs a store_text index, or --docs for "
+                        "the text side)")
+    dt.add_argument("--index", required=True)
+    dt.add_argument("--id", required=True, type=int)
+    dt.add_argument("--docs", default=None,
+                    help="optional parquet with (doc_id, text) when the "
+                         "index stores no text")
+
     pl = sub.add_parser("plan", help="dump a query's physical plan — the "
                         "Catalyst analog of the reference's `polaris plan` "
                         "Crunch-plan dump (cli/command/Plan.java writes the "
@@ -450,6 +475,23 @@ def main(argv: list[str] | None = None) -> int:
                  [int(i) for i in args.ids.split(",")]).collect()),
             key=lambda r: r["doc_id"])
         print(json.dumps(rows, default=str))
+    elif args.cmd == "ls":
+        from polaris_spark.query.engine import SearchEngine
+
+        spark = _session("polaris_spark_ls")
+        eng = SearchEngine(spark, args.index)
+        path = tuple(p for p in args.path.split("/") if p)
+        levels = (tuple(args.levels.split(",")) if args.levels else None)
+        rows = [r.asDict() for r in eng.browse(path, levels).collect()]
+        print(json.dumps(rows))
+    elif args.cmd == "doc-terms":
+        from polaris_spark.query.engine import SearchEngine
+
+        spark = _session("polaris_spark_doc_terms")
+        eng = SearchEngine(spark, args.index)
+        docs = spark.read.parquet(args.docs) if args.docs else None
+        rows = [r.asDict() for r in eng.doc_terms(args.id, docs=docs).collect()]
+        print(json.dumps(rows))
     elif args.cmd == "plan":
         import io
         from contextlib import redirect_stdout

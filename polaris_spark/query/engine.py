@@ -2489,6 +2489,103 @@ class SearchEngine:
             )
         return dm.where(F.col(attr) == value).orderBy("doc_id")
 
+    def browse(self, path: tuple = (), levels: tuple | None = None):
+        """Hierarchical corpus listing — the ``listDirectory`` analog
+        (reference sourcedb/SourceDb.java:23-25 / SourceDbImpl.java:
+        ``listDirectory``: browse one level at a time, returning the
+        subdirectories or files under a path). Transcripts have no
+        filesystem, so the "directory" levels are the doc_map's stored
+        attribute columns in ``levels`` order (default: every non-id,
+        non-text doc_map column) and the "files" are the docs themselves.
+
+        ``path`` fixes the first ``len(path)`` level values; the result
+        is one row per child at the next level, ``(child, kind, n_docs)``
+        — ``kind='dir'`` with the subtree doc count while attribute
+        levels remain, else the ``kind='doc'`` rows (child = doc_id,
+        n_docs = 1). Tombstoned docs are hidden (and excluded from dir
+        counts) like every other serving surface.
+
+        Spark shape: the fixed-level equality filters push into the
+        doc_map parquet scan (row-group pruning), and the dir listing is
+        a partial-aggregated groupBy folding each task to ≤ |distinct
+        child values| rows — listing cost never exceeds the pruned scan
+        regardless of corpus size."""
+        from pyspark.sql import functions as F
+
+        dm = self._live(self.spark.read.parquet(self.doc_map_path))
+        if levels is None:
+            levels = tuple(c for c in dm.columns
+                           if c not in ("doc_id", "text"))
+        if len(path) > len(levels):
+            raise ValueError(f"path {path!r} deeper than levels {levels!r}")
+        for col, val in zip(levels, path):
+            if col not in dm.columns:
+                raise ValueError(f"level {col!r} not stored in doc_map")
+            dm = dm.where(F.col(col) == val)
+        if len(path) == len(levels):  # leaf: the docs themselves
+            return dm.select(
+                F.col("doc_id").cast("string").alias("child"),
+                F.lit("doc").alias("kind"),
+                F.lit(1).cast("bigint").alias("n_docs"),
+            ).orderBy("child")
+        nxt = levels[len(path)]
+        if nxt not in dm.columns:
+            raise ValueError(f"level {nxt!r} not stored in doc_map")
+        return (
+            dm.groupBy(F.col(nxt).cast("string").alias("child"))
+            .agg(F.count("*").alias("n_docs"))
+            .select("child", F.lit("dir").alias("kind"), "n_docs")
+            .orderBy("child")
+        )
+
+    def doc_terms(self, doc_id: int, docs=None):
+        """Forward term listing for one document — the
+        ``findUsagesInFile`` / ``getTypesInFile`` analog (reference
+        usagedb/UsageDb.java:30 ``findUsagesInFile`` and
+        typedb/TypeDb.java:19 ``getTypesInFile``: everything indexed FROM
+        a given file). The inverted index is term-keyed, so the per-doc
+        listing is served the way :meth:`mlt_select_terms` already works:
+        re-analyze the doc's stored text with the INDEX tokenizer —
+        bit-identical to what the build inverted — and join corpus-wide
+        ``df`` from a ``term IN``-pushed dictionary probe (row-group
+        pruned, never a vocab scan; per-generation delta rows fold).
+
+        Text comes from doc_map when the index stored it
+        (``store_text=True``), else from the optional ``docs`` frame
+        (doc_id + text — the same escape hatch as
+        :meth:`search_with_payload`). Returns ``(term, tf, df)``
+        term-sorted; empty for an unknown or tombstoned id. Driver cost
+        is one pushed point lookup + one doc's tokens — bounded by
+        document length, exactly like MoreLikeThis."""
+        from collections import Counter
+
+        from pyspark.sql import functions as F
+
+        src = docs if docs is not None \
+            else self._live(self.spark.read.parquet(self.doc_map_path))
+        if "text" not in src.columns:
+            raise ValueError(
+                "doc_terms needs stored text: build with store_text=True "
+                "or pass docs=<frame with doc_id + text>")
+        row = (src.where(F.col("doc_id") == int(doc_id))
+               .select("text").collect())
+        tf = (Counter(tokenize(row[0]["text"]))
+              if row and row[0]["text"] is not None else Counter())
+        schema = "term string, tf bigint"
+        tf_df = self.spark.createDataFrame(
+            sorted((t, int(n)) for t, n in tf.items()), schema)
+        probe = (
+            self.spark.read.parquet(self.dict_path)
+            .where(F.col("term").isin(sorted(tf)))
+            .groupBy("term").agg(F.sum("df").alias("df"))
+        )
+        return (
+            tf_df.join(probe, "term", "left")
+            .select("term", "tf",
+                    F.coalesce("df", F.lit(0)).cast("bigint").alias("df"))
+            .orderBy("term")
+        )
+
     def facet_counts(self, query: str, attr: str, mode: str = "or",
                      expand_fields: bool = False):
         """Facet counts over the FULL match set (the Lucene facets analog —

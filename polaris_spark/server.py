@@ -157,6 +157,21 @@ class _Handler(BaseHTTPRequestHandler):
             self.engine.get_turn(b["convId"], int(b["turnIdx"]))
         )}
 
+    def _m_layout(self, b):
+        """Hierarchical browse — the reference devserver's listDirectory
+        RPC (SourceDb.java:23-25 feeding polaris-web's tree view). Body:
+        {path: ["src1", ...], levels: ["source","lang"]?}; children are
+        'dir' rows with subtree doc counts until the levels are exhausted,
+        then 'doc' rows."""
+        path = tuple(b.get("path", ()))
+        levels = tuple(b["levels"]) if b.get("levels") else None
+        return {"children": _rows(self.engine.browse(path, levels))}
+
+    def _m_docTerms(self, b):
+        """Forward term listing (findUsagesInFile analog): (term, tf, df)
+        for one doc_id; needs a store_text index."""
+        return {"terms": _rows(self.engine.doc_terms(int(b["docId"])))}
+
     def _m_suggest(self, b):
         return {"suggestions": self.engine.suggest(
             b["term"], int(b.get("n", 5)), int(b.get("maxEdits", 2))

@@ -68,3 +68,61 @@ def test_attrs_survive_append(spark, tmp_path_factory):
     assert eng.list_by_attr("role", "user").count() == int(
         (pdf["role"] == "user").sum()
     )
+
+
+def test_browse_levels_and_leaf(attr_engine):
+    """listDirectory analog: root lists 'dir' children with subtree doc
+    counts, the leaf level lists the docs themselves."""
+    eng, pdf = attr_engine
+    root = eng.browse((), levels=("role",)).collect()
+    assert {r["kind"] for r in root} == {"dir"}
+    got = {r["child"]: r["n_docs"] for r in root}
+    assert got == {k: int(v) for k, v in pdf.groupby("role").size().items()}
+    assert [r["child"] for r in root] == sorted(got)  # listing sort
+
+    leaf = eng.browse(("user",), levels=("role",)).collect()
+    assert len(leaf) == int((pdf["role"] == "user").sum())
+    assert {r["kind"] for r in leaf} == {"doc"}
+    assert all(r["n_docs"] == 1 for r in leaf)
+
+    two = eng.browse(("user",), levels=("role", "tool")).collect()
+    want = pdf[pdf["role"] == "user"].groupby("tool").size()
+    assert {r["child"]: r["n_docs"] for r in two} \
+        == {str(k): int(v) for k, v in want.items()}
+
+    with pytest.raises(ValueError, match="deeper"):
+        eng.browse(("user", "x"), levels=("role",))
+    with pytest.raises(ValueError, match="not stored"):
+        eng.browse(("user",), levels=("role", "nope"))
+
+
+def test_doc_terms_forward_listing(spark, tmp_path_factory):
+    """findUsagesInFile analog over a store_text index: tf from the index
+    tokenizer on the stored text, df cross-checked against a full corpus
+    recomputation; unknown id -> empty frame, no stored text -> error."""
+    from collections import Counter
+
+    from polaris_spark.tokenizer import tokenize
+
+    d = str(tmp_path_factory.mktemp("dt_idx"))
+    pdf = make_transcripts(n_turns=300, seed=13)
+    docs = spark.createDataFrame(pdf)
+    build_index(spark, docs, d,
+                cfg=IndexConfig(n_buckets=8, n_shards=2, n_chunks=2,
+                                store_text=True))
+    eng = SearchEngine(spark, d)
+    dm = spark.read.parquet(f"{d}/doc_map").orderBy("doc_id").limit(1).collect()[0]
+    got = {r["term"]: (r["tf"], r["df"])
+           for r in eng.doc_terms(dm["doc_id"]).collect()}
+    want_tf = Counter(tokenize(dm["text"]))
+    corpus_toks = [set(tokenize(t)) for t in pdf["text"]]
+    assert {t: n for t, (n, _d) in got.items()} == dict(want_tf)
+    for t, (_n, df) in got.items():
+        assert df == sum(t in s for s in corpus_toks), t
+    assert eng.doc_terms(-12345).count() == 0
+
+    d2 = str(tmp_path_factory.mktemp("dt_idx2"))
+    build_index(spark, docs, d2,
+                cfg=IndexConfig(n_buckets=8, n_shards=2, n_chunks=2))
+    with pytest.raises(ValueError, match="store_text"):
+        SearchEngine(spark, d2).doc_terms(0)

@@ -182,3 +182,24 @@ def test_explain_and_mlt_endpoints(spark, daemon):
     assert [(h["doc_id"], round(h["score"], 9)) for h in hits] == \
            [(h["doc_id"], round(h["score"], 9)) for h in want]
     assert src not in {h["doc_id"] for h in hits}
+
+
+def test_layout_and_docterms_endpoints(spark, daemon):
+    """listDirectory + findUsagesInFile analogs over the daemon: /api/layout
+    children match the corpus role counts, /api/docTerms re-analyzes the
+    stored text (store_text index) with the index tokenizer."""
+    from collections import Counter
+
+    from polaris_spark.tokenizer import tokenize
+
+    base, d, pdf = daemon
+    out = _post(base, "layout", {"levels": ["role", "tool"]})
+    got = {c["child"]: c["n_docs"] for c in out["children"]}
+    assert got == {k: int(v) for k, v in pdf.groupby("role").size().items()}
+    assert {c["kind"] for c in out["children"]} == {"dir"}
+
+    dm = spark.read.parquet(f"{d}/doc_map").orderBy("doc_id").limit(1).collect()[0]
+    out = _post(base, "docTerms", {"docId": dm["doc_id"]})
+    assert {t["term"]: t["tf"] for t in out["terms"]} \
+        == dict(Counter(tokenize(dm["text"])))
+    assert all(t["df"] >= 1 for t in out["terms"])
