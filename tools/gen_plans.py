@@ -327,6 +327,16 @@ def main() -> None:
         cap(chunk_windows(docs, size=32, stride=24)),
     ))
 
+    SECTIONS.append((
+        "hierarchical browse (pushed level filters + partial-agg counts)",
+        "listDirectory analog: the fixed path levels are equality filters "
+        "pushed into the doc_map parquet scan (PushedFilters below), and "
+        "the child listing partial-aggregates to ≤ |distinct child values| "
+        "rows per task before the reduce exchange — listing cost never "
+        "exceeds the pruned scan.",
+        cap(eng.browse(("src1",), levels=("source", "lang"))),
+    ))
+
     emb_df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     SECTIONS.append((
         "SemDeDup within-cluster pair join (centroid-keyed, no cartesian)",
