@@ -727,6 +727,25 @@ def _q_fingerprint(spark, sf_dir):
     return _docs(spark, sf_dir).select("doc_id", fingerprint_col(F.col("text")).alias("fp"))
 
 
+def _q_strip_spans(spark, sf_dir):
+    """ExactSubstr removal (Lee et al. 2022 transform half): the
+    duplicated-span set CUT out of each doc — (doc_id, clean_text,
+    n_tokens, n_cut), one row per input doc."""
+    from polaris_spark.ops.dedup import strip_dup_spans
+
+    return strip_dup_spans(_docs(spark, sf_dir), n=8, min_docs=2)
+
+
+def _q_dsir(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    bucket distributions, target = the corpus's lang='en' slice, raw =
+    the whole corpus; logw_e6 per doc."""
+    from polaris_spark.ops.text import dsir_logweights
+
+    docs = _docs(spark, sf_dir)
+    return dsir_logweights(docs, docs.where("lang = 'en'"))
+
+
 def _q_dup_spans(spark, sf_dir):
     """Substring-level dedup (Lee et al. 2022 shape): maximal duplicated
     token spans — runs of ≥ n tokens shared by ≥ 2 docs — as the rows a
@@ -908,6 +927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": _q_semdedup,
         "jaccard_pairs": _q_jaccard,
         "dup_spans": _q_dup_spans,
+        "strip_dup_spans": _q_strip_spans,
+        "dsir_weights": _q_dsir,
         "decontaminate": _q_decontam,
         "simhash16": _q_simhash,
         "ann_cosine_top10": _q_cosine_top10,
@@ -973,6 +994,7 @@ def oracle_sql() -> dict[str, str]:
         duckdb_decontaminate_sql,
         duckdb_dup_clusters_sql,
         duckdb_dup_spans_sql,
+        duckdb_strip_spans_sql,
         duckdb_minhash_sql,
         duckdb_shingles,
     )
@@ -982,6 +1004,7 @@ def oracle_sql() -> dict[str, str]:
                                               duckdb_quantize_sql)
     from polaris_spark.ops.text import (
         duckdb_chunks_sql,
+        duckdb_dsir_sql,
         duckdb_fingerprint_sql,
         duckdb_gopher_sql,
         duckdb_langid_sql,
@@ -1147,6 +1170,10 @@ FROM tf JOIN dft USING (term) WHERE tf.doc_id = {DOC_TERMS_ID}""",
             f"WHERE NOT ({DELETE_PRED})"
         ),
         "lm_score": duckdb_lm_sql(),
+        "strip_dup_spans": duckdb_strip_spans_sql(
+            "documents", "doc_id", "text", n=8, min_docs=2),
+        "dsir_weights": duckdb_dsir_sql(
+            "documents", "doc_id", "text", target_where="lang = 'en'"),
         "quality_score": f"SELECT doc_id, {duckdb_quality_sql('text')} FROM documents",
         "quality_percentile": duckdb_quality_percentile_sql(
             "documents", keep_frac=0.3),

@@ -315,6 +315,17 @@ def run_suite(cpus: int, sf_dir: str, n_turns: int) -> dict:
     semantic_dedup(emb, n_centroids=8, threshold=0.45).count()
     times["semdedup_cluster8"] = round(time.time() - t0, 3)
 
+    from polaris_spark.ops.dedup import strip_dup_spans
+    from polaris_spark.ops.text import dsir_logweights
+
+    t0 = time.time()
+    strip_dup_spans(docs, n=8, min_docs=2, hash_shingles=True).count()
+    times["strip_spans_scan"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    dsir_logweights(docs, docs.where("lang = 'en'")).count()
+    times["dsir_weights_scan"] = round(time.time() - t0, 3)
+
     spark.stop()
     return {"times": times, **extras}
 

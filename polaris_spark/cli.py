@@ -283,6 +283,41 @@ def main(argv: list[str] | None = None) -> int:
                     help="rounded-cosine near-duplicate threshold")
     sd.add_argument("--seed", type=int, default=42)
 
+    ss = sub.add_parser("strip-spans", help="ExactSubstr removal (Lee et "
+                        "al. 2022 transform): cut every duplicated "
+                        ">=n-token span out of the text (no surviving "
+                        "copy — see ops/dedup.strip_dup_spans)")
+    ss.add_argument("--input", required=True, help="documents parquet")
+    ss.add_argument("--output", required=True,
+                    help="output parquet (doc_id, clean_text, n_tokens, "
+                         "n_cut)")
+    ss.add_argument("--text-col", default="text")
+    ss.add_argument("--doc-id-col", default="doc_id")
+    ss.add_argument("--span-ngram", type=int, default=8)
+    ss.add_argument("--span-min-docs", type=int, default=2)
+    ss.add_argument("--hash-shingles", action="store_true",
+                    help="xxhash64 gram keys (the 100TB shuffle-width "
+                         "setting; identical output modulo 2^-64 "
+                         "collisions)")
+
+    ds = sub.add_parser("dsir", help="DSIR importance weights (Xie et al. "
+                        "2023): hashed unigram+bigram bucket "
+                        "distributions, log importance weight per raw "
+                        "doc vs a target corpus")
+    ds.add_argument("--input", required=True, help="raw documents parquet")
+    ds.add_argument("--target", required=True,
+                    help="target-domain documents parquet")
+    ds.add_argument("--output", required=True,
+                    help="weights parquet (doc_id, n_feats, logw_e6"
+                         " [, kept])")
+    ds.add_argument("--text-col", default="text")
+    ds.add_argument("--doc-id-col", default="doc_id")
+    ds.add_argument("--buckets", type=int, default=10000)
+    ds.add_argument("--keep-frac", type=float, default=None,
+                    help="also select the top fraction by weight "
+                         "(the paper's resampling step, deterministic "
+                         "top-weight variant)")
+
     mx = sub.add_parser("mix", help="data-mixing: deterministic stratified "
                         "sample → per-source token budget → context-window "
                         "packing (any stage optional)")
@@ -568,6 +603,53 @@ def main(argv: list[str] | None = None) -> int:
                spark.read.parquet(args.output)
                .groupBy("reason").agg(F.count("*").alias("n")).collect()}
         print(json.dumps({"output": args.output, "by_reason": out}))
+    elif args.cmd == "strip-spans":
+        from pyspark.sql import functions as F
+
+        from polaris_spark.ops.dedup import strip_dup_spans
+
+        spark = _session("polaris_spark_strip_spans")
+        docs = spark.read.parquet(args.input)
+        out = strip_dup_spans(docs, text_col=args.text_col,
+                              id_col=args.doc_id_col,
+                              n=args.span_ngram,
+                              min_docs=args.span_min_docs,
+                              hash_shingles=args.hash_shingles)
+        out.write.mode("overwrite").parquet(args.output)
+        led = spark.read.parquet(args.output)
+        agg = led.agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("n_cut") > 0).cast("long")).alias("nd"),
+            F.sum("n_cut").alias("nt")).collect()[0]
+        print(json.dumps({"output": args.output, "n_docs": agg["n"],
+                          "n_docs_cut": int(agg["nd"] or 0),
+                          "n_tokens_cut": int(agg["nt"] or 0)}))
+    elif args.cmd == "dsir":
+        from pyspark.sql import functions as F
+
+        from polaris_spark.ops.text import (dsir_logweights,
+                                            quality_percentile_filter)
+
+        spark = _session("polaris_spark_dsir")
+        raw = spark.read.parquet(args.input)
+        target = spark.read.parquet(args.target)
+        w = dsir_logweights(raw, target, text_col=args.text_col,
+                            id_col=args.doc_id_col, buckets=args.buckets)
+        res = {"output": args.output}
+        if args.keep_frac is not None:
+            led = quality_percentile_filter(
+                w.withColumn("all", F.lit("all")),
+                keep_frac=args.keep_frac, by="all", score_col="logw_e6",
+            ).select("doc_id", "kept")
+            w = w.join(led, "doc_id")
+        w.write.mode("overwrite").parquet(args.output)
+        w = spark.read.parquet(args.output)
+        agg = w.agg(F.count("*").alias("n"),
+                    F.avg("logw_e6").alias("m")).collect()[0]
+        res.update(n_docs=agg["n"], mean_logw_e6=round(agg["m"], 1))
+        if args.keep_frac is not None:
+            res["n_kept"] = w.where(F.col("kept") == 1).count()
+        print(json.dumps(res))
     elif args.cmd == "mix":
         from polaris_spark.ops.mixing import (pack_sequences,
                                               stratified_sample,

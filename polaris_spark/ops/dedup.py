@@ -501,6 +501,98 @@ FROM i GROUP BY doc_id, island
 """
 
 
+def strip_dup_spans(docs, text_col="text", id_col="doc_id",
+                    n: int = 8, min_docs: int = 2,
+                    hash_shingles: bool = False):
+    """ExactSubstr REMOVAL (the transform half of Lee et al. 2022's
+    suffix-array dedup): cut every maximal duplicated token span
+    (:func:`duplicated_spans`, same n/min_docs spec) out of the text,
+    keeping the rest of the document.
+
+    Policy deviation, documented: Lee et al. leave ONE surviving copy of
+    each duplicated substring; here NO copy survives. Electing a survivor
+    is a global per-substring decision (it serializes an otherwise
+    per-doc-parallel cut and turns the span set into a coordination
+    problem); the difference is one copy per duplicated substring —
+    negligible mass at corpus scale — and cut-everywhere composes as a
+    pure per-doc transform. Returns one row per input doc:
+    (doc_id, clean_text, n_tokens, n_cut) where clean_text is the kept
+    tokens re-joined with single spaces (token-normalized output —
+    byte-faithful reconstruction would need char offsets) and n_cut the
+    tokens removed (0 for untouched docs).
+
+    Scale shape: :func:`duplicated_spans`' one shingle-keyed shuffle +
+    per-doc window, then a doc-keyed left join of the per-doc span list
+    (collect_list is bounded: ≤ len/n merged spans per doc) and a
+    whole-stage-codegen positional token filter — no Python kernels."""
+    from pyspark.sql import functions as F
+
+    spans = (
+        duplicated_spans(docs, text_col, id_col, n, min_docs, hash_shingles)
+        .groupBy("doc_id")
+        .agg(F.collect_list(
+            F.struct("span_start", "span_end")).alias("spans"))
+    )
+    toks = _ws_tokens(F.col(text_col))
+    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    j = d.join(spans, "doc_id", "left")
+    idx = F.when(
+        F.size("toks") > 0, F.sequence(F.lit(1), F.size("toks"))
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    pos_tok = F.transform(
+        idx, lambda i: F.struct(i.alias("i"),
+                                F.element_at("toks", i).alias("tok")))
+    kept = F.filter(
+        pos_tok,
+        lambda p: ~F.exists(
+            F.coalesce(
+                F.col("spans"),
+                F.expr("CAST(array() AS "
+                       "array<struct<span_start:int,span_end:int>>)"),
+            ),
+            lambda s: (p["i"] >= s["span_start"]) & (p["i"] <= s["span_end"]),
+        ),
+    )
+    return j.select(
+        "doc_id",
+        F.concat_ws(" ", F.transform(kept, lambda p: p["tok"]))
+        .alias("clean_text"),
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("bigint").alias("n_cut"),
+    )
+
+
+def duckdb_strip_spans_sql(table: str, id_col: str, text_col: str,
+                           n: int = 8, min_docs: int = 2) -> str:
+    """Oracle for :func:`strip_dup_spans` (hash_shingles=False): the
+    :func:`duckdb_dup_spans_sql` span set as a CTE, then the same
+    positional cut + single-space re-join."""
+    toks = f"list_filter(string_split_regex({text_col}, '\\s+'), x -> x != '')"
+    return f"""
+WITH spans AS ({duckdb_dup_spans_sql(table, id_col, text_col, n, min_docs)}),
+dt AS (
+  SELECT {id_col} AS doc_id, {toks} AS toks FROM {table}
+), tok AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         unnest(range(1, len(toks) + 1)) AS pos
+  FROM dt
+), cut AS (
+  SELECT DISTINCT t.doc_id, t.pos
+  FROM tok t JOIN spans s
+    ON t.doc_id = s.doc_id AND t.pos BETWEEN s.span_start AND s.span_end
+), kept AS (
+  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text,
+         count(*)::BIGINT AS n_kept
+  FROM tok t LEFT JOIN cut c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.pos IS NULL GROUP BY t.doc_id
+)
+SELECT d.doc_id, coalesce(k.clean_text, '') AS clean_text,
+       len(d.toks)::BIGINT AS n_tokens,
+       (len(d.toks) - coalesce(k.n_kept, 0))::BIGINT AS n_cut
+FROM dt d LEFT JOIN kept k USING (doc_id)
+"""
+
+
 def duckdb_decontaminate_sql(table: str, id_col: str, text_col: str,
                              bench_where: str, n: int = 13) -> str:
     """Oracle for :func:`decontaminate` with the bench set defined as

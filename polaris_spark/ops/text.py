@@ -591,6 +591,142 @@ FROM {table} d LEFT JOIN scored s ON d.{id_col} = s.doc_id
 """
 
 
+# ---- DSIR importance weights (Xie et al. 2023) ---------------------------
+
+def _dsir_feature_buckets(col, buckets: int):
+    """Hashed word unigram+bigram feature buckets of a text column — the
+    DSIR feature space. Bucket = first 60 bits of md5(gram) mod
+    ``buckets`` (md5 so the DuckDB oracle computes the SAME buckets —
+    the module-wide cross-engine hashing rule)."""
+    from pyspark.sql import functions as F
+
+    t = _ws_tokens_col(F.lower(col))
+    uni = t
+    bi = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1)),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    grams = F.concat(uni, bi)
+    return F.transform(
+        grams,
+        lambda g: (
+            F.conv(F.substring(F.md5(g.cast("binary")), 1, 15), 16, 10)
+            .cast("long") % buckets
+        ),
+    )
+
+
+def dsir_logweights(raw, target, text_col: str = "text",
+                    id_col: str = "doc_id", buckets: int = 10_000):
+    """DSIR importance weights (Xie et al. 2023, *Data Selection for
+    Language Models via Importance Resampling*): score every raw doc by
+    how target-like its hashed-n-gram profile is. Features are word
+    unigrams+bigrams of the lowercased text hashed into ``buckets``
+    (:func:`_dsir_feature_buckets` — the paper's hashed feature space);
+    bucket distributions are add-one-smoothed over the ``target`` and
+    ``raw`` corpora (p_b = (t_b+1)/(T+B), q_b = (r_b+1)/(R+B)); the log
+    importance weight of a doc is Σ over its feature occurrences of
+    ln p_b − ln q_b.
+
+    Returns one row per raw doc: (doc_id, n_feats, logw_e6) with
+    logw_e6 = round(log w · 10⁶) as BIGINT (cross-engine hashable;
+    featureless docs score 0 — weight 1). Resampling = compose with
+    :func:`quality_percentile_filter(score_col='logw_e6')` for the
+    deterministic top-weight selection (the paper's Gumbel-noise
+    variant is one seeded-hash noise column away).
+
+    Scale shape (the :func:`lm_score` pattern): two hash aggregations
+    with sub-linear outputs (≤ ``buckets`` rows each), a bucket-keyed
+    score table small enough to broadcast (≤ ``buckets`` rows), and one
+    partial-aggregated per-doc fold — no windows, no Python."""
+    from pyspark.sql import functions as F
+
+    def feats(df):
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_dsir_feature_buckets(F.col(text_col), buckets))
+            .alias("bucket"),
+        )
+
+    ft = feats(target).groupBy("bucket").agg(F.count("*").alias("t_b"))
+    fr_rows = feats(raw)
+    fr = fr_rows.groupBy("bucket").agg(F.count("*").alias("r_b"))
+    tsum = ft.agg(F.sum("t_b")).collect()[0][0] or 0
+    rsum = fr.agg(F.sum("r_b")).collect()[0][0] or 0
+    lw = fr.join(ft, "bucket", "left").select(
+        "bucket",
+        (
+            F.log((F.coalesce(F.col("t_b"), F.lit(0)) + F.lit(1.0))
+                  / F.lit(float(tsum + buckets)))
+            - F.log((F.col("r_b") + F.lit(1.0))
+                    / F.lit(float(rsum + buckets)))
+        ).alias("lw"),
+    )
+    scored = (
+        fr_rows.join(F.broadcast(lw), "bucket")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_feats"),
+             F.round(F.sum("lw") * 1e6).cast("long").alias("logw_e6"))
+    )
+    return (
+        raw.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_feats", F.lit(0)).cast("bigint").alias("n_feats"),
+            F.coalesce("logw_e6", F.lit(0)).alias("logw_e6"),
+        )
+    )
+
+
+def duckdb_dsir_sql(table: str = "documents", id_col: str = "doc_id",
+                    text_col: str = "text", target_where: str = "lang = 'en'",
+                    buckets: int = 10_000) -> str:
+    """Oracle for :func:`dsir_logweights` with the target corpus defined
+    as ``SELECT ... FROM {table} WHERE {target_where}`` (the gate derives
+    its target slice from the same view): identical feature buckets
+    (md5-based), smoothing and rounding."""
+    toks = duckdb_ws_tokens(f"lower({text_col})")
+    grams = (
+        f"list_concat({toks}, "
+        f"list_transform(range(1, greatest(len({toks}), 1)), "
+        f"i -> {toks}[i] || ' ' || {toks}[i + 1]))"
+    )
+    bucket = "(('0x' || substr(md5(g), 1, 15))::UBIGINT % {b})::BIGINT" \
+        .format(b=buckets)
+    return f"""
+WITH fr AS (
+  SELECT {id_col} AS doc_id, {bucket} AS bucket
+  FROM (SELECT {id_col}, unnest({grams}) AS g FROM {table})
+), ftg AS (
+  SELECT {bucket} AS bucket, count(*)::BIGINT AS t_b
+  FROM (SELECT unnest({grams}) AS g FROM {table} WHERE {target_where})
+  GROUP BY 1
+), frg AS (
+  SELECT bucket, count(*)::BIGINT AS r_b FROM fr GROUP BY 1
+), sums AS (
+  SELECT (SELECT coalesce(sum(t_b), 0) FROM ftg)::DOUBLE AS tsum,
+         (SELECT coalesce(sum(r_b), 0) FROM frg)::DOUBLE AS rsum
+), lw AS (
+  SELECT frg.bucket,
+         ln((coalesce(ftg.t_b, 0) + 1.0) / (s.tsum + {buckets}))
+         - ln((frg.r_b + 1.0) / (s.rsum + {buckets})) AS lw
+  FROM frg LEFT JOIN ftg USING (bucket) CROSS JOIN sums s
+), scored AS (
+  SELECT fr.doc_id, count(*)::BIGINT AS n_feats,
+         CAST(round(sum(lw.lw) * 1e6) AS BIGINT) AS logw_e6
+  FROM fr JOIN lw USING (bucket) GROUP BY fr.doc_id
+)
+SELECT d.{id_col} AS doc_id, coalesce(s.n_feats, 0) AS n_feats,
+       coalesce(s.logw_e6, 0) AS logw_e6
+FROM {table} d LEFT JOIN scored s ON d.{id_col} = s.doc_id
+"""
+
+
 # ---- Gopher rule filter (Rae et al. 2021, Table A1 quality rules) --------
 
 # The 8 "required word" function words of the Gopher rule set; a doc must

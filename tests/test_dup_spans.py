@@ -77,3 +77,38 @@ def test_duckdb_oracle_parity(spark, docs_df):
                                  n=n, min_docs=md)).fetchall()))
         got = _rows(duplicated_spans(docs_df, n=n, min_docs=md))
         assert got == want, (n, md, got, want)
+
+
+def test_strip_dup_spans_cut_and_passthrough(spark, docs_df):
+    """ExactSubstr removal: duplicated spans cut token-wise (NO surviving
+    copy — documented deviation from Lee et al.'s keep-one), untouched
+    docs pass through token-normalized, every input doc yields one row."""
+    from polaris_spark.ops.dedup import strip_dup_spans
+
+    got = {r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_cut"])
+           for r in strip_dup_spans(docs_df, n=4, min_docs=2).collect()}
+    assert set(got) == {d for d, _t in DOCS}
+    # docs 1/6: entire text is one duplicated span -> fully cut
+    assert got[1] == ("", 12, 12) and got[6] == ("", 12, 12)
+    # doc 2: span 2..9 cut, tokens 1 and 10..12 survive
+    assert got[2] == ("q0 q1 q2 q3", 12, 8)
+    # doc 3: span 3..8 cut
+    assert got[3] == ("r0 r1 r2 r3 r4 r5", 12, 6)
+    # doc 4 untouched; doc 5 shorter than n -> untouched
+    assert got[4] == (DOCS[3][1], 12, 0)
+    assert got[5] == ("a b c", 3, 0)
+
+
+def test_strip_dup_spans_oracle_parity(spark, docs_df):
+    from polaris_spark.ops.dedup import (duckdb_strip_spans_sql,
+                                         strip_dup_spans)
+
+    got = sorted(tuple(r) for r in
+                 strip_dup_spans(docs_df, n=4, min_docs=2).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fixture (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO fixture VALUES (?, ?)", DOCS)
+    want = sorted(tuple(r) for r in con.execute(
+        duckdb_strip_spans_sql("fixture", "doc_id", "text",
+                               n=4, min_docs=2)).fetchall())
+    assert got == want
