@@ -746,6 +746,16 @@ def _q_dsir(spark, sf_dir):
     return dsir_logweights(docs, docs.where("lang = 'en'"))
 
 
+def _q_dsir_gumbel(spark, sf_dir):
+    """DSIR resampling proper: Gumbel-top-k over the importance weights
+    (md5-derived noise — deterministic, oracle-mirrorable); k=100, T=1."""
+    from polaris_spark.ops.text import dsir_gumbel_select, dsir_logweights
+
+    docs = _docs(spark, sf_dir)
+    w = dsir_logweights(docs, docs.where("lang = 'en'"))
+    return dsir_gumbel_select(w, k=100, temperature=1.0, seed=42)
+
+
 def _q_dup_spans(spark, sf_dir):
     """Substring-level dedup (Lee et al. 2022 shape): maximal duplicated
     token spans — runs of ≥ n tokens shared by ≥ 2 docs — as the rows a
@@ -929,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": _q_dup_spans,
         "strip_dup_spans": _q_strip_spans,
         "dsir_weights": _q_dsir,
+        "dsir_gumbel": _q_dsir_gumbel,
         "decontaminate": _q_decontam,
         "simhash16": _q_simhash,
         "ann_cosine_top10": _q_cosine_top10,
@@ -1004,6 +1015,7 @@ def oracle_sql() -> dict[str, str]:
                                               duckdb_quantize_sql)
     from polaris_spark.ops.text import (
         duckdb_chunks_sql,
+        duckdb_dsir_gumbel_sql,
         duckdb_dsir_sql,
         duckdb_fingerprint_sql,
         duckdb_gopher_sql,
@@ -1174,6 +1186,9 @@ FROM tf JOIN dft USING (term) WHERE tf.doc_id = {DOC_TERMS_ID}""",
             "documents", "doc_id", "text", n=8, min_docs=2),
         "dsir_weights": duckdb_dsir_sql(
             "documents", "doc_id", "text", target_where="lang = 'en'"),
+        "dsir_gumbel": duckdb_dsir_gumbel_sql(
+            "documents", "doc_id", "text", target_where="lang = 'en'",
+            k=100, temperature=1.0, seed=42),
         "quality_score": f"SELECT doc_id, {duckdb_quality_sql('text')} FROM documents",
         "quality_percentile": duckdb_quality_percentile_sql(
             "documents", keep_frac=0.3),

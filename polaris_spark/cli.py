@@ -252,6 +252,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="also annotate the Gopher rule columns + pass "
                          "flag (Rae et al. 2021 Table A1)")
     sc.add_argument("--gopher-min-words", type=int, default=50)
+    sc.add_argument("--c4", action="store_true",
+                    help="also annotate the C4 cleanup columns (Raffel "
+                         "et al. 2020 §2.2: line filter -> c4_clean_text "
+                         "+ page-rule flags)")
+    sc.add_argument("--c4-bad-words", default="",
+                    help="comma-separated blocklist for the C4 bad-word "
+                         "rule (default empty)")
 
     ch = sub.add_parser("chunk", help="context-window chunking: split each "
                         "doc's whitespace tokens into fixed-size windows "
@@ -317,6 +324,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="also select the top fraction by weight "
                          "(the paper's resampling step, deterministic "
                          "top-weight variant)")
+    ds.add_argument("--gumbel-k", type=int, default=None,
+                    help="instead select k docs by Gumbel-top-k (the "
+                         "paper's sampling-without-replacement step; "
+                         "md5-derived noise — deterministic per seed)")
+    ds.add_argument("--temperature", type=float, default=1.0)
+    ds.add_argument("--seed", type=int, default=42)
 
     mx = sub.add_parser("mix", help="data-mixing: deterministic stratified "
                         "sample → per-source token budget → context-window "
@@ -636,7 +649,13 @@ def main(argv: list[str] | None = None) -> int:
         w = dsir_logweights(raw, target, text_col=args.text_col,
                             id_col=args.doc_id_col, buckets=args.buckets)
         res = {"output": args.output}
-        if args.keep_frac is not None:
+        if args.gumbel_k is not None:
+            from polaris_spark.ops.text import dsir_gumbel_select
+
+            w = dsir_gumbel_select(w, k=args.gumbel_k,
+                                   temperature=args.temperature,
+                                   seed=args.seed)
+        elif args.keep_frac is not None:
             led = quality_percentile_filter(
                 w.withColumn("all", F.lit("all")),
                 keep_frac=args.keep_frac, by="all", score_col="logw_e6",
@@ -647,7 +666,7 @@ def main(argv: list[str] | None = None) -> int:
         agg = w.agg(F.count("*").alias("n"),
                     F.avg("logw_e6").alias("m")).collect()[0]
         res.update(n_docs=agg["n"], mean_logw_e6=round(agg["m"], 1))
-        if args.keep_frac is not None:
+        if "kept" in w.columns:
             res["n_kept"] = w.where(F.col("kept") == 1).count()
         print(json.dumps(res))
     elif args.cmd == "mix":
@@ -717,7 +736,7 @@ def main(argv: list[str] | None = None) -> int:
         from pyspark.sql import functions as F
 
         from polaris_spark.ops.dedup import duplicated_spans
-        from polaris_spark.ops.text import (gopher_cols, pii_cols,
+        from polaris_spark.ops.text import (c4_cols, gopher_cols, pii_cols,
                                             quality_cols, repetition_cols,
                                             token_count_cols)
 
@@ -727,6 +746,9 @@ def main(argv: list[str] | None = None) -> int:
         *pii_counts, redacted = pii_cols(t)
         extra = (gopher_cols(t, min_words=args.gopher_min_words)
                  if args.gopher else ())
+        if args.c4:
+            bw = tuple(w for w in args.c4_bad_words.split(",") if w)
+            extra = (*extra, *c4_cols(t, bad_words=bw))
         ann = docs.select(
             *[c for c in docs.columns if c != args.text_col],
             redacted.alias(args.text_col),

@@ -591,6 +591,117 @@ FROM {table} d LEFT JOIN scored s ON d.{id_col} = s.doc_id
 """
 
 
+# ---- C4 heuristic cleanup (Raffel et al. 2020 §2.2) ----------------------
+
+C4_TERMINAL = (".", "!", "?", '"')
+
+
+def c4_cols(text_col, min_line_words: int = 5, min_sentences: int = 3,
+            bad_words: tuple = ()):
+    """C4 cleanup rules (Raffel et al. 2020, *Exploring the Limits of
+    Transfer Learning...*, §2.2) as pure column expressions — the
+    line-level filter plus the page-level discards:
+
+    - keep only lines that (a) end in terminal punctuation (``. ! ? "``
+      after rtrim), (b) have ≥ ``min_line_words`` words, and (c) do not
+      contain the word 'javascript' (case-insensitive) — returned
+      re-joined as ``c4_clean_text``
+    - ``c4_n_lines_kept``  lines surviving the filter
+    - ``c4_n_sentences``   terminal-punctuation count of the kept text
+      (the paper's ≥3-sentence page rule, approximated the standard way)
+    - ``c4_has_lorem``     page contains 'lorem ipsum' (1/0)
+    - ``c4_has_brace``     page contains '{' (the code discard) (1/0)
+    - ``c4_bad_word_hits`` occurrences of ``bad_words`` entries as words
+      (the paper uses a public blocklist; parameterized here, default
+      empty — supply your deployment's list)
+    - ``c4_pass``          1 iff sentences ≥ ``min_sentences`` and no
+      lorem/brace/bad-word discard fired
+
+    The paper's remaining rule — three-sentence-span dedup across the
+    corpus — is :func:`..ops.dedup.strip_dup_spans` composed after this
+    filter. Everything here is a narrow whole-stage-codegen map (line
+    split, lambda filter, re-join): zero shuffle at any scale."""
+    from pyspark.sql import functions as F
+
+    lines = F.split(text_col, "\n")
+    rt = lambda ln: F.rtrim(ln)  # noqa: E731
+    ends_ok = lambda ln: F.array_contains(  # noqa: E731
+        F.array(*[F.lit(c) for c in C4_TERMINAL]),
+        F.substring(rt(ln), -1, 1))
+    nwords = lambda ln: F.size(F.filter(  # noqa: E731
+        F.split(rt(ln), r"\s+"), lambda w: w != ""))
+    keep = F.filter(
+        lines,
+        lambda ln: ends_ok(ln) & (nwords(ln) >= min_line_words)
+        & ~F.lower(ln).contains("javascript"),
+    )
+    clean = F.concat_ws("\n", keep)
+    n_sent = (
+        F.length(clean)
+        - F.length(F.regexp_replace(clean, r"[.!?]", ""))
+    ).cast("bigint")
+    low = F.lower(text_col)
+    bad_hits = F.lit(0).cast("bigint")
+    if bad_words:
+        ws = F.filter(F.split(low, r"\s+"), lambda w: w != "")
+        bad_hits = F.size(
+            F.filter(ws, lambda w: w.isin(*[b.lower() for b in bad_words]))
+        ).cast("bigint")
+    has_lorem = low.contains("lorem ipsum").cast("int")
+    has_brace = text_col.contains("{").cast("int")
+    c4_pass = (
+        (n_sent >= min_sentences) & (has_lorem == 0) & (has_brace == 0)
+        & (bad_hits == 0)
+    ).cast("int")
+    return (
+        clean.alias("c4_clean_text"),
+        F.size(keep).cast("bigint").alias("c4_n_lines_kept"),
+        n_sent.alias("c4_n_sentences"),
+        has_lorem.alias("c4_has_lorem"),
+        has_brace.alias("c4_has_brace"),
+        bad_hits.alias("c4_bad_word_hits"),
+        c4_pass.alias("c4_pass"),
+    )
+
+
+def duckdb_c4_sql(text_col: str = "text", min_line_words: int = 5,
+                  min_sentences: int = 3, bad_words: tuple = ()) -> str:
+    """DuckDB mirror of :func:`c4_cols` (same rules, same names) — a
+    column-list fragment for a SELECT over the same table."""
+    term = "['.', '!', '?', '\"']"
+    keep = (
+        f"list_filter(string_split({text_col}, chr(10)), ln -> "
+        f"list_contains({term}, substr(rtrim(ln), length(rtrim(ln)), 1)) "
+        f"AND len(list_filter(string_split_regex(rtrim(ln), '\\s+'), "
+        f"w -> w != '')) >= {min_line_words} "
+        f"AND NOT contains(lower(ln), 'javascript'))"
+    )
+    # coalesce: DuckDB's array_to_string over an empty list is NULL,
+    # Spark's concat_ws is ''
+    clean = f"coalesce(array_to_string({keep}, chr(10)), '')"
+    n_sent = (f"(length({clean}) - length(regexp_replace({clean}, "
+              f"'[.!?]', '', 'g')))::BIGINT")
+    if bad_words:
+        bl = "[" + ", ".join(f"'{b.lower()}'" for b in bad_words) + "]"
+        bad = (f"len(list_filter(list_filter(string_split_regex("
+               f"lower({text_col}), '\\s+'), w -> w != ''), "
+               f"w -> list_contains({bl}, w)))::BIGINT")
+    else:
+        bad = "0::BIGINT"
+    lorem = f"contains(lower({text_col}), 'lorem ipsum')::INT"
+    brace = f"contains({text_col}, '{{')::INT"
+    return (
+        f"{clean} AS c4_clean_text, "
+        f"len({keep})::BIGINT AS c4_n_lines_kept, "
+        f"{n_sent} AS c4_n_sentences, "
+        f"{lorem} AS c4_has_lorem, "
+        f"{brace} AS c4_has_brace, "
+        f"{bad} AS c4_bad_word_hits, "
+        f"({n_sent} >= {min_sentences} AND {lorem} = 0 AND {brace} = 0 "
+        f"AND {bad} = 0)::INT AS c4_pass"
+    )
+
+
 # ---- DSIR importance weights (Xie et al. 2023) ---------------------------
 
 def _dsir_feature_buckets(col, buckets: int):
@@ -681,6 +792,83 @@ def dsir_logweights(raw, target, text_col: str = "text",
             F.coalesce("logw_e6", F.lit(0)).alias("logw_e6"),
         )
     )
+
+
+_GUMBEL_M = 1 << 52  # md5-derived uniform resolution for the Gumbel trick
+
+
+def dsir_gumbel_select(weights, k: int = 100, temperature: float = 1.0,
+                       seed: int = 42):
+    """The DSIR resampling step proper (Xie et al. 2023 §2: draw k docs
+    without replacement with probability ∝ w^(1/T)) via the Gumbel-top-k
+    trick: key_i = log w_i / T + g_i with g_i standard Gumbel noise; the
+    k largest keys are exactly a weighted sample without replacement.
+
+    The noise is DERIVED, not random: u = (md5(seed ':' doc_id)'s first
+    52 bits + 1) / (2^52 + 1) ∈ (0, 1), g = −ln(−ln u) — so the same
+    (seed, corpus) always selects the same k docs (retry-safe on a
+    cluster, mirrorable by the DuckDB oracle; the module-wide
+    cross-engine hashing rule). Input is a :func:`dsir_logweights`
+    frame; returns (doc_id, n_feats, logw_e6, gumbel_key_e6, kept).
+
+    Scale: the only non-map work is the global top-k — a
+    TakeOrderedAndProject (sort+limit, per-partition heads then one
+    k-row reduce) whose k rows broadcast back as the kept flag. No
+    global window, no single-partition sort."""
+    from pyspark.sql import functions as F
+
+    M = _GUMBEL_M
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(seed)),
+                              F.col("doc_id").cast("string"))
+                  .cast("binary")),
+            1, 15),
+        16, 10,
+    ).cast("long")
+    u = ((h % M) + 1).cast("double") / float(M + 1)
+    key = (F.col("logw_e6") / 1e6 / float(temperature)
+           - F.log(-F.log(u)))
+    wk = weights.select(
+        "doc_id", "n_feats", "logw_e6",
+        F.round(key * 1e6).cast("long").alias("gumbel_key_e6"),
+        key.alias("_key"),
+    )
+    top = (wk.orderBy(F.desc("_key"), F.asc("doc_id")).limit(int(k))
+           .select("doc_id", F.lit(1).alias("_kept")))
+    return (
+        wk.join(F.broadcast(top), "doc_id", "left")
+        .select("doc_id", "n_feats", "logw_e6", "gumbel_key_e6",
+                F.coalesce("_kept", F.lit(0)).cast("int").alias("kept"))
+    )
+
+
+def duckdb_dsir_gumbel_sql(table: str = "documents", id_col: str = "doc_id",
+                           text_col: str = "text",
+                           target_where: str = "lang = 'en'",
+                           buckets: int = 10_000, k: int = 100,
+                           temperature: float = 1.0,
+                           seed: int = 42) -> str:
+    """Oracle for :func:`dsir_gumbel_select` over
+    :func:`dsir_logweights`: identical md5-derived uniforms, Gumbel keys
+    and top-k cut."""
+    M = _GUMBEL_M
+    u = (f"((('0x' || substr(md5('{seed}:' || doc_id), 1, 15))::UBIGINT "
+         f"% {M} + 1) / {M + 1}.0)")
+    return f"""
+WITH w AS ({duckdb_dsir_sql(table, id_col, text_col, target_where, buckets)}),
+ky AS (
+  SELECT doc_id, n_feats, logw_e6,
+         logw_e6 / 1e6 / {temperature!r} - ln(-ln({u})) AS key
+  FROM w
+), r AS (
+  SELECT *, row_number() OVER (ORDER BY key DESC, doc_id) AS rn FROM ky
+)
+SELECT doc_id, n_feats, logw_e6,
+       CAST(round(key * 1e6) AS BIGINT) AS gumbel_key_e6,
+       (rn <= {k})::INT AS kept
+FROM r
+"""
 
 
 def duckdb_dsir_sql(table: str = "documents", id_col: str = "doc_id",

@@ -93,3 +93,31 @@ def test_resampling_composition(spark, frames):
     scores = {r["doc_id"]: r["logw_e6"] for r in w.collect()}
     cut = set(scores) - kept
     assert min(scores[k] for k in kept) >= max(scores[c] for c in cut)
+
+
+def test_gumbel_select_determinism_and_oracle(spark, frames):
+    """Gumbel-top-k resampling: deterministic (same seed -> same set),
+    exactly k kept, seed changes the set (on a corpus large enough to
+    see it), oracle parity on the sf0.001 corpus."""
+    from polaris_spark.ops.text import (dsir_gumbel_select,
+                                        duckdb_dsir_gumbel_sql)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w = dsir_logweights(docs, docs.where("lang = 'en'"))
+    a = dsir_gumbel_select(w, k=50, seed=1).collect()
+    assert sum(r["kept"] for r in a) == 50
+    b = {r["doc_id"]: r["kept"] for r in
+         dsir_gumbel_select(w, k=50, seed=1).collect()}
+    assert all(b[r["doc_id"]] == r["kept"] for r in a)  # rerun-identical
+    c = {r["doc_id"] for r in dsir_gumbel_select(w, k=50, seed=2).collect()
+         if r["kept"]}
+    assert c != {r["doc_id"] for r in a if r["kept"]}  # seed matters
+
+    got = sorted(tuple(r) for r in
+                 dsir_gumbel_select(w, k=50, seed=1).collect())
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                "'/root/testdata/sf0.001/documents.parquet'")
+    want = sorted(tuple(r) for r in con.execute(duckdb_dsir_gumbel_sql(
+        k=50, seed=1)).fetchall())
+    assert got == want
