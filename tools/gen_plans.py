@@ -347,6 +347,29 @@ def main() -> None:
         cap(semantic_dedup(emb_df, n_centroids=4, threshold=0.45)),
     ))
 
+    from polaris_spark.ops.dedup import strip_dup_spans
+    from polaris_spark.ops.text import dsir_logweights
+
+    SECTIONS.append((
+        "ExactSubstr removal (bounded span join + codegen token filter)",
+        "strip_dup_spans: the dup-span set folds per doc (collect_list "
+        "bounded by len/n merged spans), left-joins back on doc_id, and "
+        "the positional cut is a whole-stage-codegen lambda filter — the "
+        "only exchanges are duplicated_spans' shingle shuffle + the "
+        "doc-keyed join; no Python anywhere.",
+        cap(strip_dup_spans(docs, n=8, min_docs=2)),
+    ))
+
+    SECTIONS.append((
+        "DSIR importance weights (two sub-linear aggs + broadcast score join)",
+        "dsir_logweights: target/raw bucket counts are hash aggregates "
+        "with ≤ `buckets` output rows; the per-bucket score table "
+        "BROADCASTS to the raw feature stream (BroadcastHashJoin below) "
+        "and the per-doc fold partial-aggregates — corpus-proportional "
+        "work is exactly two feature scans + one fold.",
+        cap(dsir_logweights(docs, docs.where("lang = 'en'"))),
+    ))
+
     out = [
         "# PLANS — physical-plan evidence (captured from the live engine)",
         "",
