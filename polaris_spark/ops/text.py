@@ -704,15 +704,22 @@ def duckdb_c4_sql(text_col: str = "text", min_line_words: int = 5,
 
 # ---- DSIR importance weights (Xie et al. 2023) ---------------------------
 
-def _dsir_feature_buckets(col, buckets: int):
-    """Hashed word unigram+bigram feature buckets of a text column — the
-    DSIR feature space. Bucket = first 60 bits of md5(gram) mod
-    ``buckets`` (md5 so the DuckDB oracle computes the SAME buckets —
-    the module-wide cross-engine hashing rule)."""
+def _dsir_features(df, text_col: str, id_col: str, buckets: int):
+    """(doc_id, bucket) feature stream — the DSIR hashed unigram+bigram
+    space. Bucket = first 60 bits of md5(gram) mod ``buckets`` (md5 so
+    the DuckDB oracle computes the SAME buckets — the module-wide
+    cross-engine hashing rule).
+
+    The token array is PROJECTED before the bigram lambda touches it:
+    ``element_at`` over a raw expression re-evaluates the whole regexp
+    split per element (O(len²) splits — measured 4× the scan cost at
+    sf0.1), over a projected column it is one array access. The bucket
+    hash runs on the exploded gram column for the same reason."""
     from pyspark.sql import functions as F
 
-    t = _ws_tokens_col(F.lower(col))
-    uni = t
+    tk = df.select(F.col(id_col).alias("doc_id"),
+                   _ws_tokens_col(F.lower(F.col(text_col))).alias("_t"))
+    t = F.col("_t")
     bi = F.when(
         F.size(t) >= 2,
         F.transform(
@@ -721,13 +728,12 @@ def _dsir_feature_buckets(col, buckets: int):
                 " ", F.element_at(t, i), F.element_at(t, i + 1)),
         ),
     ).otherwise(F.expr("CAST(array() AS array<string>)"))
-    grams = F.concat(uni, bi)
-    return F.transform(
-        grams,
-        lambda g: (
-            F.conv(F.substring(F.md5(g.cast("binary")), 1, 15), 16, 10)
-            .cast("long") % buckets
-        ),
+    return tk.select(
+        "doc_id", F.explode(F.concat(t, bi)).alias("_g")
+    ).select(
+        "doc_id",
+        (F.conv(F.substring(F.md5(F.col("_g").cast("binary")), 1, 15),
+                16, 10).cast("long") % buckets).alias("bucket"),
     )
 
 
@@ -737,7 +743,7 @@ def dsir_logweights(raw, target, text_col: str = "text",
     Language Models via Importance Resampling*): score every raw doc by
     how target-like its hashed-n-gram profile is. Features are word
     unigrams+bigrams of the lowercased text hashed into ``buckets``
-    (:func:`_dsir_feature_buckets` — the paper's hashed feature space);
+    (:func:`_dsir_features` — the paper's hashed feature space);
     bucket distributions are add-one-smoothed over the ``target`` and
     ``raw`` corpora (p_b = (t_b+1)/(T+B), q_b = (r_b+1)/(R+B)); the log
     importance weight of a doc is Σ over its feature occurrences of
@@ -750,35 +756,38 @@ def dsir_logweights(raw, target, text_col: str = "text",
     deterministic top-weight selection (the paper's Gumbel-noise
     variant is one seeded-hash noise column away).
 
-    Scale shape (the :func:`lm_score` pattern): two hash aggregations
-    with sub-linear outputs (≤ ``buckets`` rows each), a bucket-keyed
-    score table small enough to broadcast (≤ ``buckets`` rows), and one
-    partial-aggregated per-doc fold — no windows, no Python."""
+    Scale shape (the :func:`lm_score` pattern, one-pass stats): ONE
+    tagged-union hash aggregation over target+raw features whose output
+    is ≤ 2·``buckets`` rows (sub-linear — collected once to build the
+    per-bucket score table on the driver), the score table broadcast to
+    the raw feature stream, one partial-aggregated per-doc fold — total
+    corpus-proportional work is exactly two raw feature scans + one
+    target scan, no windows, no per-row Python."""
+    import math
+
     from pyspark.sql import functions as F
 
     def feats(df):
-        return df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(_dsir_feature_buckets(F.col(text_col), buckets))
-            .alias("bucket"),
-        )
+        return _dsir_features(df, text_col, id_col, buckets)
 
-    ft = feats(target).groupBy("bucket").agg(F.count("*").alias("t_b"))
-    fr_rows = feats(raw)
-    fr = fr_rows.groupBy("bucket").agg(F.count("*").alias("r_b"))
-    tsum = ft.agg(F.sum("t_b")).collect()[0][0] or 0
-    rsum = fr.agg(F.sum("r_b")).collect()[0][0] or 0
-    lw = fr.join(ft, "bucket", "left").select(
-        "bucket",
-        (
-            F.log((F.coalesce(F.col("t_b"), F.lit(0)) + F.lit(1.0))
-                  / F.lit(float(tsum + buckets)))
-            - F.log((F.col("r_b") + F.lit(1.0))
-                    / F.lit(float(rsum + buckets)))
-        ).alias("lw"),
+    cnt = (
+        feats(target).select("bucket", F.lit(1).alias("is_t"))
+        .unionAll(feats(raw).select("bucket", F.lit(0).alias("is_t")))
+        .groupBy("bucket", "is_t").agg(F.count("*").alias("c"))
+        .collect()  # ≤ 2·buckets rows regardless of corpus size
     )
+    t_b = {r["bucket"]: r["c"] for r in cnt if r["is_t"] == 1}
+    r_b = {r["bucket"]: r["c"] for r in cnt if r["is_t"] == 0}
+    tden = float(sum(t_b.values()) + buckets)
+    rden = float(sum(r_b.values()) + buckets)
+    lw_rows = [
+        (b, math.log((t_b.get(b, 0) + 1.0) / tden)
+            - math.log((c + 1.0) / rden))
+        for b, c in sorted(r_b.items())
+    ]
+    lw = raw.sparkSession.createDataFrame(lw_rows, "bucket long, lw double")
     scored = (
-        fr_rows.join(F.broadcast(lw), "bucket")
+        feats(raw).join(F.broadcast(lw), "bucket")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_feats"),
              F.round(F.sum("lw") * 1e6).cast("long").alias("logw_e6"))
