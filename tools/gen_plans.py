@@ -361,12 +361,13 @@ def main() -> None:
     ))
 
     SECTIONS.append((
-        "DSIR importance weights (two sub-linear aggs + broadcast score join)",
-        "dsir_logweights: target/raw bucket counts are hash aggregates "
-        "with ≤ `buckets` output rows; the per-bucket score table "
+        "DSIR importance weights (one sub-linear stats agg + broadcast score join)",
+        "dsir_logweights: target+raw bucket counts fold in ONE "
+        "tagged-union hash aggregation (≤ 2·buckets output rows, "
+        "collected once); the driver-built per-bucket score table "
         "BROADCASTS to the raw feature stream (BroadcastHashJoin below) "
         "and the per-doc fold partial-aggregates — corpus-proportional "
-        "work is exactly two feature scans + one fold.",
+        "work is exactly two raw feature scans + one target scan.",
         cap(dsir_logweights(docs, docs.where("lang = 'en'"))),
     ))
 
