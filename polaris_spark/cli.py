@@ -289,6 +289,12 @@ def main(argv: list[str] | None = None) -> int:
     sd.add_argument("--threshold", type=float, default=0.9,
                     help="rounded-cosine near-duplicate threshold")
     sd.add_argument("--seed", type=int, default=42)
+    sd.add_argument("--srp-bits", type=int, default=None,
+                    help="hot-cluster dial: additionally key the pair "
+                         "join on an SRP bucket (largest task shrinks "
+                         "from cluster^2 to bucket^2; recall via "
+                         "--srp-tables)")
+    sd.add_argument("--srp-tables", type=int, default=8)
 
     ss = sub.add_parser("strip-spans", help="ExactSubstr removal (Lee et "
                         "al. 2022 transform): cut every duplicated "
@@ -787,7 +793,9 @@ def main(argv: list[str] | None = None) -> int:
         emb = spark.read.parquet(args.input)
         led = semantic_dedup(emb, n_centroids=args.centroids,
                              seed=args.seed, threshold=args.threshold,
-                             vec_col=args.vec_col, id_col=args.id_col)
+                             vec_col=args.vec_col, id_col=args.id_col,
+                             srp_bits=args.srp_bits,
+                             srp_tables=args.srp_tables)
         led.write.mode("overwrite").parquet(args.output)
         led = spark.read.parquet(args.output)
         n_drop = led.where(F.col("keep") == 0).count()

@@ -480,7 +480,9 @@ SELECT vec_id, neighbor_id, cos, rank FROM r WHERE rank <= {k}
 def semantic_dedup(emb, centroids: list[list[float]] | None = None,
                    n_centroids: int = 8, seed: int = 42,
                    threshold: float = 0.9,
-                   vec_col: str = "embedding", id_col: str = "vec_id"):
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   srp_bits: int | None = None, srp_tables: int = 8,
+                   srp_seed: int = 7):
     """SemDeDup ledger (Abbas et al. 2023, *SemDeDup: Data-efficient
     learning at web-scale through semantic deduplication*): cluster the
     embeddings with k-means, then WITHIN each cluster drop every vector
@@ -495,12 +497,21 @@ def semantic_dedup(emb, centroids: list[list[float]] | None = None,
     Scale shape (the paper's own argument): the O(n²) pair join is scoped
     to each cluster — n_centroids clusters of ~n/K vectors cost n²/K pair
     work, and the join key (centroid_id) partitions it evenly when k-means
-    is balanced. For adversarially hot clusters, pre-chunk with
-    :func:`srp_candidate_pairs` inside the cluster (same composition as
-    :func:`knn_join`'s candidates argument). With ``n_centroids=1`` this
-    is exactly the brute-force verifier (the gate setting; the clustered
-    path can only MISS cross-cluster pairs, tested as a subset property).
-    """
+    is balanced. With ``n_centroids=1`` this is exactly the brute-force
+    verifier (the gate setting; the clustered path can only MISS
+    cross-cluster pairs, tested as a subset property).
+
+    ``srp_bits`` is the HOT-CLUSTER dial: when set, the pair join is
+    keyed on (centroid_id, srp table, SRP bucket) instead of the cluster
+    alone — the largest task shrinks from (hot cluster)² to
+    (hot cluster ∩ bucket)², at the cost of additionally missing
+    near-dup pairs whose signatures disagree in every one of the
+    ``srp_tables`` independently-seeded tables (recall
+    1 − (1 − p^srp_bits)^L, p = 1 − θ/π — near-dup thresholds sit at
+    p ≈ 0.9, so a few bits + a few tables lose almost nothing). The
+    min-id keep policy is insensitive to the ≤ L duplicate pair rows the
+    multi-table union produces (min over a multiset), so no distinct is
+    needed. Drop set ⊆ the cluster-only drop set (tested)."""
     from pyspark.sql import functions as F
 
     if centroids is None:
@@ -516,17 +527,42 @@ def semantic_dedup(emb, centroids: list[list[float]] | None = None,
                               F.col(vec_col).alias("embedding"))
     else:
         assigned = assign_centroids(emb, centroids, vec_col, id_col)
-    a = assigned.select(F.col("vec_id").alias("vec_a"), "centroid_id",
-                        F.col("embedding").alias("ea"))
-    b = assigned.select(F.col("vec_id").alias("vec_b"),
-                        F.col("centroid_id").alias("cb"),
-                        F.col("embedding").alias("eb"))
+    if srp_bits:
+        import numpy as np
+
+        dim = len(emb.select(vec_col).first()[0])
+        rng = np.random.default_rng(srp_seed)
+        # all tables' signatures in ONE projection + explode — a per-table
+        # union would re-evaluate the centroid assignment per branch (L×
+        # the work) and L× the codegen
+        sigs = F.array(*[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                srp_signature_col(
+                    F.col("embedding"),
+                    rng.standard_normal((srp_bits, dim))).alias("sbk"),
+            )
+            for t in range(srp_tables)
+        ])
+        keyed = assigned.select(
+            "vec_id", "centroid_id", "embedding",
+            F.explode(sigs).alias("_s"),
+        ).select("vec_id", "centroid_id", "embedding",
+                 F.col("_s.tbl").alias("tbl"), F.col("_s.sbk").alias("sbk"))
+        join_keys = ["centroid_id", "tbl", "sbk"]
+    else:
+        keyed = assigned
+        join_keys = ["centroid_id"]
+    a = keyed.select(F.col("vec_id").alias("vec_a"), *join_keys,
+                     F.col("embedding").alias("ea"))
+    b = keyed.select(F.col("vec_id").alias("vec_b"), *join_keys,
+                     F.col("embedding").alias("eb"))
     cos = F.round(
         _dot(F.col("ea"), F.col("eb"))
         / (_norm(F.col("ea")) * _norm(F.col("eb"))), 6)
     dup = (
-        a.join(b, (F.col("centroid_id") == F.col("cb"))
-               & (F.col("vec_a") > F.col("vec_b")))
+        a.join(b, join_keys)
+        .where(F.col("vec_a") > F.col("vec_b"))
         .where(cos >= threshold)
         .groupBy("vec_a")
         .agg(F.min("vec_b").alias("dup_of"))

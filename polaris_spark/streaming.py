@@ -225,11 +225,13 @@ def stream_scrub(
     available_now: bool = True,
     gopher: bool = False,
     gopher_min_words: int = 50,
+    c4: bool = False,
 ):
     """Streaming training-data scrub: the ZERO-SHUFFLE signal subset of
     the curation pipeline — PII redaction plus quality / repetition /
     token-count columns (optionally the Gopher rule columns + pass flag
-    with ``gopher=True``; all pure column expressions, see
+    with ``gopher=True``, and the C4 clean-text/rule columns with
+    ``c4=True``; all pure column expressions, see
     :mod:`..ops.text`) — as a straight streaming map over a document file
     source, parquet sink in append mode, per-file exactly-once via the
     checkpoint. No aggregation state exists, so this scales exactly like
@@ -243,12 +245,14 @@ def stream_scrub(
     :func:`stream_decontam` streams it per micro-batch."""
     from pyspark.sql import functions as F
 
-    from .ops.text import (gopher_cols, pii_cols, quality_cols,
+    from .ops.text import (c4_cols, gopher_cols, pii_cols, quality_cols,
                            repetition_cols, token_count_cols)
 
     t = F.col(text_col)
     *pii_counts, redacted = pii_cols(t)
     extra = gopher_cols(t, min_words=gopher_min_words) if gopher else ()
+    if c4:
+        extra = (*extra, *c4_cols(t))
     stream = spark.readStream.schema(schema).parquet(input_dir)
     ann = stream.select(
         *[c for c in stream.columns if c != text_col],

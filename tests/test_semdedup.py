@@ -67,3 +67,28 @@ def test_keep_flag_consistent(spark, emb):
         (F.col("keep") == 1) & F.col("dup_of").isNotNull()
         | (F.col("keep") == 0) & F.col("dup_of").isNull()).count()
     assert bad == 0
+
+
+def test_srp_hot_cluster_dial(spark, emb, brute):
+    """srp_bits pre-chunks the pair join: the drop set can only shrink
+    relative to the same clustering without SRP (subset), stays inside
+    the brute-force set, keeps one ledger row per vector, and at a
+    generous table count recovers most of the cluster-only drops."""
+    cents = kmeans_centroids(emb, n_centroids=4, seed=7, sample_n=256)
+    base = {r["vec_id"] for r in
+            semantic_dedup(emb, centroids=cents, threshold=TAU).collect()
+            if r["keep"] == 0}
+    srp = semantic_dedup(emb, centroids=cents, threshold=TAU,
+                         srp_bits=4, srp_tables=8).collect()
+    assert len(srp) == emb.count()
+    dropped = {r["vec_id"] for r in srp if r["keep"] == 0}
+    assert dropped <= base <= set(brute) | base  # subset chain
+    assert dropped <= set(brute)
+    # recall at 8 tables x 4 bits on near-dup cosines: most drops survive
+    assert len(dropped) >= len(base) * 0.5
+    # determinism
+    again = {r["vec_id"] for r in
+             semantic_dedup(emb, centroids=cents, threshold=TAU,
+                            srp_bits=4, srp_tables=8).collect()
+             if r["keep"] == 0}
+    assert again == dropped

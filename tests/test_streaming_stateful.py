@@ -187,3 +187,41 @@ def test_stream_decontam_drop_and_exactly_once(spark, dirs, tmp_path):
     q = stream_decontam(spark, inp, bench, out, ckpt, n=3)
     q.awaitTermination()
     assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {2, 3}
+
+
+def test_stream_scrub_gopher_c4_columns(spark, dirs):
+    """stream_scrub with gopher=True and c4=True: the rule columns ride
+    the same zero-shuffle streaming map and match the batch operators."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.ops.text import c4_cols
+    from polaris_spark.streaming import stream_scrub
+
+    inp, out, ckpt = dirs
+    rows = [(1, "This fine line has six words total.\nno punct line here at all",
+             "en", "s1", 60),
+            (2, "short { code } page", "en", "s1", 19)]
+    cols = "doc_id long, text string, lang string, source string, n_chars long"
+    import glob
+    import shutil
+    import tempfile
+
+    stage = tempfile.mkdtemp()
+    spark.createDataFrame(rows, cols).coalesce(1) \
+        .write.mode("overwrite").parquet(stage)
+    part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(inp, "f1.parquet"))
+    shutil.rmtree(stage, ignore_errors=True)
+
+    _run_stream(stream_scrub, spark, inp, out, ckpt,
+                gopher=True, gopher_min_words=3, c4=True)
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert {"gopher_pass", "c4_clean_text", "c4_pass"} \
+        <= set(spark.read.parquet(out).columns)
+    batch = spark.createDataFrame(rows, cols)
+    exp = {r["doc_id"]: r for r in batch.select(
+        "doc_id", *c4_cols(F.col("text"))).collect()}
+    for i in got:
+        assert got[i]["c4_clean_text"] == exp[i]["c4_clean_text"]
+        assert got[i]["c4_pass"] == exp[i]["c4_pass"]
+    assert got[2]["c4_has_brace"] == 1
