@@ -174,6 +174,17 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("stats", help="print index stats + manifests")
     s.add_argument("--index", required=True)
 
+    tb = sub.add_parser("table", help="dump rows of index-internal parquet "
+                        "tables (tf/postings/dictionary/doc_map/completion/"
+                        "fuzzy_ngrams dirs, or any parquet path) — the "
+                        "reference's `polaris seqfile` intermediate-file "
+                        "dump (cli/command/DumpSequenceFile.java)")
+    tb.add_argument("paths", nargs="+", help="parquet paths to dump")
+    tb.add_argument("-s", "--summary", action="store_true",
+                    help="only print row count + schema per path")
+    tb.add_argument("-n", type=int, default=20,
+                    help="max rows to print per path (non-summary)")
+
     ck = sub.add_parser("check", help="index integrity verification "
                         "(Lucene CheckIndex analog): decode every posting "
                         "blob and verify the aux tables' congruence; "
@@ -874,6 +885,18 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(eng.more_like_this(
             text, k=args.k, max_terms=args.max_terms,
             exclude_doc_id=args.doc)))
+    elif args.cmd == "table":
+        spark = _session("polaris_spark_table")
+        for p in args.paths:
+            df = spark.read.parquet(p)
+            if args.summary:
+                print(json.dumps({"path": p, "rows": df.count(),
+                                  "schema": df.schema.simpleString()}))
+            else:
+                print(json.dumps({"path": p,
+                                  "schema": df.schema.simpleString()}))
+                for line in df.limit(args.n).toJSON().collect():
+                    print(line)
     elif args.cmd == "stats":
         import glob
         import os
