@@ -1172,20 +1172,28 @@ class SearchEngine:
         def resolve_phrase(leaf: bq.Leaf) -> tuple:
             """Phrase leaf → (terms, phrase_spec). A 1-token phrase degrades
             to a TermQuery leaf (Lucene's classic parser does the same); 0
-            tokens → a never-matching leaf. Field-qualified phrases are
-            rejected: positions are text-token only (field terms carry no
-            position stream) — a DOCUMENTED deviation."""
+            tokens → a never-matching leaf.
+
+            Field-qualified phrases (``f:"a b"``, or ``"a b"`` inside a
+            classic field group ``f:(...)``) resolve to the field-prefixed
+            term sequence — the build lays each doc's field tokens on
+            FRESH CONSECUTIVE position slots after the text
+            (index/build.py:163-173), so ``f:a f:b`` adjacency is exactly
+            field-internal phrase adjacency and the one positions kernel
+            serves both. Deviation note: field sub-tokens (camelCase
+            splits) take their own slots rather than Lucene's
+            posInc-0-share-the-parent — a phrase over base tokens is
+            unaffected."""
             fld, body, slop = leaf.payload
-            if fld in fields or (leaf.group_field in fields
-                                 and leaf.group_field is not None):
-                raise ValueError(
-                    "field-qualified phrases are not supported (positions "
-                    "are indexed for text tokens only)"
-                )
-            if fld is not None:
-                body = f"{fld}:{body}"  # unknown qualifier: plain text,
-                # same rule as unknown field: prefixes on chunks
-            seq = tuple(self.phrase_terms(body))
+            if fld is None and leaf.group_field in fields:
+                fld = leaf.group_field
+            if fld in fields:
+                seq = tuple(f"{fld}:{t}" for t in self.phrase_terms(body))
+            else:
+                if fld is not None:
+                    body = f"{fld}:{body}"  # unknown qualifier: plain
+                    # text, same rule as unknown field: prefixes on chunks
+                seq = tuple(self.phrase_terms(body))
             if len(seq) <= 1:
                 return seq, None  # TermQuery degeneration, no positions
             if not self.stats.get("positions"):
