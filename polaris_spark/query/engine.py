@@ -2551,40 +2551,66 @@ class SearchEngine:
         ``findUsagesInFile`` / ``getTypesInFile`` analog (reference
         usagedb/UsageDb.java:30 ``findUsagesInFile`` and
         typedb/TypeDb.java:19 ``getTypesInFile``: everything indexed FROM
-        a given file). The inverted index is term-keyed, so the per-doc
-        listing is served the way :meth:`mlt_select_terms` already works:
-        re-analyze the doc's stored text with the INDEX tokenizer —
-        bit-identical to what the build inverted — and join corpus-wide
-        ``df`` from a ``term IN``-pushed dictionary probe (row-group
-        pruned, never a vocab scan; per-generation delta rows fold).
+        a given file), i.e. Lucene TERM VECTORS served from the index.
 
-        Text comes from doc_map when the index stored it
-        (``store_text=True``), else from the optional ``docs`` frame
-        (doc_id + text — the same escape hatch as
-        :meth:`search_with_payload`). Returns ``(term, tf, df)``
-        term-sorted; empty for an unknown or tombstoned id. Driver cost
-        is one pushed point lookup + one doc's tokens — bounded by
-        document length, exactly like MoreLikeThis."""
+        Serving order:
+        1. the index's ``tf/`` checkpoint when present — it IS a
+           doc-major term-vectors artifact ((doc_id, terms[], tfs[]) per
+           chunk, build.py stage 1): one doc_id-pushed scan (row-group
+           min/max pruning), explode, done. No re-tokenization; lists
+           EVERYTHING indexed for the doc including field tokens.
+        2. stored text (``store_text=True``) or the optional ``docs``
+           frame (the :meth:`search_with_payload` escape hatch):
+           re-analyze with the INDEX tokenizer — bit-identical to what
+           the build inverted (text terms only; compacted+GC'd indexes
+           keep this path).
+        ``df`` joins from a ``term IN``-pushed dictionary probe either
+        way (row-group pruned, never a vocab scan; per-generation delta
+        rows fold). Returns ``(term, tf, df)`` term-sorted; empty for an
+        unknown or tombstoned id. Driver cost is one pushed point lookup
+        + one doc's terms — bounded by document length, like MLT."""
         from collections import Counter
 
         from pyspark.sql import functions as F
 
-        src = docs if docs is not None \
-            else self._live(self.spark.read.parquet(self.doc_map_path))
-        if "text" not in src.columns:
-            raise ValueError(
-                "doc_terms needs stored text: build with store_text=True "
-                "or pass docs=<frame with doc_id + text>")
-        row = (src.where(F.col("doc_id") == int(doc_id))
-               .select("text").collect())
-        tf = (Counter(tokenize(row[0]["text"]))
-              if row and row[0]["text"] is not None else Counter())
-        schema = "term string, tf bigint"
-        tf_df = self.spark.createDataFrame(
-            sorted((t, int(n)) for t, n in tf.items()), schema)
+        empty = self.spark.createDataFrame([], "term string, tf bigint")
+        tf_path = os.path.join(self.index_dir, "tf")
+        dm = self._live(self.spark.read.parquet(self.doc_map_path))
+        alive = dm.where(F.col("doc_id") == int(doc_id))
+        tf_df = None
+        if self.fs.exists(tf_path):
+            if alive.select("doc_id").limit(1).count() == 0:
+                tf_df = empty
+            else:
+                rows = (
+                    self.spark.read.parquet(tf_path)
+                    .where(F.col("doc_id") == int(doc_id))
+                    .select(F.explode(F.arrays_zip("terms", "tfs"))
+                            .alias("p"))
+                    .select(F.col("p.terms").alias("term"),
+                            F.col("p.tfs").cast("bigint").alias("tf"))
+                    .collect()
+                )
+                tf_df = self.spark.createDataFrame(
+                    sorted((r["term"], int(r["tf"])) for r in rows),
+                    "term string, tf bigint")
+        if tf_df is None:
+            src = docs if docs is not None else dm
+            if "text" not in src.columns:
+                raise ValueError(
+                    "doc_terms needs the tf/ checkpoint, stored text "
+                    "(store_text=True) or docs=<frame with doc_id + text>")
+            row = (src.where(F.col("doc_id") == int(doc_id))
+                   .select("text").collect())
+            tf = (Counter(tokenize(row[0]["text"]))
+                  if row and row[0]["text"] is not None else Counter())
+            tf_df = self.spark.createDataFrame(
+                sorted((t, int(n)) for t, n in tf.items()),
+                "term string, tf bigint")
+        terms = [r["term"] for r in tf_df.select("term").collect()]
         probe = (
             self.spark.read.parquet(self.dict_path)
-            .where(F.col("term").isin(sorted(tf)))
+            .where(F.col("term").isin(sorted(terms)))
             .groupBy("term").agg(F.sum("df").alias("df"))
         )
         return (

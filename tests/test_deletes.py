@@ -170,3 +170,14 @@ def test_readd_of_tombstoned_id_rejected_before_compact(spark, deleted_idx):
     with pytest.raises(ValueError, match="already exist"):
         append_index(spark, _mk(spark, [(2, "a", "alpha reborn")]),
                      deleted_idx, doc_id_col="doc_id")
+
+
+def test_doc_terms_hides_tombstones(spark, idx, deleted_idx):
+    """The term-vectors surface (doc_terms) hides tombstoned docs like
+    every other serving surface — tf/ rows still exist on disk, the
+    liveness gate must blank them."""
+    dead = DELETED[0]
+    live_eng = SearchEngine(spark, idx)
+    assert live_eng.doc_terms(dead).count() > 0
+    del_eng = SearchEngine(spark, deleted_idx)
+    assert del_eng.doc_terms(dead).count() == 0

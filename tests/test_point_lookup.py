@@ -97,9 +97,12 @@ def test_browse_levels_and_leaf(attr_engine):
 
 
 def test_doc_terms_forward_listing(spark, tmp_path_factory):
-    """findUsagesInFile analog over a store_text index: tf from the index
-    tokenizer on the stored text, df cross-checked against a full corpus
-    recomputation; unknown id -> empty frame, no stored text -> error."""
+    """findUsagesInFile analog: the tf/ checkpoint serves as the Lucene
+    term-vectors artifact (doc_id-pushed scan), the stored-text
+    re-analysis path (post-GC indexes) must produce the SAME rows, df is
+    cross-checked against a full corpus recomputation; unknown id ->
+    empty frame, no tf + no stored text -> error."""
+    import shutil
     from collections import Counter
 
     from polaris_spark.tokenizer import tokenize
@@ -113,7 +116,7 @@ def test_doc_terms_forward_listing(spark, tmp_path_factory):
     eng = SearchEngine(spark, d)
     dm = spark.read.parquet(f"{d}/doc_map").orderBy("doc_id").limit(1).collect()[0]
     got = {r["term"]: (r["tf"], r["df"])
-           for r in eng.doc_terms(dm["doc_id"]).collect()}
+           for r in eng.doc_terms(dm["doc_id"]).collect()}  # tf/ path
     want_tf = Counter(tokenize(dm["text"]))
     corpus_toks = [set(tokenize(t)) for t in pdf["text"]]
     assert {t: n for t, (n, _d) in got.items()} == dict(want_tf)
@@ -121,8 +124,16 @@ def test_doc_terms_forward_listing(spark, tmp_path_factory):
         assert df == sum(t in s for s in corpus_toks), t
     assert eng.doc_terms(-12345).count() == 0
 
+    # post-GC shape: tf/ gone -> stored-text re-analysis, SAME rows
+    shutil.rmtree(f"{d}/tf")
+    eng2 = SearchEngine(spark, d)
+    got2 = {r["term"]: (r["tf"], r["df"])
+            for r in eng2.doc_terms(dm["doc_id"]).collect()}
+    assert got2 == got
+
     d2 = str(tmp_path_factory.mktemp("dt_idx2"))
     build_index(spark, docs, d2,
                 cfg=IndexConfig(n_buckets=8, n_shards=2, n_chunks=2))
+    shutil.rmtree(f"{d2}/tf")
     with pytest.raises(ValueError, match="store_text"):
         SearchEngine(spark, d2).doc_terms(0)
