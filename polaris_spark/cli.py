@@ -348,6 +348,33 @@ def main(argv: list[str] | None = None) -> int:
     ds.add_argument("--temperature", type=float, default=1.0)
     ds.add_argument("--seed", type=int, default=42)
 
+    pp = sub.add_parser("pipeline", help="END-TO-END training-data "
+                        "curation: curate (decontam/quality/langid/dedup "
+                        "ledger) -> PII scrub -> ExactSubstr span removal "
+                        "-> optional DSIR selection -> context-window "
+                        "chunking, one command, per-stage parquet + "
+                        "counts")
+    pp.add_argument("--input", required=True, help="documents parquet")
+    pp.add_argument("--output", required=True,
+                    help="output DIRECTORY (one parquet per stage)")
+    pp.add_argument("--text-col", default="text")
+    pp.add_argument("--doc-id-col", default="doc_id")
+    pp.add_argument("--min-quality", type=float, default=0.55)
+    pp.add_argument("--langs", default="en")
+    pp.add_argument("--bench", default=None,
+                    help="benchmark parquet for the decontamination stage")
+    pp.add_argument("--gopher", action="store_true",
+                    help="insert the Gopher rule stage into curation")
+    pp.add_argument("--gopher-min-words", type=int, default=50)
+    pp.add_argument("--span-ngram", type=int, default=8)
+    pp.add_argument("--span-min-docs", type=int, default=2)
+    pp.add_argument("--dsir-target", default=None,
+                    help="target-domain parquet: adds DSIR top-weight "
+                         "selection after span removal")
+    pp.add_argument("--dsir-keep-frac", type=float, default=0.5)
+    pp.add_argument("--chunk-size", type=int, default=512)
+    pp.add_argument("--chunk-stride", type=int, default=384)
+
     mx = sub.add_parser("mix", help="data-mixing: deterministic stratified "
                         "sample → per-source token budget → context-window "
                         "packing (any stage optional)")
@@ -686,6 +713,83 @@ def main(argv: list[str] | None = None) -> int:
         if "kept" in w.columns:
             res["n_kept"] = w.where(F.col("kept") == 1).count()
         print(json.dumps(res))
+    elif args.cmd == "pipeline":
+        import os
+
+        from pyspark.sql import functions as F
+
+        from polaris_spark.ops.curate import curate
+        from polaris_spark.ops.dedup import strip_dup_spans
+        from polaris_spark.ops.text import (chunk_windows, dsir_logweights,
+                                            pii_cols,
+                                            quality_percentile_filter)
+
+        spark = _session("polaris_spark_pipeline")
+        out = args.output
+        os.makedirs(out, exist_ok=True)
+        docs = spark.read.parquet(args.input)
+        tcol, icol = args.text_col, args.doc_id_col
+        counts = {"input": docs.count()}
+
+        # 1. curation ledger (decontam -> [gopher] -> quality -> langid ->
+        #    exact dedup -> LSH near-dup CC); survivors continue
+        led = curate(docs, text_col=tcol, id_col=icol,
+                     min_quality=args.min_quality,
+                     langs=tuple(args.langs.split(",")),
+                     bench=(spark.read.parquet(args.bench)
+                            if args.bench else None),
+                     gopher=args.gopher,
+                     gopher_min_words=args.gopher_min_words)
+        led.write.mode("overwrite").parquet(f"{out}/curation_ledger.parquet")
+        led = spark.read.parquet(f"{out}/curation_ledger.parquet")
+        keep = led.where(F.col("keep") == 1).select("doc_id")
+        cur = docs.join(keep, docs[icol] == keep["doc_id"]) \
+                  .drop(keep["doc_id"])
+        counts["after_curate"] = cur.count()
+
+        # 2. PII redaction (text rewritten in place, zero shuffle)
+        *_pii, redacted = pii_cols(F.col(tcol))
+        cur = cur.select(*[c for c in cur.columns if c != tcol],
+                         redacted.alias(tcol))
+
+        # 3. ExactSubstr removal over the SURVIVORS (span stats computed
+        #    on the post-curation corpus, Lee et al. order)
+        stripped = strip_dup_spans(cur, text_col=tcol, id_col=icol,
+                                   n=args.span_ngram,
+                                   min_docs=args.span_min_docs,
+                                   hash_shingles=True)
+        stripped.write.mode("overwrite").parquet(f"{out}/stripped.parquet")
+        stripped = spark.read.parquet(f"{out}/stripped.parquet")
+        counts["tokens_cut"] = int(
+            stripped.agg(F.sum("n_cut")).collect()[0][0] or 0)
+        clean = stripped.select(F.col("doc_id").alias(icol),
+                                F.col("clean_text").alias(tcol))
+
+        # 4. optional DSIR top-weight selection vs the target domain
+        if args.dsir_target:
+            target = spark.read.parquet(args.dsir_target)
+            w = dsir_logweights(clean, target, text_col=tcol, id_col=icol)
+            sel = quality_percentile_filter(
+                w.withColumn("all", F.lit("all")),
+                keep_frac=args.dsir_keep_frac, by="all",
+                score_col="logw_e6",
+            ).select("doc_id", "kept")
+            sel.write.mode("overwrite").parquet(f"{out}/dsir_kept.parquet")
+            clean = clean.join(
+                sel.where(F.col("kept") == 1).select("doc_id"),
+                clean[icol] == F.col("doc_id")).drop("doc_id") \
+                if icol != "doc_id" else clean.join(
+                    sel.where(F.col("kept") == 1).select("doc_id"),
+                    "doc_id")
+            counts["after_dsir"] = clean.count()
+
+        # 5. context-window chunking (pre-tokenizer sequence prep)
+        chunks = chunk_windows(clean, size=args.chunk_size,
+                               stride=args.chunk_stride,
+                               text_col=tcol, id_col=icol)
+        chunks.write.mode("overwrite").parquet(f"{out}/chunks.parquet")
+        counts["chunks"] = spark.read.parquet(f"{out}/chunks.parquet").count()
+        print(json.dumps({"output": out, **counts}))
     elif args.cmd == "mix":
         from polaris_spark.ops.mixing import (pack_sequences,
                                               stratified_sample,
