@@ -234,6 +234,16 @@ def run_suite(cpus: int, sf_dir: str, n_turns: int) -> dict:
     times["completion_probes"] = round(time.time() - t0, 3)
 
     # ---- 4. pipeline ops over sf tables -----------------------------------
+    def _consume(df):
+        """Force EVERY output column to compute: .count() lets Catalyst
+        prune unreferenced projections, so a pure-column op timed with
+        count() measures the scan, not the op. One xxhash64 over all
+        columns folded to a scalar defeats the pruning at negligible
+        extra cost (bit_xor fold — a sum of 64-bit hashes overflows
+        under ANSI mode, same rule as the CC convergence signature)."""
+        cols = ", ".join(f"`{c}`" for c in df.columns)
+        df.agg(F.expr(f"bit_xor(xxhash64({cols}))")).collect()
+
     t0 = time.time()
     from polaris_spark.ops.dedup import lsh_candidate_pairs
 
@@ -289,24 +299,24 @@ def run_suite(cpus: int, sf_dir: str, n_turns: int) -> dict:
     from polaris_spark.ops.text import langid_col, quality_cols
 
     t0 = time.time()
-    docs.select("doc_id", *quality_cols(F.col("text")),
-                langid_col(F.col("text")).alias("lang")).count()
+    _consume(docs.select("doc_id", *quality_cols(F.col("text")),
+                         langid_col(F.col("text")).alias("lang")))
     times["text_quality_scan"] = round(time.time() - t0, 3)
 
     from polaris_spark.ops.text import lm_score
 
     t0 = time.time()
-    lm_score(docs).count()  # train + score in one pass (CCNet-filter shape)
+    _consume(lm_score(docs))  # train + score in one pass (CCNet-filter shape)
     times["lm_score_scan"] = round(time.time() - t0, 3)
 
     from polaris_spark.ops.text import chunk_windows, gopher_cols
 
     t0 = time.time()
-    docs.select("doc_id", *gopher_cols(F.col("text"), min_words=5)).count()
+    _consume(docs.select("doc_id", *gopher_cols(F.col("text"), min_words=5)))
     times["gopher_rules_scan"] = round(time.time() - t0, 3)
 
     t0 = time.time()
-    chunk_windows(docs, size=128, stride=96).count()
+    _consume(chunk_windows(docs, size=128, stride=96))
     times["chunk_windows_scan"] = round(time.time() - t0, 3)
 
     from polaris_spark.ops.similarity import semantic_dedup
@@ -319,11 +329,11 @@ def run_suite(cpus: int, sf_dir: str, n_turns: int) -> dict:
     from polaris_spark.ops.text import dsir_logweights
 
     t0 = time.time()
-    strip_dup_spans(docs, n=8, min_docs=2, hash_shingles=True).count()
+    _consume(strip_dup_spans(docs, n=8, min_docs=2, hash_shingles=True))
     times["strip_spans_scan"] = round(time.time() - t0, 3)
 
     t0 = time.time()
-    dsir_logweights(docs, docs.where("lang = 'en'")).count()
+    _consume(dsir_logweights(docs, docs.where("lang = 'en'")))
     times["dsir_weights_scan"] = round(time.time() - t0, 3)
 
     spark.stop()

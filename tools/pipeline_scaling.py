@@ -36,7 +36,9 @@ def worker(cpus: int, corpus: str) -> None:
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.shuffle.partitions", str(max(cpus * 4, 8)))
+        .config("spark.sql.shuffle.partitions", "32")  # FIXED across
+        # levels: the campaign compares the SAME job at two parallelism
+        # levels — a cpus-dependent partition count changes the job
         .config("spark.driver.memory", "16g")
         .getOrCreate()
     )
@@ -44,24 +46,32 @@ def worker(cpus: int, corpus: str) -> None:
     docs.count()  # warmup: file listing + scan JIT outside the timings
     times = {}
 
+    def consume(df):
+        # .count() lets Catalyst PRUNE unreferenced projections — a
+        # pure-column op timed with count() measures the scan, not the
+        # op; hashing every output column to one scalar defeats that
+        # (bit_xor fold — a sum of hashes overflows under ANSI mode)
+        cols = ", ".join(f"`{c}`" for c in df.columns)
+        df.agg(F.expr(f"bit_xor(xxhash64({cols}))")).collect()
+
     t0 = time.time()
-    docs.select("doc_id", *gopher_cols(F.col("text"), min_words=5)).count()
+    consume(docs.select("doc_id", *gopher_cols(F.col("text"), min_words=5)))
     times["gopher"] = round(time.time() - t0, 3)
 
     t0 = time.time()
-    chunk_windows(docs, size=128, stride=96).count()
+    consume(chunk_windows(docs, size=128, stride=96))
     times["chunk"] = round(time.time() - t0, 3)
 
     t0 = time.time()
-    strip_dup_spans(docs, n=8, min_docs=2, hash_shingles=True).count()
+    consume(strip_dup_spans(docs, n=8, min_docs=2, hash_shingles=True))
     times["strip_spans"] = round(time.time() - t0, 3)
 
     t0 = time.time()
-    dsir_logweights(docs, docs.where("role = 'user'")).count()
+    consume(dsir_logweights(docs, docs.where("role = 'user'")))
     times["dsir"] = round(time.time() - t0, 3)
 
     t0 = time.time()
-    lm_score(docs).count()
+    consume(lm_score(docs))
     times["lm_score"] = round(time.time() - t0, 3)
 
     spark.stop()
@@ -92,18 +102,18 @@ def main() -> int:
         worker(args.worker, args.corpus)
         return 0
 
-    from pyspark.sql import SparkSession
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
     from polaris_spark.synth import make_transcripts
 
     tmp = tempfile.mkdtemp(prefix="pipe_scale_")
     corpus = os.path.join(tmp, "corpus.parquet")
-    spark = (SparkSession.builder.master("local[8]")
-             .config("spark.ui.enabled", "false").getOrCreate())
     pdf = make_transcripts(n_turns=args.n_turns, seed=42)
     pdf["doc_id"] = range(len(pdf))
-    spark.createDataFrame(pdf).write.mode("overwrite").parquet(corpus)
-    spark.stop()
+    # pyarrow straight to disk: no Spark (or driver heap) in the parent
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   corpus, row_group_size=200_000)
 
     reps = []
     for _ in range(args.reps):
