@@ -736,6 +736,17 @@ def _q_strip_spans(spark, sf_dir):
     return strip_dup_spans(_docs(spark, sf_dir), n=8, min_docs=2)
 
 
+def _q_strip_spans_keep1(spark, sf_dir):
+    """ExactSubstr removal, Lee et al.'s exact survivor policy: each
+    duplicated n-gram elects its lexicographically first occurrence
+    (min (doc_id, pos)) which survives the cut — one copy of every
+    duplicated substring remains in the corpus."""
+    from polaris_spark.ops.dedup import strip_dup_spans
+
+    return strip_dup_spans(_docs(spark, sf_dir), n=8, min_docs=2,
+                           keep_one=True)
+
+
 def _q_dsir(spark, sf_dir):
     """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
     bucket distributions, target = the corpus's lang='en' slice, raw =
@@ -938,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _q_jaccard,
         "dup_spans": _q_dup_spans,
         "strip_dup_spans": _q_strip_spans,
+        "strip_dup_spans_keep1": _q_strip_spans_keep1,
         "dsir_weights": _q_dsir,
         "dsir_gumbel": _q_dsir_gumbel,
         "decontaminate": _q_decontam,
@@ -1184,6 +1196,8 @@ FROM tf JOIN dft USING (term) WHERE tf.doc_id = {DOC_TERMS_ID}""",
         "lm_score": duckdb_lm_sql(),
         "strip_dup_spans": duckdb_strip_spans_sql(
             "documents", "doc_id", "text", n=8, min_docs=2),
+        "strip_dup_spans_keep1": duckdb_strip_spans_sql(
+            "documents", "doc_id", "text", n=8, min_docs=2, keep_one=True),
         "dsir_weights": duckdb_dsir_sql(
             "documents", "doc_id", "text", target_where="lang = 'en'"),
         "dsir_gumbel": duckdb_dsir_gumbel_sql(

@@ -408,7 +408,8 @@ def decontaminate(docs, bench, text_col="text", id_col="doc_id",
 
 def duplicated_spans(docs, text_col="text", id_col="doc_id",
                      n: int = 8, min_docs: int = 2,
-                     hash_shingles: bool = False):
+                     hash_shingles: bool = False,
+                     keep_one: bool = False):
     """Maximal duplicated token spans: substring-level dedup (the
     "repeated substrings across the corpus" operation of Lee et al. 2022,
     *Deduplicating Training Data Makes Language Models Better* — their
@@ -421,6 +422,17 @@ def duplicated_spans(docs, text_col="text", id_col="doc_id",
     one doc merge into MAXIMAL spans. Returns
     (doc_id, span_start, span_end, span_tokens) with 1-based inclusive
     token positions — the rows a curation pipeline would cut or down-weight.
+
+    ``keep_one=True`` is the Lee-et-al-faithful survivor policy: each
+    duplicated n-gram ELECTS its lexicographically first occurrence
+    (min (doc_id, pos) — their "keep the first copy in order"), and the
+    elected occurrence is not marked, so exactly one copy of every
+    duplicated substring survives the downstream cut. The election is the
+    same shingle-keyed aggregate extended with one ``min(struct)`` — no
+    extra shuffle; a position in the elected doc still falls if a
+    DIFFERENT, non-elected duplicated gram covers it (overlap rule).
+    Default (False) marks every occurrence — the span set a down-weighting
+    pipeline wants, and the cheaper cut (no survivor coordination).
 
     Scale shape (100 TB): one shuffle keyed on the shingle (map-side
     partial aggregation; with ``hash_shingles=True`` the key is
@@ -446,10 +458,16 @@ def duplicated_spans(docs, text_col="text", id_col="doc_id",
     if hash_shingles:
         sh = sh.select("doc_id", "pos", F.xxhash64("sh").alias("sh"))
     dup = (sh.groupBy("sh")
-             .agg(F.countDistinct("doc_id").alias("nd"))
+             .agg(F.countDistinct("doc_id").alias("nd"),
+                  F.min(F.struct("doc_id", "pos")).alias("fo"))
              .where(F.col("nd") >= min_docs)
-             .select("sh"))
-    hits = sh.join(dup, "sh").select("doc_id", "pos")
+             .select("sh", "fo"))
+    hits = sh.join(dup, "sh")
+    if keep_one:  # drop the elected occurrence from the marked set
+        hits = hits.where(~((F.col("doc_id") == F.col("fo.doc_id"))
+                            & (F.col("pos") == F.col("fo.pos"))))
+    hits = hits.select("doc_id", "pos")  # (doc_id, pos) already unique:
+    # one sh row per position, each matching exactly one dup row
     w = Window.partitionBy("doc_id").orderBy("pos")
     isl = (hits
            .withColumn("brk", F.when(F.col("pos") - F.lag("pos").over(w)
@@ -465,10 +483,19 @@ def duplicated_spans(docs, text_col="text", id_col="doc_id",
 
 
 def duckdb_dup_spans_sql(table: str, id_col: str, text_col: str,
-                         n: int = 8, min_docs: int = 2) -> str:
+                         n: int = 8, min_docs: int = 2,
+                         keep_one: bool = False) -> str:
     """Oracle for :func:`duplicated_spans` (hash_shingles=False): same
-    positional shingling, dup-gram set, and gaps-and-islands merge in SQL."""
+    positional shingling, dup-gram set, and gaps-and-islands merge in SQL.
+    ``keep_one`` mirrors the survivor election (min (doc_id, pos) struct —
+    DuckDB struct min is lexicographic, same rule as Spark's)."""
     toks = f"list_filter(string_split_regex({text_col}, '\\s+'), x -> x != '')"
+    h_sql = (
+        """
+  SELECT s.doc_id, s.pos FROM s JOIN dup USING (sh)
+  WHERE NOT (s.doc_id = dup.fo.d AND s.pos = dup.fo.p)"""
+        if keep_one else """
+  SELECT doc_id, pos FROM s WHERE sh IN (SELECT sh FROM dup)""")
     return f"""
 WITH d AS (
   SELECT {id_col} AS doc_id, {toks} AS toks FROM {table}
@@ -482,9 +509,9 @@ WITH d AS (
            AS sh
   FROM d
 ), dup AS (
-  SELECT sh FROM s GROUP BY sh HAVING count(DISTINCT doc_id) >= {min_docs}
-), h AS (
-  SELECT doc_id, pos FROM s WHERE sh IN (SELECT sh FROM dup)
+  SELECT sh, min({{'d': doc_id, 'p': pos}}) AS fo
+  FROM s GROUP BY sh HAVING count(DISTINCT doc_id) >= {min_docs}
+), h AS ({h_sql}
 ), b AS (
   SELECT doc_id, pos,
          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
@@ -503,19 +530,19 @@ FROM i GROUP BY doc_id, island
 
 def strip_dup_spans(docs, text_col="text", id_col="doc_id",
                     n: int = 8, min_docs: int = 2,
-                    hash_shingles: bool = False):
+                    hash_shingles: bool = False,
+                    keep_one: bool = False):
     """ExactSubstr REMOVAL (the transform half of Lee et al. 2022's
     suffix-array dedup): cut every maximal duplicated token span
     (:func:`duplicated_spans`, same n/min_docs spec) out of the text,
     keeping the rest of the document.
 
-    Policy deviation, documented: Lee et al. leave ONE surviving copy of
-    each duplicated substring; here NO copy survives. Electing a survivor
-    is a global per-substring decision (it serializes an otherwise
-    per-doc-parallel cut and turns the span set into a coordination
-    problem); the difference is one copy per duplicated substring —
-    negligible mass at corpus scale — and cut-everywhere composes as a
-    pure per-doc transform. Returns one row per input doc:
+    ``keep_one=True`` is Lee et al.'s exact policy — ONE surviving copy of
+    each duplicated substring (the lexicographically first occurrence,
+    elected inside :func:`duplicated_spans`' existing shingle aggregate —
+    no extra shuffle). Default (False) cuts every copy: the cheaper
+    transform, and the difference is one copy per duplicated substring —
+    negligible mass at corpus scale. Returns one row per input doc:
     (doc_id, clean_text, n_tokens, n_cut) where clean_text is the kept
     tokens re-joined with single spaces (token-normalized output —
     byte-faithful reconstruction would need char offsets) and n_cut the
@@ -528,7 +555,8 @@ def strip_dup_spans(docs, text_col="text", id_col="doc_id",
     from pyspark.sql import functions as F
 
     spans = (
-        duplicated_spans(docs, text_col, id_col, n, min_docs, hash_shingles)
+        duplicated_spans(docs, text_col, id_col, n, min_docs, hash_shingles,
+                         keep_one=keep_one)
         .groupBy("doc_id")
         .agg(F.collect_list(
             F.struct("span_start", "span_end")).alias("spans"))
@@ -563,13 +591,15 @@ def strip_dup_spans(docs, text_col="text", id_col="doc_id",
 
 
 def duckdb_strip_spans_sql(table: str, id_col: str, text_col: str,
-                           n: int = 8, min_docs: int = 2) -> str:
+                           n: int = 8, min_docs: int = 2,
+                           keep_one: bool = False) -> str:
     """Oracle for :func:`strip_dup_spans` (hash_shingles=False): the
     :func:`duckdb_dup_spans_sql` span set as a CTE, then the same
     positional cut + single-space re-join."""
     toks = f"list_filter(string_split_regex({text_col}, '\\s+'), x -> x != '')"
     return f"""
-WITH spans AS ({duckdb_dup_spans_sql(table, id_col, text_col, n, min_docs)}),
+WITH spans AS ({duckdb_dup_spans_sql(table, id_col, text_col, n, min_docs,
+                                     keep_one=keep_one)}),
 dt AS (
   SELECT {id_col} AS doc_id, {toks} AS toks FROM {table}
 ), tok AS (

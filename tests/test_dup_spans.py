@@ -80,9 +80,10 @@ def test_duckdb_oracle_parity(spark, docs_df):
 
 
 def test_strip_dup_spans_cut_and_passthrough(spark, docs_df):
-    """ExactSubstr removal: duplicated spans cut token-wise (NO surviving
-    copy — documented deviation from Lee et al.'s keep-one), untouched
-    docs pass through token-normalized, every input doc yields one row."""
+    """ExactSubstr removal, default policy: duplicated spans cut
+    token-wise with NO surviving copy (cheaper than Lee et al.'s keep-one,
+    which is keep_one=True below), untouched docs pass through
+    token-normalized, every input doc yields one row."""
     from polaris_spark.ops.dedup import strip_dup_spans
 
     got = {r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_cut"])
@@ -112,3 +113,48 @@ def test_strip_dup_spans_oracle_parity(spark, docs_df):
         duckdb_strip_spans_sql("fixture", "doc_id", "text",
                                n=4, min_docs=2)).fetchall())
     assert got == want
+
+
+def test_keep_one_survivor_election(spark, docs_df):
+    """Lee et al.'s exact policy (keep_one=True): every duplicated n-gram's
+    lexicographically-first occurrence survives. Doc 1 holds the first
+    occurrence of EVERY duplicated gram in this fixture (smallest doc_id
+    containing each), so it survives untouched; its exact duplicate doc 6
+    is fully cut; docs whose duplicated grams are all elected elsewhere
+    (2, 3) are cut the same as the default policy."""
+    from polaris_spark.ops.dedup import strip_dup_spans
+
+    got = {r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_cut"])
+           for r in strip_dup_spans(docs_df, n=4, min_docs=2,
+                                    keep_one=True).collect()}
+    assert got[1] == (DOCS[0][1], 12, 0)        # elected copy survives
+    assert got[6] == ("", 12, 12)               # its duplicate is cut
+    assert got[2] == ("q0 q1 q2 q3", 12, 8)
+    assert got[3] == ("r0 r1 r2 r3 r4 r5", 12, 6)
+    assert got[4] == (DOCS[3][1], 12, 0)
+    assert got[5] == ("a b c", 3, 0)
+
+
+def test_keep_one_hash_path_identical(spark, docs_df):
+    a = _rows(duplicated_spans(docs_df, n=4, min_docs=2, keep_one=True))
+    b = _rows(duplicated_spans(docs_df, n=4, min_docs=2, keep_one=True,
+                               hash_shingles=True))
+    assert a == b
+
+
+def test_keep_one_oracle_parity(spark, docs_df):
+    from polaris_spark.ops.dedup import (duckdb_strip_spans_sql,
+                                         strip_dup_spans)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fixture (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO fixture VALUES (?, ?)", DOCS)
+    for n, md in ((4, 2), (5, 2), (4, 3)):
+        got = sorted(tuple(r) for r in
+                     strip_dup_spans(docs_df, n=n, min_docs=md,
+                                     keep_one=True).collect())
+        want = sorted(tuple(r) for r in con.execute(
+            duckdb_strip_spans_sql("fixture", "doc_id", "text",
+                                   n=n, min_docs=md,
+                                   keep_one=True)).fetchall())
+        assert got == want, (n, md)
