@@ -32,6 +32,7 @@ Q_WILD = "s* join"  # Lucene-classic trailing-star prefix + literal term
 Q_BOOST = "spark^2.5 join"  # Lucene-classic clause boost
 Q_FUZZY = "scan~2 join"  # Lucene-classic fuzzy (maxEdits=2)
 Q_NOT = "spark -join"  # Lucene-classic prohibit operator
+Q_MSM = ("spark join merge", 2)  # minimumNumberShouldMatch: ≥2 of 3 terms
 Q_BOOL = "spark AND (join OR merge) -scan"  # classic boolean composition
 Q_BOOL2 = "+query (filter OR slow)^2 -customer"  # +required, group boost
 Q_SLOP = ("spark join", 2)  # sloppy phrase "spark join"~2
@@ -156,6 +157,24 @@ def _q_boolean_and(spark, sf_dir):
 
     eng = SearchEngine(spark, _ensure_index(spark, sf_dir))
     return eng.search_df(Q_AND, k=None, mode="and").select("doc_id")
+
+
+def _q_min_should_match(spark, sf_dir):
+    """Lucene BooleanQuery.setMinimumNumberShouldMatch analog: flat OR
+    query keeping only docs that match ≥ min_match distinct query terms
+    (mode='and' ≡ min_match=n_terms; 1 ≡ plain OR). Scored exactly — a
+    min_match > 1 disables MaxScore pruning (see score_decoded_arrays)."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir))
+    res = eng.search_df(Q_MSM[0], k=None, min_match=Q_MSM[1])
+    return res.select(
+        "doc_id",
+        F.round(F.col("score") * 10000).cast("long").alias("score_e4"),
+        F.col("n_match").cast("int").alias("n_match"),
+    )
 
 
 def _q_phrase(spark, sf_dir):
@@ -916,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": _q_bm25_scores,
         "bm25_top10": _q_bm25_top10,
         "boolean_and": _q_boolean_and,
+        "min_should_match": _q_min_should_match,
         "boolean_not": _q_boolean_not,
         "phrase_search": _q_phrase,
         "fielded_search": _q_fielded,
@@ -995,6 +1015,7 @@ def oracle_sql() -> dict[str, str]:
         bm25_scores_sql,
         bool_scores_sql,
         boolean_and_sql,
+        msm_scores_sql,
         complete_sql,
         dictionary_sql,
         doc_stats_sql,
@@ -1106,6 +1127,7 @@ SELECT doc_id, lpad(lower(to_hex(val)), 4, '0') AS simhash16 FROM packed"""
         "bm25_scores": bm25_scores_sql(Q_OR),
         "bm25_top10": bm25_scores_sql(Q_OR, limit=10),
         "boolean_and": boolean_and_sql(Q_AND),
+        "min_should_match": msm_scores_sql(Q_MSM[0], Q_MSM[1]),
         "boolean_not": bm25_scores_sql(Q_NOT),
         "phrase_search": phrase_sql(Q_PHRASE),
         "fielded_search": bm25_scores_sql(Q_FIELDED, field_cols=FIELD_COLS),

@@ -339,6 +339,40 @@ SELECT doc_id, score_e4 FROM scored"""
     return sql
 
 
+def msm_scores_sql(query: str, min_match: int, table: str = "documents") -> str:
+    """Mirror of ``SearchEngine.search_df(query, min_match=m)`` — Lucene's
+    BooleanQuery.setMinimumNumberShouldMatch over the flat OR clauses: the
+    :func:`bm25_scores_sql` contribution sum restricted to docs matching
+    ≥ ``min_match`` distinct query terms, with the per-doc distinct-term
+    count exposed as ``n_match``."""
+    inc, pinc, _exc, _pexc = _split_chunks(query)
+    return base_cte(table) + f""",
+qt AS (
+  {_qt_cte(inc, pinc)}
+),
+dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf
+  WHERE term IN (SELECT term FROM qt) GROUP BY term
+),
+contrib AS (
+  SELECT tf.doc_id,
+         qt.boost
+         * ln(1.0 + (s.N - dft.df + 0.5) / (dft.df + 0.5))
+         * (tf.tf * {K1P1_SQL}
+            / (tf.tf + {K1_SQL} * (1.0 - {B_SQL} + {B_SQL} * dl.dl / (s.sumdl / s.N)))) AS c,
+         tf.term AS term
+  FROM tf
+  JOIN dft USING (term)
+  JOIN qt USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+)
+SELECT doc_id, CAST(round(sum(c) * 10000) AS BIGINT) AS score_e4,
+       count(DISTINCT term)::INT AS n_match
+FROM contrib GROUP BY doc_id
+HAVING count(DISTINCT term) >= {int(min_match)}"""
+
+
 def _exclusion_clause(query: str, field_cols: tuple = (),
                       expand_fields: bool = False) -> str:
     """WHERE fragment dropping docs that contain any '-'-prohibited term

@@ -544,6 +544,7 @@ def score_decoded_arrays(
     n_query_terms: int,
     prune: bool = True,
     excluded: np.ndarray | None = None,
+    min_match: int | None = None,
 ):
     """Exact BM25 accumulation over pre-decoded per-term postings — the
     scoring half of :func:`score_shard` (see its docstring for the MaxScore
@@ -553,6 +554,14 @@ def score_decoded_arrays(
     post-exclusion candidate set; shared decoded arrays are never mutated
     (exclusion builds filtered copies), so one group-wide decode safely
     serves many queries. Only terms present in ``idf`` participate.
+
+    ``min_match`` (OR mode) keeps only docs matching ≥ that many distinct
+    query terms — Lucene's BooleanQuery.setMinimumNumberShouldMatch over
+    SHOULD clauses (n_query_terms ≡ AND mode, 1/None ≡ plain OR). A value
+    > 1 DISABLES MaxScore pruning: the filter removes docs, so the true
+    post-filter k-th score can be lower than θ₀ and a doc matching only
+    non-essential terms could enter the top-k — pruning would no longer be
+    provably exact. msm queries score every candidate (like AND mode).
 
     Returns ``(doc_ids, scores, n_match)`` numpy arrays (or ``None`` when
     nothing matches) so batch callers can assemble ONE result frame per
@@ -571,7 +580,8 @@ def score_decoded_arrays(
     if not items:
         return None
 
-    do_prune = prune and mode == "or" and k is not None and len(items) > 1
+    do_prune = (prune and mode == "or" and k is not None and len(items) > 1
+                and (min_match is None or min_match <= 1))
     if do_prune:
         ubs = {t: idf[t] * max_impact[t] for t, *_ in items}
         # θ0: k-th best SINGLE-term contribution of the highest-ub term — a
@@ -634,6 +644,9 @@ def score_decoded_arrays(
     if mode == "and":
         keep = nmatch == n_query_terms
         all_docs, scores, nmatch = all_docs[keep], scores[keep], nmatch[keep]
+    elif min_match is not None and min_match > 1:
+        keep = nmatch >= min_match
+        all_docs, scores, nmatch = all_docs[keep], scores[keep], nmatch[keep]
     if k is not None and len(all_docs) > k:
         # top-k by (score desc, doc_id asc)
         order = np.lexsort((all_docs, -scores))[:k]
@@ -666,6 +679,7 @@ def score_shard(
     shard: int | None = None,
     prune: bool = True,
     excluded: np.ndarray | None = None,
+    min_match: int | None = None,
 ) -> pd.DataFrame:
     """Exact BM25 accumulation over candidate posting rows.
 
@@ -691,7 +705,8 @@ def score_shard(
         return _empty_result()
     decoded, max_impact = decode_shard_rows(pdf, n_shards, shard)
     return score_decoded(decoded, max_impact, idf, avgdl, k1, b, k, mode,
-                         n_query_terms, prune=prune, excluded=excluded)
+                         n_query_terms, prune=prune, excluded=excluded,
+                         min_match=min_match)
 
 
 class SearchEngine:
@@ -1601,10 +1616,15 @@ class SearchEngine:
     exclude_driver_limit: int = 1_000_000
 
     def search(self, query: str, k: int | None = 10, mode: str = "or",
-               expand_fields: bool = False) -> list[dict]:
+               expand_fields: bool = False,
+               min_match: int | None = None) -> list[dict]:
         """Driver-path search: candidate rows are collected (they are small
         after bucket+term pruning) and scored in-process. Returns
         [{doc_id, score, n_match}] ordered by (score desc, doc_id asc).
+
+        ``min_match`` is Lucene's BooleanQuery.setMinimumNumberShouldMatch
+        over the OR clauses: only docs matching ≥ that many distinct query
+        terms are returned (see :func:`score_decoded_arrays`).
 
         Prohibit terms with more than ``exclude_driver_limit`` total postings
         would make the driver-side id union the bottleneck — those queries
@@ -1617,7 +1637,8 @@ class SearchEngine:
         if (exc and self._excluded_postings_total(exc) > self.exclude_driver_limit) \
                 or isinstance(self._deletes_np(), str):
             res = self.search_df(query, k=k, mode=mode,
-                                 expand_fields=expand_fields).toPandas()
+                                 expand_fields=expand_fields,
+                                 min_match=min_match).toPandas()
             return res.to_dict("records")
         cand = self._candidates_pdf(terms)
         if cand.empty:
@@ -1632,16 +1653,22 @@ class SearchEngine:
         # complete and term-ordered)
         res = score_shard(cand, idf, self.stats["avgdl"], self.stats["k1"],
                           self.stats["b"], k, mode, len(terms),
-                          excluded=self._with_tombstones(self._excluded_docs(exc)))
+                          excluded=self._with_tombstones(self._excluded_docs(exc)),
+                          min_match=min_match)
         res = res.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
         if k is not None:
             res = res.head(k)
         return res.to_dict("records")
 
     def search_df(self, query: str, k: int | None = 10, mode: str = "or",
-                  expand_fields: bool = False):
+                  expand_fields: bool = False,
+                  min_match: int | None = None):
         """Distributed search: per-shard kernels + global sort-limit merge.
-        Returns a DataFrame (doc_id, score, n_match).
+        Returns a DataFrame (doc_id, score, n_match). ``min_match`` is the
+        BooleanQuery.setMinimumNumberShouldMatch analog (see :meth:`search`);
+        the per-shard filter is exact because shards partition docs — a
+        doc's every posting lands in one shard, so per-shard n_match is the
+        doc's global n_match.
 
         Prohibit terms are excluded fully distributed: their postings are
         decoded into a (shard, doc_id) frame (:meth:`_excluded_docs_df`) and
@@ -1661,10 +1688,10 @@ class SearchEngine:
         if boosts:
             idf = {t: w * boosts.get(t, 1.0) for t, w in idf.items()}
         return self._flat_scored_df(cand, idf, k, mode, len(terms),
-                                    exc_terms=exc)
+                                    exc_terms=exc, min_match=min_match)
 
     def _flat_scored_df(self, cand, idf, k, mode, nq, exc_terms=(),
-                        extra_excluded=None):
+                        extra_excluded=None, min_match=None):
         """The kernel half of :meth:`search_df` over pre-resolved candidate
         rows + idf weights: per-shard kernels, distributed exclusion
         (prohibit terms' postings + tombstones + an optional caller-supplied
@@ -1696,7 +1723,8 @@ class SearchEngine:
                 )
                 return score_shard(left, idf, stats["avgdl"], stats["k1"],
                                    stats["b"], k, mode, nq, n_shards=S,
-                                   shard=sh, excluded=excl)
+                                   shard=sh, excluded=excl,
+                                   min_match=min_match)
 
             scored = (
                 routed.groupBy("_route")
@@ -1709,7 +1737,7 @@ class SearchEngine:
                 sh = int(pdf["shard"].iloc[0]) if len(pdf) else 0
                 return score_shard(pdf, idf, stats["avgdl"], stats["k1"],
                                    stats["b"], k, mode, nq, n_shards=S,
-                                   shard=sh)
+                                   shard=sh, min_match=min_match)
 
             scored = routed.groupBy("_route").applyInPandas(kernel, RESULT_SCHEMA)
         out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -2335,7 +2363,8 @@ class SearchEngine:
         return out.orderBy(F.desc("score"), F.asc("doc_id"))
 
     def search_mixed(self, query: str, rank_from: int = 0, rank_to: int = 20,
-                     mode: str = "or", payload: bool = True) -> dict:
+                     mode: str = "or", payload: bool = True,
+                     min_match: int | None = None) -> dict:
         """The full search endpoint — rebuild of reference
         search/CodeSearchImpl.java:71-92 + SearchMixer.java:34-52: mix two
         result streams (ranked full-text hits + dictionary completions),
@@ -2378,7 +2407,11 @@ class SearchEngine:
                 # round 2 served fine
                 hits = None
         if hits is None:
-            hits = self.search(query, k=rank_to, mode=mode)
+            # min_match (minimumNumberShouldMatch) binds the flat OR path's
+            # SHOULD clauses only — phrase/boolean-tree queries define their
+            # own match rule, exactly as in Lucene
+            hits = self.search(query, k=rank_to, mode=mode,
+                               min_match=min_match)
             terms = self.query_terms(query)
         page = hits[rank_from:rank_to]
         if payload:

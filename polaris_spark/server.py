@@ -113,6 +113,10 @@ class _Handler(BaseHTTPRequestHandler):
             rank_to=int(b.get("rankTo", 20)),
             mode=b.get("mode", "or"),
             payload=bool(b.get("payload", True)),
+            # Lucene BooleanQuery.setMinimumNumberShouldMatch over the flat
+            # OR path's SHOULD clauses
+            min_match=(int(b["minShouldMatch"])
+                       if b.get("minShouldMatch") is not None else None),
         )
 
     def _m_searchMany(self, b):

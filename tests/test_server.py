@@ -63,6 +63,23 @@ def test_search_endpoint_matches_engine(spark, daemon):
     assert set(bare["hits"][0]) == {"doc_id", "score", "n_match"}
 
 
+def test_search_min_should_match(spark, daemon):
+    """minShouldMatch (BooleanQuery.setMinimumNumberShouldMatch): the
+    served flat OR path filters to docs matching >= m distinct terms."""
+    base, d, pdf = daemon
+    toks = pdf["text"].iloc[0].split()
+    q = f"{toks[0]} {toks[1]} {toks[2]}"
+    eng = SearchEngine(spark, d)
+    got = _post(base, "search",
+                {"query": q, "rankTo": 8, "payload": False,
+                 "minShouldMatch": 2})
+    want = eng.search(q, k=8, min_match=2)
+    assert [(h["doc_id"], round(h["score"], 9), h["n_match"])
+            for h in got["hits"]] == \
+        [(h["doc_id"], round(h["score"], 9), h["n_match"]) for h in want]
+    assert all(h["n_match"] >= 2 for h in got["hits"])
+
+
 def test_complete_and_usages_endpoints(spark, daemon):
     base, d, _ = daemon
     eng = SearchEngine(spark, d)
