@@ -159,6 +159,21 @@ def _q_boolean_and(spark, sf_dir):
     return eng.search_df(Q_AND, k=None, mode="and").select("doc_id")
 
 
+def _q_search_after(spark, sf_dir):
+    """IndexSearcher.searchAfter keyset pagination: page 2 (hits 11-20) of
+    the Q_OR ranking, fetched via the exact (score, doc_id) cursor of page
+    1's last hit — bit-identical to the oracle's offset slice, but each
+    shard kernel drops at-or-before-cursor rows BEFORE its top-k cut, so
+    the merge sees ≤ k×shards rows however deep the page (offset paging
+    ships rank_to rows per shard)."""
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir))
+    p1 = eng.search(Q_OR, k=10)
+    cursor = (p1[-1]["score"], p1[-1]["doc_id"])
+    return _score_e4(eng.search_df(Q_OR, k=10, after=cursor))
+
+
 def _q_min_should_match(spark, sf_dir):
     """Lucene BooleanQuery.setMinimumNumberShouldMatch analog: flat OR
     query keeping only docs that match ≥ min_match distinct query terms
@@ -936,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top10": _q_bm25_top10,
         "boolean_and": _q_boolean_and,
         "min_should_match": _q_min_should_match,
+        "search_after": _q_search_after,
         "boolean_not": _q_boolean_not,
         "phrase_search": _q_phrase,
         "fielded_search": _q_fielded,
@@ -1128,6 +1144,7 @@ SELECT doc_id, lpad(lower(to_hex(val)), 4, '0') AS simhash16 FROM packed"""
         "bm25_top10": bm25_scores_sql(Q_OR, limit=10),
         "boolean_and": boolean_and_sql(Q_AND),
         "min_should_match": msm_scores_sql(Q_MSM[0], Q_MSM[1]),
+        "search_after": bm25_scores_sql(Q_OR, limit=10, offset=10),
         "boolean_not": bm25_scores_sql(Q_NOT),
         "phrase_search": phrase_sql(Q_PHRASE),
         "fielded_search": bm25_scores_sql(Q_FIELDED, field_cols=FIELD_COLS),

@@ -300,7 +300,8 @@ def dictionary_sql(table: str = "documents") -> str:
 
 
 def bm25_scores_sql(query: str, table: str = "documents", limit: int | None = None,
-                    field_cols: tuple = (), expand_fields: bool = False) -> str:
+                    field_cols: tuple = (), expand_fields: bool = False,
+                    offset: int = 0) -> str:
     """All matching docs with e4-rounded BM25 scores (LIMIT → top-k with the
     engine's exact (score desc, doc_id asc) order). ``field_cols`` mirrors a
     fielded index: per-doc tokens are text tokens ++ '<col>:<tok>' field
@@ -335,7 +336,9 @@ scored AS (
 )
 SELECT doc_id, score_e4 FROM scored"""
     if limit is not None:
-        sql += f"\nORDER BY raw_score DESC, doc_id ASC LIMIT {limit}"
+        # offset mirrors the engine's searchAfter page: a keyset page over
+        # the total (score desc, doc_id asc) order IS the offset slice
+        sql += f"\nORDER BY raw_score DESC, doc_id ASC LIMIT {limit} OFFSET {int(offset)}"
     return sql
 
 

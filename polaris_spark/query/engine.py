@@ -545,6 +545,7 @@ def score_decoded_arrays(
     prune: bool = True,
     excluded: np.ndarray | None = None,
     min_match: int | None = None,
+    after: tuple | None = None,
 ):
     """Exact BM25 accumulation over pre-decoded per-term postings — the
     scoring half of :func:`score_shard` (see its docstring for the MaxScore
@@ -562,6 +563,17 @@ def score_decoded_arrays(
     post-filter k-th score can be lower than θ₀ and a doc matching only
     non-essential terms could enter the top-k — pruning would no longer be
     provably exact. msm queries score every candidate (like AND mode).
+
+    ``after=(score, doc_id)`` is Lucene's ``IndexSearcher.searchAfter``
+    cursor: only docs STRICTLY after the cursor in the total
+    (score desc, doc_id asc) order are kept — keyset deep pagination whose
+    per-page cost is flat in page depth (offset pagination scores the same
+    set but ships ``rank_to`` rows per shard). The comparison is safe on
+    float64 equality because scores are the deterministic term-ordered
+    sequential sum — the same bits on driver, distributed, and the cursor
+    the previous page returned. Like ``min_match``, a cursor DISABLES
+    MaxScore pruning: the page's k-th score sits below θ₀ for any deep
+    page, so pruned docs could belong on it.
 
     Returns ``(doc_ids, scores, n_match)`` numpy arrays (or ``None`` when
     nothing matches) so batch callers can assemble ONE result frame per
@@ -581,7 +593,7 @@ def score_decoded_arrays(
         return None
 
     do_prune = (prune and mode == "or" and k is not None and len(items) > 1
-                and (min_match is None or min_match <= 1))
+                and (min_match is None or min_match <= 1) and after is None)
     if do_prune:
         ubs = {t: idf[t] * max_impact[t] for t, *_ in items}
         # θ0: k-th best SINGLE-term contribution of the highest-ub term — a
@@ -647,6 +659,10 @@ def score_decoded_arrays(
     elif min_match is not None and min_match > 1:
         keep = nmatch >= min_match
         all_docs, scores, nmatch = all_docs[keep], scores[keep], nmatch[keep]
+    if after is not None:
+        a_score, a_doc = float(after[0]), int(after[1])
+        keep = (scores < a_score) | ((scores == a_score) & (all_docs > a_doc))
+        all_docs, scores, nmatch = all_docs[keep], scores[keep], nmatch[keep]
     if k is not None and len(all_docs) > k:
         # top-k by (score desc, doc_id asc)
         order = np.lexsort((all_docs, -scores))[:k]
@@ -680,6 +696,7 @@ def score_shard(
     prune: bool = True,
     excluded: np.ndarray | None = None,
     min_match: int | None = None,
+    after: tuple | None = None,
 ) -> pd.DataFrame:
     """Exact BM25 accumulation over candidate posting rows.
 
@@ -706,7 +723,7 @@ def score_shard(
     decoded, max_impact = decode_shard_rows(pdf, n_shards, shard)
     return score_decoded(decoded, max_impact, idf, avgdl, k1, b, k, mode,
                          n_query_terms, prune=prune, excluded=excluded,
-                         min_match=min_match)
+                         min_match=min_match, after=after)
 
 
 class SearchEngine:
@@ -1617,7 +1634,8 @@ class SearchEngine:
 
     def search(self, query: str, k: int | None = 10, mode: str = "or",
                expand_fields: bool = False,
-               min_match: int | None = None) -> list[dict]:
+               min_match: int | None = None,
+               after: tuple | None = None) -> list[dict]:
         """Driver-path search: candidate rows are collected (they are small
         after bucket+term pruning) and scored in-process. Returns
         [{doc_id, score, n_match}] ordered by (score desc, doc_id asc).
@@ -1625,6 +1643,10 @@ class SearchEngine:
         ``min_match`` is Lucene's BooleanQuery.setMinimumNumberShouldMatch
         over the OR clauses: only docs matching ≥ that many distinct query
         terms are returned (see :func:`score_decoded_arrays`).
+
+        ``after=(score, doc_id)`` is the IndexSearcher.searchAfter cursor —
+        the page of k hits strictly after that position in the total
+        (score desc, doc_id asc) order (see :func:`score_decoded_arrays`).
 
         Prohibit terms with more than ``exclude_driver_limit`` total postings
         would make the driver-side id union the bottleneck — those queries
@@ -1638,7 +1660,7 @@ class SearchEngine:
                 or isinstance(self._deletes_np(), str):
             res = self.search_df(query, k=k, mode=mode,
                                  expand_fields=expand_fields,
-                                 min_match=min_match).toPandas()
+                                 min_match=min_match, after=after).toPandas()
             return res.to_dict("records")
         cand = self._candidates_pdf(terms)
         if cand.empty:
@@ -1654,7 +1676,7 @@ class SearchEngine:
         res = score_shard(cand, idf, self.stats["avgdl"], self.stats["k1"],
                           self.stats["b"], k, mode, len(terms),
                           excluded=self._with_tombstones(self._excluded_docs(exc)),
-                          min_match=min_match)
+                          min_match=min_match, after=after)
         res = res.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
         if k is not None:
             res = res.head(k)
@@ -1662,13 +1684,17 @@ class SearchEngine:
 
     def search_df(self, query: str, k: int | None = 10, mode: str = "or",
                   expand_fields: bool = False,
-                  min_match: int | None = None):
+                  min_match: int | None = None,
+                  after: tuple | None = None):
         """Distributed search: per-shard kernels + global sort-limit merge.
         Returns a DataFrame (doc_id, score, n_match). ``min_match`` is the
         BooleanQuery.setMinimumNumberShouldMatch analog (see :meth:`search`);
         the per-shard filter is exact because shards partition docs — a
         doc's every posting lands in one shard, so per-shard n_match is the
-        doc's global n_match.
+        doc's global n_match. ``after`` is the searchAfter cursor
+        (:meth:`search`): each shard kernel drops rows at-or-before the
+        cursor BEFORE its top-k cut, so the global merge still sees ≤
+        k×shards rows however deep the page.
 
         Prohibit terms are excluded fully distributed: their postings are
         decoded into a (shard, doc_id) frame (:meth:`_excluded_docs_df`) and
@@ -1688,10 +1714,11 @@ class SearchEngine:
         if boosts:
             idf = {t: w * boosts.get(t, 1.0) for t, w in idf.items()}
         return self._flat_scored_df(cand, idf, k, mode, len(terms),
-                                    exc_terms=exc, min_match=min_match)
+                                    exc_terms=exc, min_match=min_match,
+                                    after=after)
 
     def _flat_scored_df(self, cand, idf, k, mode, nq, exc_terms=(),
-                        extra_excluded=None, min_match=None):
+                        extra_excluded=None, min_match=None, after=None):
         """The kernel half of :meth:`search_df` over pre-resolved candidate
         rows + idf weights: per-shard kernels, distributed exclusion
         (prohibit terms' postings + tombstones + an optional caller-supplied
@@ -1724,7 +1751,7 @@ class SearchEngine:
                 return score_shard(left, idf, stats["avgdl"], stats["k1"],
                                    stats["b"], k, mode, nq, n_shards=S,
                                    shard=sh, excluded=excl,
-                                   min_match=min_match)
+                                   min_match=min_match, after=after)
 
             scored = (
                 routed.groupBy("_route")
@@ -1737,7 +1764,8 @@ class SearchEngine:
                 sh = int(pdf["shard"].iloc[0]) if len(pdf) else 0
                 return score_shard(pdf, idf, stats["avgdl"], stats["k1"],
                                    stats["b"], k, mode, nq, n_shards=S,
-                                   shard=sh, min_match=min_match)
+                                   shard=sh, min_match=min_match,
+                                   after=after)
 
             scored = routed.groupBy("_route").applyInPandas(kernel, RESULT_SCHEMA)
         out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -2364,7 +2392,8 @@ class SearchEngine:
 
     def search_mixed(self, query: str, rank_from: int = 0, rank_to: int = 20,
                      mode: str = "or", payload: bool = True,
-                     min_match: int | None = None) -> dict:
+                     min_match: int | None = None,
+                     after: tuple | None = None) -> dict:
         """The full search endpoint — rebuild of reference
         search/CodeSearchImpl.java:71-92 + SearchMixer.java:34-52: mix two
         result streams (ranked full-text hits + dictionary completions),
@@ -2393,27 +2422,50 @@ class SearchEngine:
         hits = None
         terms: list[str] = []
         if pq is not None:
+            if after is not None:
+                # searchAfter binds the flat BM25 path (like min_match);
+                # the phrase/boolean-tree paths page by rank_from/rank_to
+                raise ValueError("searchAfter supports flat queries only")
             hits = self.search_phrase(pq[0], k=rank_to, slop=pq[1])
             terms = self.phrase_terms(pq[0])
         elif mode == "or" and has_operators(query):
             try:
-                hits = self.search_bool(query, k=rank_to)
                 _croot, leaves = self.parse_bool(query)
-                terms = sorted({t for ts, _bo, sc, _ph in leaves if sc for t in ts})
             except ValueError:
                 # operator-LOOKING but malformed (stray paren in pasted
                 # text, etc.): degrade to the flat parser, which treats
                 # such characters as punctuation — never 500 a query that
-                # round 2 served fine
-                hits = None
+                # round 2 served fine (cursor paging included: the degraded
+                # query IS flat, so it pages like any other)
+                leaves = None
+            if leaves is not None:
+                if after is not None:
+                    raise ValueError(
+                        "searchAfter supports flat queries only")
+                try:
+                    hits = self.search_bool(query, k=rank_to)
+                    terms = sorted(
+                        {t for ts, _bo, sc, _ph in leaves if sc for t in ts})
+                except ValueError:
+                    # parsed but unservable as a tree (e.g. a leading
+                    # wildcard leaf): same degrade as a parse failure
+                    hits = None
         if hits is None:
             # min_match (minimumNumberShouldMatch) binds the flat OR path's
             # SHOULD clauses only — phrase/boolean-tree queries define their
             # own match rule, exactly as in Lucene
-            hits = self.search(query, k=rank_to, mode=mode,
-                               min_match=min_match)
+            # an IndexSearcher.searchAfter cursor replaces offset slicing:
+            # the page is the next (rank_to - rank_from) hits strictly
+            # after the cursor, at flat per-page cost however deep
+            k_eff = (rank_to - rank_from) if after is not None else rank_to
+            hits = self.search(query, k=k_eff, mode=mode,
+                               min_match=min_match, after=after)
             terms = self.query_terms(query)
-        page = hits[rank_from:rank_to]
+        page = hits if after is not None else hits[rank_from:rank_to]
+        # resume cursor for the NEXT page (Lucene's ScoreDoc handoff):
+        # the last served hit's exact (score, doc_id)
+        next_after = ([page[-1]["score"], page[-1]["doc_id"]]
+                      if page else None)
         if payload:
             page = self._hit_payload(page, terms)
         comps = [r.asDict() for r in self.complete(query, n=rank_to).collect()]
@@ -2424,6 +2476,7 @@ class SearchEngine:
             "count": len(hits),
             "rank_from": rank_from,
             "rank_to": rank_to,
+            "next_after": next_after,
             "latency_ms": round((_t.time() - t0) * 1000.0, 1),
         }
 

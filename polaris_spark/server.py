@@ -117,6 +117,11 @@ class _Handler(BaseHTTPRequestHandler):
             # OR path's SHOULD clauses
             min_match=(int(b["minShouldMatch"])
                        if b.get("minShouldMatch") is not None else None),
+            # IndexSearcher.searchAfter cursor [score, doc_id]: the page is
+            # the next (rankTo - rankFrom) hits strictly after it; the
+            # response's next_after is the cursor for the page after that
+            after=(tuple(b["searchAfter"])
+                   if b.get("searchAfter") is not None else None),
         )
 
     def _m_searchMany(self, b):

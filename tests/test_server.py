@@ -80,6 +80,28 @@ def test_search_min_should_match(spark, daemon):
     assert all(h["n_match"] >= 2 for h in got["hits"])
 
 
+def test_search_after_cursor(spark, daemon):
+    """searchAfter (IndexSearcher.searchAfter): the served page is the next
+    (rankTo - rankFrom) hits strictly after the cursor, and next_after
+    chains to the following page."""
+    base, d, pdf = daemon
+    toks = pdf["text"].iloc[0].split()
+    q = f"{toks[0]} {toks[1]}"
+    eng = SearchEngine(spark, d)
+    p1 = _post(base, "search", {"query": q, "rankTo": 5, "payload": False})
+    assert p1["next_after"] == [p1["hits"][-1]["score"],
+                                p1["hits"][-1]["doc_id"]]
+    p2 = _post(base, "search",
+               {"query": q, "rankTo": 5, "payload": False,
+                "searchAfter": p1["next_after"]})
+    want = eng.search(q, k=5, after=tuple(p1["next_after"]))
+    assert [(h["doc_id"], round(h["score"], 9)) for h in p2["hits"]] == \
+        [(h["doc_id"], round(h["score"], 9)) for h in want]
+    # no overlap with page 1
+    assert not ({h["doc_id"] for h in p1["hits"]}
+                & {h["doc_id"] for h in p2["hits"]})
+
+
 def test_complete_and_usages_endpoints(spark, daemon):
     base, d, _ = daemon
     eng = SearchEngine(spark, d)
