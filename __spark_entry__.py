@@ -902,6 +902,42 @@ def _q_token_counts(spark, sf_dir):
     )
 
 
+def _q_top_ngrams(spark, sf_dir):
+    """Corpus n-gram heavy hitters (boilerplate/template probe): top-50
+    word 3-grams by (count desc, ngram asc) — JVM transform/explode, one
+    partial-agg shuffle, TakeOrderedAndProject."""
+    from polaris_spark.ops.text import top_ngrams
+
+    return top_ngrams(_docs(spark, sf_dir), n=3, k=50)
+
+
+def _q_bpe_roundtrip(spark, sf_dir):
+    """BPE tokenizer-training invariant (Sennrich et al. 2016): learn a
+    merge table from the corpus word histogram (one shuffle + driver merge
+    loop), encode every document with the broadcast ranks (Arrow
+    mapInPandas, per-batch word memo), decode JVM-side, and count exact
+    roundtrip mismatches vs whitespace-normalized text. One row
+    (n_docs, n_violations); the oracle pins n_violations to the constant 0
+    (same pattern as the ``index_check`` violation table), so a pass
+    requires learn → encode → decode to verify clean end-to-end over the
+    full sf corpus. Merge-table CORRECTNESS itself is pinned by
+    tests/test_bpe.py (hand-worked Sennrich example + parity with an
+    independent naive reference implementation)."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.ops.bpe import bpe_decode, bpe_encode, bpe_learn
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe_learn(spark, docs, n_merges=120, max_words=30000)
+    dec = bpe_decode(bpe_encode(docs.select("doc_id", "text"), merges))
+    norm = F.concat_ws(
+        " ", F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit("")))
+    return dec.agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("decoded") != norm).cast("long")).alias("n_violations"),
+    )
+
+
 def _q_events_hourly(spark, sf_dir):
     from polaris_spark.ops.analytics import events_hourly_counts
 
@@ -1011,6 +1047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
         "token_counts": _q_token_counts,
+        "top_ngrams": _q_top_ngrams,
+        "bpe_roundtrip": _q_bpe_roundtrip,
         "token_ids": _q_token_ids,
         "repetition": _q_repetition,
         "gopher_rules": _q_gopher_rules,
@@ -1074,6 +1112,7 @@ def oracle_sql() -> dict[str, str]:
         duckdb_quality_sql,
         duckdb_repetition_sql,
         duckdb_token_ids_sql,
+        duckdb_top_ngrams_sql,
         duckdb_ws_tokens,
     )
     from polaris_spark.tokenizer import duckdb_tokens_sql
@@ -1254,6 +1293,11 @@ FROM tf JOIN dft USING (term) WHERE tf.doc_id = {DOC_TERMS_ID}""",
         "repetition": (
             f"SELECT doc_id, {duckdb_repetition_sql('text')} FROM documents"
         ),
+        "top_ngrams": duckdb_top_ngrams_sql("documents", n=3, k=50),
+        # constant-0 violation pin, like index_check: the Spark side must
+        # run the full learn -> encode -> decode chain to produce the row
+        "bpe_roundtrip": ("SELECT count(*)::BIGINT AS n_docs, "
+                          "0::BIGINT AS n_violations FROM documents"),
         "gopher_rules": (
             f"SELECT doc_id, {duckdb_gopher_sql('text', min_words=5)} "
             f"FROM documents"

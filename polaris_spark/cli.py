@@ -285,6 +285,25 @@ def main(argv: list[str] | None = None) -> int:
     ch.add_argument("--stride", type=int, default=384,
                     help="window advance (overlap = size - stride)")
 
+    bp = sub.add_parser("bpe", help="BPE tokenizer training (Sennrich et "
+                        "al. 2016): learn a merge table from the corpus "
+                        "word histogram, optionally encode the corpus "
+                        "with it (array<string> subword column)")
+    bp.add_argument("--input", required=True, help="documents parquet")
+    bp.add_argument("--merges", required=True,
+                    help="merge-table parquet to write (rank, left, right)"
+                         " — or to read when --reuse-merges")
+    bp.add_argument("--reuse-merges", action="store_true",
+                    help="skip learning; encode with an existing table")
+    bp.add_argument("--encode-out", default=None,
+                    help="optional output parquet: input columns + 'bpe'")
+    bp.add_argument("--text-col", default="text")
+    bp.add_argument("--n-merges", type=int, default=1000)
+    bp.add_argument("--max-words", type=int, default=65536,
+                    help="histogram cap (top words by count; the cut is "
+                         "reported, never silent)")
+    bp.add_argument("--min-count", type=int, default=2)
+
     sd = sub.add_parser("semdedup", help="SemDeDup semantic dedup ledger "
                         "(Abbas et al. 2023): k-means cluster, then drop "
                         "within-cluster near-duplicates keeping the min-id "
@@ -899,6 +918,30 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"output": args.output, "n_docs": docs.count(),
                           "n_chunks": n, "size": args.size,
                           "stride": args.stride}))
+    elif args.cmd == "bpe":
+        from polaris_spark.ops import bpe as bpe_mod
+        from polaris_spark.ops.bpe import bpe_encode, bpe_learn
+
+        spark = _session("polaris_spark_bpe")
+        docs = spark.read.parquet(args.input)
+        if args.reuse_merges:
+            merges = spark.read.parquet(args.merges)
+        else:
+            merges = bpe_learn(spark, docs, text_col=args.text_col,
+                               n_merges=args.n_merges,
+                               max_words=args.max_words,
+                               min_count=args.min_count)
+            merges.write.mode("overwrite").parquet(args.merges)
+            merges = spark.read.parquet(args.merges)
+        res = {"merges": args.merges,
+               "n_merges": merges.count(),
+               **bpe_mod._INPUT_ROWS_LOG.get("bpe_learn", {})}
+        if args.encode_out:
+            enc = bpe_encode(docs, merges, text_col=args.text_col)
+            enc.write.mode("overwrite").parquet(args.encode_out)
+            res["encode_out"] = args.encode_out
+            res["n_docs"] = spark.read.parquet(args.encode_out).count()
+        print(json.dumps(res))
     elif args.cmd == "semdedup":
         from pyspark.sql import functions as F
 

@@ -1131,3 +1131,44 @@ SELECT doc_id, k::BIGINT AS chunk_idx, (1 + k * {stride})::BIGINT AS chunk_start
          AS chunk_text
 FROM k
 """
+
+
+def top_ngrams(df, text_col: str = "text", n: int = 3, k: int = 50):
+    """Corpus-wide word n-gram heavy hitters: the ``k`` most frequent
+    whitespace-token n-grams by (count desc, ngram asc) — the standard
+    corpus-analysis probe for boilerplate and template text (the same
+    n-gram spec the per-doc ``repetition_cols`` fractions use, lifted to a
+    corpus aggregate).
+
+    Scale shape: JVM-side transform/explode (no Python), one partial-agg
+    groupBy shuffle on the n-gram, then ``TakeOrderedAndProject`` for the
+    top-k — identical to the dictionary fold. The total order makes the
+    result deterministic under ties at the k boundary."""
+    from pyspark.sql import functions as F
+
+    w = _ws_tokens_col(F.col(text_col))
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(w) - n),
+                    lambda i: F.concat_ws(" ", F.slice(w, i + 1, n))),
+    ).otherwise(F.array().cast("array<string>"))
+    return (df.select(F.explode(grams).alias("ngram"))
+              .groupBy("ngram").agg(F.count("*").alias("n_occur"))
+              .orderBy(F.desc("n_occur"), F.asc("ngram")).limit(k))
+
+
+def duckdb_top_ngrams_sql(table: str = "documents", text_col: str = "text",
+                          n: int = 3, k: int = 50) -> str:
+    """Oracle for :func:`top_ngrams` — identical window + order spec."""
+    toks = duckdb_ws_tokens(f"coalesce({text_col}, '')")
+    return f"""
+WITH toks AS (
+  SELECT {toks} AS w FROM {table}
+), grams AS (
+  SELECT array_to_string(list_slice(w, i, i + {n} - 1), ' ') AS ngram
+  FROM toks, UNNEST(range(1, len(w) - {n} + 2)) AS t(i)
+  WHERE len(w) >= {n}
+)
+SELECT ngram, count(*)::BIGINT AS n_occur FROM grams GROUP BY ngram
+ORDER BY n_occur DESC, ngram ASC LIMIT {k}
+"""
