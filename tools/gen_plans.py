@@ -371,6 +371,27 @@ def main() -> None:
         cap(dsir_logweights(docs, docs.where("lang = 'en'"))),
     ))
 
+    from polaris_spark.ops.bpe import bpe_encode, bpe_learn
+    from polaris_spark.ops.text import top_ngrams
+
+    SECTIONS.append((
+        "corpus n-gram heavy hitters (partial-agg + TakeOrderedAndProject)",
+        "The n-gram windows are a JVM Generate over the token array (no "
+        "Python); HashAggregate partial-folds the n·tokens intermediate "
+        "rows map-side before the single exchange, and the top-k is a "
+        "TakeOrderedAndProject — never a global sort.",
+        cap(top_ngrams(docs, n=3, k=50)),
+    ))
+    SECTIONS.append((
+        "BPE encode (zero-shuffle Arrow map, broadcast ranks)",
+        "bpe_learn's corpus-proportional work is one word-histogram "
+        "aggregation (same shape as the dictionary fold); the encode below "
+        "is a single MapInPandas directly over the scan — no exchange "
+        "anywhere, the merge table travels as a broadcast variable, and "
+        "the kernel memoizes per distinct word within each Arrow batch.",
+        cap(bpe_encode(docs, bpe_learn(spark, docs, n_merges=40))),
+    ))
+
     out = [
         "# PLANS — physical-plan evidence (captured from the live engine)",
         "",
