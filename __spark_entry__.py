@@ -34,6 +34,7 @@ Q_FUZZY = "scan~2 join"  # Lucene-classic fuzzy (maxEdits=2)
 Q_NOT = "spark -join"  # Lucene-classic prohibit operator
 Q_MSM = ("spark join merge", 2)  # minimumNumberShouldMatch: ≥2 of 3 terms
 Q_BOOL = "spark AND (join OR merge) -scan"  # classic boolean composition
+Q_GMSM = "scan AND (spark join merge)~2"  # classic group minimumShouldMatch
 Q_BOOL2 = "+query (filter OR slow)^2 -customer"  # +required, group boost
 Q_SLOP = ("spark join", 2)  # sloppy phrase "spark join"~2
 Q_BOOLP = '"slow query" OR (merge AND NOT "spark join")'  # phrase-in-tree
@@ -268,6 +269,18 @@ def _q_bool_tree(spark, sf_dir):
 
     eng = SearchEngine(spark, _ensure_index(spark, sf_dir))
     return _score_e4(eng.search_bool_df(Q_BOOL, k=None))
+
+
+def _q_group_msm(spark, sf_dir):
+    """Classic ``(...)~N`` group suffix — Lucene QueryParser's
+    minimumNumberShouldMatch on a parenthesized BooleanQuery: ≥N of the
+    group's SHOULD clauses must match, binding in addition to the MUST
+    clause (unlike the flat ``min_should_match`` gate, which has no MUST
+    context)."""
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir))
+    return _score_e4(eng.search_bool_df(Q_GMSM, k=None))
 
 
 def _q_batch_search(spark, sf_dir):
@@ -999,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boosted_search": _q_boosted,
         "fuzzy_search": _q_fuzzy,
         "bool_tree_search": _q_bool_tree,
+        "group_msm_search": _q_group_msm,
         "bool_required_search": _q_bool_required,
         "field_group_search": _q_field_group,
         "batch_search": _q_batch_search,
@@ -1196,6 +1210,7 @@ SELECT doc_id, lpad(lower(to_hex(val)), 4, '0') AS simhash16 FROM packed"""
         "boosted_search": bm25_scores_sql(Q_BOOST),
         "fuzzy_search": bm25_scores_sql(Q_FUZZY),
         "bool_tree_search": bool_scores_sql(Q_BOOL),
+        "group_msm_search": bool_scores_sql(Q_GMSM),
         "bool_required_search": bool_scores_sql(Q_BOOL2),
         "bool_phrase_search": bool_scores_sql(Q_BOOLP),
         "field_group_search": bool_scores_sql(Q_FGROUP,

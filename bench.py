@@ -336,6 +336,18 @@ def run_suite(cpus: int, sf_dir: str, n_turns: int) -> dict:
     _consume(dsir_logweights(docs, docs.where("lang = 'en'")))
     times["dsir_weights_scan"] = round(time.time() - t0, 3)
 
+    from polaris_spark.ops.bpe import bpe_encode, bpe_learn
+    from polaris_spark.ops.text import top_ngrams
+
+    t0 = time.time()
+    merges = bpe_learn(spark, docs, n_merges=500, max_words=30000)
+    _consume(bpe_encode(docs.select("doc_id", "text"), merges))
+    times["bpe_learn_encode"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    top_ngrams(docs, n=3, k=50).collect()
+    times["top_ngrams_scan"] = round(time.time() - t0, 3)
+
     spark.stop()
     return {"times": times, **extras}
 

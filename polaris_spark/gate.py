@@ -509,6 +509,7 @@ def bool_scores_sql(query: str, table: str = "documents",
             [conv(c, scoring) for c in nd.must],
             [conv(c, scoring) for c in nd.should],
             [conv(c, False) for c in nd.must_not],
+            int(nd.msm),
         )
 
     croot = conv(root, True)
@@ -518,12 +519,23 @@ def bool_scores_sql(query: str, table: str = "documents",
             i = nd[1]
             alias = f"l{i}" if leaves[i][2] else f"n{i}"
             return f"({alias}.doc_id IS NOT NULL)"
-        _tag, must, should, mnot = nd
+        _tag, must, should, mnot, msm = nd
         if not must and not should:
             return "FALSE"  # pure-negative group matches nothing
+        if msm > 0 and not should:
+            return "FALSE"  # msm with no optional clauses (Lucene)
         conds = [mexpr(c) for c in must]
-        if should and not must:
-            conds.append("(" + " OR ".join(mexpr(c) for c in should) + ")")
+        if should:
+            # minimumNumberShouldMatch mirror: ≥ eff SHOULD children must
+            # match (eff = msm when set, else 1 without MUSTs, 0 with)
+            eff = msm if msm > 0 else (0 if must else 1)
+            if eff == 1:
+                conds.append(
+                    "(" + " OR ".join(mexpr(c) for c in should) + ")")
+            elif eff > 1:
+                cnt = " + ".join(f"(CASE WHEN {mexpr(c)} THEN 1 ELSE 0 END)"
+                                 for c in should)
+                conds.append(f"(({cnt}) >= {eff})")
         conds.extend(f"(NOT {mexpr(c)})" for c in mnot)
         return "(" + " AND ".join(conds) + ")"
 
@@ -533,7 +545,7 @@ def bool_scores_sql(query: str, table: str = "documents",
             if not leaves[i][2]:
                 return "0.0"
             return f"coalesce({float(leaves[i][1])!r} * l{i}.c, 0.0)"
-        _tag, must, should, _mnot = nd
+        _tag, must, should, _mnot, _msm = nd
         kids = [cexpr(c) for c in (*must, *should)]
         body = " + ".join(kids) if kids else "0.0"
         return f"(CASE WHEN {mexpr(nd)} THEN ({body}) ELSE 0.0 END)"

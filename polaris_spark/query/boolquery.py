@@ -18,7 +18,15 @@ meets an operator; ours is the conventional reading):
     or_list  := and_list ( [OR] and_list )*      # adjacency = OR (SHOULD)
     and_list := clause ( AND clause )*
     clause   := [ '+' | '-' | NOT | '!' ] atom [ '^' number ]
-    atom     := '(' expr ')' | TERM
+    atom     := '(' expr ')' [ '~' int ] [ '^' number ] | TERM
+
+A ``~N`` suffix on a parenthesized group is Lucene's classic-parser
+``minimumNumberShouldMatch``: at least N of the group's SHOULD clauses
+must match (in addition to every MUST clause). ``(a b c)~2`` over a flat
+OR group is exactly the engine's flat ``min_match=2``. Glued suffixes
+(``)~2^3`` lexes as one token) are handled; per Lucene, msm greater than
+the number of SHOULD clauses matches nothing, and msm with NO should
+clauses matches nothing.
 
 Occur semantics (Lucene BooleanQuery):
 - ``and_list`` children are MUST (``-``/NOT children MUST_NOT).
@@ -27,6 +35,9 @@ Occur semantics (Lucene BooleanQuery):
   MUST_NOT b on one level).
 - A node matches iff all MUST children match, no MUST_NOT child matches,
   and — when it has no MUST children — at least one SHOULD child matches.
+  With ``msm`` set (``(...)~N``), "at least one" hardens to "at least N",
+  and the requirement binds EVEN IF the node has MUST children (Lucene's
+  minimumNumberShouldMatch).
   A group with neither MUST nor SHOULD children (pure negation, ``(-a)``)
   matches nothing, like Lucene's all-prohibited BooleanQuery.
 - Score(doc) = Σ contributions of matching MUST/SHOULD descendants whose
@@ -213,6 +224,7 @@ class Node:
     must: list = field(default_factory=list)
     should: list = field(default_factory=list)
     must_not: list = field(default_factory=list)
+    msm: int = 0  # minimumNumberShouldMatch, classic `(...)~N` (0 = off)
 
     def scale_boost(self, f: float) -> None:
         for ch in (*self.must, *self.should, *self.must_not):
@@ -363,6 +375,35 @@ def _fuzzy_suffix(body: str):
     return None
 
 
+def _parse_group_suffix(tok: str):
+    """``~2`` / ``^3`` / ``~2^3`` / ``^3~2`` → (msm, boost) with None for
+    the absent half; None when the token is not a pure group suffix (then
+    it stays unconsumed, mirroring the old '^garbage' behavior)."""
+    msm = boost = None
+    i = 0
+    while i < len(tok):
+        if tok[i] == "~" and msm is None:
+            j = i + 1
+            while j < len(tok) and tok[j].isdigit():
+                j += 1
+            if j == i + 1:
+                return None
+            msm = int(tok[i + 1:j])
+            i = j
+        elif tok[i] == "^" and boost is None:
+            j = i + 1
+            while j < len(tok) and tok[j] not in "~^":
+                j += 1
+            try:
+                boost = float(tok[i + 1:j])
+            except ValueError:
+                return None
+            i = j
+        else:
+            return None
+    return msm, boost
+
+
 class _Parser:
     def __init__(self, tokens: list[str]):
         self.toks = tokens
@@ -448,14 +489,30 @@ class _Parser:
             inner = self.expr()
             if self.next() != ")":
                 raise ValueError("unbalanced parentheses")
-            nxt = self.peek()
-            if nxt and nxt.startswith("^"):
-                try:
-                    f = float(nxt[1:])
-                    self.next()
-                    inner.scale_boost(f)
-                except ValueError:
-                    pass  # '^garbage' after a group: not a boost token
+            # group suffixes: `^B` boost and/or `~N` msm
+            # (minimumNumberShouldMatch, classic `(a b c)~2`), possibly
+            # glued into one token (`)~2^3`); '^garbage' stays unconsumed
+            # like before
+            msm_val = None
+            while True:
+                nxt = self.peek()
+                parsed = (_parse_group_suffix(nxt)
+                          if nxt and nxt[0] in "^~" else None)
+                if parsed is None:
+                    break
+                self.next()
+                sm, bo = parsed
+                if bo is not None:
+                    inner.scale_boost(bo)
+                if sm is not None and msm_val is None:
+                    msm_val = sm
+            if msm_val:
+                if isinstance(inner, Leaf):
+                    # `(term)~N`: a one-SHOULD-clause BooleanQuery — msm
+                    # ≥ 2 then matches nothing, exactly Lucene
+                    inner = Node(should=[inner], msm=msm_val)
+                else:
+                    inner.msm = msm_val
             if grp_field is not None:
                 _set_group_field(inner, grp_field)
             return inner

@@ -305,11 +305,13 @@ def score_shard_tree(
     Parser composition surface, reference SourceDbImpl.java:135-139).
 
     ``leaves`` is a list of (terms: tuple, boost: float, scoring: bool);
-    ``croot`` a nested ("node", must, should, must_not) / ("leaf", i)
+    ``croot`` a nested ("node", must, should, must_not, msm) / ("leaf", i)
     structure from ``SearchEngine._compile_tree``. Semantics (Lucene
     BooleanQuery, see boolquery module docstring): a doc matches a node when
     all MUST children match, no MUST_NOT child matches, and ≥1 SHOULD child
-    matches if the node has no MUSTs; score(doc) sums the contributions of
+    matches if the node has no MUSTs (≥ msm SHOULD children for a classic
+    ``(...)~N`` group — minimumNumberShouldMatch — which binds even
+    alongside MUSTs); score(doc) sums the contributions of
     matching scoring leaves whose every ancestor subtree matches. A leaf
     matches when ANY of its terms is present; its contribution is
     boost × Σ_{present terms, sorted} idf×impact.
@@ -443,7 +445,7 @@ def eval_tree_decoded(
         if nd[0] == "leaf":
             i = nd[1]
             return lm[i], lc[i]
-        _tag, must, should, mnot = nd
+        _tag, must, should, mnot, msm = nd
         m = np.ones(n, dtype=bool)
         c = zf.copy()
         for ch in must:
@@ -451,13 +453,20 @@ def eval_tree_decoded(
             m &= mm
             c += cc
         if should:
-            sm = zb.copy()
+            # minimumNumberShouldMatch (classic `(...)~N`): at least
+            # `eff` SHOULD children must match — the default eff is 1
+            # when the node has no MUST children (plain OR), 0 when it
+            # does (optional clauses); an explicit msm binds either way
+            eff = msm if msm > 0 else (0 if must else 1)
+            cnt = np.zeros(n, dtype=np.int32)
             for ch in should:
                 mm, cc = ev(ch)
-                sm |= mm
+                cnt += mm
                 c += cc
-            if not must:
-                m &= sm
+            if eff > 0:
+                m &= cnt >= eff
+        elif msm > 0:
+            m = zb.copy()  # msm with no optional clauses: nothing (Lucene)
         if not must and not should:
             m = zb.copy()  # pure-negative group matches nothing (Lucene)
         for ch in mnot:
@@ -1187,7 +1196,8 @@ class SearchEngine:
         None for term-set leaves or ``(term_sequence, slop)`` for quoted
         PhraseQuery leaves (``"a b"``/``"a b"~N`` composed in the tree,
         classic-parser surface); ``compiled_root`` nests ("node", must,
-        should, must_not) over ("leaf", i) references. See
+        should, must_not, msm) over ("leaf", i) references (msm:
+        minimumNumberShouldMatch from a ``(...)~N`` group suffix). See
         :mod:`..query.boolquery` for grammar and occur semantics and
         :func:`score_shard_tree` for evaluation. Wildcard/fuzzy clauses are
         legal ANYWHERE in the tree (incl. under AND — a leaf matches on any
@@ -1299,6 +1309,7 @@ class SearchEngine:
                 [conv(c, scoring) for c in nd.must],
                 [conv(c, scoring) for c in nd.should],
                 [conv(c, False) for c in nd.must_not],
+                int(nd.msm),
             )
 
         return conv(root, True), leaves

@@ -122,6 +122,32 @@ def test_bool_match_semantics(beng):
                                  k=None)) == {4, 5, 6, 7}
 
 
+def test_group_msm_semantics(beng):
+    """Classic `(...)~N` — minimumNumberShouldMatch on a parenthesized
+    group — hand-checked on the fixture and pinned to the flat parser's
+    min_match (they are the SAME semantics for a flat OR group)."""
+    # >= 2 of {spark, join, merge}
+    assert _ids(beng.search_bool("(spark join merge)~2", k=None)) \
+        == {1, 2, 3, 4, 7, 9}
+    # binds IN ADDITION to MUST (Lucene: msm hardens optional clauses)
+    assert _ids(beng.search_bool("scan AND (spark join merge)~2", k=None)) \
+        == {2, 4, 7}
+    # msm > |should| matches nothing; msm with no optional clauses too
+    assert beng.search_bool("(spark join)~3", k=None) == []
+    assert beng.search_bool("(spark AND join)~1", k=None) == []
+    # flat-OR equivalence: same docs, same scores up to the paths'
+    # documented summation-association difference (flat: term-ordered
+    # accumulation; tree: per-leaf sorted-term fold) — ids exact, scores
+    # to 1e-12 relative
+    tree = [(h["doc_id"], h["score"])
+            for h in beng.search_bool("(spark join merge)~2", k=None)]
+    flat = [(h["doc_id"], h["score"])
+            for h in beng.search("spark join merge", k=None, min_match=2)]
+    assert [d for d, _ in tree] == [d for d, _ in flat]
+    for (_, s1), (_, s2) in zip(tree, flat):
+        assert s1 == pytest.approx(s2, rel=1e-12)
+
+
 def test_bool_scores_compose_from_flat(beng):
     # for docs matching everything, tree score == flat OR score of the leaves
     flat = {h["doc_id"]: h["score"] for h in beng.search("spark join", k=None)}
@@ -139,7 +165,8 @@ def test_bool_scores_compose_from_flat(beng):
 
 
 def test_bool_driver_distributed_parity(beng):
-    for q in ["spark AND (join OR merge) -scan", "+spark join^2 -scan",
+    for q in ["(spark join merge)~2", "scan AND (spark join merge)~2",
+              "spark AND (join OR merge) -scan", "+spark join^2 -scan",
               "(spark AND sort) OR (merge AND scan)",
               "spark AND (jo* OR merge~1)", "sp?rk OR scan",
               "(join merge)^2 AND NOT sort"]:
@@ -184,6 +211,9 @@ def test_general_wildcards_flat_and_tree(beng):
 # ------------------------------------------------------- oracle parity
 
 QUERIES = [
+    "(spark join merge)~2",
+    "scan AND (spark join merge)~2",
+    "(spark join)~2^2 -scan",
     "spark AND (join OR merge) -scan",
     "+spark join^2 -scan",
     "(spark AND sort) OR (merge AND scan)",
@@ -278,10 +308,10 @@ def test_parser_fuzz_only_valueerror():
 
 def test_randomized_trees_vs_independent_python_oracle(beng):
     """200+ random classic boolean queries (AND/OR/adjacency, +/-/NOT,
-    nested parens, present AND absent terms): the engine's matched doc
-    set must equal an INDEPENDENT Python evaluation of the documented
-    occur truth table (boolquery module docstring) over the fixture —
-    the randomized complement to the hand-checked goldens."""
+    nested parens, ``(...)~N`` group msm, present AND absent terms): the
+    engine's matched doc set must equal an INDEPENDENT Python evaluation
+    of the documented occur truth table (boolquery module docstring) over
+    the fixture — the randomized complement to the hand-checked goldens."""
     import random
 
     from polaris_spark.tokenizer import tokenize
@@ -296,9 +326,11 @@ def test_randomized_trees_vs_independent_python_oracle(beng):
             return False
         if not all(matches(c, toks) for c in node.must):
             return False
-        if node.must:
-            return True
-        return any(matches(c, toks) for c in node.should)
+        if node.msm > 0 and not node.should:
+            return False  # msm with no optional clauses (Lucene)
+        n_hit = sum(matches(c, toks) for c in node.should)
+        eff = node.msm if node.msm > 0 else (0 if node.must else 1)
+        return n_hit >= eff
 
     rng = random.Random(11)
 
@@ -310,6 +342,8 @@ def test_randomized_trees_vs_independent_python_oracle(beng):
             child = gen(depth - 1)
             if " " in child:
                 child = f"({child})"
+                if rng.random() < 0.25:  # classic group msm suffix
+                    child += f"~{rng.randint(1, 3)}"
             parts.append(rng.choice(["", "", "", "+", "-", "NOT "]) + child)
         return rng.choice([" AND ", " OR ", " "]).join(parts)
 
