@@ -557,6 +557,33 @@ def _q_facet_counts(spark, sf_dir):
     return eng.facet_counts(Q_FACET, "source")
 
 
+def _q_sorted_search(spark, sf_dir):
+    """Field-sorted search (IndexSearcher.search(query, n, Sort) analog):
+    the Q_OR match set ordered by the stored 'source' attribute with
+    doc-id tie-break — match kernels at k=None, column-pruned doc_map
+    join, ONE TakeOrderedAndProject (no global sort)."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir))
+    res = eng.search_sorted(Q_OR, "source", k=25, ascending=True)
+    return res.select(
+        "doc_id", "source",
+        F.round(F.col("score") * 10000).cast("long").alias("score_e4"))
+
+
+def _q_search_count(spark, sf_dir):
+    """Total hit count (TotalHitCountCollector analog) of the classic
+    boolean-tree query — exercises match_df's routed tree path folded to
+    one partial-aggregated number."""
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir))
+    n = eng.search_count(Q_BOOL)
+    return spark.createDataFrame([(n,)], "n_hits bigint")
+
+
 def _q_suggest(spark, sf_dir):
     """Spell-suggest ("did you mean", Lucene DirectSpellChecker analog):
     vocab terms within 2 edits of a misspelling, ranked (dist, df desc,
@@ -1049,6 +1076,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "browse_listing": _q_browse,
         "doc_terms": _q_doc_terms,
         "facet_counts": _q_facet_counts,
+        "sorted_search": _q_sorted_search,
+        "search_count": _q_search_count,
         "suggest": _q_suggest,
         "explain_score": _q_explain,
         "more_like_this": _q_mlt,
@@ -1275,6 +1304,16 @@ dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
 SELECT tf.term, tf.tf, dft.df
 FROM tf JOIN dft USING (term) WHERE tf.doc_id = {DOC_TERMS_ID}""",
         "facet_counts": facet_sql(Q_FACET, "source"),
+        "sorted_search": (
+            f"SELECT s.doc_id, d.source, s.score_e4 "
+            f"FROM ({bm25_scores_sql(Q_OR)}) s "
+            f"JOIN documents d USING (doc_id) "
+            f"ORDER BY d.source ASC, s.doc_id ASC LIMIT 25"
+        ),
+        "search_count": (
+            f"SELECT count(*)::BIGINT AS n_hits "
+            f"FROM ({bool_scores_sql(Q_BOOL)}) q"
+        ),
         "suggest": suggest_sql(SUGGEST_TERM, 5, 2),
         "explain_score": explain_sql(Q_OR),
         "more_like_this": mlt_sql(max_terms=8, k=10),

@@ -96,6 +96,14 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--expand-fields", action="store_true",
                    help="bare tokens also query every indexed field column "
                         "(the reference's multi-field OR default)")
+    q.add_argument("--sort-attr", default=None,
+                   help="order hits by this stored doc_map attribute "
+                        "instead of relevance (IndexSearcher Sort analog; "
+                        "implies the distributed path)")
+    q.add_argument("--sort-desc", action="store_true")
+    q.add_argument("--count-only", action="store_true",
+                   help="print only the total hit count "
+                        "(TotalHitCountCollector analog)")
 
     c = sub.add_parser("complete", help="prefix completion")
     c.add_argument("--index", required=True)
@@ -530,6 +538,18 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = _session("polaris_spark_query")
         eng = SearchEngine(spark, args.index)
+        if args.count_only:
+            print(json.dumps({"query": args.query,
+                              "count": eng.search_count(args.query,
+                                                        args.mode)}))
+            return
+        if args.sort_attr:
+            rows = [r.asDict() for r in eng.search_sorted(
+                args.query, args.sort_attr, args.k,
+                ascending=not args.sort_desc, mode=args.mode,
+                expand_fields=args.expand_fields).collect()]
+            print(json.dumps(rows))
+            return
         if args.distributed:
             rows = [r.asDict() for r in eng.search_df(
                 args.query, args.k, args.mode,

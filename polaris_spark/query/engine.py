@@ -2725,9 +2725,9 @@ class SearchEngine:
         (facet, n) — one row per attribute value with ≥1 matching doc.
 
         Spark shape: the match set comes from the same bucket-pruned
-        candidate scan + per-shard scoring kernels as :meth:`search_df`
-        (k=None — no top-k cut, same query semantics incl. boolean
-        operators the parser accepts), equi-joined to doc_map on doc_id
+        candidate scan + per-shard scoring kernels as :meth:`match_df`
+        (k=None — no top-k cut, with its flat/tree/phrase per-query
+        routing), equi-joined to doc_map on doc_id
         for the attribute, then a partial-aggregated groupBy: each task
         pre-folds to at most |attribute values| rows, so the reduce moves
         |values| × partitions tiny rows regardless of match-set size."""
@@ -2739,14 +2739,88 @@ class SearchEngine:
                 f"attribute {attr!r} not stored in doc_map "
                 f"(available: {[c for c in dm.columns if c != 'doc_id']})"
             )
-        hits = self.search_df(query, k=None, mode=mode,
-                              expand_fields=expand_fields)
+        hits = self.match_df(query, mode=mode, expand_fields=expand_fields)
         return (
             hits.select("doc_id")
             .join(dm.select("doc_id", F.col(attr).alias("facet")), "doc_id")
             .groupBy("facet")
             .agg(F.count("*").alias("n"))
         )
+
+    def match_df(self, query: str, mode: str = "or",
+                 expand_fields: bool = False):
+        """FULL match set (doc_id, score, n_match), k=None, with the same
+        per-query routing as the serving endpoint (:meth:`search_mixed`):
+        a quoted ``"a b"``/``"a b"~N`` takes the phrase path, a query that
+        genuinely parses as a boolean tree takes the tree path, everything
+        else — including operator-LOOKING but malformed pasted text — the
+        flat path. The shared front half of the collector-style surfaces
+        (:meth:`facet_counts`, :meth:`search_sorted`,
+        :meth:`search_count`)."""
+        from pyspark.sql import functions as F
+
+        from .boolquery import has_operators
+
+        pq = parse_phrase_query(query)
+        if pq is not None:
+            # normalize to RESULT_SCHEMA: a lone phrase is ONE clause, so
+            # n_match=1 per matching doc — the same value the tree path
+            # reports for a phrase leaf
+            return (self.search_phrase_df(pq[0], k=None, slop=pq[1])
+                    .select("doc_id", "score",
+                            F.lit(1).cast("int").alias("n_match")))
+        if mode == "or" and has_operators(query):
+            try:
+                self.parse_bool(query, expand_fields)
+            except ValueError:
+                pass  # degrade to flat, like search_mixed
+            else:
+                return self.search_bool_df(query, k=None,
+                                           expand_fields=expand_fields)
+        return self.search_df(query, k=None, mode=mode,
+                              expand_fields=expand_fields)
+
+    def search_sorted(self, query: str, attr: str, k: int | None = 10,
+                      ascending: bool = True, mode: str = "or",
+                      expand_fields: bool = False):
+        """Field-sorted search — Lucene's ``IndexSearcher.search(query, n,
+        Sort(SortField(attr)))``: the match set ordered by a STORED doc_map
+        attribute instead of relevance, with Lucene's doc-id tie-break.
+        Returns (doc_id, <attr>, score, n_match) top-k by
+        (attr asc|desc, doc_id asc) — a deterministic total order.
+
+        Spark shape: the match set is the same pruned candidate scan +
+        per-shard kernels as :meth:`match_df` (k=None, full parser surface
+        via its routing); the doc_id equi-join shuffles only the match set
+        against a column-pruned (doc_id, attr) doc_map scan, and the cut
+        is ONE TakeOrderedAndProject — never a global sort (the search
+        path's relevance ordering is eliminated by Catalyst below the
+        join; see PLANS.md §sorted-search)."""
+        from pyspark.sql import functions as F
+
+        dm = self._live(self.spark.read.parquet(self.doc_map_path))
+        if attr not in dm.columns:
+            raise ValueError(
+                f"attribute {attr!r} not stored in doc_map "
+                f"(available: {[c for c in dm.columns if c != 'doc_id']})"
+            )
+        hits = self.match_df(query, mode=mode, expand_fields=expand_fields)
+        out = (hits.join(dm.select("doc_id", attr), "doc_id")
+                   .select("doc_id", attr, "score", "n_match")
+                   .orderBy(F.asc(attr) if ascending else F.desc(attr),
+                            F.asc("doc_id")))
+        return out.limit(int(k)) if k is not None else out
+
+    def search_count(self, query: str, mode: str = "or",
+                     expand_fields: bool = False) -> int:
+        """Total hit count without a top-k — Lucene's
+        ``TotalHitCountCollector`` / ``IndexSearcher.count(query)``: the
+        same match semantics as :meth:`match_df` (full parser surface),
+        folded to one number by a partial-aggregated count (the relevance
+        sort is eliminated below the Aggregate, so no ordering work
+        happens; each task emits one partial count)."""
+        return int(self.match_df(query, mode=mode,
+                                 expand_fields=expand_fields).count())
 
     def suggest_df(self, term: str, n: int = 5, max_edits: int = 2):
         """Spell-correction suggestions ("did you mean") — the Lucene

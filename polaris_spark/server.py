@@ -124,6 +124,13 @@ class _Handler(BaseHTTPRequestHandler):
                    if b.get("searchAfter") is not None else None),
         )
 
+    def _m_count(self, b):
+        """TotalHitCountCollector analog: match-set size, full parser
+        surface (flat / tree / phrase routing), no top-k work."""
+        return {"query": b["query"],
+                "count": self.engine.search_count(
+                    b["query"], mode=b.get("mode", "or"))}
+
     def _m_searchMany(self, b):
         """Batch search: the whole query list scored as ONE distributed
         job (engine.search_many_df — the replay/eval shape; per-query

@@ -102,6 +102,20 @@ def test_search_after_cursor(spark, daemon):
                 & {h["doc_id"] for h in p2["hits"]})
 
 
+def test_count_endpoint(spark, daemon):
+    """/api/count (TotalHitCountCollector analog) equals the engine's
+    match-set size, flat and tree-routed."""
+    base, d, pdf = daemon
+    q = pdf["text"].iloc[0].split()[0]
+    eng = SearchEngine(spark, d)
+    got = _post(base, "count", {"query": q})
+    assert got == {"query": q, "count": eng.search_count(q)}
+    t2 = pdf["text"].iloc[1].split()[0]
+    tree = f"{q} AND {t2}"
+    assert _post(base, "count", {"query": tree})["count"] == \
+        eng.search_count(tree)
+
+
 def test_complete_and_usages_endpoints(spark, daemon):
     base, d, _ = daemon
     eng = SearchEngine(spark, d)

@@ -371,6 +371,16 @@ def main() -> None:
         cap(dsir_logweights(docs, docs.where("lang = 'en'"))),
     ))
 
+    SECTIONS.append((
+        "sorted-search (field sort: match kernels + TakeOrderedAndProject)",
+        "IndexSearcher Sort analog: the match set (same pruned scan + "
+        "per-shard kernels, k=None) equi-joins a column-pruned "
+        "(doc_id, attr) doc_map scan and the (attr, doc_id) top-k is ONE "
+        "TakeOrderedAndProject — the search path's relevance orderBy is "
+        "eliminated below the join, and no global Sort appears.",
+        cap(eng.search_sorted("spark join", "source", k=10)),
+    ))
+
     from polaris_spark.ops.bpe import bpe_encode, bpe_learn
     from polaris_spark.ops.text import top_ngrams
 
