@@ -31,6 +31,7 @@ Q_MULTI = "src3 slow"  # bare tokens, expanded across text + field columns
 Q_WILD = "s* join"  # Lucene-classic trailing-star prefix + literal term
 Q_BOOST = "spark^2.5 join"  # Lucene-classic clause boost
 Q_FUZZY = "scan~2 join"  # Lucene-classic fuzzy (maxEdits=2)
+Q_FFUZZY = "source:sr3~1 slow"  # field-qualified fuzzy (classic title:roam~2)
 Q_NOT = "spark -join"  # Lucene-classic prohibit operator
 Q_MSM = ("spark join merge", 2)  # minimumNumberShouldMatch: ≥2 of 3 terms
 Q_BOOL = "spark AND (join OR merge) -scan"  # classic boolean composition
@@ -219,6 +220,18 @@ def _q_fielded(spark, sf_dir):
 
     eng = SearchEngine(spark, _ensure_index(spark, sf_dir, fields=True))
     return _score_e4(eng.search_df(Q_FIELDED, k=None))
+
+
+def _q_field_fuzzy(spark, sf_dir):
+    """Field-qualified FuzzyQuery (classic ``title:roam~2``): the fuzzy
+    head expands within the named field's term space only — full-string
+    probe confined to ``source:``-prefixed candidates (identical-prefix
+    Levenshtein equals body distance), same n-gram-table pruning as bare
+    fuzzy."""
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir, fields=True))
+    return _score_e4(eng.search_df(Q_FFUZZY, k=None))
 
 
 def _q_multifield(spark, sf_dir):
@@ -1031,6 +1044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_not": _q_boolean_not,
         "phrase_search": _q_phrase,
         "fielded_search": _q_fielded,
+        "field_fuzzy_search": _q_field_fuzzy,
         "multifield_search": _q_multifield,
         "wildcard_search": _q_wildcard,
         "wildcard_general": _q_wildcard_general,
@@ -1230,6 +1244,8 @@ SELECT doc_id, lpad(lower(to_hex(val)), 4, '0') AS simhash16 FROM packed"""
         "boolean_not": bm25_scores_sql(Q_NOT),
         "phrase_search": phrase_sql(Q_PHRASE),
         "fielded_search": bm25_scores_sql(Q_FIELDED, field_cols=FIELD_COLS),
+        "field_fuzzy_search": bm25_scores_sql(Q_FFUZZY,
+                                              field_cols=FIELD_COLS),
         "multifield_search": bm25_scores_sql(Q_MULTI, field_cols=FIELD_COLS,
                                              expand_fields=True),
         "wildcard_search": bm25_scores_sql(Q_WILD),

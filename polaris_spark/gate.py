@@ -102,10 +102,19 @@ def _split_chunks(query: str, field_cols: tuple = (),
             continue
         fz = _fuzzy_suffix(body)
         if fz is not None:
-            if neg:
-                pexc.append(("fuzzy", fz[0], fz[1]))
+            raw, me = fz
+            # engine _expand_fuzzy mirror: known-field heads probe the full
+            # 'f:term' string confined to 'f:' candidates; bare/unknown-
+            # field heads probe the body among unfielded terms
+            ffld, _, frest = raw.partition(":")
+            if frest and ffld in fields:
+                probe, scope = raw, ffld
             else:
-                pinc.append(("fuzzy", fz[0], fz[1], boost))
+                probe, scope = (frest if frest else raw), ""
+            if neg:
+                pexc.append(("fuzzy", probe, me, scope))
+            else:
+                pinc.append(("fuzzy", probe, me, scope, boost))
             continue
         if len(body) > 1 and body.endswith("*") and not _has_wild(body[:-1]):
             raw = body[:-1]
@@ -159,13 +168,14 @@ def _qt_cte(terms, prefixes) -> str:
         # always bare (the parser rejects ':' in them), prefixes are fielded
         # iff they carry the ':' themselves.
         if p[0] == "fuzzy":
-            _k, raw, me = p[0], p[1], p[2]
-            boost = p[3] if len(p) > 3 else 1.0
+            _k, raw, me, scope = p[0], p[1], p[2], p[3]
+            boost = p[4] if len(p) > 4 else 1.0
             lit = raw.replace("'", "''")
+            guard = (f"starts_with(term, '{scope}:')" if scope
+                     else "NOT contains(term, ':')")
             cond = (
                 f"length(term) BETWEEN {len(raw) - me} AND {len(raw) + me} "
-                f"AND levenshtein(term, '{lit}') <= {me} "
-                f"AND NOT contains(term, ':')"
+                f"AND levenshtein(term, '{lit}') <= {me} AND {guard}"
             )
         elif p[0] == "range":
             _k, fld, lo, hi, ilo, ihi, known = p[:7]
@@ -459,15 +469,19 @@ def bool_scores_sql(query: str, table: str = "documents",
             if ":" not in pref:
                 cond += " AND NOT contains(term, ':')"
         elif leaf.kind == "fuzzy":
-            if gf:
-                raise ValueError("fuzzy terms are not supported inside "
-                                 "field groups")
             raw, me = leaf.payload
-            lit = raw.replace("'", "''")
+            if gf and ":" not in raw:
+                raw = f"{gf}:{raw}"  # field group scopes fuzzy leaves too
+            ffld, _, frest = raw.partition(":")
+            if frest and ffld in fields:
+                probe, guard = raw, f"starts_with(term, '{ffld}:')"
+            else:
+                probe = frest if frest else raw
+                guard = "NOT contains(term, ':')"
+            lit = probe.replace("'", "''")
             cond = (
-                f"length(term) BETWEEN {len(raw) - me} AND {len(raw) + me} "
-                f"AND levenshtein(term, '{lit}') <= {me} "
-                f"AND NOT contains(term, ':')"
+                f"length(term) BETWEEN {len(probe) - me} AND {len(probe) + me} "
+                f"AND levenshtein(term, '{lit}') <= {me} AND {guard}"
             )
         elif leaf.kind == "wildcard":
             pat = leaf.payload

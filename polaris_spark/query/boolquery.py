@@ -362,11 +362,14 @@ def _has_wild(s: str) -> bool:
 
 def _fuzzy_suffix(body: str):
     # duplicated tiny helper (engine imports the canonical one; this module
-    # must stay importable without Spark)
+    # must stay importable without Spark). One field: qualifier is legal
+    # (classic `title:roam~2`); multi-colon heads (URLs) read as chunks.
     if "~" not in body or body.startswith("~"):
         return None
     head, _, tail = body.rpartition("~")
-    if "~" in head or "*" in head or "?" in head or ":" in head:
+    if "~" in head or "*" in head or "?" in head:
+        return None
+    if head.count(":") > 1 or head.startswith(":") or head.endswith(":"):
         return None
     if tail == "":
         return head, 2

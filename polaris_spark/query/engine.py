@@ -114,12 +114,16 @@ def parse_phrase_query(query: str):
 
 
 def _fuzzy_suffix(body: str):
-    """``term~``/``term~N`` → (term, max_edits) or None. N ∈ {1, 2};
-    bare ``~`` means 2 (the Lucene 4.3 FuzzyQuery default)."""
+    """``term~``/``term~N``/``field:term~N`` → (head, max_edits) or None.
+    N ∈ {1, 2}; bare ``~`` means 2 (the Lucene 4.3 FuzzyQuery default).
+    One ``field:`` qualifier is legal (classic ``title:roam~2``); heads
+    with multiple colons (URLs in pasted text) read as plain chunks."""
     if "~" not in body or body.startswith("~"):
         return None
     head, _, tail = body.rpartition("~")
-    if "~" in head or "*" in head or ":" in head:
+    if "~" in head or "*" in head:
+        return None
+    if head.count(":") > 1 or head.startswith(":") or head.endswith(":"):
         return None
     if tail == "":
         return head, 2
@@ -950,29 +954,43 @@ class SearchEngine:
 
         Like Lucene (which confines multi-term expansion to the clause's
         field), a BARE fuzzy term never expands into ``field:token`` index
-        terms — field-prefixed dictionary entries are filtered out (fuzzy
-        terms are always bare: ``_fuzzy_suffix`` rejects ':' in the head).
+        terms — field-prefixed dictionary entries are filtered out. A
+        field-QUALIFIED head (``f:term~N``, f a known field — classic
+        ``title:roam~2``) expands within that field's term space only:
+        the probe is the full ``f:term`` string confined to ``f:``-prefixed
+        candidates, and Levenshtein over identical prefixes equals the body
+        distance exactly. An UNKNOWN field qualifier falls back to a bare
+        expansion of the body (the fuzzy analog of the unknown-``field:``
+        plain-text rule on chunks).
 
         Served from the n-gram expansion table (``fuzzy_ngrams/``,
-        completion/-pattern: pushed ``gram IN``/``g1=`` pruning) when the
-        index has one; otherwise a length-banded dictionary scan with a
+        completion/-pattern: pushed ``gram IN``/``g1=`` pruning; grams are
+        over full term strings, so fielded probes prune the same way) when
+        the index has one; otherwise a length-banded dictionary scan with a
         JVM-side levenshtein — what Lucene pays absent its Levenshtein
         automata. Both paths produce identical term sets (the gram filter is
         a provably necessary condition; levenshtein re-verifies exactly)."""
         from pyspark.sql import functions as F
 
+        fields = set(self.stats.get("field_cols", ()) or ())
+        fld, _, rest = term.partition(":")
+        if rest and fld in fields:
+            probe, scope = term, F.col("term").startswith(f"{fld}:")
+        else:
+            probe = rest if rest else term
+            scope = ~F.col("term").contains(":")
         fz_path = os.path.join(self.index_dir, "fuzzy_ngrams")
         if self.fs.exists(fz_path):
-            cand = self._fuzzy_gram_candidates(term, max_edits)
+            cand = self._fuzzy_gram_candidates(probe, max_edits)
         else:
             cand = self.spark.read.parquet(self.dict_path).groupBy("term").agg(
                 F.sum("df").alias("df")
             )
-        n = len(term)
+        n = len(probe)
         rows = (
-            cand.where(~F.col("term").contains(":"))
+            cand.where(scope)
             .where(F.length("term").between(n - max_edits, n + max_edits))
-            .where(F.levenshtein(F.col("term"), F.lit(term)) <= max_edits)
+            .where(F.levenshtein(F.col("term"), F.lit(probe)) <= max_edits)
             .orderBy(F.desc("df"), F.asc("term"))
             .limit(self.max_expansions)
             .collect()
@@ -1270,12 +1288,11 @@ class SearchEngine:
                         else f"{gf}:{raw}" if gf else raw)
                 return tuple(self._expand_prefix(pref))
             if leaf.kind == "fuzzy":
-                if gf:
-                    raise ValueError(
-                        "fuzzy terms are not supported inside field groups "
-                        "(the fuzzy expansion space is unfielded)"
-                    )
                 head, me = leaf.payload
+                if gf and ":" not in head:
+                    # field group f:(x~1) scopes the fuzzy leaf, like every
+                    # other leaf kind; explicit inner fields win
+                    head = f"{gf}:{head}"
                 return tuple(self._expand_fuzzy(head, me))
             if leaf.kind == "wildcard":
                 pat = leaf.payload

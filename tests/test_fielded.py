@@ -152,9 +152,9 @@ def test_field_group_semantics(feng):
     # group composes with the boolean tree
     assert _bids(feng.search_bool("role:(assistant) AND error -tool:read_file",
                                   k=None)) == {2}
-    # fuzzy inside a field group is rejected (unfielded expansion space)
-    with pytest.raises(ValueError, match="field group"):
-        feng.search_bool("tool:(web~1)", k=None)
+    # fuzzy inside a field group now scopes like every other leaf kind
+    # (round-3 late: field-qualified fuzzy — was a documented rejection)
+    assert _bids(feng.search_bool("tool:(web~1)", k=None)) == {2, 3}
 
 
 def test_field_group_driver_distributed_parity(feng):
@@ -193,3 +193,50 @@ def test_field_group_oracle_parity(feng):
             bool_scores_sql(q, table="fixture",
                             field_cols=("role", "tool"))).fetchall())
         assert got == want, q
+
+
+def test_field_qualified_fuzzy(feng):
+    """Classic ``field:term~N`` (Lucene ``title:roam~2``): the fuzzy head
+    expands WITHIN the named field's term space; bare fuzzy never reaches
+    field terms (ADVICE r2 #4 rule preserved); unknown fields degrade to a
+    bare body expansion; field groups scope fuzzy leaves."""
+    # role vocab: assistant, tool, user. 'rol:use~1' -> role:user
+    assert feng._expand_fuzzy("role:use", 1) == ["role:user"]
+    assert {h["doc_id"] for h in feng.search("role:use~1", k=None)} == {4}
+    # bare fuzzy must NOT expand into field terms: 'use~1' has no bare
+    # dictionary term within 1 edit ('user' IS a field token only here,
+    # but 'user' never appears in text) -> no role:user leak
+    assert all(not t.startswith("role:")
+               for t in feng._expand_fuzzy("use", 1))
+    # unknown field falls back to a bare body expansion
+    assert feng._expand_fuzzy("bogus:erron", 1) == \
+        feng._expand_fuzzy("erron", 1)
+    # inside a boolean tree + field group scope
+    got = {h["doc_id"] for h in feng.search_bool("role:(use~1) AND chat",
+                                                 k=None)}
+    assert got == {4}
+    # driver == distributed == oracle
+    import duckdb
+
+    from polaris_spark.gate import bm25_scores_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fx (doc_id BIGINT, text VARCHAR, "
+                "role VARCHAR, tool VARCHAR)")
+    con.executemany("INSERT INTO fx VALUES (?, ?, ?, ?)", DOCS)
+    for q in ["role:use~1 error", "tool:web.searh~1"]:
+        a = [(h["doc_id"], round(h["score"] * 10000))
+             for h in feng.search(q, k=None)]
+        b = [(r["doc_id"], r["score_e4"])
+             for r in feng.search_df(q, k=None).select(
+                 "doc_id", (F_round_e4())).collect()]
+        want = sorted(con.execute(bm25_scores_sql(
+            q, table="fx", field_cols=("role", "tool"))).fetchall())
+        assert sorted(a) == want, q
+        assert sorted(b) == want, q
+
+
+def F_round_e4():
+    from pyspark.sql import functions as F
+
+    return F.round(F.col("score") * 10000).cast("long").alias("score_e4")
