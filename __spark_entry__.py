@@ -969,20 +969,24 @@ def _q_bpe_roundtrip(spark, sf_dir):
     merge table from the corpus word histogram (one shuffle + driver merge
     loop), encode every document with the broadcast ranks (Arrow
     mapInPandas, per-batch word memo), decode JVM-side, and count exact
-    roundtrip mismatches vs whitespace-normalized text. One row
-    (n_docs, n_violations); the oracle pins n_violations to the constant 0
-    (same pattern as the ``index_check`` violation table), so a pass
-    requires learn → encode → decode to verify clean end-to-end over the
-    full sf corpus. Merge-table CORRECTNESS itself is pinned by
-    tests/test_bpe.py (hand-worked Sennrich example + parity with an
-    independent naive reference implementation)."""
+    roundtrip mismatches vs whitespace-normalized text. The trip goes
+    through TOKEN IDS (learn → vocab → encode_ids → decode_ids), so a pass
+    verifies the merge replay, the base-then-merges id assignment, and the
+    id→token decode together. One row (n_docs, n_violations); the oracle
+    pins n_violations to the constant 0 (same pattern as the
+    ``index_check`` violation table). Merge-table CORRECTNESS itself is
+    pinned by tests/test_bpe.py (hand-worked Sennrich example + parity
+    with an independent naive reference implementation)."""
     from pyspark.sql import functions as F
 
-    from polaris_spark.ops.bpe import bpe_decode, bpe_encode, bpe_learn
+    from polaris_spark.ops.bpe import (bpe_decode_ids, bpe_encode_ids,
+                                       bpe_learn, bpe_vocab)
 
     docs = _docs(spark, sf_dir)
     merges = bpe_learn(spark, docs, n_merges=120, max_words=30000)
-    dec = bpe_decode(bpe_encode(docs.select("doc_id", "text"), merges))
+    vocab = bpe_vocab(spark, docs, merges)
+    dec = bpe_decode_ids(
+        bpe_encode_ids(docs.select("doc_id", "text"), merges, vocab), vocab)
     norm = F.concat_ws(
         " ", F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit("")))
     return dec.agg(

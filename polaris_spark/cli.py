@@ -311,6 +311,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="histogram cap (top words by count; the cut is "
                          "reported, never silent)")
     bp.add_argument("--min-count", type=int, default=2)
+    bp.add_argument("--ids", action="store_true",
+                    help="also write <merges>_vocab.parquet (token_id, "
+                         "token) and emit 'bpe_ids' (array<int>) in "
+                         "--encode-out instead of subword strings")
 
     sd = sub.add_parser("semdedup", help="SemDeDup semantic dedup ledger "
                         "(Abbas et al. 2023): k-means cluster, then drop "
@@ -956,8 +960,23 @@ def main(argv: list[str] | None = None) -> int:
         res = {"merges": args.merges,
                "n_merges": merges.count(),
                **bpe_mod._INPUT_ROWS_LOG.get("bpe_learn", {})}
+        vocab = None
+        if args.ids:
+            from polaris_spark.ops.bpe import bpe_vocab
+
+            vocab = bpe_vocab(spark, docs, merges, text_col=args.text_col)
+            vocab.write.mode("overwrite").parquet(args.merges + "_vocab")
+            vocab = spark.read.parquet(args.merges + "_vocab")
+            res["vocab"] = args.merges + "_vocab"
+            res["vocab_size"] = vocab.count()
         if args.encode_out:
-            enc = bpe_encode(docs, merges, text_col=args.text_col)
+            if args.ids:
+                from polaris_spark.ops.bpe import bpe_encode_ids
+
+                enc = bpe_encode_ids(docs, merges, vocab,
+                                     text_col=args.text_col)
+            else:
+                enc = bpe_encode(docs, merges, text_col=args.text_col)
             enc.write.mode("overwrite").parquet(args.encode_out)
             res["encode_out"] = args.encode_out
             res["n_docs"] = spark.read.parquet(args.encode_out).count()

@@ -221,3 +221,85 @@ def bpe_decode(df, tokens_col: str = "bpe", out_col: str = "decoded"):
     joined = F.concat_ws("", F.col(tokens_col))
     words = F.filter(F.split(joined, EOW, -1), lambda x: x != F.lit(""))
     return df.withColumn(out_col, F.concat_ws(" ", words))
+
+
+def bpe_vocab(spark, df, merges_df, text_col: str = "text"):
+    """(token_id, token) vocabulary table: the corpus ALPHABET (distinct
+    characters of the whitespace words, plus the EOW sentinel) takes the
+    low ids in lexicographic order, then each merge's output string takes
+    the next id in rank order — the standard base-then-merges id layout.
+    Two merges can emit the same string (("ab","c") and ("a","bc") both
+    make "abc"); the first rank keeps the id. Alphabet discovery is one
+    distinct-character aggregate (alphabet-bounded output); everything
+    else is driver-side over the ≤ n_merges merge rows."""
+    from pyspark.sql import functions as F
+
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
+    chars = (df.select(F.explode(F.split(F.concat_ws("", toks), "")).alias("c"))
+               .where(F.col("c") != "").distinct().collect())
+    vocab: dict[str, int] = {}
+    for c in sorted(r["c"] for r in chars):
+        vocab.setdefault(c, len(vocab))
+    vocab.setdefault(EOW, len(vocab))
+    for r in merges_df.orderBy("rank").collect():
+        vocab.setdefault(r["left"] + r["right"], len(vocab))
+    return spark.createDataFrame(
+        sorted(((i, t) for t, i in vocab.items())),
+        "token_id int, token string",
+    )
+
+
+def bpe_encode_ids(df, merges_df, vocab_df, text_col: str = "text",
+                   out_col: str = "bpe_ids"):
+    """Like :func:`bpe_encode` but emitting ``array<int>`` token ids via a
+    broadcast vocab dict (characters unseen at vocab-build time map to -1,
+    the documented OOV id). Same zero-shuffle Arrow map + per-batch
+    distinct-word memo."""
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    ranks = {(r["left"], r["right"]): int(r["rank"])
+             for r in merges_df.collect()}
+    vocab = {r["token"]: int(r["token_id"]) for r in vocab_df.collect()}
+    spark = df.sparkSession
+    b = spark.sparkContext.broadcast((ranks, vocab))
+    schema = StructType(list(df.schema.fields)
+                        + [StructField(out_col, ArrayType(IntegerType()))])
+    cols = df.columns
+
+    def enc_iter(batches):
+        rk, vb = b.value
+        memo: dict[str, list[int]] = {}
+
+        def enc(word):
+            ids = memo.get(word)
+            if ids is None:
+                ids = [vb.get(t, -1) for t in encode_word(word, rk)]
+                memo[word] = ids
+            return ids
+
+        for pdf in batches:
+            pdf[out_col] = [
+                [i for w in (txt.split() if isinstance(txt, str) else [])
+                 for i in enc(w)]
+                for txt in pdf[text_col]
+            ]
+            yield pdf[cols + [out_col]]
+
+    return df.mapInPandas(enc_iter, schema)
+
+
+def bpe_decode_ids(df, vocab_df, ids_col: str = "bpe_ids",
+                   out_col: str = "decoded"):
+    """Inverse of :func:`bpe_encode_ids`: ids → tokens via a broadcast
+    id→token map (a JVM map_from_arrays lookup + the string algebra of
+    :func:`bpe_decode` — no Python)."""
+    from pyspark.sql import functions as F
+
+    pairs = sorted((int(r["token_id"]), r["token"])
+                   for r in vocab_df.collect())
+    m = F.map_from_arrays(F.array(*[F.lit(i) for i, _ in pairs]),
+                          F.array(*[F.lit(t) for _, t in pairs]))
+    toks = F.transform(F.col(ids_col), lambda i: m[i])
+    joined = F.concat_ws("", toks)
+    words = F.filter(F.split(joined, EOW, -1), lambda x: x != F.lit(""))
+    return df.withColumn(out_col, F.concat_ws(" ", words))

@@ -162,3 +162,32 @@ def test_top_ngrams_hand_fixture(spark):
     got = [(r["ngram"], r["n_occur"])
            for r in top_ngrams(df, n=2, k=3).collect()]
     assert got == [("a b", 3), ("b c", 2), ("c a", 2)]
+
+
+def test_bpe_ids_roundtrip(spark, corpus):
+    """ids: base-then-merges vocab layout, ids→tokens→text roundtrip,
+    dup-output-string merges share one id, OOV chars map to -1."""
+    from polaris_spark.ops.bpe import (bpe_decode_ids, bpe_encode_ids,
+                                       bpe_vocab)
+
+    merges = bpe_learn(spark, corpus, n_merges=60)
+    vocab = bpe_vocab(spark, corpus, merges)
+    vrows = vocab.collect()
+    ids = [r["token_id"] for r in vrows]
+    assert ids == sorted(ids) and len(set(ids)) == len(ids)
+    toks = {r["token"]: r["token_id"] for r in vrows}
+    assert EOW in toks
+    # base chars come before every merged (multi-char) token
+    base_max = max(i for t, i in toks.items() if len(t) == 1)
+    merged_min = min((i for t, i in toks.items()
+                      if len(t.replace(EOW, "")) > 1), default=base_max + 1)
+    assert base_max < merged_min
+    enc = bpe_encode_ids(corpus, merges, vocab)
+    dec = bpe_decode_ids(enc, vocab)
+    norm = F.concat_ws(" ", F.filter(F.split(F.col("text"), r"\s+"),
+                                     lambda x: x != F.lit("")))
+    assert dec.where(F.col("decoded") != norm).count() == 0
+    # OOV char (never in the training corpus) -> -1
+    oov = spark.createDataFrame([(1, "bézier")], "id long, text string")
+    row = bpe_encode_ids(oov, merges, vocab).first()
+    assert -1 in row["bpe_ids"]
