@@ -44,6 +44,13 @@ Methods (POST JSON to /api/<method>):
 - ``mlt``        {docId} or {text} → MoreLikeThis hits: docs most similar
                  to the given doc's stored text (or the raw text), the
                  source doc excluded (Lucene queries/mlt analog).
+- ``count``      {query, mode?} → total hit count, full parser surface
+                 (TotalHitCountCollector analog — no top-k work).
+- ``reload``     {} → swap in a fresh engine over the index's CURRENT
+                 published state (Lucene SearcherManager.maybeRefresh):
+                 generations appended or tombstones written since daemon
+                 start become searchable; in-flight requests finish on
+                 the old point-in-time engine.
 
 Unknown method → 404; malformed body → 400; handler exception → 500 with
 the error message (the reference propagates RPC error codes similarly).
@@ -123,6 +130,25 @@ class _Handler(BaseHTTPRequestHandler):
             after=(tuple(b["searchAfter"])
                    if b.get("searchAfter") is not None else None),
         )
+
+    def _m_reload(self, b):
+        """Lucene SearcherManager.maybeRefresh analog: construct a fresh
+        engine over the index's CURRENT published state — generations
+        appended (or tombstones written) since this daemon's engine was
+        built become visible — and swap it in with one atomic class-
+        attribute assignment. In-flight requests finish on the old
+        point-in-time engine (exactly an old IndexReader staying open
+        until its searches drain); the next request sees the new one."""
+        cls = type(self)
+        old = cls.engine
+        new = old.__class__(cls._spark, cls._index_dir,
+                            cache_terms=cls._cache_terms)
+        cls.engine = new
+        return {
+            "reloaded": True,
+            "n_docs_before": int(old.stats.get("N", 0)),
+            "n_docs_after": int(new.stats.get("N", 0)),
+        }
 
     def _m_count(self, b):
         """TotalHitCountCollector analog: match-set size, full parser
@@ -241,7 +267,10 @@ def serve(spark, index_dir: str, host: str = "127.0.0.1", port: int = 0,
     from .query.engine import SearchEngine
 
     handler = type("Handler", (_Handler,), {
-        "engine": SearchEngine(spark, index_dir, cache_terms=cache_terms)
+        "engine": SearchEngine(spark, index_dir, cache_terms=cache_terms),
+        # kept for /api/reload (SearcherManager.maybeRefresh analog)
+        "_spark": spark, "_index_dir": index_dir,
+        "_cache_terms": cache_terms,
     })
     srv = ThreadingHTTPServer((host, port), handler)
     t = threading.Thread(target=srv.serve_forever, daemon=True)

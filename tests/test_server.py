@@ -256,3 +256,35 @@ def test_layout_and_docterms_endpoints(spark, daemon):
     assert {t["term"]: t["tf"] for t in out["terms"]} \
         == dict(Counter(tokenize(dm["text"])))
     assert all(t["df"] >= 1 for t in out["terms"])
+
+
+def test_reload_serves_appended_generation(spark, tmp_path_factory):
+    """/api/reload (SearcherManager.maybeRefresh analog): a doc appended
+    AFTER daemon start is invisible until reload (point-in-time engine),
+    then searchable; n_docs before/after reflect the published state."""
+    from polaris_spark.index.maintenance import append_index
+
+    d = str(tmp_path_factory.mktemp("reload_idx"))
+    docs = spark.createDataFrame(make_transcripts(n_turns=200, seed=9))
+    build_index(spark, docs, d, cfg=IndexConfig(n_buckets=8, n_shards=2,
+                                                n_chunks=2))
+    srv, _t = serve(spark, d, port=0, cache_terms=64)
+    base = f"http://{srv.server_address[0]}:{srv.server_address[1]}"
+    try:
+        new = spark.createDataFrame(
+            [("convnew-0001", 0, "user", "zzzreloadterm appears here",
+              "", None)],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp")
+        append_index(spark, new, d)
+        # pre-reload: the daemon's engine predates the append
+        pre = _post(base, "search", {"query": "zzzreloadterm",
+                                     "payload": False})
+        assert pre["count"] == 0
+        r = _post(base, "reload", {})
+        assert r["reloaded"] and r["n_docs_after"] == r["n_docs_before"] + 1
+        post = _post(base, "search", {"query": "zzzreloadterm",
+                                      "payload": False})
+        assert post["count"] == 1
+    finally:
+        srv.shutdown()
