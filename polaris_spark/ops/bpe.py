@@ -290,9 +290,13 @@ def bpe_encode_ids(df, merges_df, vocab_df, text_col: str = "text",
 
 def bpe_decode_ids(df, vocab_df, ids_col: str = "bpe_ids",
                    out_col: str = "decoded"):
-    """Inverse of :func:`bpe_encode_ids`: ids → tokens via a broadcast
-    id→token map (a JVM map_from_arrays lookup + the string algebra of
-    :func:`bpe_decode` — no Python)."""
+    """Inverse of :func:`bpe_encode_ids`: ids → tokens via a JVM
+    map_from_arrays literal + the string algebra of :func:`bpe_decode` —
+    no Python. The map literal is an EXPRESSION of vocab size: ideal to
+    ~10⁴ entries (typical subword vocabs are ≤ 10⁵ and still fine), but
+    for an unusually huge vocab prefer posexplode + broadcast-join against
+    ``vocab_df`` + collect_list re-assembly — same result, plan-friendly
+    at any size."""
     from pyspark.sql import functions as F
 
     pairs = sorted((int(r["token_id"]), r["token"])

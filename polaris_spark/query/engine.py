@@ -1885,6 +1885,151 @@ class SearchEngine:
             })
         return out
 
+    def explain_bool(self, query: str, doc_id: int,
+                     expand_fields: bool = False) -> dict:
+        """``IndexSearcher.explain`` for a classic BOOLEAN-TREE (or
+        quoted-phrase-bearing) query — the per-LEAF decomposition the flat
+        :meth:`explain` cannot represent. Returns::
+
+            {"matched": bool, "score": float, "leaves": [
+                {"leaf", "kind", "boost", "matched", "counts",
+                 "n_terms_matched", "contribution"}, ...]}
+
+        ``contribution`` is the leaf's boost-scaled scalar exactly as the
+        kernel computes it (term-sorted idf×impact fold, or the phrase
+        kernel's score); ``counts`` is True iff the leaf scores AND every
+        ancestor subtree matched — replaying the kernel's recursion over
+        these scalars reproduces :meth:`search_bool`'s score BIT-FOR-BIT
+        (tested), and ``score`` IS that replay. A tombstoned doc returns
+        matched=False with no leaves. Cost: one bucket+term-pruned
+        candidate fetch, driver-side scalars after that."""
+        from pyspark.sql import functions as F
+
+        no = {"matched": False, "score": 0.0, "leaves": []}
+        croot, leaves = self.parse_bool(query, expand_fields)
+        if croot is None:
+            return no
+        doc_id = int(doc_id)
+        t = self._deletes_np()
+        if isinstance(t, str):
+            if self._deletes_df().where(
+                    F.col("doc_id") == doc_id).limit(1).count():
+                return no
+        elif t is not None and bool(np.isin(doc_id, t, assume_unique=True)):
+            return no
+        all_terms = sorted({t for terms, _bo, _sc, _ph in leaves
+                            for t in terms})
+        if not all_terms:
+            return no
+        cand = self._candidates_pdf(all_terms)
+        if cand.empty:
+            return no
+        idf_all = self._idf_map(cand)
+        avgdl, k1, b = (self.stats["avgdl"], self.stats["k1"],
+                        self.stats["b"])
+        merged = _decode_merge(cand)
+
+        def doc_entry(term):
+            if term not in merged:
+                return None
+            docs, tfs, dls = merged[term]
+            i = int(np.searchsorted(docs, doc_id))
+            if i >= len(docs) or int(docs[i]) != doc_id:
+                return None
+            return int(tfs[i]), float(dls[i])
+
+        leaf_m: list[bool] = []
+        leaf_c: list[float] = []
+        rows: list[dict] = []
+        for terms, boost, scoring, phrase in leaves:
+            if phrase is not None:
+                seq, slop = phrase
+                uniq = set(seq)
+                sub = cand[cand["term"].isin(uniq)]
+                pidf = {t: (idf_all.get(t, 0.0) if scoring else 0.0)
+                        for t in uniq}
+                pres = phrase_shard(sub, list(seq), pidf, avgdl, k1, b,
+                                    None, slop=slop)
+                hit = pres[pres["doc_id"] == doc_id]
+                m = bool(len(hit))
+                c = (float(hit["score"].iloc[0]) * boost
+                     if m and scoring else 0.0)
+                rows.append({
+                    "leaf": '"' + " ".join(seq) + '"'
+                            + (f"~{slop}" if slop else ""),
+                    "kind": "phrase", "boost": float(boost),
+                    "matched": m, "n_terms_matched": len(uniq) if m else 0,
+                    "contribution": c,
+                })
+            else:
+                hits = [t for t in sorted(terms)
+                        if doc_entry(t) is not None]
+                m = bool(hits)
+                c = 0.0
+                if scoring:
+                    for t in hits:  # kernel order: sorted terms, then boost
+                        if t in idf_all:
+                            tf, dl = doc_entry(t)
+                            imp = tf * (k1 + 1.0) / (
+                                tf + k1 * (1.0 - b + b * dl / avgdl))
+                            c += idf_all[t] * imp
+                    if boost != 1.0:
+                        c = c * boost
+                rows.append({
+                    "leaf": " ".join(sorted(terms)), "kind": "terms",
+                    "boost": float(boost), "matched": m,
+                    "n_terms_matched": len(hits),
+                    "contribution": c if m else 0.0,
+                })
+            leaf_m.append(m)
+            leaf_c.append(c if m else 0.0)
+
+        node_m: dict[int, bool] = {}
+
+        def ev(nd):
+            if nd[0] == "leaf":
+                return leaf_m[nd[1]], leaf_c[nd[1]]
+            _tag, must, should, mnot, msm = nd
+            m, c = True, 0.0
+            for ch in must:
+                mm, cc = ev(ch)
+                m, c = m and mm, c + cc
+            if should:
+                cnt = 0
+                for ch in should:
+                    mm, cc = ev(ch)
+                    cnt, c = cnt + int(mm), c + cc
+                eff = msm if msm > 0 else (0 if must else 1)
+                if eff > 0:
+                    m = m and cnt >= eff
+            elif msm > 0:
+                m = False
+            if not must and not should:
+                m = False
+            for ch in mnot:
+                mm, _cc = ev(ch)
+                m = m and not mm
+            node_m[id(nd)] = m
+            return m, (c if m else 0.0)
+
+        matched, score = ev(croot)
+
+        def mark(nd, anc_ok):
+            if nd[0] == "leaf":
+                i = nd[1]
+                rows[i]["counts"] = bool(
+                    anc_ok and leaf_m[i] and leaves[i][2])
+                return
+            ok = anc_ok and node_m[id(nd)]
+            _tag, must, should, mnot, _msm = nd
+            for ch in (*must, *should):
+                mark(ch, ok)
+            for ch in mnot:
+                mark(ch, False)  # match-test only, never scores
+
+        mark(croot, True)
+        return {"matched": matched, "score": float(score), "leaves": rows}
+
     # -------------------------------------------------------- MoreLikeThis
 
     def mlt_select_terms(self, text: str, max_terms: int = 8) -> list[str]:

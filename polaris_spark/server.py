@@ -226,9 +226,23 @@ class _Handler(BaseHTTPRequestHandler):
         return {"facets": rows}
 
     def _m_explain(self, b):
-        return {"explanation": self.engine.explain(
-            b["query"], int(b["docId"])
-        )}
+        """IndexSearcher.explain analog, auto-routed like /api/search:
+        flat queries get the per-term decomposition, genuine boolean
+        trees / quoted phrases the per-leaf one (explain_bool)."""
+        from polaris_spark.query.boolquery import has_operators
+        from polaris_spark.query.engine import parse_phrase_query
+
+        q, did = b["query"], int(b["docId"])
+        tree = parse_phrase_query(q) is not None
+        if not tree and has_operators(q):
+            try:
+                self.engine.parse_bool(q)
+                tree = True
+            except ValueError:
+                tree = False  # malformed-operator text degrades to flat
+        if tree:
+            return {"explanation": self.engine.explain_bool(q, did)}
+        return {"explanation": self.engine.explain(q, did)}
 
     def _m_mlt(self, b):
         text = b.get("text")

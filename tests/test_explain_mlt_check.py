@@ -231,3 +231,34 @@ def test_explain_degrades_malformed_operator_text(spark, idx):
     exp = eng.explain("kato)", top[0]["doc_id"])
     assert exp == eng.explain("kato", top[0]["doc_id"])
     assert sum(r["contribution"] for r in exp) == top[0]["score"]
+
+
+def test_explain_bool_replays_tree_score_bitexact(spark, idx):
+    """explain_bool: per-leaf decomposition whose kernel-order replay
+    ('score') equals search_bool's score BIT-FOR-BIT, for trees with
+    groups, msm, boosts, prohibits, and phrase leaves."""
+    eng = SearchEngine(spark, idx)
+    for q in ['kato AND (muor OR tyb*)^2 -ridash',
+              '(kato muor tyb)~2',
+              '"kato muor" OR kato',
+              'kato OR NOT muor']:
+        hits = eng.search_bool(q, k=5)
+        if not hits:
+            continue
+        for h in hits[:3]:
+            exp = eng.explain_bool(q, h["doc_id"])
+            assert exp["matched"], (q, h)
+            assert exp["score"] == h["score"], (q, h["doc_id"])
+            # counted leaves are scoring, matched, ancestor-matched
+            assert any(l["counts"] for l in exp["leaves"])
+            for l in exp["leaves"]:
+                if not l["matched"]:
+                    assert l["contribution"] == 0.0
+    # a doc matching a leaf but NOT the root: matched=False, score 0
+    only_muor = ({r["doc_id"] for r in eng.search("muor", k=None)}
+                 - {r["doc_id"] for r in eng.search("kato", k=None)})
+    if only_muor:
+        exp = eng.explain_bool("kato AND muor", sorted(only_muor)[0])
+        assert exp["matched"] is False and exp["score"] == 0.0
+        assert any(l["matched"] for l in exp["leaves"])
+        assert all(not l["counts"] for l in exp["leaves"])

@@ -288,3 +288,25 @@ def test_reload_serves_appended_generation(spark, tmp_path_factory):
         assert post["count"] == 1
     finally:
         srv.shutdown()
+
+
+def test_explain_endpoint_routes_trees(spark, daemon):
+    """/api/explain auto-routes: flat query → per-term decomposition,
+    boolean tree → per-leaf explain_bool payload."""
+    base, d, pdf = daemon
+    eng = SearchEngine(spark, d)
+    words = [w for line in pdf["text"] for w in line.split()
+             if w.isalpha() and w.islower()]
+    t1, t2 = words[0], next(w for w in words if w != words[0])
+    q = f"{t1} AND {t2}"
+    hits = eng.search_bool(q, k=1)
+    if hits:
+        got = _post(base, "explain", {"query": q,
+                                      "docId": hits[0]["doc_id"]})
+        exp = got["explanation"]
+        assert exp["matched"] and exp["score"] == \
+            pytest.approx(hits[0]["score"], rel=1e-12)
+        assert {"leaf", "kind", "counts"} <= set(exp["leaves"][0])
+    flat = _post(base, "explain",
+                 {"query": t1, "docId": eng.search(t1, k=1)[0]["doc_id"]})
+    assert isinstance(flat["explanation"], list)
