@@ -54,7 +54,9 @@ Methods (POST JSON to /api/<method>):
 
 Unknown method → 404; malformed body → 400; handler exception → 500 with
 the error message (the reference propagates RPC error codes similarly).
-GET /healthz → 200 "ok" for liveness probes.
+GET /healthz → 200 "ok" for liveness probes; GET /metrics → per-method
+request counts, error counts, and latency p50/p99 over the last 512
+requests (the operational dashboard surface).
 
 Spark-wise this is a driver-side loop over the low-latency serving paths
 (pruned candidate fetch + in-process scoring); each request is one tiny
@@ -84,8 +86,47 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         if self.path == "/healthz":
             self._respond(200, {"status": "ok"})
+        elif self.path == "/metrics":
+            self._respond(200, self._metrics_snapshot())
         else:
             self._respond(404, {"error": f"unknown path {self.path}"})
+
+    # -- per-method request metrics: count, errors, latency p50/p99 over a
+    # 512-sample ring (one shared dict on the handler CLASS, lock-guarded —
+    # ThreadingHTTPServer runs each request on its own thread)
+    @classmethod
+    def _record(cls, method: str, ms: float, status: int) -> None:
+        with cls._metrics_lock:
+            m = cls._metrics.setdefault(
+                method, {"n": 0, "errors": 0, "lat": []})
+            m["n"] += 1
+            if status >= 400:
+                m["errors"] += 1
+            lat = m["lat"]
+            lat.append(ms)
+            if len(lat) > 512:
+                del lat[:len(lat) - 512]
+
+    @classmethod
+    def _metrics_snapshot(cls) -> dict:
+        import math
+        import statistics
+
+        with cls._metrics_lock:
+            out = {}
+            for k, m in cls._metrics.items():
+                lat = sorted(m["lat"])
+                # ceil-rank p99: correct at small n too (int(n*0.99)-1
+                # would pick the MINIMUM for n < 50)
+                i99 = min(len(lat) - 1,
+                          max(0, math.ceil(len(lat) * 0.99) - 1))
+                out[k] = {
+                    "n": m["n"], "errors": m["errors"],
+                    "p50_ms": (round(statistics.median(lat), 2)
+                               if lat else None),
+                    "p99_ms": round(lat[i99], 2) if lat else None,
+                }
+            return {"methods": out}
 
     def do_POST(self):
         if not self.path.startswith("/api/"):
@@ -102,13 +143,20 @@ class _Handler(BaseHTTPRequestHandler):
         if fn is None:
             self._respond(404, {"error": f"unknown method {method!r}"})
             return
+        import time as _t
+
+        t0 = _t.time()
         try:
-            self._respond(200, fn(body))
+            out = fn(body)
+            self._record(method, (_t.time() - t0) * 1000.0, 200)
+            self._respond(200, out)
         except (ValueError, KeyError) as e:
             # query/argument errors (unparseable query, leading wildcard,
             # missing field) → 400, like the reference's parse-error RPC code
+            self._record(method, (_t.time() - t0) * 1000.0, 400)
             self._respond(400, {"error": f"{type(e).__name__}: {e}"})
         except Exception as e:  # → RPC-style error payload
+            self._record(method, (_t.time() - t0) * 1000.0, 500)
             self._respond(500, {"error": f"{type(e).__name__}: {e}"})
 
     # ------------------------------------------------------- API methods
@@ -285,6 +333,9 @@ def serve(spark, index_dir: str, host: str = "127.0.0.1", port: int = 0,
         # kept for /api/reload (SearcherManager.maybeRefresh analog)
         "_spark": spark, "_index_dir": index_dir,
         "_cache_terms": cache_terms,
+        # per-daemon metrics state (fresh per serve() call, not shared
+        # across daemons in one process)
+        "_metrics": {}, "_metrics_lock": threading.Lock(),
     })
     srv = ThreadingHTTPServer((host, port), handler)
     t = threading.Thread(target=srv.serve_forever, daemon=True)

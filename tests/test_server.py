@@ -310,3 +310,19 @@ def test_explain_endpoint_routes_trees(spark, daemon):
     flat = _post(base, "explain",
                  {"query": t1, "docId": eng.search(t1, k=1)[0]["doc_id"]})
     assert isinstance(flat["explanation"], list)
+
+
+def test_metrics_endpoint(daemon):
+    """GET /metrics: per-method counts, error counts, latency p50/p99 —
+    populated by the requests earlier tests issued against this daemon."""
+    base, _, pdf = daemon
+    q = pdf["text"].iloc[0].split()[0]
+    _post(base, "count", {"query": q})
+    _post(base, "search", {"query": q, "rankTo": 3, "payload": False})
+    with pytest.raises(urllib.error.HTTPError):
+        _post(base, "search", {"query": "*lead"})  # a counted error
+    with urllib.request.urlopen(f"{base}/metrics", timeout=30) as r:
+        m = json.loads(r.read())["methods"]
+    assert m["count"]["n"] >= 1 and m["count"]["p50_ms"] > 0
+    assert m["search"]["n"] >= 2 and m["search"]["errors"] >= 1
+    assert m["search"]["p99_ms"] >= m["search"]["p50_ms"]
