@@ -981,14 +981,14 @@ def _q_bpe_roundtrip(spark, sf_dir):
 
     from polaris_spark.ops.bpe import (bpe_decode_ids, bpe_encode_ids,
                                        bpe_learn, bpe_vocab)
+    from polaris_spark.ops.text import _ws_tokens_col
 
     docs = _docs(spark, sf_dir)
     merges = bpe_learn(spark, docs, n_merges=120, max_words=30000)
     vocab = bpe_vocab(spark, docs, merges)
     dec = bpe_decode_ids(
         bpe_encode_ids(docs.select("doc_id", "text"), merges, vocab), vocab)
-    norm = F.concat_ws(
-        " ", F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit("")))
+    norm = F.concat_ws(" ", _ws_tokens_col(F.col("text")))
     return dec.agg(
         F.count("*").alias("n_docs"),
         F.sum((F.col("decoded") != norm).cast("long")).alias("n_violations"),

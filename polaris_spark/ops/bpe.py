@@ -38,9 +38,24 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import re
 from collections import Counter
 
 from pyspark.sql import functions as F
+
+# The kernel-side mirror of the shared whitespace-token spec
+# (ops/text._ws_tokens_col, Spark `split(col, '\\s+')`): Java's \s is the
+# ASCII set [ \t\n\x0b\f\r] ONLY — Python's str.split()/re-\s are
+# Unicode-aware and would split on NBSP etc., silently breaking the exact
+# decode∘encode == normalized-text invariant on corpora with Unicode
+# whitespace. Every Python-side split in this module MUST use this regex.
+_WS_RE = re.compile("[ \t\n\x0b\f\r]+")
+
+
+def _ws_words(txt) -> list[str]:
+    if not isinstance(txt, str):
+        return []
+    return [w for w in _WS_RE.split(txt) if w]
 
 # End-of-word symbol, kept separate so decode is a split. Sennrich's paper
 # uses '</w>'; we use a private-use codepoint so a corpus word that
@@ -55,9 +70,11 @@ _INPUT_ROWS_LOG = {}  # op name -> {"distinct_words", "capped_to", "dropped_mass
 
 def word_histogram(df, text_col: str = "text"):
     """(word, n) corpus word histogram — whitespace tokens per the shared
-    ops/text spec. One shuffle (partial-agg groupBy on word)."""
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
-    return (df.select(F.explode(toks).alias("word"))
+    ops/text spec (``_ws_tokens_col``). One shuffle (partial-agg groupBy
+    on word)."""
+    from .text import _ws_tokens_col
+
+    return (df.select(F.explode(_ws_tokens_col(F.col(text_col))).alias("word"))
               .groupBy("word").agg(F.count("*").alias("n")))
 
 
@@ -139,11 +156,15 @@ def bpe_learn(spark, df, text_col: str = "text", n_merges: int = 200,
     The histogram collect is capped at the top ``max_words`` words by
     (count desc, word asc); the cap is logged with the dropped corpus mass
     (never silent — see module docstring)."""
-    hist_df = word_histogram(df, text_col)
-    agg = hist_df.agg(F.count("*").alias("v"), F.sum("n").alias("m")).collect()[0]
-    n_vocab, mass = int(agg["v"] or 0), int(agg["m"] or 0)
-    top = (hist_df.orderBy(F.desc("n"), F.asc("word")).limit(max_words)
-                  .collect())
+    hist_df = word_histogram(df, text_col).persist()
+    try:
+        agg = hist_df.agg(F.count("*").alias("v"),
+                          F.sum("n").alias("m")).collect()[0]
+        n_vocab, mass = int(agg["v"] or 0), int(agg["m"] or 0)
+        top = (hist_df.orderBy(F.desc("n"), F.asc("word")).limit(max_words)
+                      .collect())
+    finally:
+        hist_df.unpersist()
     hist = [(r["word"], r["n"]) for r in top]
     kept_mass = sum(c for _, c in hist)
     _INPUT_ROWS_LOG["bpe_learn"] = {
@@ -205,8 +226,7 @@ def bpe_encode(df, merges_df, text_col: str = "text", out_col: str = "bpe"):
 
         for pdf in batches:
             pdf[out_col] = [
-                [t for w in (txt.split() if isinstance(txt, str) else [])
-                 for t in enc(w)]
+                [t for w in _ws_words(txt) for t in enc(w)]
                 for txt in pdf[text_col]
             ]
             yield pdf[cols + [out_col]]
@@ -234,7 +254,9 @@ def bpe_vocab(spark, df, merges_df, text_col: str = "text"):
     else is driver-side over the ≤ n_merges merge rows."""
     from pyspark.sql import functions as F
 
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
+    from .text import _ws_tokens_col
+
+    toks = _ws_tokens_col(F.col(text_col))
     chars = (df.select(F.explode(F.split(F.concat_ws("", toks), "")).alias("c"))
                .where(F.col("c") != "").distinct().collect())
     vocab: dict[str, int] = {}
@@ -279,8 +301,7 @@ def bpe_encode_ids(df, merges_df, vocab_df, text_col: str = "text",
 
         for pdf in batches:
             pdf[out_col] = [
-                [i for w in (txt.split() if isinstance(txt, str) else [])
-                 for i in enc(w)]
+                [i for w in _ws_words(txt) for i in enc(w)]
                 for txt in pdf[text_col]
             ]
             yield pdf[cols + [out_col]]

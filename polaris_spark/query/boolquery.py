@@ -26,7 +26,11 @@ must match (in addition to every MUST clause). ``(a b c)~2`` over a flat
 OR group is exactly the engine's flat ``min_match=2``. Glued suffixes
 (``)~2^3`` lexes as one token) are handled; per Lucene, msm greater than
 the number of SHOULD clauses matches nothing, and msm with NO should
-clauses matches nothing.
+clauses matches nothing. Nested suffixes on collapsing groups
+(``((a b c)~3)~2``) OVERWRITE inner-first — the same behavior as Lucene's
+classic parser, whose single-clause group returns the inner BooleanQuery
+unwrapped so the outer ``~2`` calls setMinimumNumberShouldMatch on the
+SAME query object.
 
 Occur semantics (Lucene BooleanQuery):
 - ``and_list`` children are MUST (``-``/NOT children MUST_NOT).
@@ -371,6 +375,8 @@ def _fuzzy_suffix(body: str):
         return None
     if head.count(":") > 1 or head.startswith(":") or head.endswith(":"):
         return None
+    if ":" in head and "/" in head:
+        return None  # single-colon URL-ish text — reads as a plain chunk
     if tail == "":
         return head, 2
     if tail in ("1", "2"):

@@ -125,6 +125,8 @@ def _fuzzy_suffix(body: str):
         return None
     if head.count(":") > 1 or head.startswith(":") or head.endswith(":"):
         return None
+    if ":" in head and "/" in head:
+        return None  # single-colon URL-ish text ("http://a.io/b~") — chunk
     if tail == "":
         return head, 2
     if tail in ("1", "2"):
@@ -1360,7 +1362,7 @@ class SearchEngine:
         return res.to_dict("records")
 
     def search_bool_df(self, query: str, k: int | None = 10,
-                       expand_fields: bool = False):
+                       expand_fields: bool = False, _parsed=None):
         """Distributed boolean-tree search: per-shard kernels + global
         sort-limit, same physical shape as :meth:`search_df`. MUST_NOT
         clauses need no separate anti-set plumbing — their terms' postings
@@ -1369,7 +1371,10 @@ class SearchEngine:
         match-tests them in place."""
         from pyspark.sql import functions as F
 
-        croot, leaves = self.parse_bool(query, expand_fields)
+        # _parsed: a caller (match_df) that already ran the validation
+        # parse passes it through so wildcard/fuzzy dictionary-expansion
+        # jobs do not run twice
+        croot, leaves = _parsed or self.parse_bool(query, expand_fields)
         empty = self.spark.createDataFrame([], RESULT_SCHEMA)
         if croot is None:
             return empty
@@ -1886,7 +1891,7 @@ class SearchEngine:
         return out
 
     def explain_bool(self, query: str, doc_id: int,
-                     expand_fields: bool = False) -> dict:
+                     expand_fields: bool = False, _parsed=None) -> dict:
         """``IndexSearcher.explain`` for a classic BOOLEAN-TREE (or
         quoted-phrase-bearing) query — the per-LEAF decomposition the flat
         :meth:`explain` cannot represent. Returns::
@@ -1906,7 +1911,7 @@ class SearchEngine:
         from pyspark.sql import functions as F
 
         no = {"matched": False, "score": 0.0, "leaves": []}
-        croot, leaves = self.parse_bool(query, expand_fields)
+        croot, leaves = _parsed or self.parse_bool(query, expand_fields)
         if croot is None:
             return no
         doc_id = int(doc_id)
@@ -2593,6 +2598,7 @@ class SearchEngine:
         t0 = _t.time()
         pq = parse_phrase_query(query)
         hits = None
+        flat_route = False
         terms: list[str] = []
         if pq is not None:
             if after is not None:
@@ -2634,11 +2640,14 @@ class SearchEngine:
             hits = self.search(query, k=k_eff, mode=mode,
                                min_match=min_match, after=after)
             terms = self.query_terms(query)
+            flat_route = True
         page = hits if after is not None else hits[rank_from:rank_to]
-        # resume cursor for the NEXT page (Lucene's ScoreDoc handoff):
-        # the last served hit's exact (score, doc_id)
+        # resume cursor for the NEXT page (Lucene's ScoreDoc handoff): the
+        # last served hit's exact (score, doc_id) — FLAT route only; the
+        # phrase/tree routes page by rank_from/rank_to and reject cursors,
+        # so handing one out would 400 the client that follows it
         next_after = ([page[-1]["score"], page[-1]["doc_id"]]
-                      if page else None)
+                      if page and flat_route else None)
         if payload:
             page = self._hit_payload(page, terms)
         comps = [r.asDict() for r in self.complete(query, n=rank_to).collect()]
@@ -2933,12 +2942,13 @@ class SearchEngine:
                             F.lit(1).cast("int").alias("n_match")))
         if mode == "or" and has_operators(query):
             try:
-                self.parse_bool(query, expand_fields)
+                parsed = self.parse_bool(query, expand_fields)
             except ValueError:
                 pass  # degrade to flat, like search_mixed
             else:
                 return self.search_bool_df(query, k=None,
-                                           expand_fields=expand_fields)
+                                           expand_fields=expand_fields,
+                                           _parsed=parsed)
         return self.search_df(query, k=None, mode=mode,
                               expand_fields=expand_fields)
 
@@ -2961,9 +2971,11 @@ class SearchEngine:
         from pyspark.sql import functions as F
 
         dm = self._live(self.spark.read.parquet(self.doc_map_path))
-        if attr not in dm.columns:
+        if attr == "doc_id" or attr not in dm.columns:
+            # doc_id would alias-collide in the join — and sorting by it
+            # is not a field sort anyway
             raise ValueError(
-                f"attribute {attr!r} not stored in doc_map "
+                f"attribute {attr!r} not a sortable stored attribute "
                 f"(available: {[c for c in dm.columns if c != 'doc_id']})"
             )
         hits = self.match_df(query, mode=mode, expand_fields=expand_fields)

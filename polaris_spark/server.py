@@ -137,10 +137,12 @@ class _Handler(BaseHTTPRequestHandler):
             n = int(self.headers.get("Content-Length") or 0)
             body = json.loads(self.rfile.read(n) or b"{}")
         except (ValueError, json.JSONDecodeError):
+            self._record(method, 0.0, 400)  # malformed traffic is visible
             self._respond(400, {"error": "malformed JSON body"})
             return
         fn = getattr(self, f"_m_{method}", None)
         if fn is None:
+            self._record("_unknown", 0.0, 404)
             self._respond(404, {"error": f"unknown method {method!r}"})
             return
         import time as _t
@@ -281,15 +283,17 @@ class _Handler(BaseHTTPRequestHandler):
         from polaris_spark.query.engine import parse_phrase_query
 
         q, did = b["query"], int(b["docId"])
-        tree = parse_phrase_query(q) is not None
-        if not tree and has_operators(q):
-            try:
-                self.engine.parse_bool(q)
-                tree = True
-            except ValueError:
-                tree = False  # malformed-operator text degrades to flat
-        if tree:
+        parsed = None
+        if parse_phrase_query(q) is not None:
             return {"explanation": self.engine.explain_bool(q, did)}
+        if has_operators(q):
+            try:
+                parsed = self.engine.parse_bool(q)
+            except ValueError:
+                parsed = None  # malformed-operator text degrades to flat
+        if parsed is not None:
+            return {"explanation":
+                    self.engine.explain_bool(q, did, _parsed=parsed)}
         return {"explanation": self.engine.explain(q, did)}
 
     def _m_mlt(self, b):

@@ -362,3 +362,25 @@ def test_randomized_trees_vs_independent_python_oracle(beng):
             f"{q!r}: engine {sorted(got)} vs oracle {sorted(want)}")
         checked += 1
     assert checked >= 200
+
+
+def test_nested_msm_overwrites_like_lucene(beng):
+    """((a b c)~3)~2: the single-clause outer group collapses to the inner
+    BooleanQuery (exactly Lucene's classic parser), so the outer suffix
+    overwrites msm 3 -> 2."""
+    r = parse("((spark join merge)~3)~2")
+    assert isinstance(r, Node) and r.msm == 2
+    assert _ids(beng.search_bool("((spark join merge)~3)~2", k=None)) == \
+        _ids(beng.search_bool("(spark join merge)~2", k=None))
+
+
+def test_fuzzy_url_chunks_stay_chunks():
+    """Single-colon URL-ish text with a trailing '~' must read as a plain
+    chunk (the ':'+'/' guard), not an unknown-field fuzzy probe."""
+    from polaris_spark.query.boolquery import classify_chunk
+
+    lf = classify_chunk("http://a.io/b~")
+    assert lf.kind == "chunk"
+    # a real fielded fuzzy still parses
+    lf2 = classify_chunk("source:web~1")
+    assert lf2.kind == "fuzzy" and lf2.payload == ("source:web", 1)

@@ -191,3 +191,23 @@ def test_bpe_ids_roundtrip(spark, corpus):
     oov = spark.createDataFrame([(1, "bézier")], "id long, text string")
     row = bpe_encode_ids(oov, merges, vocab).first()
     assert -1 in row["bpe_ids"]
+
+
+def test_unicode_whitespace_matches_spark_split_spec(spark):
+    """Regression (review finding): the kernel's word split must equal
+    Spark's Java-\\s ASCII set — a NBSP is NOT a separator, so
+    'a\\u00a0b' is ONE word on both sides and the roundtrip stays exact."""
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "x y"), (3, "tab\tsplit")],
+        "id long, text string")
+    merges = bpe_learn(spark, df, n_merges=10, min_count=1)
+    dec = bpe_decode(bpe_encode(df, merges))
+    norm = F.concat_ws(" ", F.filter(F.split(F.col("text"), r"\s+"),
+                                     lambda x: x != F.lit("")))
+    assert dec.where(F.col("decoded") != norm).count() == 0
+    # histogram and kernel agree the NBSP word is one token
+    words = {r["word"] for r in
+             __import__("polaris_spark.ops.bpe", fromlist=["x"])
+             .word_histogram(df).collect()}
+    assert "a b" in words and "x y" in words
+    assert {"tab", "split", "c"} <= words
