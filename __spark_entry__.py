@@ -955,6 +955,27 @@ def _q_token_counts(spark, sf_dir):
     )
 
 
+PERC_REG = {  # percolator gate registry (vocab-stable corpus terms)
+    "q_or": "spark join",
+    "q_tree": "spark AND (join OR merge) -scan",
+    "q_msm": "(spark join merge)~2",
+    "q_pre": "sca*",
+}
+
+
+def _q_percolate(spark, sf_dir):
+    """Percolator (Lucene Monitor / ES percolate analog): the registered
+    query set matched against every document — a zero-shuffle broadcast-
+    registry map; one output row per (doc, matching query). The oracle
+    mirrors each registered query as a token-set predicate over the shared
+    tokenizer; engine-equivalence across ALL leaf kinds (incl. phrases,
+    fuzzy, fields) is pinned by tests/test_percolate.py."""
+    from polaris_spark.ops.percolate import percolate
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return percolate(docs, PERC_REG).select("doc_id", "query_id")
+
+
 def _q_top_ngrams(spark, sf_dir):
     """Corpus n-gram heavy hitters (boilerplate/template probe): top-50
     word 3-grams by (count desc, ngram asc) — JVM transform/explode, one
@@ -1109,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "token_counts": _q_token_counts,
         "top_ngrams": _q_top_ngrams,
+        "percolate": _q_percolate,
         "bpe_roundtrip": _q_bpe_roundtrip,
         "token_ids": _q_token_ids,
         "repetition": _q_repetition,
@@ -1368,6 +1390,25 @@ FROM tf JOIN dft USING (term) WHERE tf.doc_id = {DOC_TERMS_ID}""",
             f"SELECT doc_id, {duckdb_repetition_sql('text')} FROM documents"
         ),
         "top_ngrams": duckdb_top_ngrams_sql("documents", n=3, k=50),
+        "percolate": f"""
+WITH d AS (SELECT doc_id, {duckdb_tokens_sql('text')} AS toks FROM documents)
+SELECT doc_id, query_id FROM (
+  SELECT doc_id, 'q_or' AS query_id FROM d
+  WHERE list_contains(toks, 'spark') OR list_contains(toks, 'join')
+  UNION ALL
+  SELECT doc_id, 'q_tree' FROM d
+  WHERE list_contains(toks, 'spark')
+    AND (list_contains(toks, 'join') OR list_contains(toks, 'merge'))
+    AND NOT list_contains(toks, 'scan')
+  UNION ALL
+  SELECT doc_id, 'q_msm' FROM d
+  WHERE (CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(toks, 'merge') THEN 1 ELSE 0 END) >= 2
+  UNION ALL
+  SELECT doc_id, 'q_pre' FROM d
+  WHERE len(list_filter(toks, t -> t LIKE 'sca%')) > 0
+) m""",
         # constant-0 violation pin, like index_check: the Spark side must
         # run the full learn -> encode -> decode chain to produce the row
         "bpe_roundtrip": ("SELECT count(*)::BIGINT AS n_docs, "

@@ -293,6 +293,29 @@ def main(argv: list[str] | None = None) -> int:
     ch.add_argument("--stride", type=int, default=384,
                     help="window advance (overlap = size - stride)")
 
+    pc = sub.add_parser("percolate", help="percolator (Lucene Monitor "
+                        "analog): match a registry of saved queries "
+                        "against documents — batch parquet, or a landing "
+                        "stream with --stream (saved-search alerting)")
+    pc.add_argument("--input", required=True,
+                    help="documents parquet (batch) or landing dir "
+                         "(--stream)")
+    pc.add_argument("--queries", required=True,
+                    help="registry: inline JSON object or a path to a "
+                         "JSON file {query_id: classic query string}")
+    pc.add_argument("--output", required=True,
+                    help="alert parquet (input columns + query_id)")
+    pc.add_argument("--text-col", default="text")
+    pc.add_argument("--field-cols", default="",
+                    help="comma-separated doc columns addressable as "
+                         "field:value in registry queries")
+    pc.add_argument("--stream", action="store_true")
+    pc.add_argument("--checkpoint", default=None,
+                    help="required with --stream (exactly-once pickup)")
+    pc.add_argument("--schema", default=None,
+                    help="streaming input schema DDL (defaults to the "
+                         "documents shape)")
+
     bp = sub.add_parser("bpe", help="BPE tokenizer training (Sennrich et "
                         "al. 2016): learn a merge table from the corpus "
                         "word histogram, optionally encode the corpus "
@@ -942,6 +965,38 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"output": args.output, "n_docs": docs.count(),
                           "n_chunks": n, "size": args.size,
                           "stride": args.stride}))
+    elif args.cmd == "percolate":
+        import os as _os
+
+        from polaris_spark.ops.percolate import percolate, stream_percolate
+
+        qarg = args.queries
+        registry = (json.load(open(qarg))
+                    if _os.path.exists(qarg) else json.loads(qarg))
+        fcols = tuple(c for c in args.field_cols.split(",") if c)
+        spark = _session("polaris_spark_percolate")
+        if args.stream:
+            if not args.checkpoint:
+                print("--checkpoint is required with --stream",
+                      file=sys.stderr)
+                return 2
+            q = stream_percolate(spark, args.input, registry, args.output,
+                                 args.checkpoint, schema=args.schema,
+                                 text_col=args.text_col, field_cols=fcols)
+            q.awaitTermination()
+        else:
+            docs = spark.read.parquet(args.input)
+            percolate(docs, registry, text_col=args.text_col,
+                      field_cols=fcols).write.mode("overwrite").parquet(
+                args.output)
+        out = spark.read.parquet(args.output)
+        from pyspark.sql import functions as F
+
+        per_q = {r["query_id"]: r["n"] for r in
+                 out.groupBy("query_id").agg(F.count("*").alias("n"))
+                    .collect()}
+        print(json.dumps({"output": args.output, "n_queries": len(registry),
+                          "n_alerts": out.count(), "per_query": per_q}))
     elif args.cmd == "bpe":
         from polaris_spark.ops import bpe as bpe_mod
         from polaris_spark.ops.bpe import bpe_encode, bpe_learn
