@@ -348,6 +348,16 @@ def run_suite(cpus: int, sf_dir: str, n_turns: int) -> dict:
     top_ngrams(docs, n=3, k=50).collect()
     times["top_ngrams_scan"] = round(time.time() - t0, 3)
 
+    from polaris_spark.ops.percolate import percolate
+
+    t0 = time.time()
+    percolate(docs.select("doc_id", "text"), {
+        "q1": "spark join", "q2": "query AND (scan OR sort)",
+        "q3": "(spark join merge)~2", "q4": "filt*",
+        "q5": '"slow query"', "q6": "scan~1 -merge",
+    }).count()
+    times["percolate_scan"] = round(time.time() - t0, 3)
+
     spark.stop()
     return {"times": times, **extras}
 
