@@ -402,6 +402,19 @@ def main() -> None:
         cap(bpe_encode(docs, bpe_learn(spark, docs, n_merges=40))),
     ))
 
+    from polaris_spark.ops.percolate import percolate
+
+    SECTIONS.append((
+        "percolator (zero-shuffle broadcast-registry map)",
+        "The saved-query registry travels as a broadcast variable (parsed "
+        "trees); documents stream through ONE MapInPandas directly over "
+        "the scan — no exchange anywhere, so alerting scales with executor "
+        "count alone. Per-doc registry cost is bounded by the token-"
+        "routing presearcher (module docstring).",
+        cap(percolate(docs.select("doc_id", "text"),
+                      {"q1": "spark AND join", "q2": "sca*"})),
+    ))
+
     out = [
         "# PLANS — physical-plan evidence (captured from the live engine)",
         "",
