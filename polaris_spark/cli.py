@@ -989,14 +989,21 @@ def main(argv: list[str] | None = None) -> int:
             percolate(docs, registry, text_col=args.text_col,
                       field_cols=fcols).write.mode("overwrite").parquet(
                 args.output)
-        out = spark.read.parquet(args.output)
+        from pyspark.errors import AnalysisException
         from pyspark.sql import functions as F
 
-        per_q = {r["query_id"]: r["n"] for r in
-                 out.groupBy("query_id").agg(F.count("*").alias("n"))
-                    .collect()}
+        try:
+            out = spark.read.parquet(args.output)
+            per_q = {r["query_id"]: r["n"] for r in
+                     out.groupBy("query_id").agg(F.count("*").alias("n"))
+                        .collect()}
+            n_alerts = out.count()
+        except AnalysisException:
+            # an empty stream commits no micro-batch and never creates the
+            # sink dir — the normal bootstrap state of an alerting loop
+            per_q, n_alerts = {}, 0
         print(json.dumps({"output": args.output, "n_queries": len(registry),
-                          "n_alerts": out.count(), "per_query": per_q}))
+                          "n_alerts": n_alerts, "per_query": per_q}))
     elif args.cmd == "bpe":
         from polaris_spark.ops import bpe as bpe_mod
         from polaris_spark.ops.bpe import bpe_encode, bpe_learn

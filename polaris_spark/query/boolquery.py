@@ -180,12 +180,37 @@ def parse_regexp(body: str):
 
 
 def regexp_literal_prefix(pattern: str) -> str:
-    """Longest leading run of literal characters — the pushable
-    ``StartsWith`` bound for the dictionary scan (stops at the first
-    metacharacter of either regex dialect)."""
+    """Longest leading run of literal characters that is a NECESSARY
+    condition for a match — the pushable ``StartsWith`` bound for the
+    dictionary scan (stops at the first metacharacter of either regex
+    dialect). Two soundness guards: a TOP-LEVEL alternation makes the
+    leading literal optional (``err|w.b`` matches ``web`` via the second
+    branch → no pushable bound; a group-scoped ``s(ca|pa)n`` keeps ``s`` —
+    the branch choice cannot bypass literals before the group), and a
+    quantifier that can erase its atom (``*``, ``?``, ``{0,n}`` —
+    conservatively any ``{``) drops the run's last character (``abc*``
+    matches ``ab``). ``+`` keeps the run: it requires ≥1 occurrence."""
+    depth, in_class, esc = 0, False, False
+    for ch in pattern:
+        if esc:
+            esc = False
+        elif ch == "\\":
+            esc = True
+        elif in_class:
+            in_class = ch != "]"
+        elif ch == "[":
+            in_class = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+        elif ch == "|" and depth == 0:
+            return ""
     out = []
     for ch in pattern:
         if ch in _RE_META:
+            if ch in "*?{" and out:
+                out.pop()
             break
         out.append(ch)
     return "".join(out)

@@ -41,6 +41,11 @@ QUERIES = {
     "q_ffuzzy": "role:usr~1",
     "q_fphrase": 'tool:"web search"',
     "q_sub": "camel",  # sub-token of camelCaseToken
+    "q_fstar": "role:*",  # known-field match-all prefix
+    "q_alt_re": "/err|w.b/",  # alternation: engine rlike anchors per-branch
+    "q_urange": "xx:[parse TO parsing]",  # unknown field → no postings
+    "q_uregexp": "xx:/w.b/",  # unknown field → empty expansion
+    "q_ufuzzy": "xx:erro~1",  # unknown field → bare-body fallback
 }
 
 
@@ -83,7 +88,7 @@ def test_percolate_equals_engine_per_query(spark, peng):
 def test_routing_prefilter_is_lossless():
     """Token routing may only SKIP provably-unmatchable queries: for every
     doc, routed evaluation == brute-force evaluation of every query."""
-    compiled = compile_queries(QUERIES, FIELDS)
+    compiled = compile_queries(QUERIES)
     from polaris_spark.ops.percolate import _doc_ctx, _match_tree
 
     for _id, text, role, tool in DOCS:

@@ -50,6 +50,16 @@ def test_parse_units():
     assert regexp_literal_prefix("a[bc]d") == "a"
     assert regexp_literal_prefix("(a|b)") == ""
     assert regexp_literal_prefix("plain") == "plain"
+    # soundness: top-level alternation voids the bound (err|w.b matches
+    # "web"); group-scoped alternation keeps literals before the group
+    assert regexp_literal_prefix("err|w.b") == ""
+    assert regexp_literal_prefix("s(ca|pa)n") == "s"
+    assert regexp_literal_prefix("a[|]b") == "a"  # class-scoped '|' is literal
+    # soundness: a zero-able quantifier erases its atom (abc* matches "ab")
+    assert regexp_literal_prefix("abc*") == "ab"
+    assert regexp_literal_prefix("abc?d") == "ab"
+    assert regexp_literal_prefix("abc{0,2}") == "ab"
+    assert regexp_literal_prefix("abc+") == "abc"  # + requires one
     # classify inside a boolean tree, with a boost suffix
     root = parse("join AND /de.+a/^2")
     leaf = root.must[1]
