@@ -586,6 +586,57 @@ def _q_sorted_search(spark, sf_dir):
         F.round(F.col("score") * 10000).cast("long").alias("score_e4"))
 
 
+def _q_collapse_search(spark, sf_dir):
+    """Field-collapsed search (Lucene grouping TopGroups / ES collapse):
+    top-8 'source' groups of the Q_OR match set, ≤2 hits per group, both
+    ranks exposed — hash-pins the per-group AND cross-group ordering."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir))
+    res = eng.search_collapse(Q_OR, "source", k=8, per_group=2)
+    return res.select(
+        "group_rank", "source", "hit_rank", "doc_id",
+        F.round(F.col("score") * 10000).cast("long").alias("score_e4"))
+
+
+def _q_parent_search(spark, sf_dir):
+    """Parent-scoped search (ToParentBlockJoinQuery analog, ScoreMode.Max):
+    'source' parents ranked by their best child's BM25 score, with child
+    count and leading child doc."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir))
+    res = eng.search_parent(Q_OR, "source", k=10, score_mode="max")
+    return res.select(
+        "source",
+        F.round(F.col("score") * 10000).cast("long").alias("score_e4"),
+        "n_children", "best_doc_id")
+
+
+def _q_rescore(spark, sf_dir):
+    """Two-pass rescore (Lucene QueryRescorer / ES rescore): the flat
+    Q_OR top-30 window re-ranked by the sloppy phrase '"spark join"~1'
+    at weight 2 — hash-pins the window cut, the left-join semantics
+    (non-matching window hits keep the weighted first score), and the
+    combined re-sort."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir, pos=True))
+    res = eng.rescore(Q_OR, '"spark join"~1', k=10, window=30,
+                      rescore_weight=2.0)
+    return res.select(
+        "doc_id",
+        F.round(F.col("score") * 10000).cast("long").alias("score_e4"),
+        F.round(F.col("first_score") * 10000).cast("long").alias("first_e4"),
+        F.round(F.col("second_score") * 10000).cast("long").alias("second_e4"))
+
+
 def _q_search_count(spark, sf_dir):
     """Total hit count (TotalHitCountCollector analog) of the classic
     boolean-tree query — exercises match_df's routed tree path folded to
@@ -1116,6 +1167,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_terms": _q_doc_terms,
         "facet_counts": _q_facet_counts,
         "sorted_search": _q_sorted_search,
+        "collapse_search": _q_collapse_search,
+        "parent_search": _q_parent_search,
+        "rescore": _q_rescore,
         "search_count": _q_search_count,
         "suggest": _q_suggest,
         "explain_score": _q_explain,
@@ -1153,6 +1207,9 @@ def oracle_sql() -> dict[str, str]:
         bool_scores_sql,
         boolean_and_sql,
         msm_scores_sql,
+        collapse_sql,
+        parent_sql,
+        rescore_sql,
         complete_sql,
         dictionary_sql,
         doc_stats_sql,
@@ -1352,6 +1409,11 @@ FROM tf JOIN dft USING (term) WHERE tf.doc_id = {DOC_TERMS_ID}""",
             f"JOIN documents d USING (doc_id) "
             f"ORDER BY d.source ASC, s.doc_id ASC LIMIT 25"
         ),
+        "collapse_search": collapse_sql(Q_OR, "source", k=8, per_group=2),
+        "parent_search": parent_sql(Q_OR, "source", k=10,
+                                    score_mode="max"),
+        "rescore": rescore_sql(Q_OR, "spark join", k=10, window=30,
+                               rescore_weight=2.0, slop=1),
         "search_count": (
             f"SELECT count(*)::BIGINT AS n_hits "
             f"FROM ({bool_scores_sql(Q_BOOL)}) q"

@@ -104,6 +104,25 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--count-only", action="store_true",
                    help="print only the total hit count "
                         "(TotalHitCountCollector analog)")
+    q.add_argument("--collapse-attr", default=None,
+                   help="field-collapse hits on this stored attribute: "
+                        "top-k GROUPS, --per-group hits each (Lucene "
+                        "grouping / ES collapse analog)")
+    q.add_argument("--per-group", type=int, default=1)
+    q.add_argument("--parent-attr", default=None,
+                   help="fold child hits per value of this stored "
+                        "attribute (ToParentBlockJoinQuery analog), "
+                        "scored by --score-mode")
+    q.add_argument("--score-mode", default="max",
+                   choices=["max", "avg", "total", "none"])
+    q.add_argument("--rescore-query", default=None,
+                   help="re-rank the top --rescore-window hits by "
+                        "weighted combination with this second query "
+                        "(QueryRescorer analog; full parser surface — "
+                        "quote a phrase for proximity rerank)")
+    q.add_argument("--rescore-window", type=int, default=50)
+    q.add_argument("--query-weight", type=float, default=1.0)
+    q.add_argument("--rescore-weight", type=float, default=1.0)
 
     c = sub.add_parser("complete", help="prefix completion")
     c.add_argument("--index", required=True)
@@ -569,6 +588,29 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"query": args.query,
                               "count": eng.search_count(args.query,
                                                         args.mode)}))
+            return
+        if args.rescore_query:
+            rows = [r.asDict() for r in eng.rescore(
+                args.query, args.rescore_query, args.k,
+                window=args.rescore_window,
+                query_weight=args.query_weight,
+                rescore_weight=args.rescore_weight, mode=args.mode,
+                expand_fields=args.expand_fields).collect()]
+            print(json.dumps(rows))
+            return
+        if args.collapse_attr:
+            rows = [r.asDict() for r in eng.search_collapse(
+                args.query, args.collapse_attr, args.k,
+                per_group=args.per_group, mode=args.mode,
+                expand_fields=args.expand_fields).collect()]
+            print(json.dumps(rows))
+            return
+        if args.parent_attr:
+            rows = [r.asDict() for r in eng.search_parent(
+                args.query, args.parent_attr, args.k,
+                score_mode=args.score_mode, mode=args.mode,
+                expand_fields=args.expand_fields).collect()]
+            print(json.dumps(rows))
             return
         if args.sort_attr:
             rows = [r.asDict() for r in eng.search_sorted(

@@ -311,7 +311,7 @@ def dictionary_sql(table: str = "documents") -> str:
 
 def bm25_scores_sql(query: str, table: str = "documents", limit: int | None = None,
                     field_cols: tuple = (), expand_fields: bool = False,
-                    offset: int = 0) -> str:
+                    offset: int = 0, raw: bool = False) -> str:
     """All matching docs with e4-rounded BM25 scores (LIMIT → top-k with the
     engine's exact (score desc, doc_id asc) order). ``field_cols`` mirrors a
     fielded index: per-doc tokens are text tokens ++ '<col>:<tok>' field
@@ -344,7 +344,7 @@ scored AS (
          sum(c) AS raw_score
   FROM contrib{_exclusion_clause(query, field_cols, expand_fields)} GROUP BY doc_id
 )
-SELECT doc_id, score_e4 FROM scored"""
+SELECT doc_id, score_e4{", raw_score" if raw else ""} FROM scored"""
     if limit is not None:
         # offset mirrors the engine's searchAfter page: a keyset page over
         # the total (score desc, doc_id asc) order IS the offset slice
@@ -758,7 +758,8 @@ def _phrase_idf_sum(terms: list[str]) -> str:
     )
 
 
-def phrase_sql(phrase: str, table: str = "documents", slop: int = 0) -> str:
+def phrase_sql(phrase: str, table: str = "documents", slop: int = 0,
+               raw: bool = False) -> str:
     """Phrase matches with e4-rounded scores (``slop`` > 0 mirrors the
     engine's anchor-displacement sloppy semantics: anchor q0 matches when
     Σ_i min_q |q − (q0+i)| ≤ slop over term_i's slots — the exact path is
@@ -783,6 +784,10 @@ def phrase_sql(phrase: str, table: str = "documents", slop: int = 0) -> str:
     exists = _phrase_cond(terms, slop)
     qt = _qt_list(" ".join(terms))
     idf_terms = _phrase_idf_sum(terms)
+    impact = (f"(pf.pf * {K1P1_SQL} / (pf.pf + {K1_SQL} * "
+              f"(1.0 - {B_SQL} + {B_SQL} * dl.dl / (s.sumdl / s.N))))")
+    raw_col = (f",\n       ({idf_terms}) * {impact} AS raw_score"
+               if raw else "")
     return base_cte(table) + f""",
 qt AS (SELECT unnest({qt}) AS term),
 dft AS (
@@ -798,11 +803,8 @@ pf AS (
   GROUP BY a0.doc_id
 )
 SELECT pf.doc_id,
-       CAST(round(({idf_terms})
-         * (pf.pf * {K1P1_SQL}
-            / (pf.pf + {K1_SQL} * (1.0 - {B_SQL} + {B_SQL} * dl.dl / (s.sumdl / s.N))))
-         * 10000) AS BIGINT) AS score_e4,
-       pf.pf::INT AS phrase_freq
+       CAST(round(({idf_terms}) * {impact} * 10000) AS BIGINT) AS score_e4,
+       pf.pf::INT AS phrase_freq{raw_col}
 FROM pf JOIN dl USING (doc_id) CROSS JOIN stats s
 WHERE pf.pf > 0"""
 
@@ -839,6 +841,87 @@ def facet_sql(query: str, attr: str = "source", table: str = "documents",
         f"FROM ({inner}) m JOIN {table} d USING (doc_id)\n"
         f"GROUP BY 1"
     )
+
+
+def collapse_sql(query: str, attr: str = "source", k: int = 10,
+                 per_group: int = 1, table: str = "documents",
+                 field_cols: tuple = (), expand_fields: bool = False) -> str:
+    """Field-collapse mirror (engine ``search_collapse`` — Lucene grouping
+    TopGroups / ES collapse): the full BM25 match set joined to the stored
+    attribute, at most ``per_group`` hits per attribute value ranked
+    (raw score desc, doc_id asc), groups ranked by their head hit under
+    the same order, top-``k`` groups kept. Ordering uses the RAW float64
+    score (the engine's total order), never the e4 rounding."""
+    inner = bm25_scores_sql(query, table, None, field_cols, expand_fields,
+                            raw=True)
+    return f"""
+SELECT h.group_rank, g.{attr}, g.hit_rank, g.doc_id, g.score_e4
+FROM (
+  SELECT tb.{attr} AS {attr}, m.doc_id, m.score_e4, m.raw_score,
+         row_number() OVER (PARTITION BY tb.{attr}
+                            ORDER BY m.raw_score DESC, m.doc_id ASC)::BIGINT
+           AS hit_rank
+  FROM ({inner}) m JOIN {table} tb USING (doc_id)
+) g
+JOIN (
+  SELECT {attr},
+         row_number() OVER (ORDER BY raw_score DESC, doc_id ASC)::BIGINT
+           AS group_rank
+  FROM (
+    SELECT tb.{attr} AS {attr}, m.doc_id, m.raw_score,
+           row_number() OVER (PARTITION BY tb.{attr}
+                              ORDER BY m.raw_score DESC, m.doc_id ASC)
+             AS hit_rank
+    FROM ({inner}) m JOIN {table} tb USING (doc_id)
+  ) WHERE hit_rank = 1
+) h USING ({attr})
+WHERE h.group_rank <= {int(k)} AND g.hit_rank <= {int(per_group)}"""
+
+
+def parent_sql(query: str, attr: str = "source", k: int = 10,
+               score_mode: str = "max", table: str = "documents") -> str:
+    """Parent-scoped search mirror (engine ``search_parent`` — Lucene
+    ToParentBlockJoinQuery with a stored attribute as the parent key):
+    child BM25 scores folded per parent (max|avg|total|none — ScoreMode),
+    best child = (raw score desc, doc_id asc) head, top-``k`` parents by
+    (folded raw score desc, key asc)."""
+    fold = {"max": "max(m.raw_score)", "avg": "avg(m.raw_score)",
+            "total": "sum(m.raw_score)", "none": "0.0"}[score_mode]
+    inner = bm25_scores_sql(query, table, None, raw=True)
+    return f"""
+SELECT tb.{attr} AS {attr},
+       CAST(round(({fold}) * 10000) AS BIGINT) AS score_e4,
+       count(*)::BIGINT AS n_children,
+       (array_agg(m.doc_id ORDER BY m.raw_score DESC, m.doc_id ASC))[1]::BIGINT
+         AS best_doc_id
+FROM ({inner}) m JOIN {table} tb USING (doc_id)
+GROUP BY 1
+ORDER BY ({fold}) DESC, tb.{attr} ASC
+LIMIT {int(k)}"""
+
+
+def rescore_sql(query: str, rescore_phrase: str, k: int = 10,
+                window: int = 50, query_weight: float = 1.0,
+                rescore_weight: float = 1.0, slop: int = 0,
+                table: str = "documents") -> str:
+    """Two-pass rescore mirror (engine ``rescore`` — Lucene QueryRescorer
+    / ES rescore): the flat query's exact top-``window`` (raw-score
+    order) left-joined to the sloppy-phrase score set; combined =
+    qw·first + rw·coalesce(second, 0), top-``k`` by (combined raw desc,
+    doc_id asc). All ordering uses raw float64 scores; only the output
+    is e4-rounded."""
+    first = bm25_scores_sql(query, table, limit=int(window), raw=True)
+    second = phrase_sql(rescore_phrase, table, slop=slop, raw=True)
+    comb = (f"({float(query_weight)} * f.raw_score + "
+            f"{float(rescore_weight)} * coalesce(s.raw_score, 0.0))")
+    return f"""
+SELECT f.doc_id,
+       CAST(round({comb} * 10000) AS BIGINT) AS score_e4,
+       f.score_e4 AS first_e4,
+       coalesce(s.score_e4, 0) AS second_e4
+FROM ({first}) f LEFT JOIN ({second}) s USING (doc_id)
+ORDER BY {comb} DESC, f.doc_id ASC
+LIMIT {int(k)}"""
 
 
 def suggest_sql(term: str, n: int = 5, max_edits: int = 2,

@@ -2970,20 +2970,157 @@ class SearchEngine:
         join; see PLANS.md §sorted-search)."""
         from pyspark.sql import functions as F
 
-        dm = self._live(self.spark.read.parquet(self.doc_map_path))
-        if attr == "doc_id" or attr not in dm.columns:
-            # doc_id would alias-collide in the join — and sorting by it
-            # is not a field sort anyway
-            raise ValueError(
-                f"attribute {attr!r} not a sortable stored attribute "
-                f"(available: {[c for c in dm.columns if c != 'doc_id']})"
-            )
-        hits = self.match_df(query, mode=mode, expand_fields=expand_fields)
-        out = (hits.join(dm.select("doc_id", attr), "doc_id")
+        out = (self._attr_joined_matches(query, attr, mode, expand_fields)
                    .select("doc_id", attr, "score", "n_match")
                    .orderBy(F.asc(attr) if ascending else F.desc(attr),
                             F.asc("doc_id")))
         return out.limit(int(k)) if k is not None else out
+
+    def _attr_joined_matches(self, query: str, attr: str, mode: str,
+                             expand_fields: bool):
+        """Shared front half of the grouping surfaces: the FULL match set
+        (:meth:`match_df` routing, k=None, tombstones filtered) equi-joined
+        to a column-pruned live doc_map scan for one stored attribute.
+        Returns (doc_id, <attr>, score, n_match)."""
+        dm = self._live(self.spark.read.parquet(self.doc_map_path))
+        if attr == "doc_id" or attr not in dm.columns:
+            raise ValueError(
+                f"attribute {attr!r} not a stored groupable attribute "
+                f"(available: {[c for c in dm.columns if c != 'doc_id']})"
+            )
+        hits = self.match_df(query, mode=mode, expand_fields=expand_fields)
+        return hits.join(dm.select("doc_id", attr), "doc_id")
+
+    def search_collapse(self, query: str, attr: str, k: int = 10,
+                        per_group: int = 1, mode: str = "or",
+                        expand_fields: bool = False):
+        """Field-collapsed search — the Lucene grouping module's
+        ``TopGroups`` (GroupingSearch.search) / Elasticsearch ``collapse``:
+        relevance-ranked results where each value of a stored doc_map
+        attribute contributes at most ``per_group`` hits, and groups are
+        ranked by their BEST hit. Returns
+        (group_rank, <attr>, hit_rank, doc_id, score, n_match) for the
+        top-``k`` groups, ordered (group_rank, hit_rank): hit_rank is the
+        within-group relevance position (score desc, doc_id asc — the
+        engine's total order), group_rank the group's position by its
+        head hit under the same order.
+
+        Spark shape: match kernels at k=None (full parser surface via
+        :meth:`match_df` routing) → doc_id equi-join against a
+        column-pruned doc_map scan → ONE hash-partitioned window on the
+        group key for hit_rank (the shuffle moves the match set once,
+        partitioned by group — no global sort), then the group HEADS
+        (hit_rank=1, at most one row per distinct attr value) take a
+        TakeOrderedAndProject top-k cut; group_rank is a window over
+        those ≤ k rows and the k winning keys broadcast-join back to
+        filter members. Nothing bigger than the match set ever shuffles,
+        and the only global ordering work is over k rows."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        joined = self._attr_joined_matches(query, attr, mode, expand_fields)
+        wg = Window.partitionBy(attr).orderBy(
+            F.desc("score"), F.asc("doc_id"))
+        members = (joined
+                   .withColumn("hit_rank",
+                               F.row_number().over(wg).cast("long"))
+                   .where(F.col("hit_rank") <= int(per_group)))
+        heads = (members.where(F.col("hit_rank") == 1)
+                 .orderBy(F.desc("score"), F.asc("doc_id"))
+                 .limit(int(k)))
+        wk = Window.orderBy(F.desc("score"), F.asc("doc_id"))  # ≤ k rows
+        top_groups = (heads
+                      .withColumn("group_rank",
+                                  F.row_number().over(wk).cast("long"))
+                      .select(attr, "group_rank"))
+        return (members
+                .join(F.broadcast(top_groups), attr)
+                .select("group_rank", attr, "hit_rank", "doc_id",
+                        "score", "n_match")
+                .orderBy("group_rank", "hit_rank"))
+
+    def search_parent(self, query: str, attr: str, k: int = 10,
+                      score_mode: str = "max", mode: str = "or",
+                      expand_fields: bool = False):
+        """Parent-scoped search — the Lucene join module's
+        ``ToParentBlockJoinQuery`` shape with a stored attribute as the
+        parent key: child documents match the query, parents are scored by
+        folding their children's scores (``score_mode`` = ``max`` | ``avg``
+        | ``total``, Lucene's ScoreMode names; ``none`` ranks matched
+        parents by key alone with score 0). Returns
+        (<attr>, score, n_children, best_doc_id) for the top-``k`` parents
+        by (score desc, attr asc); ``best_doc_id`` is the highest-scoring
+        child (doc_id asc tie-break) — the block join's leading child hit.
+
+        Spark shape: the same k=None match set + pruned doc_map join as
+        :meth:`search_collapse`, folded by ONE partial-aggregated groupBy
+        on the parent key (each task pre-folds to ≤ |parents| rows — the
+        reduce moves parent-count rows, not the match set) and cut with
+        ONE TakeOrderedAndProject. No window, no global sort."""
+        from pyspark.sql import functions as F
+
+        folds = {"max": F.max, "avg": F.avg, "total": F.sum,
+                 "none": lambda c: F.lit(0.0)}
+        if score_mode not in folds:
+            raise ValueError(
+                f"score_mode {score_mode!r} not one of {sorted(folds)}")
+        joined = self._attr_joined_matches(query, attr, mode, expand_fields)
+        agg = joined.groupBy(attr).agg(
+            folds[score_mode](F.col("score")).cast("double").alias("score"),
+            F.count("*").cast("long").alias("n_children"),
+            F.max_by(
+                "doc_id", F.struct(F.col("score"), -F.col("doc_id"))
+            ).cast("long").alias("best_doc_id"),
+        )
+        return (agg.select(attr, "score", "n_children", "best_doc_id")
+                   .orderBy(F.desc("score"), F.asc(attr))
+                   .limit(int(k)))
+
+    def rescore(self, query: str, rescore_query: str, k: int = 10,
+                window: int = 50, query_weight: float = 1.0,
+                rescore_weight: float = 1.0, mode: str = "or",
+                rescore_mode: str = "or", expand_fields: bool = False):
+        """Two-pass ranking — Lucene's ``QueryRescorer`` / the ES
+        ``rescore`` block: the top-``window`` hits of the (cheap) first
+        query are re-scored by a second query and re-sorted by
+        ``query_weight·first + rescore_weight·second`` (a windowed hit
+        that does not match the rescore query keeps its weighted first
+        score — the ES total for a non-matching rescore window entry).
+        Returns (doc_id, score, first_score, second_score, n_match)
+        top-``k`` by (combined desc, doc_id asc); second_score is 0.0
+        for non-matching window hits, n_match is the FIRST pass's term
+        count. The rescore query takes the full parser surface via
+        :meth:`match_df` routing — the canonical use is a bag-of-words
+        first pass re-ranked by a proximity phrase (``'"a b"~2'``).
+
+        Spark shape: pass 1 is the ordinary exact top-``window`` search
+        (MaxScore-pruned per-shard kernels, one TakeOrderedAndProject);
+        pass 2 evaluates the rescore query once and joins the tiny
+        window BROADCAST against it — the second match set never
+        shuffles, and the final cut is a TakeOrderedAndProject over
+        ≤ window rows."""
+        from pyspark.sql import functions as F
+
+        first = (self.search_df(query, k=int(window), mode=mode,
+                                expand_fields=expand_fields)
+                 .select("doc_id", F.col("score").alias("first_score"),
+                         "n_match"))
+        second = (self.match_df(rescore_query, mode=rescore_mode,
+                                expand_fields=expand_fields)
+                  .select("doc_id", F.col("score").alias("second_score")))
+        return (
+            F.broadcast(first).join(second, "doc_id", "left")
+            .withColumn("second_score",
+                        F.coalesce(F.col("second_score"), F.lit(0.0)))
+            .withColumn(
+                "score",
+                float(query_weight) * F.col("first_score")
+                + float(rescore_weight) * F.col("second_score"))
+            .select("doc_id", "score", "first_score", "second_score",
+                    "n_match")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(int(k))
+        )
 
     def search_count(self, query: str, mode: str = "or",
                      expand_fields: bool = False) -> int:

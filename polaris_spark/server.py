@@ -38,6 +38,18 @@ Methods (POST JSON to /api/<method>):
                  the fuzzy n-gram table's pruned probe).
 - ``facets``     {query, attr, mode?} → per-attribute-value match counts
                  over the FULL match set (Lucene facets analog).
+- ``collapse``   {query, attr, k?, perGroup?, mode?} → field-collapsed
+                 hits: top-k attr groups, ≤ perGroup hits each, group and
+                 within-group ranks (Lucene grouping TopGroups / ES
+                 collapse analog).
+- ``parents``    {query, attr, k?, scoreMode?, mode?} → parent-scoped
+                 hits: children's scores folded per parent key by
+                 max|avg|total|none (ToParentBlockJoinQuery analog), with
+                 child count and leading child doc.
+- ``rescore``    {query, rescoreQuery, k?, window?, queryWeight?,
+                 rescoreWeight?, mode?} → the first query's top-window
+                 re-ranked by queryWeight·first + rescoreWeight·second
+                 (Lucene QueryRescorer / ES rescore analog).
 - ``explain``    {query, docId} → the per-term BM25 score breakdown for
                  one hit (IndexSearcher.explain analog); contributions sum
                  to the hit's score bit-exactly.
@@ -274,6 +286,37 @@ class _Handler(BaseHTTPRequestHandler):
             b["query"], b["attr"], mode=b.get("mode", "or")))
         rows.sort(key=lambda r: (-r["n"], str(r["facet"])))
         return {"facets": rows}
+
+    def _m_collapse(self, b):
+        """Field-collapsed search (Lucene grouping / ES collapse): top-k
+        'attr' groups of the match set, ≤ perGroup hits each, both ranks
+        in every row. Body: {query, attr, k?, perGroup?, mode?}."""
+        return {"groups": _rows(self.engine.search_collapse(
+            b["query"], b["attr"], k=int(b.get("k", 10)),
+            per_group=int(b.get("perGroup", 1)),
+            mode=b.get("mode", "or")))}
+
+    def _m_parents(self, b):
+        """Parent-scoped search (ToParentBlockJoinQuery analog): parents
+        keyed by a stored attribute, children's scores folded by scoreMode
+        (max|avg|total|none). Body: {query, attr, k?, scoreMode?, mode?}."""
+        return {"parents": _rows(self.engine.search_parent(
+            b["query"], b["attr"], k=int(b.get("k", 10)),
+            score_mode=b.get("scoreMode", "max"),
+            mode=b.get("mode", "or")))}
+
+    def _m_rescore(self, b):
+        """Two-pass rescore (Lucene QueryRescorer / ES rescore): the first
+        query's top-window re-ranked by weighted combination with a second
+        query (full parser surface — typically a proximity phrase). Body:
+        {query, rescoreQuery, k?, window?, queryWeight?, rescoreWeight?,
+        mode?}."""
+        return {"hits": _rows(self.engine.rescore(
+            b["query"], b["rescoreQuery"], k=int(b.get("k", 10)),
+            window=int(b.get("window", 50)),
+            query_weight=float(b.get("queryWeight", 1.0)),
+            rescore_weight=float(b.get("rescoreWeight", 1.0)),
+            mode=b.get("mode", "or")))}
 
     def _m_explain(self, b):
         """IndexSearcher.explain analog, auto-routed like /api/search:

@@ -199,6 +199,48 @@ def test_suggest_and_facets_endpoints(spark, daemon):
     assert e.value.code == 400
 
 
+def test_collapse_and_parents_endpoints(spark, daemon):
+    """/api/collapse and /api/parents must return exactly the engine's
+    search_collapse() / search_parent() rows."""
+    base, d, pdf = daemon
+    eng = SearchEngine(spark, d)
+    q = " ".join(pdf["text"].iloc[1].split()[:2])
+
+    got = _post(base, "collapse",
+                {"query": q, "attr": "role", "k": 3, "perGroup": 2})
+    want = [r.asDict() for r in
+            eng.search_collapse(q, "role", k=3, per_group=2).collect()]
+    assert got["groups"] == json.loads(json.dumps(want)) and want
+    assert all(g["hit_rank"] <= 2 for g in got["groups"])
+
+    got = _post(base, "parents",
+                {"query": q, "attr": "role", "scoreMode": "total"})
+    want = [r.asDict() for r in
+            eng.search_parent(q, "role", score_mode="total").collect()]
+    assert got["parents"] == json.loads(json.dumps(want)) and want
+
+    # bad scoreMode / unknown attr → 400 (ValueError mapping)
+    for body in ({"query": q, "attr": "role", "scoreMode": "bogus"},
+                 {"query": q, "attr": "nope"}):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(base, "parents", body)
+        assert e.value.code == 400
+
+
+def test_rescore_endpoint(spark, daemon):
+    """/api/rescore must return exactly the engine's rescore() rows."""
+    base, d, pdf = daemon
+    eng = SearchEngine(spark, d)
+    toks = pdf["text"].iloc[1].split()
+    q, rq = f"{toks[0]} {toks[1]}", toks[0]
+    got = _post(base, "rescore",
+                {"query": q, "rescoreQuery": rq, "k": 5, "window": 8,
+                 "rescoreWeight": 2.0})
+    want = [r.asDict() for r in
+            eng.rescore(q, rq, k=5, window=8, rescore_weight=2.0).collect()]
+    assert got["hits"] == json.loads(json.dumps(want)) and want
+
+
 def test_searchmany_endpoint_bit_identical(spark, daemon):
     """/api/searchMany scores the list as one job; per-query hits must be
     bit-identical to sequential /api/search (the search_many_df contract)."""

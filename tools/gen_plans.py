@@ -381,6 +381,39 @@ def main() -> None:
         cap(eng.search_sorted("spark join", "source", k=10)),
     ))
 
+    SECTIONS.append((
+        "collapse-search (grouping: one keyed window + broadcast winners)",
+        "Lucene grouping / ES collapse analog: the match set shuffles ONCE "
+        "hash-partitioned on the group key for the within-group row_number "
+        "window; the group heads (≤ one row per key) take a "
+        "TakeOrderedAndProject top-k cut and the k winning keys broadcast-"
+        "join back to filter members — nothing larger than the match set "
+        "moves, and the only global ordering is over k rows.",
+        cap(eng.search_collapse("spark join", "source", k=5, per_group=2)),
+    ))
+    SECTIONS.append((
+        "parent-search (block join: partial-agg fold, no window)",
+        "ToParentBlockJoinQuery analog: child scores fold per parent key "
+        "through ONE aggregate with a map-side partial (SortAggregate — "
+        "the best-child max_by is struct-ordered; each task still emits "
+        "≤ |parents| rows), cut by TakeOrderedAndProject — no window, no "
+        "global sort.",
+        cap(eng.search_parent("spark join", "source", k=5,
+                              score_mode="max")),
+    ))
+
+    SECTIONS.append((
+        "rescore (two-pass rerank: broadcast window into the second pass)",
+        "QueryRescorer / ES-rescore analog: pass 1 is the ordinary exact "
+        "top-window search (MaxScore kernels + TakeOrderedAndProject); "
+        "pass 2 evaluates the rescore query once and the ≤window-row "
+        "first-pass result BROADCASTS into the left join — the second "
+        "match set never shuffles, and the final combined-score cut is a "
+        "TakeOrderedAndProject over ≤ window rows.",
+        cap(eng.rescore("spark join", '"spark join"~1', k=5, window=20,
+                        rescore_weight=2.0)),
+    ))
+
     from polaris_spark.ops.bpe import bpe_encode, bpe_learn
     from polaris_spark.ops.text import top_ngrams
 
