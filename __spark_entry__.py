@@ -586,6 +586,40 @@ def _q_sorted_search(spark, sf_dir):
         F.round(F.col("score") * 10000).cast("long").alias("score_e4"))
 
 
+def _q_filtered_search(spark, sf_dir):
+    """Constant-score FILTER context (Lucene 4.3 FilteredQuery / ES bool
+    filter): the Q_OR match set restricted to lang:en|lang:de docs via the
+    zero-scoring docIdSet path — hash-pins that survivors keep their
+    UNFILTERED scores bit-exactly and that the doc set is the filter's."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir, fields=True))
+    res = eng.search_df(Q_OR, k=None, filter_query="lang:en lang:de")
+    return res.select(
+        "doc_id",
+        F.round(F.col("score") * 10000).cast("long").alias("score_e4"))
+
+
+def _q_dismax_search(spark, sf_dir):
+    """DisjunctionMaxQuery scoring (Solr/ES dismax): Q_OR over the fielded
+    index, each token folded max + 0.3×rest across its text/source/lang
+    variants with qf boosts — hash-pins the group fold, tie-breaker, boost
+    application, and n_match = matched token groups."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir, fields=True))
+    res = eng.search_dismax_df(Q_OR, k=None, tie=0.3,
+                               field_boosts={"text": 1.0, "source": 0.5})
+    return res.select(
+        "doc_id",
+        F.round(F.col("score") * 10000).cast("long").alias("score_e4"),
+        "n_match")
+
+
 def _q_collapse_search(spark, sf_dir):
     """Field-collapsed search (Lucene grouping TopGroups / ES collapse):
     top-8 'source' groups of the Q_OR match set, ≤2 hits per group, both
@@ -1170,6 +1204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_search": _q_collapse_search,
         "parent_search": _q_parent_search,
         "rescore": _q_rescore,
+        "filtered_search": _q_filtered_search,
+        "dismax_search": _q_dismax_search,
         "search_count": _q_search_count,
         "suggest": _q_suggest,
         "explain_score": _q_explain,
@@ -1210,6 +1246,8 @@ def oracle_sql() -> dict[str, str]:
         collapse_sql,
         parent_sql,
         rescore_sql,
+        filtered_sql,
+        dismax_sql,
         complete_sql,
         dictionary_sql,
         doc_stats_sql,
@@ -1414,6 +1452,11 @@ FROM tf JOIN dft USING (term) WHERE tf.doc_id = {DOC_TERMS_ID}""",
                                     score_mode="max"),
         "rescore": rescore_sql(Q_OR, "spark join", k=10, window=30,
                                rescore_weight=2.0, slop=1),
+        "filtered_search": filtered_sql(Q_OR, "lang:en lang:de",
+                                        field_cols=FIELD_COLS),
+        "dismax_search": dismax_sql(
+            Q_OR, tie=0.3, field_boosts={"text": 1.0, "source": 0.5},
+            field_cols=FIELD_COLS),
         "search_count": (
             f"SELECT count(*)::BIGINT AS n_hits "
             f"FROM ({bool_scores_sql(Q_BOOL)}) q"

@@ -123,6 +123,19 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--rescore-window", type=int, default=50)
     q.add_argument("--query-weight", type=float, default=1.0)
     q.add_argument("--rescore-weight", type=float, default=1.0)
+    q.add_argument("--filter", default=None,
+                   help="constant-score FILTER sub-query (Lucene "
+                        "FilteredQuery / ES bool filter): restricts hits "
+                        "without touching scores; full parser surface "
+                        "(e.g. 'lang:en', 'lang:en OR lang:de')")
+    q.add_argument("--dismax", action="store_true",
+                   help="DisjunctionMaxQuery scoring: each token ranks by "
+                        "the max over its field variants + --tie x the "
+                        "rest (Solr/ES dismax)")
+    q.add_argument("--tie", type=float, default=0.0)
+    q.add_argument("--field-boosts", default=None,
+                   help="dismax qf weights, e.g. 'text=1,source=0.5' "
+                        "('text' = the unprefixed field)")
 
     c = sub.add_parser("complete", help="prefix completion")
     c.add_argument("--index", required=True)
@@ -619,13 +632,26 @@ def main(argv: list[str] | None = None) -> int:
                 expand_fields=args.expand_fields).collect()]
             print(json.dumps(rows))
             return
-        if args.distributed:
+        if args.dismax:
+            fb = (dict((kv.split("=")[0], float(kv.split("=")[1]))
+                       for kv in args.field_boosts.split(","))
+                  if args.field_boosts else None)
+            if args.distributed or args.filter:
+                rows = [r.asDict() for r in eng.search_dismax_df(
+                    args.query, args.k, tie=args.tie, mode=args.mode,
+                    field_boosts=fb, filter_query=args.filter).collect()]
+            else:
+                rows = eng.search_dismax(args.query, args.k, tie=args.tie,
+                                         mode=args.mode, field_boosts=fb)
+        elif args.distributed:
             rows = [r.asDict() for r in eng.search_df(
                 args.query, args.k, args.mode,
-                expand_fields=args.expand_fields).collect()]
+                expand_fields=args.expand_fields,
+                filter_query=args.filter).collect()]
         else:
             rows = eng.search(args.query, args.k, args.mode,
-                              expand_fields=args.expand_fields)
+                              expand_fields=args.expand_fields,
+                              filter_query=args.filter)
         print(json.dumps(rows))
     elif args.cmd == "phrase":
         from polaris_spark.query.engine import SearchEngine

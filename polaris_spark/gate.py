@@ -924,6 +924,80 @@ ORDER BY {comb} DESC, f.doc_id ASC
 LIMIT {int(k)}"""
 
 
+def filtered_sql(query: str, filter_query: str, k: int | None = None,
+                 table: str = "documents", field_cols: tuple = ()) -> str:
+    """FILTER-context mirror (engine ``search_df(filter_query=...)`` —
+    Lucene 4.3 FilteredQuery / ES bool filter): the main query's full BM25
+    match set restricted to docs containing ANY of the filter's parsed
+    terms (the flat pure-OR constant-score docIdSet path), scores
+    untouched. ``filter_query`` must be the flat form the engine's
+    zero-scoring path serves (plain/fielded terms, OR semantics)."""
+    inner = bm25_scores_sql(query, table, None, field_cols, raw=True)
+    fterms = _parse(filter_query, field_cols, False)[0]
+    flist = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(fterms)))
+    fset = base_cte(table, field_cols) + \
+        f"\nSELECT DISTINCT doc_id FROM tf WHERE term IN ({flist})"
+    sql = f"""
+SELECT m.doc_id, m.score_e4
+FROM ({inner}) m
+WHERE m.doc_id IN (SELECT doc_id FROM ({fset}))"""
+    if k is not None:
+        sql += f"\nORDER BY m.raw_score DESC, m.doc_id ASC LIMIT {int(k)}"
+    return sql
+
+
+def dismax_sql(query: str, tie: float = 0.0, k: int | None = None,
+               mode: str = "or", field_boosts: dict | None = None,
+               table: str = "documents", field_cols: tuple = ()) -> str:
+    """DisjunctionMaxQuery mirror (engine ``search_dismax_df`` — Lucene
+    DisjunctionMaxQuery / Solr-ES dismax): per query token, contributions
+    of its bare + ``field:token`` variants fold as
+    ``max + tie × (sum − max)`` (per-field qf boosts pre-multiplied), and
+    docs score the sum of token-group folds with ``n_match`` = distinct
+    token groups matched (``mode='and'`` requires all)."""
+    fb = {str(kk): float(v) for kk, v in (field_boosts or {}).items()}
+    bases = sorted(set(_parse(query, (), False)[0]))
+    rows = []
+    for bse in bases:
+        lit = bse.replace("'", "''")
+        for f in ["text", *field_cols]:
+            t = lit if f == "text" else f"{f}:{lit}"
+            rows.append(f"('{t}', '{lit}', {fb.get(f, 1.0)!r})")
+    vals = ",\n    ".join(rows) or "(NULL, NULL, 1.0)"
+    having = f"\nHAVING count(*) = {len(bases)}" if mode == "and" else ""
+    sql = base_cte(table, field_cols) + f""",
+qt AS (SELECT * FROM (VALUES {vals}) v(term, base, fboost)),
+dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf
+  WHERE term IN (SELECT term FROM qt) GROUP BY term
+),
+contrib AS (
+  SELECT tf.doc_id, qt.base,
+         qt.fboost
+         * ln(1.0 + (s.N - dft.df + 0.5) / (dft.df + 0.5))
+         * (tf.tf * {K1P1_SQL}
+            / (tf.tf + {K1_SQL} * (1.0 - {B_SQL} + {B_SQL} * dl.dl / (s.sumdl / s.N)))) AS c
+  FROM tf
+  JOIN dft USING (term)
+  JOIN qt USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+),
+g AS (
+  SELECT doc_id, base, max(c) AS m, sum(c) AS sm
+  FROM contrib GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(round(sum(m + {float(tie)!r} * (sm - m)) * 10000) AS BIGINT)
+         AS score_e4,
+       count(*)::INT AS n_match
+FROM g GROUP BY doc_id{having}"""
+    if k is not None:
+        sql += (f"\nORDER BY sum(m + {float(tie)!r} * (sm - m)) DESC, "
+                f"doc_id ASC LIMIT {int(k)}")
+    return sql
+
+
 def suggest_sql(term: str, n: int = 5, max_edits: int = 2,
                 table: str = "documents") -> str:
     """Spell-suggest mirror (engine ``suggest_df``): vocabulary terms

@@ -561,6 +561,7 @@ def score_decoded_arrays(
     excluded: np.ndarray | None = None,
     min_match: int | None = None,
     after: tuple | None = None,
+    included: np.ndarray | None = None,
 ):
     """Exact BM25 accumulation over pre-decoded per-term postings — the
     scoring half of :func:`score_shard` (see its docstring for the MaxScore
@@ -570,6 +571,14 @@ def score_decoded_arrays(
     post-exclusion candidate set; shared decoded arrays are never mutated
     (exclusion builds filtered copies), so one group-wide decode safely
     serves many queries. Only terms present in ``idf`` participate.
+
+    ``included`` is the constant-score FILTER context (Lucene 4.3's
+    ``FilteredQuery`` wrapping / BooleanClause.Occur.FILTER): when not
+    None, ONLY these doc_ids may match — docs outside drop per-term
+    BEFORE pruning/scoring exactly like exclusion (θ₀ derives from the
+    post-filter candidate set, so MaxScore stays provably exact), and the
+    filter contributes nothing to scores. An EMPTY array means the filter
+    matched nothing — every doc drops (None means "no filter").
 
     ``min_match`` (OR mode) keeps only docs matching ≥ that many distinct
     query terms — Lucene's BooleanQuery.setMinimumNumberShouldMatch over
@@ -601,6 +610,9 @@ def score_decoded_arrays(
         docs, tfs, dls = decoded[term]
         if excluded is not None and len(docs):
             keep = ~np.isin(docs, excluded, assume_unique=True)
+            docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+        if included is not None and len(docs):
+            keep = np.isin(docs, included, assume_unique=True)
             docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
         if len(docs):
             items.append((term, docs, tfs, dls))
@@ -712,6 +724,7 @@ def score_shard(
     excluded: np.ndarray | None = None,
     min_match: int | None = None,
     after: tuple | None = None,
+    included: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Exact BM25 accumulation over candidate posting rows.
 
@@ -738,7 +751,110 @@ def score_shard(
     decoded, max_impact = decode_shard_rows(pdf, n_shards, shard)
     return score_decoded(decoded, max_impact, idf, avgdl, k1, b, k, mode,
                          n_query_terms, prune=prune, excluded=excluded,
-                         min_match=min_match, after=after)
+                         min_match=min_match, after=after, included=included)
+
+
+def score_decoded_dismax(
+    decoded: dict,
+    idf: dict[str, float],
+    base_of: dict[str, str],
+    tie: float,
+    avgdl: float,
+    k1: float,
+    b: float,
+    k: int | None,
+    mode: str,
+    n_groups: int,
+    excluded: np.ndarray | None = None,
+    included: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """DisjunctionMaxQuery accumulation (the Lucene query type
+    MultiFieldQueryParser-era apps use for per-term cross-field scoring;
+    Solr/ES (e)dismax): terms are grouped by ``base_of`` (one group per
+    query token: the bare term plus its ``field:token`` variants), a doc's
+    group score is ``max(contribs) + tie × (sum(contribs) − max)``, and
+    its total is the group-sorted sequential float64 sum of group scores —
+    a deterministic order, so driver and distributed paths are
+    bit-identical. Per-field boosts arrive pre-multiplied into ``idf``
+    (the edismax ``qf`` weights). ``n_match`` = distinct groups matched;
+    ``mode="and"`` keeps only docs matching every group.
+
+    No MaxScore pruning: the max-fold breaks the Σ-upper-bound argument
+    (a non-essential term can RAISE a group max), so every candidate doc
+    is scored — still exact, still per-shard parallel; candidates are
+    term-pruned by the scan like every other path. ``excluded`` /
+    ``included`` behave exactly as in :func:`score_decoded_arrays`
+    (tombstones / FILTER context, applied before scoring)."""
+    items = []
+    for term in sorted(decoded):
+        if term not in idf or term not in base_of:
+            continue
+        docs, tfs, dls = decoded[term]
+        if excluded is not None and len(docs):
+            keep = ~np.isin(docs, excluded, assume_unique=True)
+            docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+        if included is not None and len(docs):
+            keep = np.isin(docs, included, assume_unique=True)
+            docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+        if len(docs):
+            items.append((term, docs, tfs, dls))
+    if not items:
+        return _empty_result()
+    all_docs = np.unique(np.concatenate([d[1] for d in items]))
+    scores = np.zeros(len(all_docs), dtype=np.float64)
+    nmatch = np.zeros(len(all_docs), dtype=np.int32)
+    by_group: dict[str, list] = {}
+    for it in items:
+        by_group.setdefault(base_of[it[0]], []).append(it)
+    for base in sorted(by_group):  # group order pins the outer sum
+        gmax = np.zeros(len(all_docs), dtype=np.float64)
+        gsum = np.zeros(len(all_docs), dtype=np.float64)
+        ghit = np.zeros(len(all_docs), dtype=bool)
+        for term, docs, tfs, dls in by_group[base]:  # already term-sorted
+            w = idf[term]
+            impact = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+            idx = np.searchsorted(all_docs, docs)
+            c = w * impact
+            np.maximum.at(gmax, idx, c)
+            gsum[idx] += c
+            ghit[idx] = True
+        scores[ghit] += (gmax + tie * (gsum - gmax))[ghit]
+        nmatch += ghit
+    if mode == "and":
+        keep = nmatch == n_groups
+        all_docs, scores, nmatch = all_docs[keep], scores[keep], nmatch[keep]
+    if k is not None and len(all_docs) > k:
+        order = np.lexsort((all_docs, -scores))[:k]
+        all_docs, scores, nmatch = all_docs[order], scores[order], nmatch[order]
+    return pd.DataFrame({"doc_id": all_docs.astype(np.int64),
+                         "score": scores,
+                         "n_match": nmatch.astype(np.int32)})
+
+
+def score_shard_dismax(
+    pdf: pd.DataFrame,
+    idf: dict[str, float],
+    base_of: dict[str, str],
+    tie: float,
+    avgdl: float,
+    k1: float,
+    b: float,
+    k: int | None,
+    mode: str,
+    n_groups: int,
+    n_shards: int | None = None,
+    shard: int | None = None,
+    excluded: np.ndarray | None = None,
+    included: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """:func:`score_decoded_dismax` over packed candidate rows — the
+    dismax twin of :func:`score_shard` (same decode + shard dedup)."""
+    if pdf.empty:
+        return _empty_result()
+    decoded, _mi = decode_shard_rows(pdf, n_shards, shard)
+    return score_decoded_dismax(decoded, idf, base_of, tie, avgdl, k1, b,
+                                k, mode, n_groups, excluded=excluded,
+                                included=included)
 
 
 class SearchEngine:
@@ -1602,6 +1718,40 @@ class SearchEngine:
             "shard", F.pmod(F.col("doc_id"), F.lit(S)).cast("int")
         )
 
+    def _filter_docs_df(self, filter_query: str, mode: str = "or",
+                        expand_fields: bool = False):
+        """FILTER-context doc set as a shard-routed (shard, doc_id) frame
+        for :meth:`_flat_scored_df`'s inclusion cogroup. A flat pure-OR
+        filter with no prohibit terms is Lucene's constant-score Filter
+        shape exactly — a docIdSet with NO scorer: its match set is the
+        union of the filter terms' postings, decoded straight from the
+        pruned candidate scan (:meth:`_excluded_docs_df`'s decode, zero
+        scoring work). Anything else (AND mode, prohibits, boolean trees,
+        quoted phrases) evaluates through :meth:`match_df`'s full routed
+        surface and keeps only doc_ids — scores computed then discarded,
+        the ConstantScoreQuery(query) wrapping."""
+        from pyspark.sql import functions as F
+
+        from .boolquery import has_operators
+
+        S = int(self.stats["n_shards"])
+        flat = (parse_phrase_query(filter_query) is None
+                and not (mode == "or" and has_operators(filter_query)))
+        if flat and mode == "or":
+            terms, exc, _b = self.parse_query_boosts(filter_query,
+                                                     expand_fields)
+            if not exc:
+                if not terms:
+                    # unparseable filter admits nothing (the parser's
+                    # empty-query contract, applied to the filter clause)
+                    return self.spark.createDataFrame(
+                        [], "shard int, doc_id bigint")
+                return self._excluded_docs_df(terms).select("shard", "doc_id")
+        return (self.match_df(filter_query, mode=mode,
+                              expand_fields=expand_fields)
+                .select(F.pmod(F.col("doc_id"), F.lit(S)).cast("int")
+                        .alias("shard"), "doc_id"))
+
     def _buckets(self, terms: list[str]) -> list[int]:
         nb = self.stats["n_buckets"]
         return sorted({zlib.crc32(t.encode("utf-8")) % nb for t in terms})
@@ -1668,7 +1818,8 @@ class SearchEngine:
     def search(self, query: str, k: int | None = 10, mode: str = "or",
                expand_fields: bool = False,
                min_match: int | None = None,
-               after: tuple | None = None) -> list[dict]:
+               after: tuple | None = None,
+               filter_query: str | None = None) -> list[dict]:
         """Driver-path search: candidate rows are collected (they are small
         after bucket+term pruning) and scored in-process. Returns
         [{doc_id, score, n_match}] ordered by (score desc, doc_id asc).
@@ -1681,6 +1832,11 @@ class SearchEngine:
         the page of k hits strictly after that position in the total
         (score desc, doc_id asc) order (see :func:`score_decoded_arrays`).
 
+        ``filter_query`` is the constant-score FILTER context (see
+        :meth:`search_df`, whose distributed inclusion path serves it): a
+        filter's match set is corpus-sized in general, so the driver path
+        never collects it — filtered queries always delegate.
+
         Prohibit terms with more than ``exclude_driver_limit`` total postings
         would make the driver-side id union the bottleneck — those queries
         fall over to :meth:`search_df`'s distributed exclusion and only the
@@ -1689,11 +1845,13 @@ class SearchEngine:
         terms, exc, boosts = self.parse_query_boosts(query, expand_fields)
         if not terms:
             return []  # reference behavior: unparseable/empty query → empty
-        if (exc and self._excluded_postings_total(exc) > self.exclude_driver_limit) \
+        if filter_query is not None \
+                or (exc and self._excluded_postings_total(exc) > self.exclude_driver_limit) \
                 or isinstance(self._deletes_np(), str):
             res = self.search_df(query, k=k, mode=mode,
                                  expand_fields=expand_fields,
-                                 min_match=min_match, after=after).toPandas()
+                                 min_match=min_match, after=after,
+                                 filter_query=filter_query).toPandas()
             return res.to_dict("records")
         cand = self._candidates_pdf(terms)
         if cand.empty:
@@ -1718,7 +1876,8 @@ class SearchEngine:
     def search_df(self, query: str, k: int | None = 10, mode: str = "or",
                   expand_fields: bool = False,
                   min_match: int | None = None,
-                  after: tuple | None = None):
+                  after: tuple | None = None,
+                  filter_query: str | None = None):
         """Distributed search: per-shard kernels + global sort-limit merge.
         Returns a DataFrame (doc_id, score, n_match). ``min_match`` is the
         BooleanQuery.setMinimumNumberShouldMatch analog (see :meth:`search`);
@@ -1734,7 +1893,18 @@ class SearchEngine:
         cogrouped with the candidate rows, so each kernel receives only its
         shard's exclusion slice — no doc_ids ever reach the driver, and
         exclusion still happens BEFORE scoring so MaxScore's θ₀ derives from
-        the true post-exclusion candidate set (pruning stays exact)."""
+        the true post-exclusion candidate set (pruning stays exact).
+
+        ``filter_query`` is the constant-score FILTER context — Lucene
+        4.3's ``new FilteredQuery(query, filter)`` (the API the reference's
+        Lucene version ships for exactly this; BooleanClause.Occur.FILTER
+        in later Lucene / the ES bool ``filter`` block): only docs matching
+        it may appear, it contributes NOTHING to scores (survivors' scores
+        are bit-identical to the unfiltered query's), and it takes the full
+        parser surface (``lang:en``, trees, phrases, wildcards). Its doc
+        set rides the exclusion cogroup as an inclusion frame
+        (:meth:`_filter_docs_df`), applied in-kernel before θ₀ — MaxScore
+        stays exact and no ids reach the driver."""
         self._check_wildcard_mode(query, mode)
         terms, exc, boosts = self.parse_query_boosts(query, expand_fields)
         empty = self.spark.createDataFrame([], RESULT_SCHEMA)
@@ -1746,29 +1916,61 @@ class SearchEngine:
             return empty
         if boosts:
             idf = {t: w * boosts.get(t, 1.0) for t, w in idf.items()}
+        include_df = (self._filter_docs_df(filter_query,
+                                           expand_fields=expand_fields)
+                      if filter_query is not None else None)
         return self._flat_scored_df(cand, idf, k, mode, len(terms),
                                     exc_terms=exc, min_match=min_match,
-                                    after=after)
+                                    after=after, include_df=include_df)
 
     def _flat_scored_df(self, cand, idf, k, mode, nq, exc_terms=(),
-                        extra_excluded=None, min_match=None, after=None):
+                        extra_excluded=None, min_match=None, after=None,
+                        include_df=None, scorer=None):
         """The kernel half of :meth:`search_df` over pre-resolved candidate
         rows + idf weights: per-shard kernels, distributed exclusion
         (prohibit terms' postings + tombstones + an optional caller-supplied
         ``(shard, doc_id)`` frame — :meth:`more_like_this_df` routes its
         source doc through it), global (score desc, doc_id asc) limit.
         Factored so term-list queries (MoreLikeThis) reuse the exact plan
-        the parser-driven path runs."""
+        the parser-driven path runs.
+
+        ``include_df`` is a (shard, doc_id) frame of the docs a FILTER
+        context permits (Lucene 4.3 FilteredQuery / Occur.FILTER): it rides
+        the SAME cogrouped per-shard exchange as exclusion — each kernel
+        receives its 1/S slice tagged ``kind='i'`` next to the exclusion
+        rows tagged ``'x'`` — so filtering happens inside the kernel BEFORE
+        θ₀ (MaxScore stays exact) and no doc_ids ever reach the driver. An
+        ACTIVE filter whose shard slice is empty admits nothing (the
+        empty-frame/no-filter ambiguity is resolved by a closure flag, not
+        by row presence).
+
+        ``scorer`` overrides the per-shard kernel (signature:
+        ``(pdf, shard, excluded, included) → result pdf``) so variant
+        rankers — :meth:`search_dismax_df` — reuse this exact exchange
+        (routing, exclusion/filter cogroup, tombstones, final top-k)."""
         from pyspark.sql import functions as F
 
         stats = self.stats
         S = int(stats["n_shards"])
         routed = self._pin_groups(self._routed(cand, S), S, F.col("shard"))
+        if scorer is None:
+            def scorer(pdf, sh, excl, incl):
+                return score_shard(pdf, idf, stats["avgdl"], stats["k1"],
+                                   stats["b"], k, mode, nq, n_shards=S,
+                                   shard=sh, excluded=excl,
+                                   min_match=min_match, after=after,
+                                   included=incl)
 
         tomb = self._tomb_shard_df(S)
         parts = ([self._excluded_docs_df(exc_terms)] if exc_terms else []) \
             + ([tomb] if tomb is not None else []) \
             + ([extra_excluded] if extra_excluded is not None else [])
+        parts = [p.select("shard", "doc_id").withColumn("kind", F.lit("x"))
+                 for p in parts]
+        has_filter = include_df is not None
+        if has_filter:
+            parts.append(include_df.select("shard", "doc_id")
+                         .withColumn("kind", F.lit("i")))
         if parts:
             exdf = parts[0]
             for p in parts[1:]:
@@ -1777,14 +1979,16 @@ class SearchEngine:
 
             def kernel2(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
                 sh = int(left["shard"].iloc[0]) if len(left) else 0
-                excl = (
-                    np.unique(right["doc_id"].to_numpy(dtype=np.int64))
-                    if len(right) else None
-                )
-                return score_shard(left, idf, stats["avgdl"], stats["k1"],
-                                   stats["b"], k, mode, nq, n_shards=S,
-                                   shard=sh, excluded=excl,
-                                   min_match=min_match, after=after)
+                xs = right.loc[right["kind"] == "x", "doc_id"] if len(right) \
+                    else right.get("doc_id", pd.Series(dtype="int64"))
+                excl = (np.unique(xs.to_numpy(dtype=np.int64))
+                        if len(xs) else None)
+                incl = None
+                if has_filter:
+                    ins = right.loc[right["kind"] == "i", "doc_id"] \
+                        if len(right) else pd.Series(dtype="int64")
+                    incl = np.unique(ins.to_numpy(dtype=np.int64))
+                return scorer(left, sh, excl, incl)
 
             scored = (
                 routed.groupBy("_route")
@@ -1795,14 +1999,120 @@ class SearchEngine:
 
             def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
                 sh = int(pdf["shard"].iloc[0]) if len(pdf) else 0
-                return score_shard(pdf, idf, stats["avgdl"], stats["k1"],
-                                   stats["b"], k, mode, nq, n_shards=S,
-                                   shard=sh, min_match=min_match,
-                                   after=after)
+                return scorer(pdf, sh, None, None)
 
             scored = routed.groupBy("_route").applyInPandas(kernel, RESULT_SCHEMA)
         out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
         return out.limit(k) if k is not None else out
+
+    def _dismax_parse(self, query: str, field_boosts: dict | None):
+        """Parse a dismax query: plain text tokens only (the per-field
+        variants are generated HERE — that is what dismax is), so every
+        operator of the classic syntax is rejected rather than silently
+        mis-scored. Returns (terms, base_of, n_groups, weight_mult) where
+        ``terms`` covers each token's bare + ``field:token`` variants and
+        ``weight_mult`` carries the per-field ``qf`` boosts (key ``text``
+        = the unprefixed text field)."""
+        from .boolquery import has_operators
+
+        if parse_phrase_query(query) is not None or has_operators(query) \
+                or any(ch in query for ch in '*?~^:"/'):
+            raise ValueError(
+                "dismax takes plain text terms only — field variants are "
+                "generated per token (classic operators: use search/"
+                "search_bool_df)")
+        terms, exc, _b = self.parse_query_boosts(query, False)
+        if exc:
+            raise ValueError("dismax has no prohibit clauses — wrap in a "
+                             "filter or use the flat parser")
+        fields = tuple(self.stats.get("field_cols", ()) or ())
+        fb = {str(k): float(v) for k, v in (field_boosts or {}).items()}
+        bases = sorted(set(terms))
+        base_of: dict[str, str] = {}
+        wmul: dict[str, float] = {}
+        for bse in bases:
+            for f, t in [("text", bse)] + [(f, f"{f}:{bse}") for f in fields]:
+                base_of[t] = bse
+                wmul[t] = fb.get(f, 1.0)
+        return sorted(base_of), base_of, len(bases), wmul
+
+    def search_dismax_df(self, query: str, k: int | None = 10,
+                         tie: float = 0.0, mode: str = "or",
+                         field_boosts: dict | None = None,
+                         filter_query: str | None = None):
+        """Distributed DisjunctionMaxQuery search — the Lucene query type
+        for per-term cross-field ranking (org.apache.lucene.search.
+        DisjunctionMaxQuery, Solr/ES (e)dismax): each query token scores as
+        ``max`` over its field variants (bare text + every indexed
+        ``field:token``) plus ``tie`` × the remaining variants' sum, and
+        docs rank by the token-ordered sum of those group scores. Unlike
+        :meth:`search_df` with ``expand_fields=True`` (MultiFieldQueryParser's
+        SHOULD-sum, which double-counts a token matching text AND a field),
+        dismax takes the best field per token — Lucene's cure for exactly
+        that inflation. ``field_boosts`` = edismax ``qf`` weights keyed by
+        field name (``text`` = the unprefixed field); ``mode="and"``
+        requires every token group; ``filter_query`` is the same FILTER
+        context as :meth:`search_df`.
+
+        Spark shape: IDENTICAL exchange to :meth:`search_df` — one pruned
+        candidate scan over all variant terms, per-shard kernels via
+        :meth:`_flat_scored_df`'s pluggable scorer (tombstones/filter ride
+        the same cogroup), one TakeOrderedAndProject. No MaxScore pruning
+        (the max-fold breaks the Σ-bound; see :func:`score_decoded_dismax`)
+        — every term-pruned candidate is scored, still shard-parallel."""
+        terms, base_of, n_groups, wmul = self._dismax_parse(query,
+                                                            field_boosts)
+        empty = self.spark.createDataFrame([], RESULT_SCHEMA)
+        if not terms:
+            return empty
+        cand = self._cache_scoped(self._candidates(terms))
+        idf = self._idf_map(cand)
+        if not idf:
+            return empty
+        idf = {t: v * wmul[t] for t, v in idf.items()}
+        include_df = (self._filter_docs_df(filter_query)
+                      if filter_query is not None else None)
+        stats = self.stats
+        S = int(stats["n_shards"])
+        tie = float(tie)
+
+        def scorer(pdf, sh, excl, incl):
+            return score_shard_dismax(pdf, idf, base_of, tie,
+                                      stats["avgdl"], stats["k1"],
+                                      stats["b"], k, mode, n_groups,
+                                      n_shards=S, shard=sh, excluded=excl,
+                                      included=incl)
+
+        return self._flat_scored_df(cand, idf, k, mode, n_groups,
+                                    include_df=include_df, scorer=scorer)
+
+    def search_dismax(self, query: str, k: int | None = 10,
+                      tie: float = 0.0, mode: str = "or",
+                      field_boosts: dict | None = None) -> list[dict]:
+        """Driver-path twin of :meth:`search_dismax_df` (same kernel over
+        the collected candidate rows — results bit-identical; tested).
+        Oversized tombstone sets delegate like :meth:`search`."""
+        terms, base_of, n_groups, wmul = self._dismax_parse(query,
+                                                            field_boosts)
+        if not terms:
+            return []
+        if isinstance(self._deletes_np(), str):
+            res = self.search_dismax_df(query, k=k, tie=tie, mode=mode,
+                                        field_boosts=field_boosts).toPandas()
+            return res.to_dict("records")
+        cand = self._candidates_pdf(terms)
+        if cand.empty:
+            return []
+        idf = {t: v * wmul[t] for t, v in self._idf_map(cand).items()}
+        res = score_shard_dismax(cand, idf, base_of, float(tie),
+                                 self.stats["avgdl"], self.stats["k1"],
+                                 self.stats["b"], k, mode, n_groups,
+                                 excluded=self._with_tombstones(None))
+        res = res.sort_values(["score", "doc_id"],
+                              ascending=[False, True], kind="mergesort")
+        if k is not None:
+            res = res.head(k)
+        return res.to_dict("records")
 
     # ------------------------------------------------------------- explain
 
@@ -2571,7 +2881,8 @@ class SearchEngine:
     def search_mixed(self, query: str, rank_from: int = 0, rank_to: int = 20,
                      mode: str = "or", payload: bool = True,
                      min_match: int | None = None,
-                     after: tuple | None = None) -> dict:
+                     after: tuple | None = None,
+                     filter_query: str | None = None) -> dict:
         """The full search endpoint — rebuild of reference
         search/CodeSearchImpl.java:71-92 + SearchMixer.java:34-52: mix two
         result streams (ranked full-text hits + dictionary completions),
@@ -2590,7 +2901,13 @@ class SearchEngine:
         SourceDbImpl.java:147-157, SearchMixer.java:63-89) each SERVED hit
         is joined to its doc_map identity row plus a ``snippet`` context
         window when the index stores text — one partition-pruned point
-        lookup over only the page, never the full hit list."""
+        lookup over only the page, never the full hit list.
+
+        ``filter_query`` is the constant-score FILTER context
+        (:meth:`search_df`); like ``after``/``min_match`` it binds the flat
+        BM25 route only — the phrase/tree routes have their own composition
+        semantics (a tree query simply writes the filter as a MUST clause,
+        which differs only by the clause's score contribution)."""
         import time as _t
 
         from .boolquery import has_operators
@@ -2605,6 +2922,10 @@ class SearchEngine:
                 # searchAfter binds the flat BM25 path (like min_match);
                 # the phrase/boolean-tree paths page by rank_from/rank_to
                 raise ValueError("searchAfter supports flat queries only")
+            if filter_query is not None:
+                raise ValueError(
+                    "filter supports flat queries only — express the "
+                    "filter as a MUST clause of a boolean tree instead")
             hits = self.search_phrase(pq[0], k=rank_to, slop=pq[1])
             terms = self.phrase_terms(pq[0])
         elif mode == "or" and has_operators(query):
@@ -2621,6 +2942,10 @@ class SearchEngine:
                 if after is not None:
                     raise ValueError(
                         "searchAfter supports flat queries only")
+                if filter_query is not None:
+                    raise ValueError(
+                        "filter supports flat queries only — express the "
+                        "filter as a MUST clause of the tree instead")
                 try:
                     hits = self.search_bool(query, k=rank_to)
                     terms = sorted(
@@ -2638,7 +2963,8 @@ class SearchEngine:
             # after the cursor, at flat per-page cost however deep
             k_eff = (rank_to - rank_from) if after is not None else rank_to
             hits = self.search(query, k=k_eff, mode=mode,
-                               min_match=min_match, after=after)
+                               min_match=min_match, after=after,
+                               filter_query=filter_query)
             terms = self.query_terms(query)
             flat_route = True
         page = hits if after is not None else hits[rank_from:rank_to]

@@ -12,14 +12,17 @@ search/CodeSearchImpl.java). Differences, both deliberate:
 
 Methods (POST JSON to /api/<method>):
 
-- ``search``     {query, rankFrom?, rankTo?, mode?, payload?} → the full
-                 mixed response (hits + completions + count + latency_ms);
-                 each hit carries its doc_map identity columns and, when
-                 the index stores text, a ``snippet`` context window —
-                 the reference Hit's jump target + filename + summary
-                 (CodeSearchImpl.search:71-92, SourceDbImpl.java:147-157,
-                 SearchMixer.java:63-89). ``payload:false`` returns bare
-                 (doc_id, score, n_match) hits.
+- ``search``     {query, rankFrom?, rankTo?, mode?, payload?, filter?} →
+                 the full mixed response (hits + completions + count +
+                 latency_ms); each hit carries its doc_map identity columns
+                 and, when the index stores text, a ``snippet`` context
+                 window — the reference Hit's jump target + filename +
+                 summary (CodeSearchImpl.search:71-92,
+                 SourceDbImpl.java:147-157, SearchMixer.java:63-89).
+                 ``payload:false`` returns bare (doc_id, score, n_match)
+                 hits. ``filter`` is a constant-score FILTER sub-query
+                 (Lucene 4.3 FilteredQuery / ES bool filter): survivors
+                 keep their unfiltered scores bit-exactly.
 - ``searchMany`` {queries: [...], k?} → per-query top-k hits, the whole
                  list scored as ONE distributed job (engine.search_many_df
                  — replay/eval volume; bit-identical to per-query search).
@@ -50,6 +53,11 @@ Methods (POST JSON to /api/<method>):
                  rescoreWeight?, mode?} → the first query's top-window
                  re-ranked by queryWeight·first + rescoreWeight·second
                  (Lucene QueryRescorer / ES rescore analog).
+- ``dismax``     {query, k?, tie?, mode?, fieldBoosts?, filter?} →
+                 DisjunctionMaxQuery hits: each token scores as the max
+                 over its field variants + tie × the rest (Solr/ES
+                 dismax; fieldBoosts = qf weights keyed by field, ``text``
+                 = the unprefixed field).
 - ``explain``    {query, docId} → the per-term BM25 score breakdown for
                  one hit (IndexSearcher.explain analog); contributions sum
                  to the hit's score bit-exactly.
@@ -191,7 +199,22 @@ class _Handler(BaseHTTPRequestHandler):
             # response's next_after is the cursor for the page after that
             after=(tuple(b["searchAfter"])
                    if b.get("searchAfter") is not None else None),
+            # constant-score FILTER context (Lucene 4.3 FilteredQuery /
+            # the ES bool `filter` block): full parser surface, no score
+            # contribution — flat main queries only
+            filter_query=b.get("filter"),
         )
+
+    def _m_dismax(self, b):
+        """DisjunctionMaxQuery search (Solr/ES dismax): per-token max over
+        field variants + tie × the rest; per-field qf boosts. Body:
+        {query, k?, tie?, mode?, fieldBoosts?, filter?}."""
+        return {"hits": _rows(self.engine.search_dismax_df(
+            b["query"], k=int(b.get("k", 10)),
+            tie=float(b.get("tie", 0.0)),
+            mode=b.get("mode", "or"),
+            field_boosts=b.get("fieldBoosts"),
+            filter_query=b.get("filter")))}
 
     def _m_reload(self, b):
         """Lucene SearcherManager.maybeRefresh analog: construct a fresh

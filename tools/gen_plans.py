@@ -44,7 +44,8 @@ def main() -> None:
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     build_index(spark, docs, idx, doc_id_col="doc_id",
                 cfg=IndexConfig(n_buckets=32, n_shards=8, n_chunks=2,
-                                positions=True, attr_cols=("source", "lang")))
+                                positions=True, attr_cols=("source", "lang"),
+                                field_cols=("source", "lang")))
     eng = SearchEngine(spark, idx)
 
     SECTIONS.append((
@@ -412,6 +413,32 @@ def main() -> None:
         "TakeOrderedAndProject over ≤ window rows.",
         cap(eng.rescore("spark join", '"spark join"~1', k=5, window=20,
                         rescore_weight=2.0)),
+    ))
+
+    SECTIONS.append((
+        "FILTER context (constant-score inclusion rides the exclusion cogroup)",
+        "FilteredQuery / ES bool-filter analog: the filter's doc set (here "
+        "the zero-scoring flat docIdSet path — postings decoded via "
+        "mapInPandas, never scored, never collected) unions into the "
+        "per-shard exclusion frame tagged kind='i' and reaches the kernels "
+        "through the SAME FlatMapCoGroupsInPandas exchange as prohibit "
+        "terms — filtering happens in-kernel before θ₀, so MaxScore stays "
+        "exact and survivors' scores are bit-identical to the unfiltered "
+        "query's.",
+        cap(eng.search_df("spark join", k=5, filter_query="lang:en")),
+    ))
+
+    SECTIONS.append((
+        "dismax (DisjunctionMaxQuery: same exchange, variant-term scan)",
+        "Solr/ES dismax analog: ONE pruned candidate scan covers every "
+        "token's bare + field:token variants (term IN list below), the "
+        "per-shard kernels fold max + tie×rest per token group (pluggable "
+        "scorer on the search_df exchange — tombstones/filters ride the "
+        "same cogroup), and the cut is one TakeOrderedAndProject. No "
+        "MaxScore pruning (the max-fold breaks the Σ-bound) — candidates "
+        "are still term-pruned by the scan.",
+        cap(eng.search_dismax_df("spark join", k=5, tie=0.3,
+                                 field_boosts={"text": 1.0, "source": 0.5})),
     ))
 
     from polaris_spark.ops.bpe import bpe_encode, bpe_learn
