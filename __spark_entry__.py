@@ -586,6 +586,39 @@ def _q_sorted_search(spark, sf_dir):
         F.round(F.col("score") * 10000).cast("long").alias("score_e4"))
 
 
+def _q_span_near(spark, sf_dir):
+    """Unordered SpanNearQuery (Lucene spans analog): spark/merge/join
+    within a slop-6 window on the positions index — hash-pins the
+    minimal-window anchor count and the idf-sum × impact scoring."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir, pos=True))
+    res = eng.span_near_df(["spark", "merge", "join"], slop=6,
+                           in_order=False, k=None)
+    return res.select(
+        "doc_id",
+        F.round(F.col("score") * 10000).cast("long").alias("score_e4"),
+        "span_freq")
+
+
+def _q_span_near_ordered(spark, sf_dir):
+    """Ordered SpanNearQuery: 'spark' then 'join' within slop 4, greedy
+    strictly-increasing chain — hash-pins the in-order matching rule
+    (which differs from the sloppy phrase's displacement form)."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir, pos=True))
+    res = eng.span_near_df(["spark", "join"], slop=4, in_order=True, k=None)
+    return res.select(
+        "doc_id",
+        F.round(F.col("score") * 10000).cast("long").alias("score_e4"),
+        "span_freq")
+
+
 def _q_filtered_search(spark, sf_dir):
     """Constant-score FILTER context (Lucene 4.3 FilteredQuery / ES bool
     filter): the Q_OR match set restricted to lang:en|lang:de docs via the
@@ -1206,6 +1239,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescore": _q_rescore,
         "filtered_search": _q_filtered_search,
         "dismax_search": _q_dismax_search,
+        "span_near": _q_span_near,
+        "span_near_ordered": _q_span_near_ordered,
         "search_count": _q_search_count,
         "suggest": _q_suggest,
         "explain_score": _q_explain,
@@ -1248,6 +1283,7 @@ def oracle_sql() -> dict[str, str]:
         rescore_sql,
         filtered_sql,
         dismax_sql,
+        span_near_sql,
         complete_sql,
         dictionary_sql,
         doc_stats_sql,
@@ -1457,6 +1493,10 @@ FROM tf JOIN dft USING (term) WHERE tf.doc_id = {DOC_TERMS_ID}""",
         "dismax_search": dismax_sql(
             Q_OR, tie=0.3, field_boosts={"text": 1.0, "source": 0.5},
             field_cols=FIELD_COLS),
+        "span_near": span_near_sql(["spark", "merge", "join"], slop=6,
+                                   in_order=False),
+        "span_near_ordered": span_near_sql(["spark", "join"], slop=4,
+                                           in_order=True),
         "search_count": (
             f"SELECT count(*)::BIGINT AS n_hits "
             f"FROM ({bool_scores_sql(Q_BOOL)}) q"

@@ -148,6 +148,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-k", type=int, default=10)
     p.add_argument("--distributed", action="store_true")
 
+    sn = sub.add_parser(
+        "span-near",
+        help="SpanNearQuery: terms within a position window, optionally "
+             "in order (Lucene spans analog; needs a positions=True index)")
+    sn.add_argument("--index", required=True)
+    sn.add_argument("--terms", required=True,
+                    help="comma-separated index terms, e.g. spark,join")
+    sn.add_argument("--slop", type=int, default=0)
+    sn.add_argument("--ordered", action="store_true")
+    sn.add_argument("-k", type=int, default=10)
+    sn.add_argument("--distributed", action="store_true")
+
     sg = sub.add_parser("suggest", help="spell-correction suggestions "
                         "('did you mean') from the fuzzy n-gram table")
     sg.add_argument("--index", required=True)
@@ -662,6 +674,20 @@ def main(argv: list[str] | None = None) -> int:
             rows = [r.asDict() for r in eng.search_phrase_df(args.phrase, args.k).collect()]
         else:
             rows = eng.search_phrase(args.phrase, args.k)
+        print(json.dumps(rows))
+    elif args.cmd == "span-near":
+        from polaris_spark.query.engine import SearchEngine
+
+        spark = _session("polaris_spark_span_near")
+        eng = SearchEngine(spark, args.index)
+        terms = [t for t in args.terms.split(",") if t]
+        if args.distributed:
+            rows = [r.asDict() for r in eng.span_near_df(
+                terms, slop=args.slop, in_order=args.ordered,
+                k=args.k).collect()]
+        else:
+            rows = eng.span_near(terms, slop=args.slop,
+                                 in_order=args.ordered, k=args.k)
         print(json.dumps(rows))
     elif args.cmd == "complete":
         from polaris_spark.query.engine import SearchEngine

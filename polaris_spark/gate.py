@@ -924,6 +924,66 @@ ORDER BY {comb} DESC, f.doc_id ASC
 LIMIT {int(k)}"""
 
 
+def span_near_sql(terms: list[str], slop: int = 0, in_order: bool = False,
+                  table: str = "documents") -> str:
+    """SpanNearQuery mirror (engine ``span_near`` — Lucene
+    spans.SpanNearQuery): over the shared positional ``sl`` CTE,
+    ordered = greedy strictly-increasing LATERAL min-chain from each
+    term₀ anchor, unordered = minimal window [anchor,
+    max_t min{slot_t ≥ anchor}] from every query-term position row;
+    a match needs (width − n) ≤ slop, span_freq counts matching anchors,
+    score = idf-sum × BM25 impact of span_freq (the engine's pseudo-term
+    shape)."""
+    n = len(terms)
+    lits = [t.replace("'", "''") for t in terms]
+    idf_terms = _phrase_idf_sum(terms)
+    impact = (f"(pf.pf * {K1P1_SQL} / (pf.pf + {K1_SQL} * "
+              f"(1.0 - {B_SQL} + {B_SQL} * dl.dl / (s.sumdl / s.N))))")
+    if in_order:
+        lat, prev = [], "a0.slot"
+        for i, t in enumerate(lits[1:], start=1):
+            lat.append(
+                f"LATERAL (SELECT min(s{i}.slot) AS m FROM sl s{i} "
+                f"WHERE s{i}.doc_id = a0.doc_id AND s{i}.tok = '{t}' "
+                f"AND s{i}.slot > {prev}) l{i}")
+            prev = f"l{i}.m"
+        anchor = f"(SELECT doc_id, slot FROM sl WHERE tok = '{lits[0]}') a0"
+        cond = (f"{prev} IS NOT NULL AND "
+                f"({prev} - a0.slot + 1 - {n}) <= {int(slop)}")
+    else:
+        inlist = ", ".join(f"'{t}'" for t in sorted(set(lits)))
+        lat, mins = [], []
+        for i, t in enumerate(sorted(set(lits))):
+            lat.append(
+                f"LATERAL (SELECT min(s{i}.slot) AS m FROM sl s{i} "
+                f"WHERE s{i}.doc_id = a0.doc_id AND s{i}.tok = '{t}' "
+                f"AND s{i}.slot >= a0.slot) l{i}")
+            mins.append(f"l{i}.m")
+        anchor = f"(SELECT doc_id, slot FROM sl WHERE tok IN ({inlist})) a0"
+        notnull = " AND ".join(f"{m} IS NOT NULL" for m in mins)
+        cond = (f"{notnull} AND (greatest({', '.join(mins)}) "
+                f"- a0.slot + 1 - {n}) <= {int(slop)}")
+    joins = ",\n       ".join([anchor, *lat])
+    return base_cte(table) + f""",
+qt AS (SELECT unnest({_sql_list(sorted(set(terms)))}) AS term),
+dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf
+  WHERE term IN (SELECT term FROM qt) GROUP BY term
+),
+{_slot_ctes(table)},
+pf AS (
+  SELECT a0.doc_id, count(*)::BIGINT AS pf
+  FROM {joins}
+  WHERE {cond}
+  GROUP BY a0.doc_id
+)
+SELECT pf.doc_id,
+       CAST(round(({idf_terms}) * {impact} * 10000) AS BIGINT) AS score_e4,
+       pf.pf::INT AS span_freq
+FROM pf JOIN dl USING (doc_id) CROSS JOIN stats s
+WHERE pf.pf > 0"""
+
+
 def filtered_sql(query: str, filter_query: str, k: int | None = None,
                  table: str = "documents", field_cols: tuple = ()) -> str:
     """FILTER-context mirror (engine ``search_df(filter_query=...)`` —

@@ -133,6 +133,7 @@ def _fuzzy_suffix(body: str):
         return head, int(tail)
     return None
 PHRASE_RESULT_SCHEMA = "doc_id bigint, score double, phrase_freq int"
+SPAN_RESULT_SCHEMA = "doc_id bigint, score double, span_freq int"
 
 
 def phrase_shard(
@@ -263,6 +264,133 @@ def phrase_shard(
 
 def _idf(N: int, df: int) -> float:
     return math.log(1.0 + (N - df + 0.5) / (df + 0.5))
+
+
+def span_near_shard(
+    pdf: pd.DataFrame,
+    terms: list[str],
+    slop: int,
+    in_order: bool,
+    idf: dict[str, float],
+    avgdl: float,
+    k1: float,
+    b: float,
+    k: int | None,
+    n_shards: int | None = None,
+    shard: int | None = None,
+    excluded: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """SpanNearQuery matching + scoring over candidate posting rows — the
+    Lucene span family (org.apache.lucene.search.spans.SpanNearQuery:
+    clauses within ``slop`` positions, optionally in order; API-only in
+    Lucene 4.3, no classic-parser syntax — same here).
+
+    Spec (deterministic, DuckDB-mirrorable — documented deviations from
+    Lucene's NearSpans* alongside the sloppy-phrase notes):
+
+    - ``in_order=True``: an anchor p ∈ pos(term₀) matches when the greedy
+      strictly-increasing chain qᵢ = min{q ∈ pos(termᵢ) : q > qᵢ₋₁}
+      exists and spans (q_{n-1} − p + 1) − n ≤ slop. The greedy chain
+      minimizes the end position, so per-anchor existence is exact.
+    - ``in_order=False``: every position row p of EVERY query term (with
+      multiplicity) anchors a minimal window [p, max_t min{q ∈ pos(t) :
+      q ≥ p}]; it matches when (width − n) ≤ slop.
+    - ``span_freq`` counts matching anchors (multiplicity kept, like
+      phrase_freq); score = (Σᵢ idf(termᵢ)) × impact(span_freq, dl) —
+      the engine's pseudo-term shape (Lucene instead uses
+      Σ 1/(1+matchLength) sloppyFreq). Shared slots (camel sub-tokens at
+      their parent position) may satisfy two clauses at one slot —
+      Lucene requires non-overlapping subspans.
+    """
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "score": pd.Series(dtype="float64"),
+                          "span_freq": pd.Series(dtype="int32")})
+    if pdf.empty:
+        return empty
+    per_term: dict[str, list] = {}
+    for row in pdf.itertuples(index=False):
+        if getattr(row, "pos", None) is None:
+            raise ValueError(
+                "span_near requires an index built with positions=True")
+        docs = decode_ints(row.doc_ids, delta=True)
+        tfs = decode_ints(row.tfs)
+        dls = decode_ints(row.dls)
+        poss = decode_positions(bytes(row.pos), tfs)
+        if shard is not None and n_shards is not None:
+            keep = (docs % n_shards) == shard
+            if not keep.all():
+                poss = [p for p, kf in zip(poss, keep) if kf]
+                docs, dls = docs[keep], dls[keep]
+        if len(docs):
+            per_term.setdefault(row.term, []).append((docs, dls, poss))
+    uniq = set(terms)
+    if uniq - set(per_term):
+        return empty
+    merged: dict[str, tuple] = {}
+    for t, parts in per_term.items():
+        if len(parts) == 1:
+            docs, dls, poss = parts[0]
+        else:
+            docs = np.concatenate([p[0] for p in parts])
+            dls = np.concatenate([p[1] for p in parts])
+            poss = [x for p in parts for x in p[2]]
+            o = np.argsort(docs, kind="stable")
+            docs, dls = docs[o], dls[o]
+            poss = [poss[i] for i in o]
+        merged[t] = (docs, dls, poss)
+    order_terms = sorted(uniq, key=lambda t: len(merged[t][0]))
+    cand = merged[order_terms[0]][0]
+    if excluded is not None and len(cand):
+        cand = cand[~np.isin(cand, excluded)]
+        if not len(cand):
+            return empty
+    for t in order_terms[1:]:
+        cand = cand[np.isin(cand, merged[t][0], assume_unique=True)]
+        if not len(cand):
+            return empty
+    idx = {t: np.searchsorted(merged[t][0], cand) for t in uniq}
+    n = len(terms)
+    dl_t = merged[terms[0]][1]
+    out_docs, out_sf, out_dl = [], [], []
+    for j, d in enumerate(cand.tolist()):
+        pos_of = {t: np.asarray(merged[t][2][idx[t][j]], dtype=np.int64)
+                  for t in uniq}
+        if in_order:
+            anchors = pos_of[terms[0]]
+            q = anchors
+            valid = np.ones(len(anchors), dtype=bool)
+            for t in terms[1:]:
+                nxt = pos_of[t]
+                p = np.searchsorted(nxt, q, side="right")
+                valid &= p < len(nxt)
+                q = nxt[np.minimum(p, len(nxt) - 1)]
+            n_hit = int((valid & (q - anchors + 1 - n <= slop)).sum())
+        else:
+            anchors = np.sort(np.concatenate([pos_of[t] for t in uniq]))
+            hi = anchors.copy()
+            valid = np.ones(len(anchors), dtype=bool)
+            for t in uniq:
+                pos = pos_of[t]
+                p = np.searchsorted(pos, anchors, side="left")
+                valid &= p < len(pos)
+                hi = np.maximum(hi, pos[np.minimum(p, len(pos) - 1)])
+            n_hit = int((valid & (hi - anchors + 1 - n <= slop)).sum())
+        if n_hit:
+            out_docs.append(d)
+            out_sf.append(n_hit)
+            out_dl.append(int(dl_t[idx[terms[0]][j]]))
+    if not out_docs:
+        return empty
+    docs_a = np.asarray(out_docs, dtype=np.int64)
+    sf = np.asarray(out_sf, dtype=np.int64)
+    dls_a = np.asarray(out_dl, dtype=np.float64)
+    w = sum(idf[t] for t in terms)
+    scores = w * (sf * (k1 + 1.0) / (sf + k1 * (1.0 - b + b * dls_a / avgdl)))
+    if k is not None and len(docs_a) > k:
+        o = np.lexsort((docs_a, -scores))[:k]
+        docs_a, scores, sf = docs_a[o], scores[o], sf[o]
+    return pd.DataFrame({"doc_id": docs_a, "score": scores,
+                         "span_freq": sf.astype(np.int32)})
 
 
 def _decode_merge(pdf: pd.DataFrame, n_shards: int | None = None,
@@ -2823,6 +2951,93 @@ class SearchEngine:
 
             scored = routed.groupBy("_route").applyInPandas(
                 kernel, PHRASE_RESULT_SCHEMA)
+        out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        return out.limit(k) if k is not None else out
+
+    def _span_check(self, terms: list[str], in_order: bool) -> list[str]:
+        terms = [str(t) for t in terms]
+        if len(terms) < 2:
+            raise ValueError("span_near takes at least two terms")
+        if not in_order and len(set(terms)) != len(terms):
+            raise ValueError(
+                "unordered span_near requires distinct terms (the minimal-"
+                "window spec has no multiplicity rule; ordered chains "
+                "accept duplicates)")
+        return terms
+
+    def span_near(self, terms: list[str], slop: int = 0,
+                  in_order: bool = False, k: int | None = 10) -> list[dict]:
+        """Driver-path SpanNearQuery (Lucene spans.SpanNearQuery analog —
+        see :func:`span_near_shard` for the exact matching spec): ``terms``
+        are raw index terms (positions required). Returns
+        [{doc_id, score, span_freq}] by (score desc, doc_id asc)."""
+        terms = self._span_check(terms, in_order)
+        if isinstance(self._deletes_np(), str):
+            return self.span_near_df(terms, slop=slop, in_order=in_order,
+                                     k=k).toPandas().to_dict("records")
+        cand = self._candidates_pdf(sorted(set(terms)))
+        if cand.empty:
+            return []
+        idf = self._idf_map(cand)
+        if set(terms) - set(idf):
+            return []
+        res = span_near_shard(cand, terms, int(slop), bool(in_order), idf,
+                              self.stats["avgdl"], self.stats["k1"],
+                              self.stats["b"], k,
+                              excluded=self._deletes_np())
+        res = res.sort_values(["score", "doc_id"], ascending=[False, True],
+                              kind="mergesort")
+        if k is not None:
+            res = res.head(k)
+        return res.to_dict("records")
+
+    def span_near_df(self, terms: list[str], slop: int = 0,
+                     in_order: bool = False, k: int | None = 10):
+        """Distributed SpanNearQuery: per-shard kernels + global sort-limit,
+        the same exchange as :meth:`search_phrase_df` (pruned candidate
+        scan, shard-pinned Arrow kernels, tombstones via the cogroup,
+        TakeOrderedAndProject) — bit-identical to :meth:`span_near`."""
+        from pyspark.sql import functions as F
+
+        terms = self._span_check(terms, in_order)
+        empty = self.spark.createDataFrame([], SPAN_RESULT_SCHEMA)
+        cand = self._cache_scoped(self._candidates(sorted(set(terms))))
+        idf = self._idf_map(cand)
+        if not idf or set(terms) - set(idf):
+            return empty
+        stats = self.stats
+        S = int(stats["n_shards"])
+        slop_i, ordered = int(slop), bool(in_order)
+        routed = self._pin_groups(self._routed(cand, S), S, F.col("shard"))
+
+        tomb = self._tomb_shard_df(S)
+        if tomb is not None:
+            exdf = self._pin_groups(tomb, S, F.col("shard"))
+
+            def kernel2(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+                sh = int(left["shard"].iloc[0]) if len(left) else 0
+                excl = (np.unique(right["doc_id"].to_numpy(dtype=np.int64))
+                        if len(right) else None)
+                return span_near_shard(left, terms, slop_i, ordered, idf,
+                                       stats["avgdl"], stats["k1"],
+                                       stats["b"], k, n_shards=S, shard=sh,
+                                       excluded=excl)
+
+            scored = (
+                routed.groupBy("_route")
+                .cogroup(exdf.groupBy("_route"))
+                .applyInPandas(kernel2, SPAN_RESULT_SCHEMA)
+            )
+        else:
+
+            def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+                sh = int(pdf["shard"].iloc[0]) if len(pdf) else 0
+                return span_near_shard(pdf, terms, slop_i, ordered, idf,
+                                       stats["avgdl"], stats["k1"],
+                                       stats["b"], k, n_shards=S, shard=sh)
+
+            scored = routed.groupBy("_route").applyInPandas(
+                kernel, SPAN_RESULT_SCHEMA)
         out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
         return out.limit(k) if k is not None else out
 

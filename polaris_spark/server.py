@@ -53,6 +53,9 @@ Methods (POST JSON to /api/<method>):
                  rescoreWeight?, mode?} → the first query's top-window
                  re-ranked by queryWeight·first + rescoreWeight·second
                  (Lucene QueryRescorer / ES rescore analog).
+- ``spanNear``   {terms: [...], slop?, inOrder?, k?} → SpanNearQuery hits
+                 (Lucene spans analog: raw index terms within a position
+                 window, optionally ordered; needs a positions index).
 - ``dismax``     {query, k?, tie?, mode?, fieldBoosts?, filter?} →
                  DisjunctionMaxQuery hits: each token scores as the max
                  over its field variants + tie × the rest (Solr/ES
@@ -204,6 +207,15 @@ class _Handler(BaseHTTPRequestHandler):
             # contribution — flat main queries only
             filter_query=b.get("filter"),
         )
+
+    def _m_spanNear(self, b):
+        """SpanNearQuery (Lucene spans analog): raw index terms within a
+        position window, optionally in order. Body:
+        {terms: [...], slop?, inOrder?, k?}."""
+        return {"hits": self.engine.span_near(
+            list(b["terms"]), slop=int(b.get("slop", 0)),
+            in_order=bool(b.get("inOrder", False)),
+            k=int(b.get("k", 10)))}
 
     def _m_dismax(self, b):
         """DisjunctionMaxQuery search (Solr/ES dismax): per-token max over

@@ -416,6 +416,17 @@ def main() -> None:
     ))
 
     SECTIONS.append((
+        "span-near (Lucene spans family: the phrase exchange, window kernels)",
+        "SpanNearQuery analog: the same pruned candidate scan + "
+        "shard-pinned Arrow kernels as the phrase path (positions decoded "
+        "in-kernel, tombstones via the cogroup when present), ordered/"
+        "unordered window matching per shard, one TakeOrderedAndProject — "
+        "proximity costs exactly what a phrase costs.",
+        cap(eng.span_near_df(["spark", "join"], slop=4, in_order=True,
+                             k=5)),
+    ))
+
+    SECTIONS.append((
         "FILTER context (constant-score inclusion rides the exclusion cogroup)",
         "FilteredQuery / ES bool-filter analog: the filter's doc set (here "
         "the zero-scoring flat docIdSet path — postings decoded via "
