@@ -586,6 +586,24 @@ def _q_sorted_search(spark, sf_dir):
         F.round(F.col("score") * 10000).cast("long").alias("score_e4"))
 
 
+def _q_synonym_search(spark, sf_dir):
+    """SynonymQuery blended scoring (Lucene SynonymQuery — the
+    SynonymFilter analyzer surface): Q_OR with spark→stream, join→merge
+    synonym groups — hash-pins the tf-sum + max-df blend (NOT a boolean
+    OR) and n_match = matched groups."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir))
+    res = eng.search_synonyms_df(
+        Q_OR, {"spark": ["stream"], "join": ["merge"]}, k=None)
+    return res.select(
+        "doc_id",
+        F.round(F.col("score") * 10000).cast("long").alias("score_e4"),
+        "n_match")
+
+
 def _q_span_near(spark, sf_dir):
     """Unordered SpanNearQuery (Lucene spans analog): spark/merge/join
     within a slop-6 window on the positions index — hash-pins the
@@ -1241,6 +1259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dismax_search": _q_dismax_search,
         "span_near": _q_span_near,
         "span_near_ordered": _q_span_near_ordered,
+        "synonym_search": _q_synonym_search,
         "search_count": _q_search_count,
         "suggest": _q_suggest,
         "explain_score": _q_explain,
@@ -1284,6 +1303,7 @@ def oracle_sql() -> dict[str, str]:
         filtered_sql,
         dismax_sql,
         span_near_sql,
+        synonym_sql,
         complete_sql,
         dictionary_sql,
         doc_stats_sql,
@@ -1497,6 +1517,8 @@ FROM tf JOIN dft USING (term) WHERE tf.doc_id = {DOC_TERMS_ID}""",
                                    in_order=False),
         "span_near_ordered": span_near_sql(["spark", "join"], slop=4,
                                            in_order=True),
+        "synonym_search": synonym_sql(
+            Q_OR, {"spark": ["stream"], "join": ["merge"]}),
         "search_count": (
             f"SELECT count(*)::BIGINT AS n_hits "
             f"FROM ({bool_scores_sql(Q_BOOL)}) q"

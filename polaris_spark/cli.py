@@ -136,6 +136,10 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--field-boosts", default=None,
                    help="dismax qf weights, e.g. 'text=1,source=0.5' "
                         "('text' = the unprefixed field)")
+    q.add_argument("--synonyms", default=None,
+                   help="SynonymQuery blended scoring: per-token synonym "
+                        "groups, e.g. 'spark=stream|pyspark;join=merge' "
+                        "(tf-sum + max-df blend, not a boolean OR)")
 
     c = sub.add_parser("complete", help="prefix completion")
     c.add_argument("--index", required=True)
@@ -642,6 +646,18 @@ def main(argv: list[str] | None = None) -> int:
                 args.query, args.sort_attr, args.k,
                 ascending=not args.sort_desc, mode=args.mode,
                 expand_fields=args.expand_fields).collect()]
+            print(json.dumps(rows))
+            return
+        if args.synonyms:
+            syn = {kv.split("=")[0]: kv.split("=")[1].split("|")
+                   for kv in args.synonyms.split(";") if "=" in kv}
+            if args.distributed or args.filter:
+                rows = [r.asDict() for r in eng.search_synonyms_df(
+                    args.query, syn, args.k, mode=args.mode,
+                    filter_query=args.filter).collect()]
+            else:
+                rows = eng.search_synonyms(args.query, syn, args.k,
+                                           mode=args.mode)
             print(json.dumps(rows))
             return
         if args.dismax:

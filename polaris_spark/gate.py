@@ -1058,6 +1058,54 @@ FROM g GROUP BY doc_id{having}"""
     return sql
 
 
+def synonym_sql(query: str, synonyms: dict, mode: str = "or",
+                k: int | None = None, table: str = "documents") -> str:
+    """SynonymQuery mirror (engine ``search_synonyms`` — Lucene
+    SynonymQuery blended statistics): each query token's group (token +
+    synonyms) scores as one pseudo-term with per-doc tf = Σ member tfs
+    and docFreq = max member df; n_match = distinct groups matched."""
+    bases = sorted(set(_parse(query, (), False)[0]))
+    syn = {str(kk): [str(x) for x in v] for kk, v in (synonyms or {}).items()}
+    rows = []
+    for bse in bases:
+        bl = bse.replace("'", "''")
+        for t in [bse, *syn.get(bse, [])]:
+            rows.append(f"('{t.replace(chr(39), chr(39)*2)}', '{bl}')")
+    vals = ",\n    ".join(rows) or "(NULL, NULL)"
+    having = f"\nHAVING count(*) = {len(bases)}" if mode == "and" else ""
+    sql = base_cte(table) + f""",
+qt AS (SELECT * FROM (VALUES {vals}) v(term, base)),
+dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf
+  WHERE term IN (SELECT term FROM qt) GROUP BY term
+),
+gdf AS (
+  SELECT q.base, max(coalesce(d.df, 0)) AS dfb
+  FROM qt q LEFT JOIN dft d USING (term) GROUP BY q.base
+),
+gtf AS (
+  SELECT tf.doc_id, q.base, sum(tf.tf)::DOUBLE AS tfsum
+  FROM tf JOIN qt q USING (term) GROUP BY 1, 2
+),
+contrib AS (
+  SELECT g.doc_id,
+         ln(1.0 + (s.N - gd.dfb + 0.5) / (gd.dfb + 0.5))
+         * (g.tfsum * {K1P1_SQL}
+            / (g.tfsum + {K1_SQL} * (1.0 - {B_SQL} + {B_SQL} * dl.dl / (s.sumdl / s.N)))) AS c
+  FROM gtf g
+  JOIN gdf gd USING (base)
+  JOIN dl ON dl.doc_id = g.doc_id
+  CROSS JOIN stats s
+)
+SELECT doc_id,
+       CAST(round(sum(c) * 10000) AS BIGINT) AS score_e4,
+       count(*)::INT AS n_match
+FROM contrib GROUP BY doc_id{having}"""
+    if k is not None:
+        sql += f"\nORDER BY sum(c) DESC, doc_id ASC LIMIT {int(k)}"
+    return sql
+
+
 def suggest_sql(term: str, n: int = 5, max_edits: int = 2,
                 table: str = "documents") -> str:
     """Spell-suggest mirror (engine ``suggest_df``): vocabulary terms

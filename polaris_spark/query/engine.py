@@ -985,6 +985,85 @@ def score_shard_dismax(
                                 included=included)
 
 
+def score_shard_synonym(
+    pdf: pd.DataFrame,
+    idf_g: dict[str, float],
+    base_of: dict[str, str],
+    avgdl: float,
+    k1: float,
+    b: float,
+    k: int | None,
+    mode: str,
+    n_groups: int,
+    n_shards: int | None = None,
+    shard: int | None = None,
+    excluded: np.ndarray | None = None,
+    included: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """SynonymQuery accumulation (org.apache.lucene.search.SynonymQuery —
+    what Lucene's QueryParser emits for SynonymFilter/multi-term-at-one-
+    position analyzers): each query token's group (the token + its
+    synonyms) scores as ONE pseudo-term with BLENDED statistics — per-doc
+    tf = Σ member tfs, df = max member df (Lucene's blended docFreq), one
+    BM25 impact per group. Scores are the group-sorted sequential float64
+    sum (deterministic → driver/distributed bit-identical); ``n_match`` =
+    distinct groups matched; ``mode='and'`` requires every group.
+    ``idf_g`` carries the PRE-BLENDED idf per group key, computed on the
+    driver from GLOBAL dfs over the full group membership — a member
+    absent from one shard slice must still shape the blend, so the blend
+    cannot be derived in-kernel. excluded/included as in
+    :func:`score_decoded_arrays`. No MaxScore pruning (blending regroups
+    contributions); candidates stay term-pruned by the scan."""
+    if pdf.empty:
+        return _empty_result()
+    decoded, _mi = decode_shard_rows(pdf, n_shards, shard)
+    items = []
+    for term in sorted(decoded):
+        if term not in base_of:
+            continue
+        docs, tfs, dls = decoded[term]
+        if excluded is not None and len(docs):
+            keep = ~np.isin(docs, excluded, assume_unique=True)
+            docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+        if included is not None and len(docs):
+            keep = np.isin(docs, included, assume_unique=True)
+            docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+        if len(docs):
+            items.append((term, docs, tfs, dls))
+    if not items:
+        return _empty_result()
+    all_docs = np.unique(np.concatenate([d[1] for d in items]))
+    scores = np.zeros(len(all_docs), dtype=np.float64)
+    nmatch = np.zeros(len(all_docs), dtype=np.int32)
+    by_group: dict[str, list] = {}
+    for it in items:
+        by_group.setdefault(base_of[it[0]], []).append(it)
+    for base in sorted(by_group):
+        members = by_group[base]
+        tfsum = np.zeros(len(all_docs), dtype=np.float64)
+        dlv = np.zeros(len(all_docs), dtype=np.float64)
+        ghit = np.zeros(len(all_docs), dtype=bool)
+        for term, docs, tfs, dls in members:  # term-sorted
+            idx = np.searchsorted(all_docs, docs)
+            tfsum[idx] += tfs
+            dlv[idx] = dls
+            ghit[idx] = True
+        w = idf_g[base]
+        impact = tfsum * (k1 + 1.0) / (
+            tfsum + k1 * (1.0 - b + b * dlv / avgdl))
+        scores[ghit] += (w * impact)[ghit]
+        nmatch += ghit
+    if mode == "and":
+        keep = nmatch == n_groups
+        all_docs, scores, nmatch = all_docs[keep], scores[keep], nmatch[keep]
+    if k is not None and len(all_docs) > k:
+        order = np.lexsort((all_docs, -scores))[:k]
+        all_docs, scores, nmatch = all_docs[order], scores[order], nmatch[order]
+    return pd.DataFrame({"doc_id": all_docs.astype(np.int64),
+                         "score": scores,
+                         "n_match": nmatch.astype(np.int32)})
+
+
 class SearchEngine:
     def __init__(self, spark, index_dir: str, cache_terms: int = 0):
         """``cache_terms`` > 0 enables a driver-side LRU of candidate
@@ -2241,6 +2320,112 @@ class SearchEngine:
         if k is not None:
             res = res.head(k)
         return res.to_dict("records")
+
+    def _synonym_parse(self, query: str, synonyms: dict):
+        """Parse a synonym query: plain text tokens (same guard as dismax —
+        synonym expansion happens at the analyzer layer in Lucene, below
+        every classic operator), each token's group = the token plus its
+        ``synonyms`` entries (raw index terms). A term may belong to one
+        group only. Returns (all_terms, base_of, n_groups)."""
+        from .boolquery import has_operators
+
+        if parse_phrase_query(query) is not None or has_operators(query) \
+                or any(ch in query for ch in '*?~^:"/'):
+            raise ValueError(
+                "synonym search takes plain text terms only (expansion is "
+                "the analyzer layer, below classic operators)")
+        terms, exc, _b = self.parse_query_boosts(query, False)
+        if exc:
+            raise ValueError("synonym search has no prohibit clauses — "
+                             "use the flat parser or a filter")
+        syn = {str(kk): [str(x) for x in v]
+               for kk, v in (synonyms or {}).items()}
+        base_of: dict[str, str] = {}
+        for bse in sorted(set(terms)):
+            for t in [bse, *syn.get(bse, [])]:
+                if t in base_of and base_of[t] != bse:
+                    raise ValueError(
+                        f"term {t!r} appears in more than one synonym group")
+                base_of[t] = bse
+        return sorted(base_of), base_of, len(set(terms))
+
+    def _blended_idf(self, cand, base_of: dict[str, str]) -> dict[str, float]:
+        """Per-group blended idf (SynonymQuery: docFreq = max over the
+        group's members) from GLOBAL per-term dfs aggregated over the
+        candidate scan."""
+        from pyspark.sql import functions as F
+
+        if isinstance(cand, pd.DataFrame):
+            dfs = cand.groupby("term")["df"].sum().to_dict()
+        else:
+            rows = cand.groupBy("term").agg(F.sum("df").alias("df")).collect()
+            dfs = {r["term"]: r["df"] for r in rows}
+        out: dict[str, float] = {}
+        for t, bse in base_of.items():
+            d = int(dfs.get(t, 0))
+            out[bse] = max(out.get(bse, 0.0), float(d))
+        return {bse: _idf(self.stats["N"], int(d))
+                for bse, d in out.items() if d > 0}
+
+    def search_synonyms(self, query: str, synonyms: dict,
+                        k: int | None = 10, mode: str = "or") -> list[dict]:
+        """Driver-path SynonymQuery search — Lucene's SynonymQuery (what
+        QueryParser emits for a SynonymFilter analyzer): each query token
+        and its synonyms score as ONE pseudo-term with blended statistics
+        (per-doc tf = Σ member tfs, docFreq = max member df) — NOT a
+        boolean OR, which would inflate docs matching several variants.
+        ``synonyms`` maps a query token to its raw synonym index terms.
+        Returns [{doc_id, score, n_match}] by (score desc, doc_id asc);
+        bit-identical to :meth:`search_synonyms_df` (tested)."""
+        terms, base_of, n_groups = self._synonym_parse(query, synonyms)
+        if not terms:
+            return []
+        if isinstance(self._deletes_np(), str):
+            return self.search_synonyms_df(query, synonyms, k=k, mode=mode) \
+                .toPandas().to_dict("records")
+        cand = self._candidates_pdf(terms)
+        if cand.empty:
+            return []
+        idf_g = self._blended_idf(cand, base_of)
+        res = score_shard_synonym(cand, idf_g, base_of,
+                                  self.stats["avgdl"], self.stats["k1"],
+                                  self.stats["b"], k, mode, n_groups,
+                                  excluded=self._with_tombstones(None))
+        res = res.sort_values(["score", "doc_id"],
+                              ascending=[False, True], kind="mergesort")
+        if k is not None:
+            res = res.head(k)
+        return res.to_dict("records")
+
+    def search_synonyms_df(self, query: str, synonyms: dict,
+                           k: int | None = 10, mode: str = "or",
+                           filter_query: str | None = None):
+        """Distributed twin of :meth:`search_synonyms` on the
+        :meth:`search_df` exchange (pruned variant-term scan, per-shard
+        kernels via the pluggable scorer, tombstones/filters on the same
+        cogroup, TakeOrderedAndProject)."""
+        terms, base_of, n_groups = self._synonym_parse(query, synonyms)
+        empty = self.spark.createDataFrame([], RESULT_SCHEMA)
+        if not terms:
+            return empty
+        cand = self._cache_scoped(self._candidates(terms))
+        idf_g = self._blended_idf(cand, base_of)
+        if not idf_g:
+            return empty
+        include_df = (self._filter_docs_df(filter_query)
+                      if filter_query is not None else None)
+        stats = self.stats
+        S = int(stats["n_shards"])
+
+        def scorer(pdf, sh, excl, incl):
+            return score_shard_synonym(pdf, idf_g, base_of,
+                                       stats["avgdl"], stats["k1"],
+                                       stats["b"], k, mode, n_groups,
+                                       n_shards=S, shard=sh, excluded=excl,
+                                       included=incl)
+
+        return self._flat_scored_df(cand, idf_g, k, mode, n_groups,
+                                    include_df=include_df, scorer=scorer)
 
     # ------------------------------------------------------------- explain
 

@@ -53,6 +53,10 @@ Methods (POST JSON to /api/<method>):
                  rescoreWeight?, mode?} → the first query's top-window
                  re-ranked by queryWeight·first + rescoreWeight·second
                  (Lucene QueryRescorer / ES rescore analog).
+- ``synonyms``   {query, synonyms: {token: [...]}, k?, mode?, filter?} →
+                 SynonymQuery hits: each token and its synonyms score as
+                 ONE pseudo-term with blended stats (tf-sum, max-df) —
+                 the SynonymFilter analyzer surface, not a boolean OR.
 - ``spanNear``   {terms: [...], slop?, inOrder?, k?} → SpanNearQuery hits
                  (Lucene spans analog: raw index terms within a position
                  window, optionally ordered; needs a positions index).
@@ -216,6 +220,15 @@ class _Handler(BaseHTTPRequestHandler):
             list(b["terms"]), slop=int(b.get("slop", 0)),
             in_order=bool(b.get("inOrder", False)),
             k=int(b.get("k", 10)))}
+
+    def _m_synonyms(self, b):
+        """SynonymQuery blended scoring (Lucene SynonymQuery): per-token
+        synonym groups scored as one pseudo-term each (tf-sum + max-df
+        blend). Body: {query, synonyms: {token: [...]}, k?, mode?,
+        filter?}."""
+        return {"hits": _rows(self.engine.search_synonyms_df(
+            b["query"], b.get("synonyms") or {}, k=int(b.get("k", 10)),
+            mode=b.get("mode", "or"), filter_query=b.get("filter")))}
 
     def _m_dismax(self, b):
         """DisjunctionMaxQuery search (Solr/ES dismax): per-token max over

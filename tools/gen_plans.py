@@ -427,6 +427,19 @@ def main() -> None:
     ))
 
     SECTIONS.append((
+        "synonym blend (SynonymQuery: one scan over every group's members)",
+        "Lucene SynonymQuery analog: one pruned candidate scan covers each "
+        "token's group (token + synonyms, term IN list below); kernels "
+        "fold per-doc tf-sums per group and score ONE blended impact each "
+        "(pluggable scorer on the search_df exchange — the blended max-df "
+        "idf is computed on the driver over GLOBAL dfs so it is "
+        "shard-invariant), TakeOrderedAndProject cut.",
+        cap(eng.search_synonyms_df("spark join",
+                                   {"spark": ["stream"],
+                                    "join": ["merge"]}, k=5)),
+    ))
+
+    SECTIONS.append((
         "FILTER context (constant-score inclusion rides the exclusion cogroup)",
         "FilteredQuery / ES bool-filter analog: the filter's doc set (here "
         "the zero-scoring flat docIdSet path — postings decoded via "
