@@ -586,6 +586,22 @@ def _q_sorted_search(spark, sf_dir):
         F.round(F.col("score") * 10000).cast("long").alias("score_e4"))
 
 
+def _q_multi_phrase(spark, sf_dir):
+    """MultiPhraseQuery (per-slot alternatives): "spark (join|merge)" on
+    the positions index — hash-pins the slot-union adjacency chain,
+    slot-0 multiplicity in phrase_freq, and the all-members idf sum."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir, pos=True))
+    res = eng.search_multi_phrase_df(["spark", ["join", "merge"]], k=None)
+    return res.select(
+        "doc_id",
+        F.round(F.col("score") * 10000).cast("long").alias("score_e4"),
+        "phrase_freq")
+
+
 def _q_synonym_search(spark, sf_dir):
     """SynonymQuery blended scoring (Lucene SynonymQuery — the
     SynonymFilter analyzer surface): Q_OR with spark→stream, join→merge
@@ -1260,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_near": _q_span_near,
         "span_near_ordered": _q_span_near_ordered,
         "synonym_search": _q_synonym_search,
+        "multi_phrase": _q_multi_phrase,
         "search_count": _q_search_count,
         "suggest": _q_suggest,
         "explain_score": _q_explain,
@@ -1304,6 +1321,7 @@ def oracle_sql() -> dict[str, str]:
         dismax_sql,
         span_near_sql,
         synonym_sql,
+        multi_phrase_sql,
         complete_sql,
         dictionary_sql,
         doc_stats_sql,
@@ -1519,6 +1537,7 @@ FROM tf JOIN dft USING (term) WHERE tf.doc_id = {DOC_TERMS_ID}""",
                                            in_order=True),
         "synonym_search": synonym_sql(
             Q_OR, {"spark": ["stream"], "join": ["merge"]}),
+        "multi_phrase": multi_phrase_sql(["spark", ["join", "merge"]]),
         "search_count": (
             f"SELECT count(*)::BIGINT AS n_hits "
             f"FROM ({bool_scores_sql(Q_BOOL)}) q"

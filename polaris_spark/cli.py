@@ -152,6 +152,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-k", type=int, default=10)
     p.add_argument("--distributed", action="store_true")
 
+    mp = sub.add_parser(
+        "multi-phrase",
+        help="MultiPhraseQuery: phrase with per-slot alternatives "
+             "(Lucene MultiPhraseQuery analog; needs positions=True)")
+    mp.add_argument("--index", required=True)
+    mp.add_argument("--slots", required=True,
+                    help="';'-separated slots, '|'-separated alternatives: "
+                         "'spark;join|merge'")
+    mp.add_argument("--slop", type=int, default=0)
+    mp.add_argument("-k", type=int, default=10)
+    mp.add_argument("--distributed", action="store_true")
+
     sn = sub.add_parser(
         "span-near",
         help="SpanNearQuery: terms within a position window, optionally "
@@ -690,6 +702,18 @@ def main(argv: list[str] | None = None) -> int:
             rows = [r.asDict() for r in eng.search_phrase_df(args.phrase, args.k).collect()]
         else:
             rows = eng.search_phrase(args.phrase, args.k)
+        print(json.dumps(rows))
+    elif args.cmd == "multi-phrase":
+        from polaris_spark.query.engine import SearchEngine
+
+        spark = _session("polaris_spark_multi_phrase")
+        eng = SearchEngine(spark, args.index)
+        slots = [s.split("|") for s in args.slots.split(";") if s]
+        if args.distributed:
+            rows = [r.asDict() for r in eng.search_multi_phrase_df(
+                slots, k=args.k, slop=args.slop).collect()]
+        else:
+            rows = eng.search_multi_phrase(slots, k=args.k, slop=args.slop)
         print(json.dumps(rows))
     elif args.cmd == "span-near":
         from polaris_spark.query.engine import SearchEngine

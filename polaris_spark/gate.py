@@ -924,6 +924,61 @@ ORDER BY {comb} DESC, f.doc_id ASC
 LIMIT {int(k)}"""
 
 
+def multi_phrase_sql(slots: list, slop: int = 0,
+                     table: str = "documents") -> str:
+    """MultiPhraseQuery mirror (engine ``search_multi_phrase``): the
+    phrase mirror with each slot's occupancy = tok IN (members); slot-0
+    anchor rows keep multiplicity, absent members coalesce to zero idf
+    (the engine's documented deviation), slop>0 uses the Σmin displacement
+    over slot unions."""
+    slots = [[s] if isinstance(s, str) else list(s) for s in slots]
+    n = len(slots)
+
+    def inlist(members):
+        return ", ".join("'" + t.replace("'", "''") + "'" for t in members)
+
+    if slop == 0:
+        cond = "\n    AND ".join(
+            f"EXISTS (SELECT 1 FROM sl a{i} WHERE a{i}.doc_id = a0.doc_id "
+            f"AND a{i}.slot = a0.slot + {i} AND a{i}.tok IN ({inlist(ms)}))"
+            for i, ms in enumerate(slots[1:], start=1)
+        )
+    else:
+        mins = " + ".join(
+            f"(SELECT min(abs(a{i}.slot - (a0.slot + {i}))) FROM sl a{i} "
+            f"WHERE a{i}.doc_id = a0.doc_id AND a{i}.tok IN ({inlist(ms)}))"
+            for i, ms in enumerate(slots[1:], start=1)
+        )
+        cond = f"({mins}) <= {int(slop)}"
+    all_terms = sorted({t for ms in slots for t in ms})
+    idf_terms = " + ".join(
+        f"coalesce((SELECT ln(1.0 + (s.N - df + 0.5) / (df + 0.5)) FROM dft "
+        f"WHERE term = '" + t.replace("'", "''") + "'), 0.0)"
+        for ms in slots for t in ms
+    )
+    impact = (f"(pf.pf * {K1P1_SQL} / (pf.pf + {K1_SQL} * "
+              f"(1.0 - {B_SQL} + {B_SQL} * dl.dl / (s.sumdl / s.N))))")
+    return base_cte(table) + f""",
+qt AS (SELECT unnest({_sql_list(all_terms)}) AS term),
+dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf
+  WHERE term IN (SELECT term FROM qt) GROUP BY term
+),
+{_slot_ctes(table)},
+pf AS (
+  SELECT a0.doc_id, count(*)::BIGINT AS pf
+  FROM sl a0
+  WHERE a0.tok IN ({inlist(slots[0])})
+    AND {cond}
+  GROUP BY a0.doc_id
+)
+SELECT pf.doc_id,
+       CAST(round(({idf_terms}) * {impact} * 10000) AS BIGINT) AS score_e4,
+       pf.pf::INT AS phrase_freq
+FROM pf JOIN dl USING (doc_id) CROSS JOIN stats s
+WHERE pf.pf > 0"""
+
+
 def span_near_sql(terms: list[str], slop: int = 0, in_order: bool = False,
                   table: str = "documents") -> str:
     """SpanNearQuery mirror (engine ``span_near`` — Lucene

@@ -266,6 +266,158 @@ def _idf(N: int, df: int) -> float:
     return math.log(1.0 + (N - df + 0.5) / (df + 0.5))
 
 
+def multi_phrase_shard(
+    pdf: pd.DataFrame,
+    slots: list[list[str]],
+    idf: dict[str, float],
+    avgdl: float,
+    k1: float,
+    b: float,
+    k: int | None,
+    n_shards: int | None = None,
+    shard: int | None = None,
+    slop: int = 0,
+    excluded: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """MultiPhraseQuery matching + scoring (org.apache.lucene.search.
+    MultiPhraseQuery — what Lucene's QueryParser builds when the analyzer
+    stacks several terms at one phrase position): ``slots`` is the
+    phrase's position sequence, each slot a NON-EMPTY list of alternative
+    terms; a slot matches at position p when ANY member occupies p.
+    Semantics are :func:`phrase_shard`'s with each slot's position set =
+    the union (concat, multiplicity kept — slot-0 multiplicity counts in
+    phrase_freq exactly like the single-term path) of its members'
+    position lists: exact adjacency chain at slop=0, anchor-displacement
+    Σmin at slop>0. A doc qualifies when every SLOT has ≥1 member present
+    (the single-term intersection rule, per slot-union). Score =
+    (Σ_slots Σ_members idf) × impact(phrase_freq, dl) — Lucene's
+    MultiPhraseQuery likewise sums idf over ALL added terms, except that
+    a member ABSENT from the corpus contributes zero idf here (documented
+    deviation: Lucene gives a df=0 term its maximal idf; zero keeps the
+    score independent of typo-variants that match nothing, and the DuckDB
+    mirror coalesces identically)."""
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "score": pd.Series(dtype="float64"),
+                          "phrase_freq": pd.Series(dtype="int32")})
+    if pdf.empty:
+        return empty
+    per_term: dict[str, list] = {}
+    for row in pdf.itertuples(index=False):
+        if getattr(row, "pos", None) is None:
+            raise ValueError(
+                "multi_phrase requires an index built with positions=True")
+        docs = decode_ints(row.doc_ids, delta=True)
+        tfs = decode_ints(row.tfs)
+        dls = decode_ints(row.dls)
+        poss = decode_positions(bytes(row.pos), tfs)
+        if shard is not None and n_shards is not None:
+            keep = (docs % n_shards) == shard
+            if not keep.all():
+                poss = [p for p, kf in zip(poss, keep) if kf]
+                docs, dls = docs[keep], dls[keep]
+        if len(docs):
+            per_term.setdefault(row.term, []).append((docs, dls, poss))
+    merged: dict[str, tuple] = {}
+    for t, parts in per_term.items():
+        if len(parts) == 1:
+            docs, dls, poss = parts[0]
+        else:
+            docs = np.concatenate([p[0] for p in parts])
+            dls = np.concatenate([p[1] for p in parts])
+            poss = [x for p in parts for x in p[2]]
+            o = np.argsort(docs, kind="stable")
+            docs, dls = docs[o], dls[o]
+            poss = [poss[i] for i in o]
+        merged[t] = (docs, dls, poss)
+    # candidate docs: for each slot, the UNION of member doc sets; then
+    # the intersection across slots (rarest-union first)
+    slot_docs = []
+    for members in slots:
+        present = [merged[t][0] for t in members if t in merged]
+        if not present:
+            return empty
+        slot_docs.append(np.unique(np.concatenate(present)))
+    order = np.argsort([len(d) for d in slot_docs], kind="stable")
+    cand = slot_docs[order[0]]
+    if excluded is not None and len(cand):
+        cand = cand[~np.isin(cand, excluded)]
+    for i in order[1:]:
+        cand = cand[np.isin(cand, slot_docs[i], assume_unique=True)]
+        if not len(cand):
+            return empty
+    if not len(cand):
+        return empty
+
+    def slot_pos(members: list[str], d: int) -> np.ndarray:
+        parts = []
+        for t in members:
+            if t not in merged:
+                continue
+            docs_t = merged[t][0]
+            j = np.searchsorted(docs_t, d)
+            if j < len(docs_t) and docs_t[j] == d:
+                parts.append(np.asarray(merged[t][2][j], dtype=np.int64))
+        return (np.sort(np.concatenate(parts)) if parts
+                else np.empty(0, dtype=np.int64))
+
+    def doc_dl(d: int) -> int:
+        for t in slots[0]:
+            if t in merged:
+                docs_t = merged[t][0]
+                j = np.searchsorted(docs_t, d)
+                if j < len(docs_t) and docs_t[j] == d:
+                    return int(merged[t][1][j])
+        for t in merged:  # any term that has the doc
+            docs_t = merged[t][0]
+            j = np.searchsorted(docs_t, d)
+            if j < len(docs_t) and docs_t[j] == d:
+                return int(merged[t][1][j])
+        raise AssertionError("candidate doc lost its dl")
+
+    n = len(slots)
+    out_docs, out_pf, out_dl = [], [], []
+    for d in cand.tolist():
+        ps = [slot_pos(m, d) for m in slots]
+        if slop == 0:
+            live = ps[0]
+            for i in range(1, n):
+                live = live[np.isin(live + i, ps[i])]
+                if not len(live):
+                    break
+            n_hit = len(live)
+        else:
+            anchors = ps[0]
+            cost = np.zeros(len(anchors), dtype=np.int64)
+            ok = np.ones(len(anchors), dtype=bool)
+            for i in range(1, n):
+                nxt = np.unique(ps[i])
+                if not len(nxt):
+                    ok[:] = False
+                    break
+                tgt = anchors + i
+                p = np.searchsorted(nxt, tgt)
+                left = nxt[np.maximum(p - 1, 0)]
+                right = nxt[np.minimum(p, len(nxt) - 1)]
+                cost += np.minimum(np.abs(tgt - left), np.abs(right - tgt))
+            n_hit = int((ok & (cost <= slop)).sum())
+        if n_hit:
+            out_docs.append(d)
+            out_pf.append(n_hit)
+            out_dl.append(doc_dl(d))
+    if not out_docs:
+        return empty
+    docs_a = np.asarray(out_docs, dtype=np.int64)
+    pf = np.asarray(out_pf, dtype=np.int64)
+    dls_a = np.asarray(out_dl, dtype=np.float64)
+    w = sum(idf.get(t, 0.0) for members in slots for t in members)
+    scores = w * (pf * (k1 + 1.0) / (pf + k1 * (1.0 - b + b * dls_a / avgdl)))
+    if k is not None and len(docs_a) > k:
+        o = np.lexsort((docs_a, -scores))[:k]
+        docs_a, scores, pf = docs_a[o], scores[o], pf[o]
+    return pd.DataFrame({"doc_id": docs_a, "score": scores,
+                         "phrase_freq": pf.astype(np.int32)})
+
+
 def span_near_shard(
     pdf: pd.DataFrame,
     terms: list[str],
@@ -3223,6 +3375,91 @@ class SearchEngine:
 
             scored = routed.groupBy("_route").applyInPandas(
                 kernel, SPAN_RESULT_SCHEMA)
+        out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        return out.limit(k) if k is not None else out
+
+    @staticmethod
+    def _mp_slots(slots) -> list[list[str]]:
+        out = [[s] if isinstance(s, str) else [str(t) for t in s]
+               for s in slots]
+        if len(out) < 2 or any(not s for s in out):
+            raise ValueError(
+                "multi_phrase takes at least two non-empty slots")
+        return out
+
+    def search_multi_phrase(self, slots, k: int | None = 10,
+                            slop: int = 0) -> list[dict]:
+        """Driver-path MultiPhraseQuery (see :func:`multi_phrase_shard`):
+        ``slots`` is the phrase position sequence, each entry a term or a
+        list of alternative terms — ``["spark", ["join", "merge"]]``
+        matches "spark join" and "spark merge". Returns
+        [{doc_id, score, phrase_freq}] by (score desc, doc_id asc)."""
+        slots = self._mp_slots(slots)
+        if isinstance(self._deletes_np(), str):
+            return self.search_multi_phrase_df(slots, k=k, slop=slop) \
+                .toPandas().to_dict("records")
+        terms = sorted({t for s in slots for t in s})
+        cand = self._candidates_pdf(terms)
+        if cand.empty:
+            return []
+        idf = self._idf_map(cand)
+        res = multi_phrase_shard(cand, slots, idf, self.stats["avgdl"],
+                                 self.stats["k1"], self.stats["b"], k,
+                                 slop=int(slop),
+                                 excluded=self._deletes_np())
+        res = res.sort_values(["score", "doc_id"], ascending=[False, True],
+                              kind="mergesort")
+        if k is not None:
+            res = res.head(k)
+        return res.to_dict("records")
+
+    def search_multi_phrase_df(self, slots, k: int | None = 10,
+                               slop: int = 0):
+        """Distributed MultiPhraseQuery: the phrase exchange (pruned scan,
+        shard-pinned kernels, tombstone cogroup, TakeOrderedAndProject) —
+        bit-identical to :meth:`search_multi_phrase`."""
+        from pyspark.sql import functions as F
+
+        slots = self._mp_slots(slots)
+        empty = self.spark.createDataFrame([], PHRASE_RESULT_SCHEMA)
+        terms = sorted({t for s in slots for t in s})
+        cand = self._cache_scoped(self._candidates(terms))
+        idf = self._idf_map(cand)
+        if not idf:
+            return empty
+        stats = self.stats
+        S = int(stats["n_shards"])
+        slop_i = int(slop)
+        routed = self._pin_groups(self._routed(cand, S), S, F.col("shard"))
+
+        tomb = self._tomb_shard_df(S)
+        if tomb is not None:
+            exdf = self._pin_groups(tomb, S, F.col("shard"))
+
+            def kernel2(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+                sh = int(left["shard"].iloc[0]) if len(left) else 0
+                excl = (np.unique(right["doc_id"].to_numpy(dtype=np.int64))
+                        if len(right) else None)
+                return multi_phrase_shard(left, slots, idf, stats["avgdl"],
+                                          stats["k1"], stats["b"], k,
+                                          n_shards=S, shard=sh, slop=slop_i,
+                                          excluded=excl)
+
+            scored = (
+                routed.groupBy("_route")
+                .cogroup(exdf.groupBy("_route"))
+                .applyInPandas(kernel2, PHRASE_RESULT_SCHEMA)
+            )
+        else:
+
+            def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+                sh = int(pdf["shard"].iloc[0]) if len(pdf) else 0
+                return multi_phrase_shard(pdf, slots, idf, stats["avgdl"],
+                                          stats["k1"], stats["b"], k,
+                                          n_shards=S, shard=sh, slop=slop_i)
+
+            scored = routed.groupBy("_route").applyInPandas(
+                kernel, PHRASE_RESULT_SCHEMA)
         out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
         return out.limit(k) if k is not None else out
 

@@ -57,6 +57,9 @@ Methods (POST JSON to /api/<method>):
                  SynonymQuery hits: each token and its synonyms score as
                  ONE pseudo-term with blended stats (tf-sum, max-df) —
                  the SynonymFilter analyzer surface, not a boolean OR.
+- ``multiPhrase`` {slots: [...], slop?, k?} → MultiPhraseQuery hits: a
+                 phrase whose slots carry alternative terms (slot = a
+                 term or a list), e.g. ["spark", ["join","merge"]].
 - ``spanNear``   {terms: [...], slop?, inOrder?, k?} → SpanNearQuery hits
                  (Lucene spans analog: raw index terms within a position
                  window, optionally ordered; needs a positions index).
@@ -211,6 +214,13 @@ class _Handler(BaseHTTPRequestHandler):
             # contribution — flat main queries only
             filter_query=b.get("filter"),
         )
+
+    def _m_multiPhrase(self, b):
+        """MultiPhraseQuery (per-slot alternatives). Body:
+        {slots: ["spark", ["join","merge"]], slop?, k?}."""
+        return {"hits": self.engine.search_multi_phrase(
+            list(b["slots"]), k=int(b.get("k", 10)),
+            slop=int(b.get("slop", 0)))}
 
     def _m_spanNear(self, b):
         """SpanNearQuery (Lucene spans analog): raw index terms within a
