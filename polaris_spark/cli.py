@@ -152,6 +152,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-k", type=int, default=10)
     p.add_argument("--distributed", action="store_true")
 
+    hl = sub.add_parser(
+        "highlight",
+        help="tagged highlight fragments of one doc's stored text "
+             "(Lucene highlighter analog; needs --store-text index)")
+    hl.add_argument("--index", required=True)
+    hl.add_argument("--id", type=int, required=True)
+    hl.add_argument("--query", required=True)
+    hl.add_argument("--max-frags", type=int, default=3)
+
     mp = sub.add_parser(
         "multi-phrase",
         help="MultiPhraseQuery: phrase with per-slot alternatives "
@@ -703,6 +712,13 @@ def main(argv: list[str] | None = None) -> int:
         else:
             rows = eng.search_phrase(args.phrase, args.k)
         print(json.dumps(rows))
+    elif args.cmd == "highlight":
+        from polaris_spark.query.engine import SearchEngine
+
+        spark = _session("polaris_spark_highlight")
+        eng = SearchEngine(spark, args.index)
+        print(json.dumps(eng.highlight(args.id, args.query,
+                                       max_frags=args.max_frags)))
     elif args.cmd == "multi-phrase":
         from polaris_spark.query.engine import SearchEngine
 

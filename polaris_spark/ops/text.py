@@ -1172,3 +1172,66 @@ WITH toks AS (
 SELECT ngram, count(*)::BIGINT AS n_occur FROM grams GROUP BY ngram
 ORDER BY n_occur DESC, ngram ASC LIMIT {k}
 """
+
+
+# ---- highlighting ----------------------------------------------------------
+
+def highlight_fragments(text: str, terms: list[str], max_frags: int = 3,
+                        frag_gap: int = 80, pad: int = 20,
+                        pre: str = "<em>", post: str = "</em>") -> list[dict]:
+    """Tagged highlight fragments for ONE document — the Lucene
+    highlighter-module analog (Highlighter + SimpleHTMLFormatter over a
+    stored field; the reference serves only the ±line summary of
+    SearchMixer.java:79-89, so this is the beyond-parity hit-presentation
+    surface).
+
+    Matching is TOKENIZER-exact, not substring: base tokens come from the
+    spec regex with char offsets, and a token matches when it equals a
+    query term or one of its camel/separator sub-tokens does (so the
+    query term ``parse`` highlights the whole token ``parseQuery`` —
+    Lucene's TokenSources offsets behave the same way). Deterministic
+    fragmenting: matched token spans sort by offset, spans whose gap ≤
+    ``frag_gap`` chars merge into one fragment, fragments rank by
+    (match count desc, start asc), the top ``max_frags`` re-sort by
+    start, and each fragment carries ``pad`` chars of context with
+    every matched span wrapped in ``pre``/``post``.
+
+    Returns [{fragment, n_matches, start, end}] — start/end are char
+    offsets of the UNTAGGED fragment in the original text. Pure Python:
+    the engine calls it driver-side for one served page (point-lookup
+    cost), never inside a distributed plan."""
+    from ..tokenizer import _BASE_RE, _cached_subtokens
+
+    tset = {t for t in terms if t and ":" not in t}
+    if not text or not tset:
+        return []
+    spans = []
+    for m in _BASE_RE.finditer(text):
+        tok = m.group(0)
+        if tok in tset or any(s in tset for s in _cached_subtokens(tok)):
+            spans.append((m.start(), m.end()))
+    if not spans:
+        return []
+    groups: list[list[tuple]] = [[spans[0]]]
+    for s in spans[1:]:
+        if s[0] - groups[-1][-1][1] <= frag_gap:
+            groups[-1].append(s)
+        else:
+            groups.append([s])
+    ranked = sorted(range(len(groups)),
+                    key=lambda i: (-len(groups[i]), groups[i][0][0]))
+    keep = sorted(ranked[:max_frags])
+    out = []
+    for i in keep:
+        g = groups[i]
+        fs = max(0, g[0][0] - pad)
+        fe = min(len(text), g[-1][1] + pad)
+        parts, cur = [], fs
+        for s, e in g:
+            parts.append(text[cur:s])
+            parts.append(pre + text[s:e] + post)
+            cur = e
+        parts.append(text[cur:fe])
+        out.append({"fragment": "".join(parts), "n_matches": len(g),
+                    "start": fs, "end": fe})
+    return out

@@ -3463,6 +3463,33 @@ class SearchEngine:
         out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
         return out.limit(k) if k is not None else out
 
+    def highlight(self, doc_id: int, query: str, max_frags: int = 3,
+                  pre: str = "<em>", post: str = "</em>") -> list[dict]:
+        """Tagged highlight fragments for one hit — the Lucene
+        highlighter-module analog over the stored text field (requires a
+        ``store_text=True`` index; the reference's summary is the ±line
+        window, SearchMixer.java:79-89 — this is the richer presentation
+        surface). The query takes the flat parser (wildcards/fuzzy/boosts
+        expand to their matched terms; fielded terms are skipped — they
+        don't occur in text); matching is tokenizer-exact including
+        sub-token hits (see :func:`ops.text.highlight_fragments`). One
+        partition-pruned point lookup — a serving-path cost, like
+        :meth:`explain`."""
+        from ..ops.text import highlight_fragments
+
+        terms, _exc, _b = self.parse_query_boosts(query, False)
+        rows = self.lookup_docs([int(doc_id)]).collect()
+        if not rows:
+            return []
+        row = rows[0].asDict()
+        if "text" not in row:
+            raise ValueError(
+                "highlight requires an index built with store_text=True "
+                "(the stored-field analog)")
+        return highlight_fragments(row["text"] or "", terms,
+                                   max_frags=int(max_frags),
+                                   pre=pre, post=post)
+
     def lookup_positions(self, term: str) -> list[dict]:
         """Decoded (doc_id, positions) occurrence list for one term — the
         ``listUsages``-with-spans analog (reference usagedb returns per-

@@ -57,6 +57,10 @@ Methods (POST JSON to /api/<method>):
                  SynonymQuery hits: each token and its synonyms score as
                  ONE pseudo-term with blended stats (tf-sum, max-df) —
                  the SynonymFilter analyzer surface, not a boolean OR.
+- ``highlight``  {docId, query, maxFrags?, pre?, post?} → tagged
+                 fragments of the hit's stored text (Lucene highlighter
+                 analog; tokenizer-exact spans incl. sub-token matches;
+                 needs a store_text index).
 - ``multiPhrase`` {slots: [...], slop?, k?} → MultiPhraseQuery hits: a
                  phrase whose slots carry alternative terms (slot = a
                  term or a list), e.g. ["spark", ["join","merge"]].
@@ -214,6 +218,14 @@ class _Handler(BaseHTTPRequestHandler):
             # contribution — flat main queries only
             filter_query=b.get("filter"),
         )
+
+    def _m_highlight(self, b):
+        """Lucene highlighter analog: tagged fragments of one hit's stored
+        text. Body: {docId, query, maxFrags?, pre?, post?}."""
+        return {"fragments": self.engine.highlight(
+            int(b["docId"]), b["query"],
+            max_frags=int(b.get("maxFrags", 3)),
+            pre=b.get("pre", "<em>"), post=b.get("post", "</em>"))}
 
     def _m_multiPhrase(self, b):
         """MultiPhraseQuery (per-slot alternatives). Body:
