@@ -358,6 +358,30 @@ def run_suite(cpus: int, sf_dir: str, n_turns: int) -> dict:
     }).count()
     times["percolate_scan"] = round(time.time() - t0, 3)
 
+    # ---- 5. round-3 query-API surfaces over a rich documents index --------
+    # (positions + field/attr cols + stored text: the serving-shaped build)
+    rd = os.path.join(CACHE, f"bench_richidx_{cpus}")
+    shutil.rmtree(rd, ignore_errors=True)
+    t0 = time.time()
+    build_index(spark, docs, rd, doc_id_col="doc_id",
+                cfg=IndexConfig(n_buckets=32, n_shards=8, n_chunks=2,
+                                positions=True,
+                                field_cols=("source", "lang"),
+                                attr_cols=("source", "lang"),
+                                store_text=True))
+    times["index_build_documents_rich"] = round(time.time() - t0, 3)
+    re_ = SearchEngine(spark, rd)
+    t0 = time.time()
+    re_.search_collapse("spark join", "source", k=8, per_group=2).collect()
+    re_.search_parent("spark join", "source", k=10).collect()
+    re_.rescore("spark join", '"spark join"~1', k=10, window=30).collect()
+    re_.search("spark join", k=10, filter_query="lang:en")
+    re_.search_dismax("spark join", k=10, tie=0.3)
+    re_.span_near(["spark", "join"], slop=4, in_order=True, k=10)
+    re_.search_synonyms("spark join", {"join": ["merge"]}, k=10)
+    re_.search_multi_phrase(["spark", ["join", "merge"]], k=10)
+    times["query_api_mix"] = round(time.time() - t0, 3)
+
     spark.stop()
     return {"times": times, **extras}
 
