@@ -586,6 +586,15 @@ def _q_sorted_search(spark, sf_dir):
         F.round(F.col("score") * 10000).cast("long").alias("score_e4"))
 
 
+def _q_assemble_docs(spark, sf_dir):
+    """Training-sample assembly (SFT context rendering): each source's
+    documents concatenated in doc_id order as ONE sample — hash-pins the
+    in-group ordering, separator, and part counts."""
+    from polaris_spark.ops.analytics import assemble_docs
+
+    return assemble_docs(_docs(spark, sf_dir), "source", "doc_id")
+
+
 def _q_multi_phrase(spark, sf_dir):
     """MultiPhraseQuery (per-slot alternatives): "spark (join|merge)" on
     the positions index — hash-pins the slot-union adjacency chain,
@@ -1277,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_near_ordered": _q_span_near_ordered,
         "synonym_search": _q_synonym_search,
         "multi_phrase": _q_multi_phrase,
+        "assemble_docs": _q_assemble_docs,
         "search_count": _q_search_count,
         "suggest": _q_suggest,
         "explain_score": _q_explain,
@@ -1605,6 +1615,7 @@ SELECT doc_id, query_id FROM (
         ),
         "chunk_windows": duckdb_chunks_sql("documents", size=32, stride=24),
         "token_ids": duckdb_token_ids_sql("documents"),
+        "assemble_docs": _an.duckdb_assemble_sql(),
         "events_hourly": _an.duckdb_events_hourly_sql(),
         "top_docs_per_source": _an.duckdb_top_docs_sql(3),
         "sessionize": _an.duckdb_sessionize_sql(),

@@ -122,3 +122,50 @@ def turn_ordering_check(transcripts):
              F.first("first_role").alias("first_role"),
              F.first("last_role").alias("last_role"))
     )
+
+
+def assemble_docs(df, key_col: str, order_col: str, text_col: str = "text",
+                  role_col: str | None = None, sep: str = "\n\n"):
+    """Training-sample assembly: one row per ``key_col`` with the member
+    texts concatenated in ``order_col`` order — the SFT/context-assembly
+    shape (render a multi-turn conversation, or a source's documents, as
+    ONE training sample). With ``role_col`` each part renders as
+    ``role: text`` (the chat-transcript template).
+
+    Returns (key, assembled, n_parts) — ``n_parts`` the member count.
+
+    Spark shape: ONE partial-aggregated groupBy; ordering happens INSIDE
+    each group via ``array_sort`` over (order, rendered) structs (struct
+    comparison is field-lexicographic, so the numeric order column
+    decides) — no window function, no second shuffle, and group size is
+    bounded by the longest conversation, not the corpus."""
+    from pyspark.sql import functions as F
+
+    rendered = (F.concat(F.col(role_col), F.lit(": "), F.col(text_col))
+                if role_col else F.col(text_col))
+    pair = F.struct(F.col(order_col).alias("o"), rendered.alias("t"))
+    return (
+        df.groupBy(key_col)
+        .agg(F.array_sort(F.collect_list(pair)).alias("_p"),
+             F.count("*").cast("long").alias("n_parts"))
+        .select(
+            key_col,
+            F.array_join(F.transform("_p", lambda x: x["t"]), sep)
+            .alias("assembled"),
+            "n_parts",
+        )
+    )
+
+
+def duckdb_assemble_sql(key_col: str = "source", order_col: str = "doc_id",
+                        text_col: str = "text", sep: str = "\n\n",
+                        table: str = "documents") -> str:
+    """Mirror of :func:`assemble_docs` (no role template — the gate shape)."""
+    s = sep.replace("'", "''").replace("\n", "\\n")
+    return (
+        f"SELECT {key_col}, "
+        f"string_agg({text_col}, e'{s}' ORDER BY {order_col}, {text_col}) "
+        f"AS assembled, "  # the (order, text) tie-break of the struct sort
+        f"count(*)::BIGINT AS n_parts "
+        f"FROM {table} GROUP BY {key_col}"
+    )

@@ -79,3 +79,33 @@ def test_search_with_payload_snippet(spark, tmp_path):
     import pytest as _p
     with _p.raises(ValueError, match="text column"):
         eng.search_with_payload("needle", k=5, snippet=True).collect()
+
+
+def test_assemble_docs_transcript_rendering(spark):
+    """assemble_docs over real transcript shape: turn order restored from
+    a shuffled frame, role-tagged template, part counts; matches a
+    pure-Python rendering."""
+    from polaris_spark.ops.analytics import assemble_docs
+    from polaris_spark.synth import make_transcripts
+
+    pdf = make_transcripts(n_turns=300, seed=9)
+    # shuffle rows so ordering must come from turn_idx, not input order
+    docs = spark.createDataFrame(pdf.sample(frac=1.0, random_state=1))
+    out = {r["conv_id"]: (r["assembled"], r["n_parts"])
+           for r in assemble_docs(docs, "conv_id", "turn_idx",
+                                  role_col="role").collect()}
+    ref = {}
+    for conv, g in pdf.sort_values(["conv_id", "turn_idx"]).groupby("conv_id"):
+        ref[conv] = ("\n\n".join(f"{r.role}: {r.text}"
+                                 for r in g.itertuples()), len(g))
+    assert out == ref and len(out) > 1
+
+
+def test_assemble_docs_tie_break_and_sep(spark):
+    from polaris_spark.ops.analytics import assemble_docs
+
+    rows = [("k", 1, "b"), ("k", 1, "a"), ("k", 0, "z")]
+    docs = spark.createDataFrame(rows, "key string, ord int, text string")
+    r = assemble_docs(docs, "key", "ord", sep=" | ").collect()[0]
+    # (order, text) struct sort: 0/z first, then the order-1 tie a<b
+    assert r["assembled"] == "z | a | b" and r["n_parts"] == 3
