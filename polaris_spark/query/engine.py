@@ -2581,6 +2581,97 @@ class SearchEngine:
 
     # ------------------------------------------------------------- explain
 
+    def explain_dismax(self, query: str, doc_id: int, tie: float = 0.0,
+                       field_boosts: dict | None = None) -> list[dict]:
+        """Per-group DisMax score breakdown for ONE document — the
+        Explanation tree a DisjunctionMaxQuery produces, flattened: one
+        row per matched token group ``{base, n_variants, max_term,
+        max_contribution, sum_contribution, contribution}`` with
+        ``contribution = max + tie × (sum − max)``; the group-sorted
+        sequential sum of ``contribution`` equals the doc's
+        :meth:`search_dismax` score BIT-FOR-BIT (tested). One pruned
+        point fetch, like :meth:`explain`."""
+        terms, base_of, _n, wmul = self._dismax_parse(query, field_boosts)
+        cand = self._candidates_pdf(terms)
+        if cand.empty:
+            return []
+        idf = {t: v * wmul[t] for t, v in self._idf_map(cand).items()}
+        decoded = _decode_merge(cand)
+        stats = self.stats
+        by_group: dict[str, list] = {}
+        for t in sorted(decoded):
+            if t not in idf:
+                continue
+            docs, tfs, dls = decoded[t]
+            j = np.searchsorted(docs, int(doc_id))
+            if j < len(docs) and docs[j] == int(doc_id):
+                imp = float(tfs[j]) * (stats["k1"] + 1.0) / (
+                    float(tfs[j]) + stats["k1"]
+                    * (1.0 - stats["b"]
+                       + stats["b"] * float(dls[j]) / stats["avgdl"]))
+                by_group.setdefault(base_of[t], []).append(
+                    (t, idf[t] * imp))
+        out = []
+        for base in sorted(by_group):
+            cs = by_group[base]
+            mx = max(c for _t, c in cs)
+            sm = 0.0
+            for _t, c in cs:  # term-sorted sequential sum == the kernel's
+                sm += c
+            out.append({
+                "base": base,
+                "n_variants": len(cs),
+                "max_term": min(t for t, c in cs if c == mx),
+                "max_contribution": mx,
+                "sum_contribution": sm,
+                "contribution": mx + float(tie) * (sm - mx),
+            })
+        return out
+
+    def explain_synonyms(self, query: str, synonyms: dict,
+                         doc_id: int) -> list[dict]:
+        """Per-group SynonymQuery breakdown for ONE document: one row per
+        matched token group ``{base, tf_sum, df_blend, idf, dl, impact,
+        contribution}``; the group-sorted sequential sum of
+        ``contribution`` equals the doc's :meth:`search_synonyms` score
+        BIT-FOR-BIT (tested)."""
+        terms, base_of, _n = self._synonym_parse(query, synonyms)
+        cand = self._candidates_pdf(terms)
+        if cand.empty:
+            return []
+        idf_g = self._blended_idf(cand, base_of)
+        dfs = cand.groupby("term")["df"].sum().to_dict()
+        decoded = _decode_merge(cand)
+        stats = self.stats
+        by_group: dict[str, dict] = {}
+        for t in sorted(decoded):
+            if t not in base_of:
+                continue
+            docs, tfs, dls = decoded[t]
+            j = np.searchsorted(docs, int(doc_id))
+            if j < len(docs) and docs[j] == int(doc_id):
+                g = by_group.setdefault(
+                    base_of[t], {"tf_sum": 0.0, "dl": float(dls[j])})
+                g["tf_sum"] += float(tfs[j])  # term-sorted float64 sum
+        out = []
+        for base in sorted(by_group):
+            g = by_group[base]
+            df_b = max(int(dfs.get(t, 0)) for t, bs in base_of.items()
+                       if bs == base)
+            imp = g["tf_sum"] * (stats["k1"] + 1.0) / (
+                g["tf_sum"] + stats["k1"]
+                * (1.0 - stats["b"] + stats["b"] * g["dl"] / stats["avgdl"]))
+            out.append({
+                "base": base,
+                "tf_sum": g["tf_sum"],
+                "df_blend": df_b,
+                "idf": idf_g[base],
+                "dl": g["dl"],
+                "impact": imp,
+                "contribution": idf_g[base] * imp,
+            })
+        return out
+
     def explain(self, query: str, doc_id: int,
                 expand_fields: bool = False) -> list[dict]:
         """Per-term BM25 score breakdown for ONE document — the

@@ -391,11 +391,21 @@ class _Handler(BaseHTTPRequestHandler):
     def _m_explain(self, b):
         """IndexSearcher.explain analog, auto-routed like /api/search:
         flat queries get the per-term decomposition, genuine boolean
-        trees / quoted phrases the per-leaf one (explain_bool)."""
+        trees the per-leaf one; {synonyms: {...}} routes to the
+        per-group SynonymQuery breakdown, {dismax: true, tie?,
+        fieldBoosts?} to the DisMax one — every variant's contributions
+        sum to the corresponding search score bit-exactly."""
         from polaris_spark.query.boolquery import has_operators
         from polaris_spark.query.engine import parse_phrase_query
 
         q, did = b["query"], int(b["docId"])
+        if b.get("synonyms") is not None:
+            return {"explanation": self.engine.explain_synonyms(
+                q, b["synonyms"], did)}
+        if b.get("dismax"):
+            return {"explanation": self.engine.explain_dismax(
+                q, did, tie=float(b.get("tie", 0.0)),
+                field_boosts=b.get("fieldBoosts"))}
         parsed = None
         if parse_phrase_query(q) is not None:
             return {"explanation": self.engine.explain_bool(q, did)}

@@ -215,3 +215,17 @@ def test_dismax_tombstones_hidden(spark, tmp_path):
     dd = {r["doc_id"] for r in
           eng2.search_dismax_df(Q, k=None).collect()}
     assert dd == after
+
+
+def test_explain_dismax_bit_exact(eng):
+    fb = {"text": 1.0, "source": 0.5}
+    hits = eng.search_dismax(Q, k=5, tie=0.3, field_boosts=fb)
+    for h in hits:
+        rows = eng.explain_dismax(Q, h["doc_id"], tie=0.3, field_boosts=fb)
+        assert len(rows) == h["n_match"]
+        total = 0.0
+        for r in rows:  # base-sorted sequential sum == the kernel's
+            total += r["contribution"]
+        assert total == h["score"]  # bit-exact
+        for r in rows:
+            assert r["max_contribution"] <= r["sum_contribution"] + 1e-15

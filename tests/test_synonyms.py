@@ -135,3 +135,16 @@ def test_tombstones_hidden(spark, tmp_path):
     assert not (after & set(victims))
     assert after == {r["doc_id"] for r in
                      e2.search_synonyms_df(Q, SYN, k=None).collect()}
+
+
+def test_explain_synonyms_bit_exact(eng):
+    hits = eng.search_synonyms(Q, SYN, k=5)
+    for h in hits:
+        rows = eng.explain_synonyms(Q, SYN, h["doc_id"])
+        assert len(rows) == h["n_match"]
+        total = 0.0
+        for r in rows:
+            total += r["contribution"]
+        assert total == h["score"]  # bit-exact
+        for r in rows:
+            assert r["contribution"] == r["idf"] * r["impact"]
