@@ -696,6 +696,42 @@ def _q_dismax_search(spark, sf_dir):
         "n_match")
 
 
+def _q_boosting_search(spark, sf_dir):
+    """Boosting query (Lucene BoostingQuery / ES boosting): the Q_OR match
+    set with docs also containing 'scan' demoted ×0.4 — never excluded.
+    Hash-pins that demoted docs keep exactly 0.4× their unfiltered BM25
+    score, non-demoted docs keep theirs bit-exactly, and the demoted flag
+    marks precisely the negative match set."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir))
+    res = eng.search_boosting_df(Q_OR, "scan", negative_boost=0.4, k=None)
+    return res.select(
+        "doc_id",
+        F.round(F.col("score") * 10000).cast("long").alias("score_e4"),
+        "demoted")
+
+
+def _q_significant_terms(spark, sf_dir):
+    """Significant-terms aggregation (ES significant_terms under a sampler
+    scope): JLH-scored terms of the Q_OR top-50 hit window vs the corpus
+    background — hash-pins the window cut, per-term fg/bg doc counts, the
+    superset rule, and the exact f64 JLH fold (integer inputs, so the
+    e6 rounding is bit-stable)."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir))
+    res = eng.significant_terms(Q_OR, n=15, window=50, min_doc_count=2,
+                                docs=_docs(spark, sf_dir))
+    return res.select(
+        "term", "fg_df", "bg_df",
+        F.round(F.col("score") * 1000000).cast("long").alias("score_e6"))
+
+
 def _q_collapse_search(spark, sf_dir):
     """Field-collapsed search (Lucene grouping TopGroups / ES collapse):
     top-8 'source' groups of the Q_OR match set, ≤2 hits per group, both
@@ -1281,6 +1317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parent_search": _q_parent_search,
         "rescore": _q_rescore,
         "filtered_search": _q_filtered_search,
+        "boosting_search": _q_boosting_search,
+        "significant_terms": _q_significant_terms,
         "dismax_search": _q_dismax_search,
         "span_near": _q_span_near,
         "span_near_ordered": _q_span_near_ordered,
@@ -1328,6 +1366,8 @@ def oracle_sql() -> dict[str, str]:
         parent_sql,
         rescore_sql,
         filtered_sql,
+        boosting_sql,
+        significant_terms_sql,
         dismax_sql,
         span_near_sql,
         synonym_sql,
@@ -1538,6 +1578,9 @@ FROM tf JOIN dft USING (term) WHERE tf.doc_id = {DOC_TERMS_ID}""",
                                rescore_weight=2.0, slop=1),
         "filtered_search": filtered_sql(Q_OR, "lang:en lang:de",
                                         field_cols=FIELD_COLS),
+        "boosting_search": boosting_sql(Q_OR, "scan", negative_boost=0.4),
+        "significant_terms": significant_terms_sql(
+            Q_OR, n=15, window=50, min_doc_count=2),
         "dismax_search": dismax_sql(
             Q_OR, tie=0.3, field_boosts={"text": 1.0, "source": 0.5},
             field_cols=FIELD_COLS),

@@ -1113,6 +1113,64 @@ FROM g GROUP BY doc_id{having}"""
     return sql
 
 
+def boosting_sql(query: str, negative_query: str,
+                 negative_boost: float = 0.5, k: int | None = None,
+                 table: str = "documents", field_cols: tuple = ()) -> str:
+    """Boosting-query mirror (engine ``search_boosting_df`` — Lucene
+    BoostingQuery / ES ``boosting``): the main query's full BM25 match
+    set, scores multiplied by ``negative_boost`` for docs that ALSO
+    contain ANY of the negative query's parsed terms (demotion, never
+    exclusion). ``negative_query`` must be the flat pure-OR form (plain/
+    fielded terms), like :func:`filtered_sql`'s filter."""
+    inner = bm25_scores_sql(query, table, None, field_cols, raw=True)
+    nterms = sorted(set(_parse(negative_query, field_cols, False)[0]))
+    nlist = ", ".join("'" + t.replace("'", "''") + "'" for t in nterms)
+    nset = base_cte(table, field_cols) + \
+        f"\nSELECT DISTINCT doc_id FROM tf WHERE term IN ({nlist})"
+    nb = float(negative_boost)
+    adj = f"m.raw_score * (CASE WHEN nx.doc_id IS NOT NULL THEN {nb!r} ELSE 1.0 END)"
+    sql = f"""
+SELECT m.doc_id,
+       CAST(round({adj} * 10000) AS BIGINT) AS score_e4,
+       (CASE WHEN nx.doc_id IS NOT NULL THEN 1 ELSE 0 END)::INT AS demoted
+FROM ({inner}) m
+LEFT JOIN ({nset}) nx ON m.doc_id = nx.doc_id"""
+    if k is not None:
+        sql += f"\nORDER BY {adj} DESC, m.doc_id ASC LIMIT {int(k)}"
+    return sql
+
+
+def significant_terms_sql(query: str, n: int = 10, window: int = 200,
+                          min_doc_count: int = 2, table: str = "documents",
+                          field_cols: tuple = ()) -> str:
+    """Significant-terms mirror (engine ``significant_terms`` — the ES
+    ``significant_terms`` agg under a ``sampler``): JLH score
+    ``(fg% − bg%) × (fg% / bg%)`` of every term of the query's
+    top-``window`` hit docs against the corpus, superset rule fg% > bg%,
+    foreground df ≥ ``min_doc_count``, top-``n`` by (score desc, term
+    asc). All score inputs are exact integer counts, so the f64 JLH is
+    bit-identical to the engine's."""
+    inner = bm25_scores_sql(query, table, int(window), field_cols)
+    jlh = ("((fg.fg_df / fgn.fg_n) - (bg.bg_df / s.N))"
+           " * ((fg.fg_df / fgn.fg_n) / (bg.bg_df / s.N))")
+    return base_cte(table, field_cols) + f""",
+hits AS (SELECT doc_id FROM ({inner}) h),
+fgn AS (SELECT count(*)::DOUBLE AS fg_n FROM hits),
+fg AS (
+  SELECT term, count(*)::BIGINT AS fg_df FROM tf
+  WHERE doc_id IN (SELECT doc_id FROM hits) GROUP BY term
+),
+bg AS (
+  SELECT term, count(*)::BIGINT AS bg_df FROM tf
+  WHERE term IN (SELECT term FROM fg) GROUP BY term
+)
+SELECT fg.term, fg.fg_df, bg.bg_df,
+       CAST(round({jlh} * 1000000) AS BIGINT) AS score_e6
+FROM fg JOIN bg USING (term) CROSS JOIN fgn CROSS JOIN stats s
+WHERE fg.fg_df >= {int(min_doc_count)} AND {jlh} > 0
+ORDER BY {jlh} DESC, fg.term ASC LIMIT {int(n)}"""
+
+
 def synonym_sql(query: str, synonyms: dict, mode: str = "or",
                 k: int | None = None, table: str = "documents") -> str:
     """SynonymQuery mirror (engine ``search_synonyms`` — Lucene

@@ -4214,6 +4214,144 @@ class SearchEngine:
         return int(self.match_df(query, mode=mode,
                                  expand_fields=expand_fields).count())
 
+    def search_boosting_df(self, query: str, negative_query: str,
+                           negative_boost: float = 0.5, k: int | None = 10,
+                           mode: str = "or", neg_mode: str = "or",
+                           expand_fields: bool = False):
+        """Boosting query — Lucene's ``BoostingQuery`` (queries/`
+        `FunctionScoreQuery.boostByQuery`) / the ES ``boosting`` query:
+        docs matching ``query`` keep their BM25 score UNLESS they also
+        match ``negative_query``, in which case the score is multiplied
+        by ``negative_boost`` (0 ≤ b < 1) — demotion, not exclusion (the
+        ``-term`` prohibit removes docs; this re-ranks them down).
+        Returns (doc_id, score, demoted, n_match) top-``k`` by
+        (score desc, doc_id asc); ``demoted`` is 1 when the negative
+        matched, ``n_match`` is the positive query's matched-term count.
+
+        Both sides take the full parser surface via :meth:`match_df`
+        routing. Exactness requires demoting BEFORE the cut, so the
+        positive side scores its full match set (the same
+        pruned-candidate shape as every k=None surface) — a demoted hit
+        outside any window can still make the final top-k.
+
+        Spark shape: two pruned match sets (each a bucket/term-pushed
+        candidate scan + per-shard kernels), one doc_id equi-join — the
+        negative side reduced to a distinct doc set first, so the join
+        moves match-set-sized (not corpus-sized) rows and AQE broadcasts
+        whichever side is small — then one TakeOrderedAndProject."""
+        from pyspark.sql import functions as F
+
+        nb = float(negative_boost)
+        pos = self.match_df(query, mode=mode, expand_fields=expand_fields)
+        neg = (self.match_df(negative_query, mode=neg_mode,
+                             expand_fields=expand_fields)
+               .select("doc_id").distinct()
+               .withColumn("_neg", F.lit(1)))
+        out = (
+            pos.join(neg, "doc_id", "left")
+            .withColumn(
+                "score",
+                F.when(F.col("_neg").isNotNull(), F.col("score") * nb)
+                .otherwise(F.col("score")))
+            .withColumn("demoted",
+                        F.col("_neg").isNotNull().cast("int"))
+            .select("doc_id", "score", "demoted", "n_match")
+        )
+        if k is not None:
+            out = out.orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k))
+        return out
+
+    def search_boosting(self, query: str, negative_query: str,
+                        negative_boost: float = 0.5, k: int = 10,
+                        mode: str = "or", neg_mode: str = "or",
+                        expand_fields: bool = False) -> list[dict]:
+        """Driver-path boosting query: [{doc_id, score, demoted, n_match}]
+        (see :meth:`search_boosting_df`)."""
+        return [r.asDict() for r in
+                self.search_boosting_df(query, negative_query,
+                                        negative_boost, k, mode, neg_mode,
+                                        expand_fields).collect()]
+
+    def significant_terms(self, query: str, n: int = 10, window: int = 200,
+                          min_doc_count: int = 2, mode: str = "or",
+                          expand_fields: bool = False, docs=None):
+        """Significant-terms aggregation — the ES ``significant_terms``
+        bucket agg (with its recommended ``sampler`` scope): terms
+        over-represented in the top-``window`` hits of ``query`` relative
+        to the whole corpus, scored with the default JLH heuristic
+        ``(fg% − bg%) × (fg% / bg%)`` where fg% = fraction of the hit
+        window containing the term and bg% = df/N over the corpus. Only
+        terms with fg% > bg% and foreground df ≥ ``min_doc_count``
+        qualify (the ES superset rule). Returns
+        (term, fg_df, bg_df, score) top-``n`` by (score desc, term asc)
+        — all inputs to the score are exact integer counts, so the float
+        is bit-deterministic.
+
+        Foreground term sets serve like :meth:`doc_terms`: from the
+        ``tf/`` checkpoint when present (one doc_id-IN-pushed scan over
+        ≤ ``window`` ids, row-group pruned — lists everything indexed
+        including field tokens), else index-tokenizer re-analysis of
+        stored text / the ``docs`` escape hatch (text terms only, each
+        term counted once per doc). Background df folds from the
+        dictionary through a broadcast semi-join on the window's term
+        set — one pruned vocab-column scan per call, acceptable for an
+        analytics surface (this is an aggregation, not the serving hot
+        path). The window itself is the ordinary exact top-k, so driver
+        state is ≤ ``window`` ids."""
+        from pyspark.sql import functions as F
+
+        from ..tokenizer import tokens_col
+
+        ids = [int(r["doc_id"]) for r in
+               self.search_df(query, k=int(window), mode=mode,
+                              expand_fields=expand_fields)
+               .select("doc_id").collect()]
+        empty = self.spark.createDataFrame(
+            [], "term string, fg_df bigint, bg_df bigint, score double")
+        if not ids:
+            return empty
+        fg_n = len(ids)
+        tf_path = os.path.join(self.index_dir, "tf")
+        if self.fs.exists(tf_path):
+            pairs = (
+                self.spark.read.parquet(tf_path)
+                .where(F.col("doc_id").isin(ids))
+                .select("doc_id", F.explode("terms").alias("term"))
+            )
+        else:
+            src = docs if docs is not None else self._live(
+                self.spark.read.parquet(self.doc_map_path))
+            if "text" not in src.columns:
+                raise ValueError(
+                    "significant_terms needs the tf/ checkpoint, stored "
+                    "text (store_text=True) or docs=<frame with doc_id "
+                    "+ text>")
+            pairs = (
+                src.where(F.col("doc_id").isin(ids))
+                .select("doc_id",
+                        F.explode(F.array_distinct(tokens_col(F.col("text"))))
+                        .alias("term"))
+            )
+        fg = pairs.groupBy("term").agg(F.count("*").alias("fg_df"))
+        bg = (
+            self.spark.read.parquet(self.dict_path)
+            .join(F.broadcast(fg.select("term")), "term", "left_semi")
+            .groupBy("term").agg(F.sum("df").alias("bg_df"))
+        )
+        N = float(self.stats["N"])
+        fgp = F.col("fg_df").cast("double") / F.lit(float(fg_n))
+        bgp = F.col("bg_df").cast("double") / F.lit(N)
+        return (
+            fg.join(bg, "term")
+            .where(F.col("fg_df") >= int(min_doc_count))
+            .withColumn("score", (fgp - bgp) * (fgp / bgp))
+            .where(F.col("score") > 0)
+            .select("term", F.col("fg_df").cast("bigint").alias("fg_df"),
+                    F.col("bg_df").cast("bigint").alias("bg_df"), "score")
+            .orderBy(F.desc("score"), F.asc("term"))
+            .limit(int(n))
+        )
+
     def suggest_df(self, term: str, n: int = 5, max_edits: int = 2):
         """Spell-correction suggestions ("did you mean") — the Lucene
         DirectSpellChecker analog over the index vocabulary: dictionary

@@ -263,6 +263,27 @@ class _Handler(BaseHTTPRequestHandler):
             field_boosts=b.get("fieldBoosts"),
             filter_query=b.get("filter")))}
 
+    def _m_boosting(self, b):
+        """BoostingQuery (Lucene queries BoostingQuery / ES boosting):
+        hits matching the negative query are demoted ×negativeBoost, never
+        excluded. Body: {query, negative, negativeBoost?, k?, mode?,
+        negMode?}."""
+        return {"hits": self.engine.search_boosting(
+            b["query"], b["negative"],
+            negative_boost=float(b.get("negativeBoost", 0.5)),
+            k=int(b.get("k", 10)), mode=b.get("mode", "or"),
+            neg_mode=b.get("negMode", "or"))}
+
+    def _m_significantTerms(self, b):
+        """Significant-terms aggregation (ES significant_terms under a
+        sampler): JLH-scored terms of the query's top-window hits vs the
+        corpus. Body: {query, n?, window?, minDocCount?, mode?}."""
+        return {"terms": _rows(self.engine.significant_terms(
+            b["query"], n=int(b.get("n", 10)),
+            window=int(b.get("window", 200)),
+            min_doc_count=int(b.get("minDocCount", 2)),
+            mode=b.get("mode", "or")))}
+
     def _m_reload(self, b):
         """Lucene SearcherManager.maybeRefresh analog: construct a fresh
         engine over the index's CURRENT published state — generations

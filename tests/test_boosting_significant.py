@@ -1,0 +1,148 @@
+"""BoostingQuery (Lucene queries BoostingQuery / ES ``boosting``) +
+significant-terms aggregation (ES ``significant_terms`` under a sampler
+scope) — reference context: the reference's Lucene 4.3 ships
+BoostingQuery in lucene-queries, and its search mixer's bag-of-words
+ranking (sourcedb/SourceDbImpl.java:131-163) is the foreground a
+significance agg summarizes.
+
+Covers: demotion is bit-exact (×b) and never excludes, the demoted flag
+marks exactly the negative match set, the top-k cut happens AFTER
+demotion (a demoted hit can fall out of / rise into the cut), driver ≡
+distributed, JLH scores vs a pure-Python oracle over the same window,
+the superset (fg% > bg%) and min_doc_count rules, and tf/-checkpoint vs
+re-analysis foreground identity.
+"""
+import pytest
+
+from polaris_spark.index.build import IndexConfig, build_index
+from polaris_spark.query.engine import SearchEngine
+from polaris_spark.tokenizer import tokenize
+
+Q = "spark join"
+NEG = "scan"
+
+
+@pytest.fixture(scope="module")
+def eng(spark, tmp_path_factory):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = str(tmp_path_factory.mktemp("bidx") / "idx")
+    build_index(spark, docs, idx, doc_id_col="doc_id",
+                cfg=IndexConfig(n_buckets=8, n_shards=4, n_chunks=2))
+    return SearchEngine(spark, idx)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pdf = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+           .select("doc_id", "text").toPandas())
+    return {r.doc_id: list(tokenize(r.text)) for r in pdf.itertuples()}
+
+
+# ------------------------------------------------------------ boosting
+
+def test_boosting_demotes_never_excludes(eng, corpus):
+    base = {r["doc_id"]: r["score"] for r in eng.search(Q, k=None)}
+    res = eng.search_boosting(Q, NEG, negative_boost=0.4, k=None)
+    assert {r["doc_id"] for r in res} == set(base)  # same match set
+    negset = {d for d, toks in corpus.items() if NEG in toks}
+    assert any(r["demoted"] for r in res) and not all(
+        r["demoted"] for r in res)
+    for r in res:
+        if r["doc_id"] in negset:
+            assert r["demoted"] == 1
+            assert r["score"] == base[r["doc_id"]] * 0.4  # bit-exact f64
+        else:
+            assert r["demoted"] == 0
+            assert r["score"] == base[r["doc_id"]]
+
+
+def test_boosting_cut_after_demotion(eng):
+    plain = [r["doc_id"] for r in eng.search(Q, k=10)]
+    # b=0 floors every demoted hit: any demoted doc in the plain top-10
+    # must fall out (the corpus has >10 non-demoted matches)
+    floored = eng.search_boosting(Q, NEG, negative_boost=0.0, k=10)
+    dem = {r["doc_id"] for r in
+           eng.search_boosting(Q, NEG, negative_boost=0.4, k=None)
+           if r["demoted"]}
+    assert any(d in dem for d in plain)  # the case is non-vacuous
+    assert all(r["doc_id"] not in dem for r in floored)
+    # b=1 is the identity
+    same = eng.search_boosting(Q, NEG, negative_boost=1.0, k=10)
+    assert [r["doc_id"] for r in same] == plain
+
+
+def test_boosting_driver_distributed_identity(eng):
+    drv = eng.search_boosting(Q, NEG, negative_boost=0.4, k=15)
+    dst = [r.asDict() for r in
+           eng.search_boosting_df(Q, NEG, negative_boost=0.4, k=15).collect()]
+    assert drv == dst
+
+
+# --------------------------------------------------- significant terms
+
+def _py_jlh(eng, corpus, window, min_dc):
+    hits = [r["doc_id"] for r in eng.search(Q, k=window)]
+    fg_n = float(len(hits))
+    fg = {}
+    for d in hits:
+        for t in set(corpus[d]):
+            fg[t] = fg.get(t, 0) + 1
+    n = float(eng.stats["N"])
+    bg = {}
+    for toks in corpus.values():
+        for t in set(toks):
+            bg[t] = bg.get(t, 0) + 1
+    out = []
+    for t, f in fg.items():
+        if f < min_dc:
+            continue
+        fgp, bgp = f / fg_n, bg[t] / n
+        score = (fgp - bgp) * (fgp / bgp)
+        if score > 0:
+            out.append((t, f, bg[t], score))
+    out.sort(key=lambda x: (-x[3], x[0]))
+    return out
+
+
+def test_significant_terms_vs_python_oracle(eng, corpus):
+    want = _py_jlh(eng, corpus, window=50, min_dc=2)[:15]
+    got = [(r["term"], r["fg_df"], r["bg_df"], r["score"])
+           for r in eng.significant_terms(Q, n=15, window=50,
+                                          min_doc_count=2).collect()]
+    assert got == want  # bit-exact: integer-count inputs, same f64 ops
+
+
+def test_significant_terms_superset_and_mindc(eng, corpus):
+    rows = eng.significant_terms(Q, n=100, window=50,
+                                 min_doc_count=3).collect()
+    n = float(eng.stats["N"])
+    hits = [r["doc_id"] for r in eng.search(Q, k=50)]
+    for r in rows:
+        assert r["fg_df"] >= 3
+        assert r["fg_df"] / len(hits) > r["bg_df"] / n  # fg% > bg%
+    # the query's own terms are over-represented by construction
+    terms = {r["term"] for r in rows}
+    assert "spark" in terms and "join" in terms
+
+
+def test_significant_terms_tf_vs_reanalysis_identity(eng, spark):
+    # the index keeps its tf/ checkpoint; forcing the docs= escape hatch
+    # must re-derive the identical foreground (text-only index)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    via_tf = eng.significant_terms(Q, n=15, window=50).collect()
+    import os
+    assert os.path.isdir(os.path.join(eng.index_dir, "tf"))
+    import polaris_spark.query.engine as E
+    real = eng.fs.exists
+    try:
+        eng.fs.exists = lambda p, _r=real: (False if p.endswith("/tf")
+                                            else _r(p))
+        via_docs = eng.significant_terms(Q, n=15, window=50,
+                                         docs=docs).collect()
+    finally:
+        eng.fs.exists = real
+    assert via_tf == via_docs
+
+
+def test_significant_terms_no_hits_empty(eng):
+    assert eng.significant_terms("zzqqxx_nosuchterm", n=5).count() == 0

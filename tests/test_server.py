@@ -241,6 +241,31 @@ def test_rescore_endpoint(spark, daemon):
     assert got["hits"] == json.loads(json.dumps(want)) and want
 
 
+def test_boosting_and_significant_endpoints(spark, daemon):
+    """/api/boosting and /api/significantTerms must return exactly the
+    engine's rows (demote-not-exclude semantics + JLH agg)."""
+    base, d, pdf = daemon
+    eng = SearchEngine(spark, d)
+    from collections import Counter
+
+    from polaris_spark.tokenizer import tokenize
+    common = [t for t, _ in Counter(
+        t for x in pdf["text"] for t in set(tokenize(x))).most_common(3)]
+    q, neg = f"{common[0]} {common[1]}", common[2]
+    got = _post(base, "boosting",
+                {"query": q, "negative": neg, "negativeBoost": 0.3, "k": 8})
+    want = eng.search_boosting(q, neg, negative_boost=0.3, k=8)
+    assert got["hits"] == json.loads(json.dumps(want)) and want
+    assert any(h["demoted"] for h in got["hits"]) or all(
+        h["demoted"] == 0 for h in got["hits"])
+    gst = _post(base, "significantTerms",
+                {"query": q, "n": 8, "window": 20, "minDocCount": 2})
+    wst = [r.asDict() for r in
+           eng.significant_terms(q, n=8, window=20,
+                                 min_doc_count=2).collect()]
+    assert gst["terms"] == json.loads(json.dumps(wst)) and wst
+
+
 def test_searchmany_endpoint_bit_identical(spark, daemon):
     """/api/searchMany scores the list as one job; per-query hits must be
     bit-identical to sequential /api/search (the search_many_df contract)."""
