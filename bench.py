@@ -380,6 +380,8 @@ def run_suite(cpus: int, sf_dir: str, n_turns: int) -> dict:
     re_.span_near(["spark", "join"], slop=4, in_order=True, k=10)
     re_.search_synonyms("spark join", {"join": ["merge"]}, k=10)
     re_.search_multi_phrase(["spark", ["join", "merge"]], k=10)
+    re_.search_boosting("spark join", "scan", negative_boost=0.4, k=10)
+    re_.significant_terms("spark join", n=10, window=100).collect()
     times["query_api_mix"] = round(time.time() - t0, 3)
 
     spark.stop()

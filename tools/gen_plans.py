@@ -242,6 +242,28 @@ def main() -> None:
     ))
 
     SECTIONS.append((
+        "boosting query (two pruned match sets, one doc_id join, demote-then-cut)",
+        "Both sides are the ordinary pruned candidate scans + per-shard "
+        "kernels; the negative side collapses to a distinct doc set before "
+        "the equi-join (AQE broadcasts the small side at runtime), the "
+        "demotion multiply is a codegen projection, and the final cut is "
+        "one TakeOrderedAndProject — no corpus-sized exchange anywhere.",
+        cap(eng.search_boosting_df("spark join", "scan",
+                                   negative_boost=0.4, k=10)),
+    ))
+
+    SECTIONS.append((
+        "significant terms (doc_id-IN-pushed tf/ scan + broadcast-semi dictionary fold)",
+        "The foreground reads the tf/ checkpoint with the ≤window hit ids "
+        "in PushedFilters (row-group pruned — never a corpus scan); the "
+        "background df folds from the dictionary behind a broadcast "
+        "LeftSemi on the window's term set; the JLH projection is "
+        "codegen and the cut is a TakeOrderedAndProject over foreground-"
+        "vocab rows.",
+        cap(eng.significant_terms("spark join", n=10, window=50)),
+    ))
+
+    SECTIONS.append((
         "spell-suggest probe (fuzzy n-gram table, pushed gram IN + g1 pruning)",
         "Suggest rides the same fuzzy_ngrams/ probe as term~N expansion "
         "(the probe term is long enough for the lossless gram bound — "
