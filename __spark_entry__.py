@@ -514,6 +514,17 @@ def _q_knn_join(spark, sf_dir):
     return knn_join(_emb(spark, sf_dir), k=3)
 
 
+def _q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (DPR/ANCE-style): per anchor, the top-3
+    most-similar embeddings with a DIFFERENT label — positives are
+    disqualified before ranking, so the hash pins filter-then-rank (a
+    same-label near-duplicate must not push a true negative out of the
+    top-k)."""
+    from polaris_spark.ops.similarity import hard_negatives
+
+    return hard_negatives(_emb(spark, sf_dir), k=3, label_col="label")
+
+
 def _q_ivf_top10(spark, sf_dir):
     """Prebuilt IVF probe with nprobe = n_centroids (exhaustive) — must equal
     brute-force cosine top-k exactly, so it shares the brute-force oracle.
@@ -1305,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash16": _q_simhash,
         "ann_cosine_top10": _q_cosine_top10,
         "knn_join_top3": _q_knn_join,
+        "hard_negatives_top3": _q_hard_negatives,
         "embed_quantize": _q_embed_quantize,
         "ivf_top10": _q_ivf_top10,
         "ivf_many_top5": _q_ivf_many,
@@ -1545,6 +1557,8 @@ SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.45""",
         "ann_cosine_top10": cosine,
         "knn_join_top3": duckdb_knn_join_sql(
             "embeddings", "vec_id", "embedding", k=3),
+        "hard_negatives_top3": duckdb_knn_join_sql(
+            "embeddings", "vec_id", "embedding", k=3, anti_col="label"),
         "embed_quantize": duckdb_quantize_sql(
             "embeddings", "vec_id", "embedding", bits=8),
         # nprobe == n_centroids ⇒ IVF is exhaustive ⇒ identical to brute force

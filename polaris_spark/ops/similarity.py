@@ -261,7 +261,8 @@ def embedding_neardup_pairs(emb, threshold: float = 0.95,
 
 
 def knn_join(emb, k: int = 3, vec_col: str = "embedding",
-             id_col: str = "vec_id", candidates=None):
+             id_col: str = "vec_id", candidates=None,
+             anti_col: str | None = None):
     """Exact k-nearest-neighbor self-join by cosine — the per-row batch
     variant of ANN search that embedding-level dedup uses (SemDeDup /
     semantic dedup: Abbas et al. 2023): for EVERY vector its top-k
@@ -274,13 +275,22 @@ def knn_join(emb, k: int = 3, vec_col: str = "embedding",
     ``candidates=srp_candidate_pairs(emb, ...)`` (or IVF cohorts): each
     vector then scores only its bucket cohort, the cross join never
     materializes, and the per-vector top-k window runs inside the bucket
-    join's own partitioning (recall < 1 is the documented SRP trade)."""
+    join's own partitioning (recall < 1 is the documented SRP trade).
+
+    ``anti_col`` names a column whose EQUAL values disqualify a pair
+    BEFORE ranking (filter-then-rank, so excluded rows never occupy a
+    rank) — the hard-negative-mining shape (see :func:`hard_negatives`):
+    the top-k most-similar vectors from a *different* label/cluster."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    a = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("ea"))
-    b = emb.select(F.col(id_col).alias("neighbor_id"),
-                   F.col(vec_col).alias("eb"))
+    acols = [F.col(id_col).alias("vec_id"), F.col(vec_col).alias("ea")]
+    bcols = [F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("eb")]
+    if anti_col is not None:
+        acols.append(F.col(anti_col).alias("xa"))
+        bcols.append(F.col(anti_col).alias("xb"))
+    a = emb.select(*acols)
+    b = emb.select(*bcols)
     if candidates is None:
         pairs = a.join(b, F.col("vec_id") != F.col("neighbor_id"))
     else:
@@ -289,9 +299,14 @@ def knn_join(emb, k: int = 3, vec_col: str = "embedding",
         sym = candidates.select("vec_a", "vec_b").union(
             candidates.select(F.col("vec_b").alias("vec_a"),
                               F.col("vec_a").alias("vec_b"))).distinct()
+        keep = (["vec_id", "ea", "neighbor_id", "eb"]
+                + (["xa", "xb"] if anti_col is not None else []))
         pairs = (sym.join(a, sym["vec_a"] == a["vec_id"])
                     .join(b, sym["vec_b"] == b["neighbor_id"])
-                    .select("vec_id", "ea", "neighbor_id", "eb"))
+                    .select(*keep))
+    if anti_col is not None:
+        # filter-then-rank: a same-group pair must never occupy a rank
+        pairs = pairs.where(F.col("xa") != F.col("xb"))
     cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
     w = Window.partitionBy("vec_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id"))
@@ -301,6 +316,26 @@ def knn_join(emb, k: int = 3, vec_col: str = "embedding",
         .where(F.col("rank") <= k)
         .select("vec_id", "neighbor_id", "cos", "rank")
     )
+
+
+def hard_negatives(emb, k: int = 5, label_col: str = "label",
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   candidates=None):
+    """Hard-negative mining for contrastive / retrieval training (the
+    in-batch-negatives upgrade of DPR, Karpukhin et al. 2020; ANCE, Xiong
+    et al. 2021): for every anchor vector, the top-``k`` most-similar
+    vectors that carry a DIFFERENT ``label_col`` — similar enough to be
+    confused, labeled differently, i.e. exactly the negatives a
+    contrastive loss learns the most from. Positives (same label) are
+    disqualified BEFORE ranking, so every returned rank is a genuine
+    negative. Returns ``(vec_id, neighbor_id, cos, rank)``.
+
+    Scale shape = :func:`knn_join`'s: brute force is the verifier/oracle
+    form; at corpus scale pass ``candidates=srp_candidate_pairs(...)``
+    (or IVF cohorts) so each anchor scores only its bucket cohort —
+    mining stays bucket-local and the cross join never materializes."""
+    return knn_join(emb, k=k, vec_col=vec_col, id_col=id_col,
+                    candidates=candidates, anti_col=label_col)
 
 
 def srp_signature_col(vec_col, planes):
@@ -455,18 +490,22 @@ FROM s"""
 
 
 def duckdb_knn_join_sql(table: str, id_col: str, vec_col: str,
-                        k: int = 3) -> str:
-    """Oracle for brute-force :func:`knn_join`: same rounded cosine, same
-    (cos desc, neighbor asc) deterministic ordering."""
+                        k: int = 3, anti_col: str | None = None) -> str:
+    """Oracle for brute-force :func:`knn_join` / :func:`hard_negatives`:
+    same rounded cosine, same (cos desc, neighbor asc) deterministic
+    ordering; ``anti_col`` mirrors the filter-then-rank disqualification
+    of equal-valued pairs."""
     va, vb = f"a.{vec_col}::DOUBLE[]", f"b.{vec_col}::DOUBLE[]"
     dot = f"list_sum(list_transform(list_zip({va}, {vb}), p -> p[1] * p[2]))"
     na = f"sqrt(list_sum(list_transform({va}, x -> x * x)))"
     nb = f"sqrt(list_sum(list_transform({vb}, x -> x * x)))"
+    anti = (f" AND a.{anti_col} != b.{anti_col}"
+            if anti_col is not None else "")
     return f"""
 WITH p AS (
   SELECT a.{id_col} AS vec_id, b.{id_col} AS neighbor_id,
          round({dot} / ({na} * {nb}), 6) AS cos
-  FROM {table} a JOIN {table} b ON a.{id_col} != b.{id_col}
+  FROM {table} a JOIN {table} b ON a.{id_col} != b.{id_col}{anti}
 ), r AS (
   SELECT vec_id, neighbor_id, cos,
          row_number() OVER (PARTITION BY vec_id

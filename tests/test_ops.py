@@ -364,6 +364,58 @@ def test_cli_decontam(spark, docs, tmp_path):
     assert {"n_hit_ngrams", "contaminated"} <= set(flags.columns)
 
 
+def test_hard_negatives_filter_then_rank(spark):
+    """hard_negatives must (a) never return a same-label neighbor, and
+    (b) rank AFTER the label filter — equivalent to dropping same-label
+    rows from the per-anchor exact similarity ORDER, not from its top-k
+    (a same-label near-dup must not consume a rank)."""
+    from polaris_spark.ops.similarity import hard_negatives, knn_join
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").where("vec_id < 120")
+    labels = {r["vec_id"]: r["label"]
+              for r in emb.select("vec_id", "label").collect()}
+    got = hard_negatives(emb, k=3).collect()
+    assert got
+    for r in got:
+        assert labels[r["vec_id"]] != labels[r["neighbor_id"]]
+    # oracle: full exact order per anchor, filtered, then cut to 3
+    full = knn_join(emb, k=119).collect()
+    by_vec = {}
+    for r in sorted(full, key=lambda r: (r["vec_id"], r["rank"])):
+        if labels[r["vec_id"]] != labels[r["neighbor_id"]]:
+            by_vec.setdefault(r["vec_id"], []).append(
+                (r["neighbor_id"], r["cos"]))
+    want = {(v, nb, c, i + 1)
+            for v, lst in by_vec.items()
+            for i, (nb, c) in enumerate(lst[:3])}
+    assert {(r["vec_id"], r["neighbor_id"], r["cos"], r["rank"])
+            for r in got} == want
+    # rank-then-filter would differ somewhere on this corpus (non-vacuous)
+    naive = {(r["vec_id"], r["neighbor_id"], r["cos"])
+             for r in knn_join(emb, k=3).collect()
+             if labels[r["vec_id"]] != labels[r["neighbor_id"]]}
+    assert naive != {(v, nb, c) for v, nb, c, _ in want}
+
+
+def test_hard_negatives_bucketed_subset(spark):
+    """The SRP-candidates scale path mines only genuine negatives whose
+    cosines match the exact path (recall<1, never wrong)."""
+    from polaris_spark.ops.similarity import (hard_negatives,
+                                              srp_candidate_pairs)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").where("vec_id < 120")
+    labels = {r["vec_id"]: r["label"]
+              for r in emb.select("vec_id", "label").collect()}
+    exact = {(r["vec_id"], r["neighbor_id"]): r["cos"]
+             for r in hard_negatives(emb, k=119).collect()}
+    cand = srp_candidate_pairs(emb, n_bits=8, seed=3)
+    got = hard_negatives(emb, k=3, candidates=cand).collect()
+    assert got
+    for r in got:
+        assert labels[r["vec_id"]] != labels[r["neighbor_id"]]
+        assert exact[(r["vec_id"], r["neighbor_id"])] == r["cos"]
+
+
 def test_knn_srp_multitable_recall_dial(spark):
     """Multi-table SRP is the recall dial: recall@3 vs exact kNN rises
     with table count L (deterministic seeds — values pinned just under
