@@ -689,6 +689,27 @@ def _q_filtered_search(spark, sf_dir):
         F.round(F.col("score") * 10000).cast("long").alias("score_e4"))
 
 
+def _q_function_score(spark, sf_dir):
+    """Function-scored search (Lucene FunctionScoreQuery / ES
+    function_score field_value_factor): Q_OR's match set reshaped by
+    ln(1 + n_chars×0.01) — hash-pins the f64 modifier expression, the
+    multiply boost_mode, and the reshape-before-cut ordering. n_chars
+    is not a stored attr of the gate index, so the documents frame is
+    the attribute side (the docs= escape hatch)."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir))
+    res = eng.search_function_score(Q_OR, "n_chars", factor=0.01,
+                                    modifier="log1p", k=None,
+                                    docs=_docs(spark, sf_dir))
+    return res.select(
+        "doc_id",
+        F.round(F.col("score") * 10000).cast("long").alias("score_e4"),
+        F.round(F.col("fv") * 10000).cast("long").alias("fv_e4"))
+
+
 def _q_dismax_search(spark, sf_dir):
     """DisjunctionMaxQuery scoring (Solr/ES dismax): Q_OR over the fielded
     index, each token folded max + 0.3×rest across its text/source/lang
@@ -1330,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescore": _q_rescore,
         "filtered_search": _q_filtered_search,
         "boosting_search": _q_boosting_search,
+        "function_score": _q_function_score,
         "significant_terms": _q_significant_terms,
         "dismax_search": _q_dismax_search,
         "span_near": _q_span_near,
@@ -1379,6 +1401,7 @@ def oracle_sql() -> dict[str, str]:
         rescore_sql,
         filtered_sql,
         boosting_sql,
+        function_score_sql,
         significant_terms_sql,
         dismax_sql,
         span_near_sql,
@@ -1593,6 +1616,8 @@ FROM tf JOIN dft USING (term) WHERE tf.doc_id = {DOC_TERMS_ID}""",
         "filtered_search": filtered_sql(Q_OR, "lang:en lang:de",
                                         field_cols=FIELD_COLS),
         "boosting_search": boosting_sql(Q_OR, "scan", negative_boost=0.4),
+        "function_score": function_score_sql(
+            Q_OR, "n_chars", factor=0.01, modifier="log1p"),
         "significant_terms": significant_terms_sql(
             Q_OR, n=15, window=50, min_doc_count=2),
         "dismax_search": dismax_sql(

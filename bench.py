@@ -382,6 +382,8 @@ def run_suite(cpus: int, sf_dir: str, n_turns: int) -> dict:
     re_.search_multi_phrase(["spark", ["join", "merge"]], k=10)
     re_.search_boosting("spark join", "scan", negative_boost=0.4, k=10)
     re_.significant_terms("spark join", n=10, window=100).collect()
+    re_.search_function_score("spark join", "n_chars", factor=0.01,
+                              modifier="log1p", k=10, docs=docs).collect()
     times["query_api_mix"] = round(time.time() - t0, 3)
 
     spark.stop()

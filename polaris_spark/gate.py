@@ -1140,6 +1140,36 @@ LEFT JOIN ({nset}) nx ON m.doc_id = nx.doc_id"""
     return sql
 
 
+def function_score_sql(query: str, attr: str, factor: float = 1.0,
+                       modifier: str = "none", missing: float = 1.0,
+                       boost_mode: str = "multiply", k: int | None = None,
+                       table: str = "documents",
+                       field_cols: tuple = ()) -> str:
+    """Function-score mirror (engine ``search_function_score`` — Lucene
+    FunctionScoreQuery / ES function_score field_value_factor): the main
+    query's full BM25 match set reshaped by modifier(attr × factor),
+    NULL attr → ``missing``; log1p is written ``ln(1 + x)`` to match the
+    engine's op-for-op f64 expression."""
+    inner = bm25_scores_sql(query, table, None, field_cols, raw=True)
+    raw = f"(d.{attr}::DOUBLE * {float(factor)!r})"
+    if modifier == "log1p":
+        raw = f"ln(1.0 + {raw})"
+    elif modifier == "sqrt":
+        raw = f"sqrt({raw})"
+    fv = f"coalesce({raw}, {float(missing)!r})"
+    op = "*" if boost_mode == "multiply" else "+"
+    adj = f"(m.raw_score {op} {fv})"
+    sql = f"""
+SELECT m.doc_id,
+       CAST(round({adj} * 10000) AS BIGINT) AS score_e4,
+       CAST(round({fv} * 10000) AS BIGINT) AS fv_e4
+FROM ({inner}) m
+LEFT JOIN {table} d ON m.doc_id = d.doc_id"""
+    if k is not None:
+        sql += f"\nORDER BY {adj} DESC, m.doc_id ASC LIMIT {int(k)}"
+    return sql
+
+
 def significant_terms_sql(query: str, n: int = 10, window: int = 200,
                           min_doc_count: int = 2, table: str = "documents",
                           field_cols: tuple = ()) -> str:

@@ -4272,6 +4272,66 @@ class SearchEngine:
                                         negative_boost, k, mode, neg_mode,
                                         expand_fields).collect()]
 
+    def search_function_score(self, query: str, attr: str,
+                              factor: float = 1.0, modifier: str = "none",
+                              missing: float = 1.0,
+                              boost_mode: str = "multiply",
+                              k: int | None = 10, mode: str = "or",
+                              expand_fields: bool = False, docs=None):
+        """Function-scored search — Lucene's ``FunctionScoreQuery`` (a
+        DoubleValuesSource over a stored numeric field) / the ES
+        ``function_score`` query's ``field_value_factor``: the relevance
+        score is reshaped by a per-doc numeric attribute,
+
+            fv    = modifier(attr × factor)      (``missing`` when NULL)
+            score = bm25 × fv   (boost_mode="multiply")
+                  | bm25 + fv   (boost_mode="sum")
+
+        ``modifier`` ∈ {"none", "log1p", "sqrt"} — log1p is computed as
+        ``ln(1 + x)`` with the same IEEE f64 ops on both the engine and
+        the DuckDB oracle, so scores stay bit-comparable. Returns
+        (doc_id, score, fv, n_match) top-``k`` by (score desc, doc_id
+        asc). The canonical uses: length priors (attr=n_chars/dl),
+        recency boosts (attr=epoch ts), popularity weighting.
+
+        The attribute reads from doc_map when stored (`attr_cols`),
+        else from the ``docs`` escape hatch (a frame with doc_id +
+        attr). Exactness requires reshaping BEFORE the cut, so the main
+        query scores its full match set — same k=None shape as
+        :meth:`search_boosting_df`.
+
+        Spark shape: one pruned match-set evaluation, one doc_id
+        equi-join carrying only (doc_id, attr) — match-set-sized, never
+        corpus-sized, AQE-broadcast when selective — a codegen
+        projection for fv, one TakeOrderedAndProject."""
+        from pyspark.sql import functions as F
+
+        if boost_mode not in ("multiply", "sum"):
+            raise ValueError(f"unknown boost_mode {boost_mode!r}")
+        if modifier not in ("none", "log1p", "sqrt"):
+            raise ValueError(f"unknown modifier {modifier!r}")
+        dm = self._live(self.spark.read.parquet(self.doc_map_path))
+        src = dm if attr in dm.columns else docs
+        if src is None or attr not in src.columns:
+            raise ValueError(
+                f"attribute {attr!r} not stored in doc_map and no "
+                f"docs=<frame with doc_id + {attr!r}> given")
+        hits = self.match_df(query, mode=mode, expand_fields=expand_fields)
+        raw = F.col(attr).cast("double") * float(factor)
+        if modifier == "log1p":
+            raw = F.log(F.lit(1.0) + raw)   # exactly ln(1+x), like the oracle
+        elif modifier == "sqrt":
+            raw = F.sqrt(raw)
+        fv = F.coalesce(raw, F.lit(float(missing)))
+        joined = (hits.join(src.select("doc_id", attr), "doc_id", "left")
+                  .withColumn("fv", fv))
+        score = (F.col("score") * F.col("fv") if boost_mode == "multiply"
+                 else F.col("score") + F.col("fv"))
+        out = joined.select("doc_id", score.alias("score"), "fv", "n_match")
+        if k is not None:
+            out = out.orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k))
+        return out
+
     def significant_terms(self, query: str, n: int = 10, window: int = 200,
                           min_doc_count: int = 2, mode: str = "or",
                           expand_fields: bool = False, docs=None):

@@ -274,6 +274,18 @@ class _Handler(BaseHTTPRequestHandler):
             k=int(b.get("k", 10)), mode=b.get("mode", "or"),
             neg_mode=b.get("negMode", "or"))}
 
+    def _m_functionScore(self, b):
+        """FunctionScoreQuery / ES function_score field_value_factor:
+        score reshaped by modifier(attr × factor) from a STORED doc_map
+        attribute. Body: {query, attr, factor?, modifier?, missing?,
+        boostMode?, k?, mode?}."""
+        return {"hits": _rows(self.engine.search_function_score(
+            b["query"], b["attr"], factor=float(b.get("factor", 1.0)),
+            modifier=b.get("modifier", "none"),
+            missing=float(b.get("missing", 1.0)),
+            boost_mode=b.get("boostMode", "multiply"),
+            k=int(b.get("k", 10)), mode=b.get("mode", "or")))}
+
     def _m_significantTerms(self, b):
         """Significant-terms aggregation (ES significant_terms under a
         sampler): JLH-scored terms of the query's top-window hits vs the

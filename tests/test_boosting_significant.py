@@ -146,3 +146,74 @@ def test_significant_terms_tf_vs_reanalysis_identity(eng, spark):
 
 def test_significant_terms_no_hits_empty(eng):
     assert eng.significant_terms("zzqqxx_nosuchterm", n=5).count() == 0
+
+
+# ------------------------------------------------------ function score
+
+def test_function_score_multiply_vs_manual(eng, spark):
+    import math
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    nchars = {r["doc_id"]: r["n_chars"]
+              for r in docs.select("doc_id", "n_chars").collect()}
+    base = {r["doc_id"]: (r["score"], r["n_match"])
+            for r in eng.search(Q, k=None)}
+    rows = eng.search_function_score(Q, "n_chars", factor=0.01,
+                                     modifier="log1p", k=None,
+                                     docs=docs).collect()
+    assert {r["doc_id"] for r in rows} == set(base)
+    for r in rows:
+        # JVM Math.log is ≤1 ulp of libm's — compare within 2 ulp; the
+        # e4-rounded DuckDB gate covers cross-engine value identity
+        assert math.isclose(r["fv"],
+                            math.log(1.0 + nchars[r["doc_id"]] * 0.01),
+                            rel_tol=1e-15, abs_tol=0.0)
+        # the multiply itself is IEEE-exact against the engine's own fv
+        assert r["score"] == base[r["doc_id"]][0] * r["fv"]
+        assert r["n_match"] == base[r["doc_id"]][1]
+    # reshape happens BEFORE the cut: top-k order follows reshaped score
+    top = eng.search_function_score(Q, "n_chars", factor=0.01,
+                                    modifier="log1p", k=5,
+                                    docs=docs).collect()
+    want = sorted(rows, key=lambda r: (-r["score"], r["doc_id"]))[:5]
+    assert [(r["doc_id"], r["score"]) for r in top] == \
+        [(r["doc_id"], r["score"]) for r in want]
+
+
+def test_function_score_sum_sqrt_and_guards(eng, spark):
+    import math
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = {r["doc_id"]: r["score"] for r in eng.search(Q, k=None)}
+    nchars = {r["doc_id"]: r["n_chars"]
+              for r in docs.select("doc_id", "n_chars").collect()}
+    rows = eng.search_function_score(Q, "n_chars", factor=2.0,
+                                     modifier="sqrt", boost_mode="sum",
+                                     k=None, docs=docs).collect()
+    for r in rows:
+        assert r["score"] == base[r["doc_id"]] + math.sqrt(
+            nchars[r["doc_id"]] * 2.0)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        eng.search_function_score(Q, "n_chars", boost_mode="max", docs=docs)
+    with _pt.raises(ValueError):
+        eng.search_function_score(Q, "n_chars", modifier="log2p", docs=docs)
+    with _pt.raises(ValueError):
+        eng.search_function_score(Q, "nope", docs=docs)  # attr nowhere
+
+
+def test_function_score_stored_attr_parity(spark, tmp_path_factory):
+    """A numeric attr_col stored in doc_map must serve identically to the
+    docs= escape hatch."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = str(tmp_path_factory.mktemp("fsidx") / "idx")
+    build_index(spark, docs, idx, doc_id_col="doc_id",
+                cfg=IndexConfig(n_buckets=8, n_shards=4, n_chunks=2,
+                                attr_cols=("n_chars",)))
+    e2 = SearchEngine(spark, idx)
+    via_dm = e2.search_function_score(Q, "n_chars", factor=0.01,
+                                      modifier="log1p", k=10).collect()
+    via_docs = e2.search_function_score(Q, "n_chars", factor=0.01,
+                                        modifier="log1p", k=10,
+                                        docs=docs).collect()
+    assert via_dm == via_docs and via_dm

@@ -264,6 +264,17 @@ def test_boosting_and_significant_endpoints(spark, daemon):
            eng.significant_terms(q, n=8, window=20,
                                  min_doc_count=2).collect()]
     assert gst["terms"] == json.loads(json.dumps(wst)) and wst
+    # functionScore needs a STORED numeric attr on the serving path; the
+    # transcripts index stores only (role, tool) → guard, not a 500
+    req = urllib.request.Request(
+        f"{base}/api/functionScore",
+        data=json.dumps({"query": q, "attr": "n_chars"}).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
 
 
 def test_searchmany_endpoint_bit_identical(spark, daemon):

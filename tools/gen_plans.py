@@ -253,6 +253,16 @@ def main() -> None:
     ))
 
     SECTIONS.append((
+        "function score (match-set attr join + codegen fv projection)",
+        "The match set is the ordinary pruned evaluation; the doc_map "
+        "join carries only (doc_id, attr) — match-set-sized, AQE picks "
+        "the broadcast — the modifier expression is a codegen "
+        "projection, and the cut is one TakeOrderedAndProject.",
+        cap(eng.search_function_score("spark join", "n_chars", factor=0.01,
+                                      modifier="log1p", k=10, docs=docs)),
+    ))
+
+    SECTIONS.append((
         "significant terms (doc_id-IN-pushed tf/ scan + broadcast-semi dictionary fold)",
         "The foreground reads the tf/ checkpoint with the ≤window hit ids "
         "in PushedFilters (row-group pruned — never a corpus scan); the "
