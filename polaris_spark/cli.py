@@ -140,6 +140,31 @@ def main(argv: list[str] | None = None) -> int:
                    help="SynonymQuery blended scoring: per-token synonym "
                         "groups, e.g. 'spark=stream|pyspark;join=merge' "
                         "(tf-sum + max-df blend, not a boolean OR)")
+    q.add_argument("--negative", default=None,
+                   help="BoostingQuery demotion (ES boosting): hits also "
+                        "matching this query are re-scored x "
+                        "--negative-boost, never excluded")
+    q.add_argument("--negative-boost", type=float, default=0.5)
+    q.add_argument("--boost-attr", default=None,
+                   help="FunctionScoreQuery / ES field_value_factor: "
+                        "reshape scores by modifier(attr x factor) from "
+                        "this STORED numeric doc_map attribute")
+    q.add_argument("--boost-factor", type=float, default=1.0)
+    q.add_argument("--boost-modifier", default="none",
+                   choices=["none", "log1p", "sqrt"])
+    q.add_argument("--boost-mode", default="multiply",
+                   choices=["multiply", "sum"])
+    q.add_argument("--boost-missing", type=float, default=1.0)
+
+    st = sub.add_parser("sig-terms", help="significant-terms aggregation "
+                        "(ES significant_terms under a sampler): JLH-scored "
+                        "terms of the query's top-window hits vs the corpus")
+    st.add_argument("--index", required=True)
+    st.add_argument("--query", required=True)
+    st.add_argument("-n", type=int, default=10)
+    st.add_argument("--window", type=int, default=200)
+    st.add_argument("--min-doc-count", type=int, default=2)
+    st.add_argument("--mode", choices=["or", "and"], default="or")
 
     c = sub.add_parser("complete", help="prefix completion")
     c.add_argument("--index", required=True)
@@ -669,6 +694,21 @@ def main(argv: list[str] | None = None) -> int:
                 expand_fields=args.expand_fields).collect()]
             print(json.dumps(rows))
             return
+        if args.negative:
+            rows = eng.search_boosting(
+                args.query, args.negative,
+                negative_boost=args.negative_boost, k=args.k,
+                mode=args.mode, expand_fields=args.expand_fields)
+            print(json.dumps(rows))
+            return
+        if args.boost_attr:
+            rows = [r.asDict() for r in eng.search_function_score(
+                args.query, args.boost_attr, factor=args.boost_factor,
+                modifier=args.boost_modifier, missing=args.boost_missing,
+                boost_mode=args.boost_mode, k=args.k, mode=args.mode,
+                expand_fields=args.expand_fields).collect()]
+            print(json.dumps(rows))
+            return
         if args.synonyms:
             syn = {kv.split("=")[0]: kv.split("=")[1].split("|")
                    for kv in args.synonyms.split(";") if "=" in kv}
@@ -757,6 +797,15 @@ def main(argv: list[str] | None = None) -> int:
         spark = _session("polaris_spark_suggest")
         eng = SearchEngine(spark, args.index)
         print(json.dumps(eng.suggest(args.term, args.n, args.max_edits)))
+    elif args.cmd == "sig-terms":
+        from polaris_spark.query.engine import SearchEngine
+
+        spark = _session("polaris_spark_sigterms")
+        eng = SearchEngine(spark, args.index)
+        rows = [r.asDict() for r in eng.significant_terms(
+            args.query, n=args.n, window=args.window,
+            min_doc_count=args.min_doc_count, mode=args.mode).collect()]
+        print(json.dumps(rows))
     elif args.cmd == "facets":
         from polaris_spark.query.engine import SearchEngine
 

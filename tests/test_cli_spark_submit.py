@@ -60,6 +60,22 @@ def test_spark_submit_build_and_query(tmp_path):
     comp = json.loads(submit("complete", "--index", idx, "--prefix", "ka", "-n", "5"))
     assert len(comp) <= 5
 
+    # round-3 late query surfaces over spark-submit: boosting demotion +
+    # significant-terms aggregation (function-score needs a stored numeric
+    # attr — engine-tested in test_boosting_significant, driven manually)
+    neg = json.loads(submit("query", "--index", idx, "--query", "ka",
+                            "-k", "5", "--negative", "ka",
+                            "--negative-boost", "0.5"))
+    # negative == query -> every hit matched the negative: all demoted,
+    # scores exactly halved vs the plain run (same deterministic top-5)
+    assert [h["doc_id"] for h in neg] == [h["doc_id"] for h in hits]
+    assert all(h["demoted"] == 1 for h in neg)
+    assert [h["score"] for h in neg] == [h["score"] * 0.5 for h in hits]
+    sig = json.loads(submit("sig-terms", "--index", idx, "--query", "ka",
+                            "-n", "5", "--window", "20"))
+    assert isinstance(sig, list) and all(
+        {"term", "fg_df", "bg_df", "score"} <= set(r) for r in sig)
+
     # maintenance surface over spark-submit: append a second generation,
     # then compact — post-compact results must be bit-identical
     import pyarrow as pa
