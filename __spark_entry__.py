@@ -836,6 +836,24 @@ def _q_suggest(spark, sf_dir):
     return eng.suggest_df(SUGGEST_TERM, n=5, max_edits=2)
 
 
+def _q_suggest_phrase(spark, sf_dir):
+    """Whole-query spell correction (ES phrase-suggester shape): per-token
+    identity+fuzzy candidates, combinations ranked by the dictionary
+    unigram LM minus an edit penalty — hash-pins candidate generation
+    order, the cf lookup, the joint score fold, and the
+    original-sequence exclusion."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir))
+    res = eng.suggest_phrase(f"{SUGGEST_TERM} jion", n=5, per_term=5,
+                             max_edits=2)
+    return res.select(
+        "suggestion", "edits",
+        F.round(F.col("score") * 1000000).cast("long").alias("score_e6"))
+
+
 def _q_explain(spark, sf_dir):
     """Score explanation (IndexSearcher.explain analog): the per-term BM25
     breakdown — (term, df, tf, dl, e4-rounded contribution) — for the
@@ -1361,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assemble_docs": _q_assemble_docs,
         "search_count": _q_search_count,
         "suggest": _q_suggest,
+        "suggest_phrase": _q_suggest_phrase,
         "explain_score": _q_explain,
         "more_like_this": _q_mlt,
         "index_check": _q_index_check,
@@ -1416,6 +1435,7 @@ def oracle_sql() -> dict[str, str]:
         mlt_sql,
         phrase_sql,
         suggest_sql,
+        suggest_phrase_sql,
         tokenize_tf_sql,
     )
     import polaris_spark.ops.analytics as _an
@@ -1635,6 +1655,8 @@ FROM tf JOIN dft USING (term) WHERE tf.doc_id = {DOC_TERMS_ID}""",
             f"FROM ({bool_scores_sql(Q_BOOL)}) q"
         ),
         "suggest": suggest_sql(SUGGEST_TERM, 5, 2),
+        "suggest_phrase": suggest_phrase_sql(SUGGEST_TERM, "jion",
+                                             n=5, per_term=5, max_edits=2),
         "explain_score": explain_sql(Q_OR),
         "more_like_this": mlt_sql(max_terms=8, k=10),
         "index_check": index_check_sql(),

@@ -156,6 +156,19 @@ def main(argv: list[str] | None = None) -> int:
                    choices=["multiply", "sum"])
     q.add_argument("--boost-missing", type=float, default=1.0)
 
+    sp = sub.add_parser("suggest-phrase", help="whole-query spell "
+                        "correction (ES phrase-suggester shape): per-token "
+                        "fuzzy candidates ranked jointly by the dictionary "
+                        "unigram LM minus an edit penalty")
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--query", required=True)
+    sp.add_argument("-n", type=int, default=3)
+    sp.add_argument("--max-edits", type=int, default=2)
+    sp.add_argument("--per-term", type=int, default=5)
+    sp.add_argument("--edit-penalty", type=float, default=1.0)
+    sp.add_argument("--collate", action="store_true",
+                    help="keep only suggestions with >=1 conjunctive match")
+
     st = sub.add_parser("sig-terms", help="significant-terms aggregation "
                         "(ES significant_terms under a sampler): JLH-scored "
                         "terms of the query's top-window hits vs the corpus")
@@ -797,6 +810,16 @@ def main(argv: list[str] | None = None) -> int:
         spark = _session("polaris_spark_suggest")
         eng = SearchEngine(spark, args.index)
         print(json.dumps(eng.suggest(args.term, args.n, args.max_edits)))
+    elif args.cmd == "suggest-phrase":
+        from polaris_spark.query.engine import SearchEngine
+
+        spark = _session("polaris_spark_suggest_phrase")
+        eng = SearchEngine(spark, args.index)
+        rows = [r.asDict() for r in eng.suggest_phrase(
+            args.query, n=args.n, max_edits=args.max_edits,
+            per_term=args.per_term, edit_penalty=args.edit_penalty,
+            collate=args.collate).collect()]
+        print(json.dumps(rows))
     elif args.cmd == "sig-terms":
         from polaris_spark.query.engine import SearchEngine
 

@@ -1267,6 +1267,47 @@ def suggest_sql(term: str, n: int = 5, max_edits: int = 2,
     )
 
 
+def suggest_phrase_sql(t1: str, t2: str, n: int = 3, per_term: int = 5,
+                       max_edits: int = 2, edit_penalty: float = 1.0,
+                       table: str = "documents") -> str:
+    """Phrase-suggester mirror (engine ``suggest_phrase``, two-token
+    form): per token, identity + top-``per_term`` spell candidates
+    (dist asc, df desc, term asc — same order as :func:`suggest_sql`);
+    combinations scored Σ ln(1+cf) − edit_penalty × Σ edits with cf the
+    collection frequency; the original sequence excluded."""
+    def cand(t: str, alias: str) -> str:
+        lit = t.replace("'", "''")
+        return f"""{alias} AS (
+  SELECT '{lit}' AS term, 0::BIGINT AS dist
+  UNION ALL
+  SELECT term, dist FROM (
+    SELECT term, levenshtein(term, '{lit}')::BIGINT AS dist, df
+    FROM dic
+    WHERE term <> '{lit}'
+      AND levenshtein(term, '{lit}') <= {int(max_edits)}
+      AND term NOT LIKE '%:%'
+    ORDER BY dist ASC, df DESC, term ASC LIMIT {int(per_term)})
+)"""
+    lam = float(edit_penalty)
+    o1, o2 = t1.replace("'", "''"), t2.replace("'", "''")
+    score = (f"(ln(1.0 + coalesce(d1.cf, 0)) + ln(1.0 + coalesce(d2.cf, 0))"
+             f" - {lam!r} * (c1.dist + c2.dist))")
+    return base_cte(table) + f""",
+dic AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+        FROM tf GROUP BY term),
+{cand(t1, 'c1')},
+{cand(t2, 'c2')}
+SELECT c1.term || ' ' || c2.term AS suggestion,
+       (c1.dist + c2.dist)::BIGINT AS edits,
+       CAST(round({score} * 1000000) AS BIGINT) AS score_e6
+FROM c1 CROSS JOIN c2
+LEFT JOIN dic d1 ON d1.term = c1.term
+LEFT JOIN dic d2 ON d2.term = c2.term
+WHERE c1.term || ' ' || c2.term <> '{o1} {o2}'
+ORDER BY {score} DESC, suggestion ASC
+LIMIT {int(n)}"""
+
+
 def explain_sql(query: str, table: str = "documents") -> str:
     """Score-explanation mirror (engine ``explain``): the per-term BM25
     breakdown (term, df, tf, dl, e4-rounded contribution) for the TOP-1

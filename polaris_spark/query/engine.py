@@ -4451,6 +4451,88 @@ class SearchEngine:
         """Driver-path spell-suggest: [{term, dist, df}] (see suggest_df)."""
         return [r.asDict() for r in self.suggest_df(term, n, max_edits).collect()]
 
+    def suggest_phrase(self, query: str, n: int = 3, max_edits: int = 2,
+                       per_term: int = 5, edit_penalty: float = 1.0,
+                       max_combos: int = 256, collate: bool = False):
+        """Whole-query spell correction — the ES *phrase suggester* shape
+        (per-token candidate generation → joint ranking over candidate
+        COMBINATIONS → optional collation), over a plain bag-of-words
+        query. Per token, the candidate set is the token itself plus its
+        top-``per_term`` spell-suggestions (:meth:`suggest_df` order:
+        dist asc, df desc, term asc — the fuzzy-gram probe, never a
+        vocab scan). A combination scores
+
+            Σ_w  ln(1 + cf(w))  −  edit_penalty × Σ edits
+
+        with ``cf`` the dictionary's collection frequency — a unigram
+        LM with the constant denominator dropped (rank-equivalent).
+        Honest spec: ES scores with a shingle-field n-gram LM; the
+        dictionary is the unigram artifact this index already serves,
+        and bigram rescoring via ``ops/text.train_bigram_lm`` is the
+        documented upgrade path. The original token sequence is
+        excluded from the output. ``collate=True`` keeps only
+        suggestions with ≥1 conjunctive match (the ES collate prune),
+        checked in ranked order until ``n`` survive — note collation
+        re-analyzes the joined suggestion, so a composite (camelCase)
+        candidate also requires its sub-tokens, strictly stricter.
+        Returns (suggestion, edits, score) top-``n`` by (score desc,
+        suggestion asc).
+
+        Scale shape: T fuzzy-gram probes + ONE ``term IN``-pushed
+        dictionary probe for the ≤ T×(per_term+1) candidate cfs; the
+        combination space is driver-side and capped at ``max_combos``
+        (per-token lists are truncated deterministically, worst
+        candidates first, until the product fits) — serving-path cost,
+        independent of corpus size."""
+        import itertools
+        import math
+
+        from pyspark.sql import functions as F
+
+        # base tokens in USER order (query_terms sorts/dedupes — wrong
+        # for a phrase); composite tokens suggest on their base form
+        toks = _BASE_RE.findall(query or "")
+        if not toks:
+            return self.spark.createDataFrame(
+                [], "suggestion string, edits bigint, score double")
+        cands: list[list[tuple[str, int]]] = []
+        for t in toks:
+            rows = self.suggest_df(t, n=per_term,
+                                   max_edits=max_edits).collect()
+            cands.append([(t, 0)] + [(r["term"], int(r["dist"]))
+                                     for r in rows])
+        while math.prod(len(c) for c in cands) > int(max_combos):
+            longest = max(range(len(cands)), key=lambda i: len(cands[i]))
+            cands[longest].pop()
+        terms = sorted({t for c in cands for t, _ in c})
+        cf = {r["term"]: int(r["cf"]) for r in (
+            self.spark.read.parquet(self.dict_path)
+            .where(F.col("term").isin(terms))
+            .groupBy("term").agg(F.sum("cf").alias("cf"))
+            .collect())}
+        orig = " ".join(toks)
+        scored = []
+        for combo in itertools.product(*cands):
+            s = " ".join(t for t, _ in combo)
+            if s == orig:
+                continue
+            edits = sum(d for _, d in combo)
+            score = sum(math.log(1.0 + cf.get(t, 0)) for t, _ in combo) \
+                - float(edit_penalty) * edits
+            scored.append((s, edits, score))
+        scored.sort(key=lambda x: (-x[2], x[0]))
+        if collate:
+            kept = []
+            for s, e, sc in scored:
+                if len(kept) >= int(n):
+                    break
+                if self.search_count(s, mode="and") > 0:
+                    kept.append((s, e, sc))
+            scored = kept
+        return self.spark.createDataFrame(
+            scored[: int(n)],
+            "suggestion string, edits bigint, score double")
+
     # --------------------------------------------------------- completion
 
     def complete(self, prefix: str, n: int = 20):

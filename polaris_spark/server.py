@@ -274,6 +274,18 @@ class _Handler(BaseHTTPRequestHandler):
             k=int(b.get("k", 10)), mode=b.get("mode", "or"),
             neg_mode=b.get("negMode", "or"))}
 
+    def _m_suggestPhrase(self, b):
+        """ES phrase-suggester shape: whole-query spell correction over
+        per-token fuzzy candidates, ranked by the dictionary unigram LM
+        minus an edit penalty. Body: {query, n?, maxEdits?, perTerm?,
+        editPenalty?, collate?}."""
+        return {"suggestions": _rows(self.engine.suggest_phrase(
+            b["query"], n=int(b.get("n", 3)),
+            max_edits=int(b.get("maxEdits", 2)),
+            per_term=int(b.get("perTerm", 5)),
+            edit_penalty=float(b.get("editPenalty", 1.0)),
+            collate=bool(b.get("collate", False))))}
+
     def _m_functionScore(self, b):
         """FunctionScoreQuery / ES function_score field_value_factor:
         score reshaped by modifier(attr × factor) from a STORED doc_map

@@ -126,6 +126,79 @@ def test_suggest_oracle_parity(spark, idx, con):
         assert got == [tuple(w) for w in want], term
 
 
+def test_suggest_phrase_ranking_scores_exclusion(spark, idx):
+    """Whole-query correction: 'querry data' → 'query data' beats
+    'quarry data' (cf 3 > 2 at equal edits); identity excluded; scores
+    are exactly Σ ln(1+cf) − penalty×edits."""
+    import math
+
+    eng = SearchEngine(spark, idx)
+    rows = eng.suggest_phrase("querry data", n=10, per_term=5,
+                              max_edits=2).collect()
+    assert rows
+    sugs = [r["suggestion"] for r in rows]
+    assert "querry data" not in sugs            # identity excluded
+    assert sugs[0] == "query data"
+    assert sugs.index("query data") < sugs.index("quarry data")
+    cf = {"query": 3, "quarry": 2, "data": 3, "querry": 0}
+    for r in rows:
+        t1, t2 = r["suggestion"].split(" ")
+        want = (math.log(1 + cf.get(t1, 0)) + math.log(1 + cf.get(t2, 0))
+                - 1.0 * r["edits"])
+        assert math.isclose(r["score"], want, rel_tol=1e-12), r
+    # ranked by (score desc, suggestion asc)
+    keys = [(-r["score"], r["suggestion"]) for r in rows]
+    assert keys == sorted(keys)
+    # a heavier edit penalty shifts scores down by exactly Δλ×edits
+    rows5 = {r["suggestion"]: r["score"]
+             for r in eng.suggest_phrase("querry data", n=10, per_term=5,
+                                         max_edits=2,
+                                         edit_penalty=5.0).collect()}
+    for r in rows:
+        assert math.isclose(rows5[r["suggestion"]],
+                            r["score"] - 4.0 * r["edits"], rel_tol=1e-12)
+
+
+def test_suggest_phrase_collate_and_caps(spark, idx):
+    """collate=True keeps only suggestions with a conjunctive match:
+    'quarry stone' matches doc 4; 'query stone' matches nothing."""
+    eng = SearchEngine(spark, idx)
+    col = [r["suggestion"] for r in
+           eng.suggest_phrase("querry stone", n=5, per_term=5,
+                              collate=True).collect()]
+    assert "quarry stone" in col
+    assert all(eng.search_count(s, mode="and") > 0 for s in col)
+    assert "query stone" not in col
+    # max_combos truncation stays deterministic and within bounds
+    few = eng.suggest_phrase("querry data", n=10, per_term=5,
+                             max_combos=4).collect()
+    assert 0 < len(few) <= 10
+    allr = {r["suggestion"]: (r["edits"], r["score"])
+            for r in eng.suggest_phrase("querry data", n=100,
+                                        per_term=5).collect()}
+    for r in few:  # truncated output is a subset with identical scoring
+        assert allr[r["suggestion"]] == (r["edits"], r["score"])
+    # empty / no-token query → empty frame
+    assert eng.suggest_phrase("!!! ;;;").count() == 0
+
+
+def test_suggest_phrase_oracle_parity(spark, idx, con):
+    from pyspark.sql import functions as F
+
+    from polaris_spark.gate import suggest_phrase_sql
+
+    eng = SearchEngine(spark, idx)
+    got = [(r["suggestion"], r["edits"], r["score_e6"]) for r in
+           eng.suggest_phrase("querry data", n=6, per_term=4, max_edits=2)
+           .select("suggestion", "edits",
+                   F.round(F.col("score") * 1000000).cast("long")
+                   .alias("score_e6")).collect()]
+    want = con.execute(suggest_phrase_sql(
+        "querry", "data", n=6, per_term=4, max_edits=2,
+        table="fixture")).fetchall()
+    assert got == [tuple(w) for w in want] and got
+
+
 # ------------------------------------------------------------ shuffle_rows
 
 def test_shuffle_rows_contiguous_and_parity(spark):

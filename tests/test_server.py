@@ -264,6 +264,10 @@ def test_boosting_and_significant_endpoints(spark, daemon):
            eng.significant_terms(q, n=8, window=20,
                                  min_doc_count=2).collect()]
     assert gst["terms"] == json.loads(json.dumps(wst)) and wst
+    gsp = _post(base, "suggestPhrase", {"query": q, "n": 3, "perTerm": 3})
+    wsp = [r.asDict() for r in
+           eng.suggest_phrase(q, n=3, per_term=3).collect()]
+    assert gsp["suggestions"] == json.loads(json.dumps(wsp))
     # functionScore needs a STORED numeric attr on the serving path; the
     # transcripts index stores only (role, tool) → guard, not a 500
     req = urllib.request.Request(
