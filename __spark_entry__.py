@@ -710,6 +710,25 @@ def _q_function_score(spark, sf_dir):
         F.round(F.col("fv") * 10000).cast("long").alias("fv_e4"))
 
 
+def _q_decay_search(spark, sf_dir):
+    """Decay-function scoring (ES function_score gauss decay): scores
+    multiplied by a gaussian of n_chars' distance from 300 (scale 150,
+    decay 0.5) — hash-pins the folded exp constant, the offset clamp,
+    and reshape-before-cut."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir))
+    res = eng.search_decay(Q_OR, "n_chars", origin=300.0, scale=150.0,
+                           shape="gauss", decay=0.5, offset=20.0, k=None,
+                           docs=_docs(spark, sf_dir))
+    return res.select(
+        "doc_id",
+        F.round(F.col("score") * 10000).cast("long").alias("score_e4"),
+        F.round(F.col("fv") * 10000).cast("long").alias("fv_e4"))
+
+
 def _q_dismax_search(spark, sf_dir):
     """DisjunctionMaxQuery scoring (Solr/ES dismax): Q_OR over the fielded
     index, each token folded max + 0.3×rest across its text/source/lang
@@ -1370,6 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_search": _q_filtered_search,
         "boosting_search": _q_boosting_search,
         "function_score": _q_function_score,
+        "decay_search": _q_decay_search,
         "significant_terms": _q_significant_terms,
         "dismax_search": _q_dismax_search,
         "span_near": _q_span_near,
@@ -1421,6 +1441,7 @@ def oracle_sql() -> dict[str, str]:
         filtered_sql,
         boosting_sql,
         function_score_sql,
+        decay_sql,
         significant_terms_sql,
         dismax_sql,
         span_near_sql,
@@ -1638,6 +1659,9 @@ FROM tf JOIN dft USING (term) WHERE tf.doc_id = {DOC_TERMS_ID}""",
         "boosting_search": boosting_sql(Q_OR, "scan", negative_boost=0.4),
         "function_score": function_score_sql(
             Q_OR, "n_chars", factor=0.01, modifier="log1p"),
+        "decay_search": decay_sql(Q_OR, "n_chars", origin=300.0,
+                                  scale=150.0, shape="gauss", decay=0.5,
+                                  offset=20.0),
         "significant_terms": significant_terms_sql(
             Q_OR, n=15, window=50, min_doc_count=2),
         "dismax_search": dismax_sql(

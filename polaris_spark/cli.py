@@ -155,6 +155,16 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--boost-mode", default="multiply",
                    choices=["multiply", "sum"])
     q.add_argument("--boost-missing", type=float, default=1.0)
+    q.add_argument("--decay-attr", default=None,
+                   help="ES function_score decay over this STORED numeric "
+                        "attr: multiplier 1 at --decay-origin, "
+                        "--decay-rate at distance --decay-scale")
+    q.add_argument("--decay-origin", type=float, default=0.0)
+    q.add_argument("--decay-scale", type=float, default=1.0)
+    q.add_argument("--decay-shape", default="gauss",
+                   choices=["gauss", "exp", "linear"])
+    q.add_argument("--decay-rate", type=float, default=0.5)
+    q.add_argument("--decay-offset", type=float, default=0.0)
 
     sp = sub.add_parser("suggest-phrase", help="whole-query spell "
                         "correction (ES phrase-suggester shape): per-token "
@@ -712,6 +722,15 @@ def main(argv: list[str] | None = None) -> int:
                 args.query, args.negative,
                 negative_boost=args.negative_boost, k=args.k,
                 mode=args.mode, expand_fields=args.expand_fields)
+            print(json.dumps(rows))
+            return
+        if args.decay_attr:
+            rows = [r.asDict() for r in eng.search_decay(
+                args.query, args.decay_attr, origin=args.decay_origin,
+                scale=args.decay_scale, shape=args.decay_shape,
+                decay=args.decay_rate, offset=args.decay_offset,
+                missing=args.boost_missing, k=args.k, mode=args.mode,
+                expand_fields=args.expand_fields).collect()]
             print(json.dumps(rows))
             return
         if args.boost_attr:

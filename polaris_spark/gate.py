@@ -1170,6 +1170,44 @@ LEFT JOIN {table} d ON m.doc_id = d.doc_id"""
     return sql
 
 
+def decay_sql(query: str, attr: str, origin: float, scale: float,
+              shape: str = "gauss", decay: float = 0.5,
+              offset: float = 0.0, missing: float = 1.0,
+              k: int | None = None, table: str = "documents",
+              field_cols: tuple = ()) -> str:
+    """Decay-scoring mirror (engine ``search_decay`` — ES function_score
+    gauss/exp/linear decay): multiplier from the attr's distance to
+    ``origin``. The shape constants (ln(decay)/scale² etc.) are computed
+    in PYTHON and embedded as literals, exactly like the engine does, so
+    both sides evaluate the same f64 expression tree."""
+    import math
+
+    inner = bm25_scores_sql(query, table, None, field_cols, raw=True)
+    d = (f"greatest(0.0, abs(d.{attr}::DOUBLE - {float(origin)!r}) "
+         f"- {float(offset)!r})")
+    ln_d, s = math.log(float(decay)), float(scale)
+    if shape == "gauss":
+        fn = f"exp({d} * {d} * {ln_d / (s * s)!r})"
+    elif shape == "exp":
+        fn = f"exp({d} * {ln_d / s!r})"
+    else:
+        fn = f"greatest(0.0, 1.0 - {d} * {(1.0 - float(decay)) / s!r})"
+    # CASE, not coalesce — greatest() ignores NULLs on both engines, so
+    # a NULL attr must be caught before it reads as d=0
+    fv = (f"(CASE WHEN d.{attr} IS NULL THEN {float(missing)!r} "
+          f"ELSE {fn} END)")
+    adj = f"(m.raw_score * {fv})"
+    sql = f"""
+SELECT m.doc_id,
+       CAST(round({adj} * 10000) AS BIGINT) AS score_e4,
+       CAST(round({fv} * 10000) AS BIGINT) AS fv_e4
+FROM ({inner}) m
+LEFT JOIN {table} d ON m.doc_id = d.doc_id"""
+    if k is not None:
+        sql += f"\nORDER BY {adj} DESC, m.doc_id ASC LIMIT {int(k)}"
+    return sql
+
+
 def significant_terms_sql(query: str, n: int = 10, window: int = 200,
                           min_doc_count: int = 2, table: str = "documents",
                           field_cols: tuple = ()) -> str:

@@ -4332,6 +4332,76 @@ class SearchEngine:
             out = out.orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k))
         return out
 
+    def search_decay(self, query: str, attr: str, origin: float,
+                     scale: float, shape: str = "gauss",
+                     decay: float = 0.5, offset: float = 0.0,
+                     missing: float = 1.0, k: int | None = 10,
+                     mode: str = "or", expand_fields: bool = False,
+                     docs=None):
+        """Decay-function scoring — the ES ``function_score`` decay
+        family (gauss/exp/linear) over a stored numeric attribute: the
+        relevance score is multiplied by a function of the attribute's
+        distance from ``origin`` that equals 1 inside ``offset`` and
+        ``decay`` at distance ``scale`` (the ES contract), the canonical
+        recency/geo-proximity boost. With d = max(0, |attr − origin| −
+        offset):
+
+            gauss:  exp(d² · ln(decay) / scale²)
+            exp:    exp(d · ln(decay) / scale)
+            linear: max(0, 1 − d·(1 − decay)/scale)
+
+        (the gauss form is ES's exp(−d²/2σ²) with σ² = −scale²/(2·ln
+        decay), algebraically folded so the engine and the DuckDB
+        oracle share one f64 expression). NULL attr → ``missing`` as
+        the multiplier. Returns (doc_id, score, fv, n_match) top-``k``
+        by (score desc, doc_id asc); reshaping precedes the cut (full
+        match set), and the physical shape is exactly
+        :meth:`search_function_score`'s — one match-set-sized doc_id
+        join + a codegen projection + one TakeOrderedAndProject."""
+        import math
+
+        from pyspark.sql import functions as F
+
+        if shape not in ("gauss", "exp", "linear"):
+            raise ValueError(f"unknown decay shape {shape!r}")
+        if not (0.0 < float(decay) < 1.0):
+            raise ValueError("decay must be in (0, 1)")
+        if float(scale) <= 0:
+            raise ValueError("scale must be positive")
+        dm = self._live(self.spark.read.parquet(self.doc_map_path))
+        src = dm if attr in dm.columns else docs
+        if src is None or attr not in src.columns:
+            raise ValueError(
+                f"attribute {attr!r} not stored in doc_map and no "
+                f"docs=<frame with doc_id + {attr!r}> given")
+        hits = self.match_df(query, mode=mode, expand_fields=expand_fields)
+        d = F.greatest(
+            F.lit(0.0),
+            F.abs(F.col(attr).cast("double") - float(origin))
+            - float(offset))
+        ln_d = math.log(float(decay))
+        s = float(scale)
+        if shape == "gauss":
+            fn = F.exp(d * d * F.lit(ln_d / (s * s)))
+        elif shape == "exp":
+            fn = F.exp(d * F.lit(ln_d / s))
+        else:
+            fn = F.greatest(F.lit(0.0),
+                            F.lit(1.0) - d * F.lit((1.0 - float(decay)) / s))
+        # explicit CASE, not coalesce: greatest() IGNORES nulls, so a
+        # NULL attr would otherwise read as d=0 (multiplier 1), not
+        # `missing`
+        fv = (F.when(F.col(attr).isNull(), F.lit(float(missing)))
+              .otherwise(fn))
+        out = (hits.join(src.select("doc_id", attr), "doc_id", "left")
+               .withColumn("fv", fv)
+               .select("doc_id",
+                       (F.col("score") * F.col("fv")).alias("score"),
+                       "fv", "n_match"))
+        if k is not None:
+            out = out.orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k))
+        return out
+
     def significant_terms(self, query: str, n: int = 10, window: int = 200,
                           min_doc_count: int = 2, mode: str = "or",
                           expand_fields: bool = False, docs=None):

@@ -298,6 +298,18 @@ class _Handler(BaseHTTPRequestHandler):
             boost_mode=b.get("boostMode", "multiply"),
             k=int(b.get("k", 10)), mode=b.get("mode", "or")))}
 
+    def _m_decay(self, b):
+        """ES function_score decay (gauss/exp/linear) over a STORED
+        numeric doc_map attribute. Body: {query, attr, origin, scale,
+        shape?, decay?, offset?, missing?, k?, mode?}."""
+        return {"hits": _rows(self.engine.search_decay(
+            b["query"], b["attr"], origin=float(b["origin"]),
+            scale=float(b["scale"]), shape=b.get("shape", "gauss"),
+            decay=float(b.get("decay", 0.5)),
+            offset=float(b.get("offset", 0.0)),
+            missing=float(b.get("missing", 1.0)),
+            k=int(b.get("k", 10)), mode=b.get("mode", "or")))}
+
     def _m_significantTerms(self, b):
         """Significant-terms aggregation (ES significant_terms under a
         sampler): JLH-scored terms of the query's top-window hits vs the

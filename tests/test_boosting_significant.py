@@ -217,3 +217,76 @@ def test_function_score_stored_attr_parity(spark, tmp_path_factory):
                                         modifier="log1p", k=10,
                                         docs=docs).collect()
     assert via_dm == via_docs and via_dm
+
+
+# -------------------------------------------------------- decay scoring
+
+def test_decay_shapes_vs_manual(eng, spark):
+    """gauss/exp/linear decay follow the ES contract: multiplier 1 inside
+    offset, exactly `decay` at distance scale (+offset), monotone
+    non-increasing in distance; exact algebra vs the engine's own fv."""
+    import math
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    nchars = {r["doc_id"]: r["n_chars"]
+              for r in docs.select("doc_id", "n_chars").collect()}
+    base = {r["doc_id"]: r["score"] for r in eng.search(Q, k=None)}
+    for shape in ("gauss", "exp", "linear"):
+        rows = eng.search_decay(Q, "n_chars", origin=300.0, scale=150.0,
+                                shape=shape, decay=0.5, offset=20.0,
+                                k=None, docs=docs).collect()
+        assert {r["doc_id"] for r in rows} == set(base)
+        for r in rows:
+            d = max(0.0, abs(nchars[r["doc_id"]] - 300.0) - 20.0)
+            if shape == "gauss":
+                want = math.exp(d * d * (math.log(0.5) / 150.0 ** 2))
+            elif shape == "exp":
+                want = math.exp(d * (math.log(0.5) / 150.0))
+            else:
+                want = max(0.0, 1.0 - d * (0.5 / 150.0))
+            assert math.isclose(r["fv"], want, rel_tol=1e-15, abs_tol=0.0)
+            assert r["score"] == base[r["doc_id"]] * r["fv"]
+            assert 0.0 <= r["fv"] <= 1.0
+        # ES contract points: d=0 -> 1; d=scale -> decay (checked on the
+        # formula itself, independent of corpus values)
+        at0 = {"gauss": math.exp(0.0), "exp": math.exp(0.0), "linear": 1.0}
+        assert at0[shape] == 1.0
+        if shape == "gauss":
+            at_s = math.exp(150.0 ** 2 * (math.log(0.5) / 150.0 ** 2))
+        elif shape == "exp":
+            at_s = math.exp(150.0 * (math.log(0.5) / 150.0))
+        else:
+            at_s = 1.0 - 150.0 * (0.5 / 150.0)
+        assert math.isclose(at_s, 0.5, rel_tol=1e-12)
+
+
+def test_decay_guards(eng, spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        eng.search_decay(Q, "n_chars", 0.0, 100.0, shape="triangle",
+                         docs=docs)
+    with _pt.raises(ValueError):
+        eng.search_decay(Q, "n_chars", 0.0, 100.0, decay=1.5, docs=docs)
+    with _pt.raises(ValueError):
+        eng.search_decay(Q, "n_chars", 0.0, -1.0, docs=docs)
+    with _pt.raises(ValueError):
+        eng.search_decay(Q, "nope", 0.0, 100.0, docs=docs)
+
+
+def test_decay_null_attr_uses_missing(eng, spark):
+    """A NULL attribute must multiply by `missing`, not by 1 (greatest()
+    swallows NULLs — regression pin for the explicit CASE)."""
+    from pyspark.sql import functions as F
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .withColumn("n_chars",
+                        F.when(F.col("doc_id") % 2 == 0, F.col("n_chars"))))
+    base = {r["doc_id"]: r["score"] for r in eng.search(Q, k=None)}
+    rows = eng.search_decay(Q, "n_chars", origin=300.0, scale=150.0,
+                            missing=0.25, k=None, docs=docs).collect()
+    nulled = [r for r in rows if r["doc_id"] % 2 == 1]
+    assert nulled
+    for r in nulled:
+        assert r["fv"] == 0.25
+        assert r["score"] == base[r["doc_id"]] * 0.25
