@@ -640,6 +640,27 @@ def _q_synonym_search(spark, sf_dir):
         "n_match")
 
 
+def _q_intervals(spark, sf_dir):
+    """IntervalQuery (Lucene queries.intervals, minimal-interval
+    semantics): ordered(spark, or(join, merge)) with max_gaps=2 on the
+    positions index — hash-pins the greedy minimal-interval chain, the
+    per-end max-start minimalization, the gaps filter, and the
+    idf-sum × impact scoring."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir, pos=True))
+    spec = {"ordered": [{"term": "spark"},
+                        {"or": [{"term": "join"}, {"term": "merge"}]}],
+            "max_gaps": 2}
+    res = eng.search_intervals_df(spec, k=None)
+    return res.select(
+        "doc_id",
+        F.round(F.col("score") * 10000).cast("long").alias("score_e4"),
+        "ivl_freq")
+
+
 def _q_span_near(spark, sf_dir):
     """Unordered SpanNearQuery (Lucene spans analog): spark/merge/join
     within a slop-6 window on the positions index — hash-pins the
@@ -1392,6 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decay_search": _q_decay_search,
         "significant_terms": _q_significant_terms,
         "dismax_search": _q_dismax_search,
+        "intervals_search": _q_intervals,
         "span_near": _q_span_near,
         "span_near_ordered": _q_span_near_ordered,
         "synonym_search": _q_synonym_search,
@@ -1445,6 +1467,7 @@ def oracle_sql() -> dict[str, str]:
         significant_terms_sql,
         dismax_sql,
         span_near_sql,
+        intervals_sql,
         synonym_sql,
         multi_phrase_sql,
         complete_sql,
@@ -1667,6 +1690,8 @@ FROM tf JOIN dft USING (term) WHERE tf.doc_id = {DOC_TERMS_ID}""",
         "dismax_search": dismax_sql(
             Q_OR, tie=0.3, field_boosts={"text": 1.0, "source": 0.5},
             field_cols=FIELD_COLS),
+        "intervals_search": intervals_sql("spark", ["join", "merge"],
+                                          max_gaps=2),
         "span_near": span_near_sql(["spark", "merge", "join"], slop=6,
                                    in_order=False),
         "span_near_ordered": span_near_sql(["spark", "join"], slop=4,

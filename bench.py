@@ -384,6 +384,11 @@ def run_suite(cpus: int, sf_dir: str, n_turns: int) -> dict:
     re_.significant_terms("spark join", n=10, window=100).collect()
     re_.search_function_score("spark join", "n_chars", factor=0.01,
                               modifier="log1p", k=10, docs=docs).collect()
+    re_.search_intervals({"ordered": [{"term": "spark"},
+                                      {"or": [{"term": "join"},
+                                              {"term": "merge"}]}],
+                          "max_gaps": 2}, k=10)
+    re_.suggest_phrase("sparkk joun", n=3).collect()
     times["query_api_mix"] = round(time.time() - t0, 3)
 
     spark.stop()

@@ -221,6 +221,19 @@ def main(argv: list[str] | None = None) -> int:
     mp.add_argument("-k", type=int, default=10)
     mp.add_argument("--distributed", action="store_true")
 
+    iv = sub.add_parser(
+        "intervals",
+        help="IntervalQuery (Lucene queries.intervals analog): nested "
+             "ordered/unordered/or spec with max_gaps, minimal-interval "
+             "semantics (needs a positions=True index)")
+    iv.add_argument("--index", required=True)
+    iv.add_argument("--spec", required=True,
+                    help='JSON Intervals-factory form, e.g. \'{"ordered": '
+                         '[{"term": "spark"}, {"or": [{"term": "join"}, '
+                         '{"term": "merge"}]}], "max_gaps": 2}\'')
+    iv.add_argument("-k", type=int, default=10)
+    iv.add_argument("--distributed", action="store_true")
+
     sn = sub.add_parser(
         "span-near",
         help="SpanNearQuery: terms within a position window, optionally "
@@ -802,6 +815,18 @@ def main(argv: list[str] | None = None) -> int:
                 slots, k=args.k, slop=args.slop).collect()]
         else:
             rows = eng.search_multi_phrase(slots, k=args.k, slop=args.slop)
+        print(json.dumps(rows))
+    elif args.cmd == "intervals":
+        from polaris_spark.query.engine import SearchEngine
+
+        spark = _session("polaris_spark_intervals")
+        eng = SearchEngine(spark, args.index)
+        spec = json.loads(args.spec)
+        if args.distributed:
+            rows = [r.asDict() for r in
+                    eng.search_intervals_df(spec, k=args.k).collect()]
+        else:
+            rows = eng.search_intervals(spec, k=args.k)
         print(json.dumps(rows))
     elif args.cmd == "span-near":
         from polaris_spark.query.engine import SearchEngine

@@ -1039,6 +1039,55 @@ FROM pf JOIN dl USING (doc_id) CROSS JOIN stats s
 WHERE pf.pf > 0"""
 
 
+def intervals_sql(first: str, alts: list[str], max_gaps: int = -1,
+                  table: str = "documents") -> str:
+    """IntervalQuery mirror for the gate's spec shape
+    ``ordered([{term: first}, {or: alts}], max_gaps)`` (engine
+    ``search_intervals`` — Lucene queries.intervals minimal-interval
+    semantics): per ``first`` position p, the chain interval is
+    (p, min{alt slot > p}); the minimal set keeps, per distinct end q,
+    the largest start p (strictly nested intervals drop); ``max_gaps``
+    filters the minimal stream on q − p − 1; ivl_freq counts minimal
+    intervals, score = Σ idf(distinct terms, 0 when absent) × BM25
+    impact of ivl_freq."""
+    f_lit = first.replace("'", "''")
+    alist = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(alts))
+    terms = sorted({first, *alts})
+    idf_sum = " + ".join(
+        "coalesce((SELECT ln(1.0 + (s.N - df + 0.5) / (df + 0.5)) FROM dft "
+        "WHERE term = '" + t.replace("'", "''") + "'), 0.0)"
+        for t in terms)
+    impact = (f"(pf.pf * {K1P1_SQL} / (pf.pf + {K1_SQL} * "
+              f"(1.0 - {B_SQL} + {B_SQL} * dl.dl / (s.sumdl / s.N))))")
+    gap_cond = (f"\n  WHERE q - p - 1 <= {int(max_gaps)}"
+                if int(max_gaps) >= 0 else "")
+    return base_cte(table) + f""",
+qt AS (SELECT unnest({_sql_list(terms)}) AS term),
+dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf
+  WHERE term IN (SELECT term FROM qt) GROUP BY term
+),
+{_slot_ctes(table)},
+iv AS (
+  SELECT a0.doc_id, a0.slot AS p, l1.m AS q
+  FROM (SELECT doc_id, slot FROM sl WHERE tok = '{f_lit}') a0,
+  LATERAL (SELECT min(s1.slot) AS m FROM sl s1
+           WHERE s1.doc_id = a0.doc_id AND s1.tok IN ({alist})
+           AND s1.slot > a0.slot) l1
+  WHERE l1.m IS NOT NULL
+),
+miv AS (SELECT doc_id, max(p) AS p, q FROM iv GROUP BY doc_id, q),
+pf AS (
+  SELECT doc_id, count(*)::BIGINT AS pf FROM miv{gap_cond}
+  GROUP BY doc_id
+)
+SELECT pf.doc_id,
+       CAST(round(({idf_sum}) * {impact} * 10000) AS BIGINT) AS score_e4,
+       pf.pf::INT AS ivl_freq
+FROM pf JOIN dl USING (doc_id) CROSS JOIN stats s
+WHERE pf.pf > 0"""
+
+
 def filtered_sql(query: str, filter_query: str, k: int | None = None,
                  table: str = "documents", field_cols: tuple = ()) -> str:
     """FILTER-context mirror (engine ``search_df(filter_query=...)`` —

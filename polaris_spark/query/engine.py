@@ -31,6 +31,7 @@ Both run the SAME kernel function, so results are identical by construction.
 
 from __future__ import annotations
 
+import bisect
 import json
 import math
 import os
@@ -134,6 +135,7 @@ def _fuzzy_suffix(body: str):
     return None
 PHRASE_RESULT_SCHEMA = "doc_id bigint, score double, phrase_freq int"
 SPAN_RESULT_SCHEMA = "doc_id bigint, score double, span_freq int"
+INTERVAL_RESULT_SCHEMA = "doc_id bigint, score double, ivl_freq int"
 
 
 def phrase_shard(
@@ -543,6 +545,217 @@ def span_near_shard(
         docs_a, scores, sf = docs_a[o], scores[o], sf[o]
     return pd.DataFrame({"doc_id": docs_a, "score": scores,
                          "span_freq": sf.astype(np.int32)})
+
+
+def interval_terms(spec) -> list[str]:
+    """Validate an intervals spec and return its distinct terms (sorted).
+
+    Spec grammar (the Lucene ``Intervals`` factory surface as JSON):
+      {"term": t}
+      {"ordered":   [spec, ...], "max_gaps": G?}
+      {"unordered": [spec, ...], "max_gaps": G?}
+      {"or":        [spec, ...]}
+    ``max_gaps`` omitted or -1 = unlimited (the Lucene default)."""
+    if not isinstance(spec, dict):
+        raise ValueError(f"interval spec must be a dict, got {type(spec)}")
+    keys = {"term", "ordered", "unordered", "or"} & set(spec)
+    if len(keys) != 1:
+        raise ValueError(
+            f"interval spec needs exactly one of term/ordered/unordered/or,"
+            f" got {sorted(spec)}")
+    kind = keys.pop()
+    if kind == "term":
+        if not isinstance(spec["term"], str) or not spec["term"]:
+            raise ValueError("interval term must be a non-empty string")
+        return [spec["term"]]
+    kids = spec[kind]
+    if not isinstance(kids, list) or len(kids) < (1 if kind == "or" else 2):
+        raise ValueError(
+            f"interval {kind!r} needs a list of ≥"
+            f"{1 if kind == 'or' else 2} sub-sources")
+    mg = spec.get("max_gaps", -1)
+    if kind != "or" and not isinstance(mg, int):
+        raise ValueError("max_gaps must be an int (-1 = unlimited)")
+    out: set[str] = set()
+    for c in kids:
+        out.update(interval_terms(c))
+    return sorted(out)
+
+
+def _ivl_minimalize(chains: list[tuple]) -> list[tuple]:
+    """(start, end, gaps) chains → the minimal-interval set, sorted by
+    start: drop any interval that properly contains another; duplicates
+    keep the smallest gaps."""
+    if not chains:
+        return []
+    per_start: dict[int, tuple] = {}
+    for s, e, g in chains:
+        cur = per_start.get(s)
+        if cur is None or (e, g) < cur:
+            per_start[s] = (e, g)
+    items = sorted((s, e, g) for s, (e, g) in per_start.items())
+    out: list[tuple] = []
+    best = None
+    for s, e, g in reversed(items):
+        if best is None or e < best:
+            out.append((s, e, g))
+            best = e
+    out.reverse()
+    return out
+
+
+def _ivl_eval(spec, pos_of: dict) -> list[tuple]:
+    """Minimal intervals of ``spec`` over one document's term positions —
+    list of (start, end, gaps), start-ascending, no interval containing
+    another (Clarke–Cormack minimal-interval semantics, the contract of
+    Lucene's IntervalsSource). ``gaps`` is the positions inside the
+    interval not covered by the chosen sub-intervals; ``max_gaps``
+    filters AFTER minimalization (the Lucene ``maxgaps`` wrapper
+    filters the minimal-interval stream)."""
+    if "term" in spec:
+        return [(int(p), int(p), 0) for p in pos_of.get(spec["term"], ())]
+    if "or" in spec:
+        acc: list[tuple] = []
+        for c in spec["or"]:
+            acc.extend(_ivl_eval(c, pos_of))
+        return _ivl_minimalize(acc)
+    kind = "ordered" if "ordered" in spec else "unordered"
+    kids = [_ivl_eval(c, pos_of) for c in spec[kind]]
+    if any(not kv for kv in kids):
+        return []
+    mg = int(spec.get("max_gaps", -1))
+    chains: list[tuple] = []
+    if kind == "ordered":
+        starts = [[iv[0] for iv in kv] for kv in kids]
+        for s0, e0, _ in kids[0]:
+            prev_end, gaps, ok = e0, 0, True
+            for kv, st in zip(kids[1:], starts[1:]):
+                j = bisect.bisect_right(st, prev_end)
+                if j == len(kv):
+                    ok = False
+                    break
+                s, e, _ = kv[j]
+                gaps += s - prev_end - 1
+                prev_end = e
+            if ok:
+                chains.append((s0, prev_end, gaps))
+    else:
+        starts = [[iv[0] for iv in kv] for kv in kids]
+        anchors = sorted({iv[0] for kv in kids for iv in kv})
+        for p in anchors:
+            end, width_sum, ok = p, 0, True
+            for kv, st in zip(kids, starts):
+                j = bisect.bisect_left(st, p)
+                if j == len(kv):
+                    ok = False
+                    break
+                s, e, _ = kv[j]
+                end = max(end, e)
+                width_sum += e - s + 1
+            if ok:
+                chains.append((p, end, max(0, (end - p + 1) - width_sum)))
+    out = _ivl_minimalize(chains)
+    if mg >= 0:
+        out = [c for c in out if c[2] <= mg]
+    return out
+
+
+def intervals_shard(
+    pdf: pd.DataFrame,
+    spec,
+    idf: dict[str, float],
+    avgdl: float,
+    k1: float,
+    b: float,
+    k: int | None,
+    n_shards: int | None = None,
+    shard: int | None = None,
+    excluded: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """IntervalQuery matching + scoring over candidate posting rows — the
+    Lucene intervals family (org.apache.lucene.queries.intervals:
+    ``Intervals.ordered/unordered/or/maxgaps`` composed arbitrarily,
+    evaluated under minimal-interval semantics; post-4.3 Lucene, the
+    modern replacement for spans — included for query-API completeness).
+
+    Deterministic spec (deviations documented like span_near's):
+    ``ivl_freq`` = number of minimal intervals of the root per doc
+    (Lucene instead sums 1/(1+gaps) sloppy weights); score =
+    (Σ idf over the spec's DISTINCT corpus terms) × impact(ivl_freq, dl)
+    — the engine's pseudo-term shape. Sub-sources may overlap (camel
+    sub-tokens share their parent slot; Lucene's UNORDERED also allows
+    overlaps). A term absent from the corpus contributes no positions
+    and no idf; ordered/unordered require every child to yield ≥1
+    interval per doc, ``or`` any."""
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "score": pd.Series(dtype="float64"),
+                          "ivl_freq": pd.Series(dtype="int32")})
+    if pdf.empty:
+        return empty
+    terms = interval_terms(spec)
+    per_term: dict[str, list] = {}
+    for row in pdf.itertuples(index=False):
+        if getattr(row, "pos", None) is None:
+            raise ValueError(
+                "intervals require an index built with positions=True")
+        docs = decode_ints(row.doc_ids, delta=True)
+        tfs = decode_ints(row.tfs)
+        dls = decode_ints(row.dls)
+        poss = decode_positions(bytes(row.pos), tfs)
+        if shard is not None and n_shards is not None:
+            keep = (docs % n_shards) == shard
+            if not keep.all():
+                poss = [p for p, kf in zip(poss, keep) if kf]
+                docs, dls = docs[keep], dls[keep]
+        if len(docs):
+            per_term.setdefault(row.term, []).append((docs, dls, poss))
+    merged: dict[str, tuple] = {}
+    for t, parts in per_term.items():
+        if len(parts) == 1:
+            docs, dls, poss = parts[0]
+        else:
+            docs = np.concatenate([p[0] for p in parts])
+            dls = np.concatenate([p[1] for p in parts])
+            poss = [x for p in parts for x in p[2]]
+            o = np.argsort(docs, kind="stable")
+            docs, dls = docs[o], dls[o]
+            poss = [poss[i] for i in o]
+        merged[t] = (docs, dls, poss)
+    present = [t for t in terms if t in merged]
+    if not present:
+        return empty
+    cand = np.unique(np.concatenate([merged[t][0] for t in present]))
+    if excluded is not None and len(cand):
+        cand = cand[~np.isin(cand, excluded)]
+    if not len(cand):
+        return empty
+    idx = {t: np.searchsorted(merged[t][0], cand) for t in present}
+    w = sum(idf.get(t, 0.0) for t in terms)
+    out_docs, out_f, out_dl = [], [], []
+    for j, d in enumerate(cand.tolist()):
+        pos_of, dl = {}, None
+        for t in present:
+            docs_t, dls_t, poss_t = merged[t]
+            i = idx[t][j]
+            if i < len(docs_t) and docs_t[i] == d:
+                pos_of[t] = poss_t[i]
+                dl = int(dls_t[i])
+        ivls = _ivl_eval(spec, pos_of)
+        if ivls:
+            out_docs.append(d)
+            out_f.append(len(ivls))
+            out_dl.append(dl)
+    if not out_docs:
+        return empty
+    docs_a = np.asarray(out_docs, dtype=np.int64)
+    f = np.asarray(out_f, dtype=np.int64)
+    dls_a = np.asarray(out_dl, dtype=np.float64)
+    scores = w * (f * (k1 + 1.0) / (f + k1 * (1.0 - b + b * dls_a / avgdl)))
+    if k is not None and len(docs_a) > k:
+        o = np.lexsort((docs_a, -scores))[:k]
+        docs_a, scores, f = docs_a[o], scores[o], f[o]
+    return pd.DataFrame({"doc_id": docs_a, "score": scores,
+                         "ivl_freq": f.astype(np.int32)})
 
 
 def _decode_merge(pdf: pd.DataFrame, n_shards: int | None = None,
@@ -3466,6 +3679,78 @@ class SearchEngine:
 
             scored = routed.groupBy("_route").applyInPandas(
                 kernel, SPAN_RESULT_SCHEMA)
+        out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        return out.limit(k) if k is not None else out
+
+    def search_intervals(self, spec, k: int | None = 10) -> list[dict]:
+        """Driver-path IntervalQuery (Lucene queries.intervals analog —
+        see :func:`intervals_shard` for the exact spec): ``spec`` is the
+        nested JSON form of the ``Intervals`` factory surface, e.g.
+        ``{"ordered": [{"term": "spark"}, {"or": [{"term": "join"},
+        {"term": "merge"}]}], "max_gaps": 2}``. Returns
+        [{doc_id, score, ivl_freq}] by (score desc, doc_id asc)."""
+        terms = interval_terms(spec)
+        if isinstance(self._deletes_np(), str):
+            return self.search_intervals_df(spec, k=k) \
+                .toPandas().to_dict("records")
+        cand = self._candidates_pdf(terms)
+        if cand.empty:
+            return []
+        idf = self._idf_map(cand)
+        res = intervals_shard(cand, spec, idf, self.stats["avgdl"],
+                              self.stats["k1"], self.stats["b"], k,
+                              excluded=self._deletes_np())
+        res = res.sort_values(["score", "doc_id"], ascending=[False, True],
+                              kind="mergesort")
+        if k is not None:
+            res = res.head(k)
+        return res.to_dict("records")
+
+    def search_intervals_df(self, spec, k: int | None = 10):
+        """Distributed IntervalQuery: per-shard kernels + global
+        sort-limit, the same exchange as :meth:`span_near_df` (pruned
+        candidate scan over the spec's term union, shard-pinned Arrow
+        kernels, tombstones via the cogroup, TakeOrderedAndProject) —
+        bit-identical to :meth:`search_intervals`."""
+        from pyspark.sql import functions as F
+
+        terms = interval_terms(spec)
+        empty = self.spark.createDataFrame([], INTERVAL_RESULT_SCHEMA)
+        cand = self._cache_scoped(self._candidates(terms))
+        idf = self._idf_map(cand)
+        if not idf:
+            return empty
+        stats = self.stats
+        S = int(stats["n_shards"])
+        routed = self._pin_groups(self._routed(cand, S), S, F.col("shard"))
+
+        tomb = self._tomb_shard_df(S)
+        if tomb is not None:
+            exdf = self._pin_groups(tomb, S, F.col("shard"))
+
+            def kernel2(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+                sh = int(left["shard"].iloc[0]) if len(left) else 0
+                excl = (np.unique(right["doc_id"].to_numpy(dtype=np.int64))
+                        if len(right) else None)
+                return intervals_shard(left, spec, idf, stats["avgdl"],
+                                       stats["k1"], stats["b"], k,
+                                       n_shards=S, shard=sh, excluded=excl)
+
+            scored = (
+                routed.groupBy("_route")
+                .cogroup(exdf.groupBy("_route"))
+                .applyInPandas(kernel2, INTERVAL_RESULT_SCHEMA)
+            )
+        else:
+
+            def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+                sh = int(pdf["shard"].iloc[0]) if len(pdf) else 0
+                return intervals_shard(pdf, spec, idf, stats["avgdl"],
+                                       stats["k1"], stats["b"], k,
+                                       n_shards=S, shard=sh)
+
+            scored = routed.groupBy("_route").applyInPandas(
+                kernel, INTERVAL_RESULT_SCHEMA)
         out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
         return out.limit(k) if k is not None else out
 

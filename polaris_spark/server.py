@@ -243,6 +243,16 @@ class _Handler(BaseHTTPRequestHandler):
             in_order=bool(b.get("inOrder", False)),
             k=int(b.get("k", 10)))}
 
+    def _m_intervals(self, b):
+        """IntervalQuery (Lucene queries.intervals analog): nested
+        ordered/unordered/or spec with max_gaps, minimal-interval
+        semantics over the positions index. Body: {spec, k?} where spec
+        is the JSON Intervals-factory form, e.g. {"ordered": [{"term":
+        "spark"}, {"or": [{"term": "join"}, {"term": "merge"}]}],
+        "max_gaps": 2}."""
+        return {"hits": self.engine.search_intervals(
+            b["spec"], k=int(b.get("k", 10)))}
+
     def _m_synonyms(self, b):
         """SynonymQuery blended scoring (Lucene SynonymQuery): per-token
         synonym groups scored as one pseudo-term each (tf-sum + max-df
