@@ -264,6 +264,19 @@ def test_boosting_and_significant_endpoints(spark, daemon):
            eng.significant_terms(q, n=8, window=20,
                                  min_doc_count=2).collect()]
     assert gst["terms"] == json.loads(json.dumps(wst)) and wst
+    # /api/intervals on a positions-less index → a 400 guard (ValueError
+    # surfaces as the parse-error RPC code), not a 500
+    req2 = urllib.request.Request(
+        f"{base}/api/intervals",
+        data=json.dumps({"spec": {"ordered": [{"term": q.split()[0]},
+                                              {"term": q.split()[0]}]},
+                         "k": 3}).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    try:
+        urllib.request.urlopen(req2, timeout=60)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400 and b"positions" in e.read()
     gsp = _post(base, "suggestPhrase", {"query": q, "n": 3, "perTerm": 3})
     wsp = [r.asDict() for r in
            eng.suggest_phrase(q, n=3, per_term=3).collect()]
