@@ -555,26 +555,40 @@ def interval_terms(spec) -> list[str]:
       {"ordered":   [spec, ...], "max_gaps": G?}
       {"unordered": [spec, ...], "max_gaps": G?}
       {"or":        [spec, ...]}
-    ``max_gaps`` omitted or -1 = unlimited (the Lucene default)."""
+      {"containing":     [source, reference]}   (Intervals.containing /
+      {"not_containing": [source, reference]}    ES intervals filters)
+      {"within":     [source, reference]}   (Intervals.containedBy /
+      {"not_within": [source, reference]}    ES contained_by)
+    ``max_gaps`` omitted or -1 = unlimited (the Lucene default); the
+    containment filters keep/drop SOURCE intervals by their relation to
+    the reference's (the reference only filters, never matches)."""
     if not isinstance(spec, dict):
         raise ValueError(f"interval spec must be a dict, got {type(spec)}")
-    keys = {"term", "ordered", "unordered", "or"} & set(spec)
+    kinds = {"term", "ordered", "unordered", "or",
+             "containing", "not_containing", "within", "not_within"}
+    keys = kinds & set(spec)
     if len(keys) != 1:
         raise ValueError(
-            f"interval spec needs exactly one of term/ordered/unordered/or,"
-            f" got {sorted(spec)}")
+            f"interval spec needs exactly one of {sorted(kinds)}, "
+            f"got {sorted(spec)}")
     kind = keys.pop()
     if kind == "term":
         if not isinstance(spec["term"], str) or not spec["term"]:
             raise ValueError("interval term must be a non-empty string")
         return [spec["term"]]
     kids = spec[kind]
-    if not isinstance(kids, list) or len(kids) < (1 if kind == "or" else 2):
+    two_exact = kind in ("containing", "not_containing",
+                         "within", "not_within")
+    if two_exact:
+        if not isinstance(kids, list) or len(kids) != 2:
+            raise ValueError(
+                f"interval {kind!r} needs exactly [source, reference]")
+    elif not isinstance(kids, list) or len(kids) < (1 if kind == "or" else 2):
         raise ValueError(
             f"interval {kind!r} needs a list of ≥"
             f"{1 if kind == 'or' else 2} sub-sources")
     mg = spec.get("max_gaps", -1)
-    if kind != "or" and not isinstance(mg, int):
+    if kind in ("ordered", "unordered") and not isinstance(mg, int):
         raise ValueError("max_gaps must be an int (-1 = unlimited)")
     out: set[str] = set()
     for c in kids:
@@ -619,6 +633,18 @@ def _ivl_eval(spec, pos_of: dict) -> list[tuple]:
         for c in spec["or"]:
             acc.extend(_ivl_eval(c, pos_of))
         return _ivl_minimalize(acc)
+    for kind, keep in (("containing", True), ("not_containing", False),
+                       ("within", True), ("not_within", False)):
+        if kind in spec:
+            src = _ivl_eval(spec[kind][0], pos_of)
+            ref = _ivl_eval(spec[kind][1], pos_of)
+            if kind.endswith("containing"):
+                def rel(s, e):  # source contains a reference interval
+                    return any(s <= rs and re <= e for rs, re, _ in ref)
+            else:
+                def rel(s, e):  # source lies within a reference interval
+                    return any(rs <= s and e <= re for rs, re, _ in ref)
+            return [iv for iv in src if rel(iv[0], iv[1]) == keep]
     kind = "ordered" if "ordered" in spec else "unordered"
     kids = [_ivl_eval(c, pos_of) for c in spec[kind]]
     if any(not kv for kv in kids):

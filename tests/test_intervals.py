@@ -41,6 +41,17 @@ def brute(spec, pos_of):
             return [(p, p, 0) for p in pos_of.get(sp["term"], ())]
         if "or" in sp:
             return minimal([iv for c in sp["or"] for iv in ev(c)])
+        for kind, keep in (("containing", True), ("not_containing", False),
+                           ("within", True), ("not_within", False)):
+            if kind in sp:
+                src, ref = ev(sp[kind][0]), ev(sp[kind][1])
+                if kind.endswith("containing"):
+                    rel = lambda s, e: any(s <= rs and re <= e
+                                           for rs, re, _ in ref)
+                else:
+                    rel = lambda s, e: any(rs <= s and e <= re
+                                           for rs, re, _ in ref)
+                return [iv for iv in src if rel(iv[0], iv[1]) == keep]
         kind = "ordered" if "ordered" in sp else "unordered"
         kids = [ev(c) for c in sp[kind]]
         if any(not kv for kv in kids):
@@ -88,6 +99,21 @@ def test_eval_hand_fixtures():
     assert _ivl_eval({"ordered": [{"term": "a"},
                                   {"or": [{"term": "b"}, {"term": "c"}]}]},
                      pos3) == [(0, 2, 1), (6, 7, 0)]
+    # containment filters (Intervals.containing / containedBy): the
+    # ordered(a, b) intervals of pos are (0,1) and (3,5); only (3,5)
+    # contains a 'c'@4, and neither lies within a single point
+    ab = {"ordered": [{"term": "a"}, {"term": "b"}]}
+    assert _ivl_eval({"containing": [ab, {"term": "c"}]}, pos) == \
+        [(3, 5, 1)]
+    assert _ivl_eval({"not_containing": [ab, {"term": "c"}]}, pos) == \
+        [(0, 1, 0)]
+    # within: c@4 lies within (3,5) but not (0,1)
+    assert _ivl_eval({"within": [{"term": "c"}, ab]}, pos) == [(4, 4, 0)]
+    assert _ivl_eval({"not_within": [{"term": "c"}, ab]}, pos) == []
+    # empty reference: containing keeps nothing, not_containing everything
+    assert _ivl_eval({"containing": [ab, {"term": "z"}]}, pos) == []
+    assert _ivl_eval({"not_containing": [ab, {"term": "z"}]}, pos) == \
+        [(0, 1, 0), (3, 5, 1)]
 
 
 def test_eval_fuzz_vs_bruteforce():
@@ -97,7 +123,11 @@ def test_eval_fuzz_vs_bruteforce():
     def rspec(depth):
         if depth == 0 or random.random() < 0.4:
             return {"term": random.choice(vocab)}
-        kind = random.choice(["ordered", "unordered", "or"])
+        kind = random.choice(["ordered", "unordered", "or",
+                              "containing", "not_containing",
+                              "within", "not_within"])
+        if kind in ("containing", "not_containing", "within", "not_within"):
+            return {kind: [rspec(depth - 1), rspec(depth - 1)]}
         nk = random.randint(1 if kind == "or" else 2, 3)
         sp = {kind: [rspec(depth - 1) for _ in range(nk)]}
         if kind != "or" and random.random() < 0.5:
@@ -157,6 +187,12 @@ SPECS = [
      "max_gaps": 5},
     {"or": [{"ordered": [{"term": "spark"}, {"term": "join"}]},
             {"term": "filter"}]},
+    {"containing": [{"unordered": [{"term": "spark"}, {"term": "join"}],
+                     "max_gaps": 8},
+                    {"term": "a"}]},
+    {"within": [{"term": "join"},
+                {"unordered": [{"term": "spark"}, {"term": "query"}],
+                 "max_gaps": 10}]},
 ]
 
 
