@@ -640,6 +640,24 @@ def _q_synonym_search(spark, sf_dir):
         "n_match")
 
 
+def _q_phrase_prefix(spark, sf_dir):
+    """match_phrase_prefix (ES search-as-you-type / Lucene
+    MultiPhraseQuery with a prefix-expanded last slot): '"slow qu"' on
+    the positions index — hash-pins the (df desc, term asc)-capped
+    prefix expansion, the positional last-slot match, and the
+    Σ-idf-over-members scoring."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir, pos=True))
+    res = eng.search_phrase_prefix_df("slow qu", k=None)
+    return res.select(
+        "doc_id",
+        F.round(F.col("score") * 10000).cast("long").alias("score_e4"),
+        "phrase_freq")
+
+
 def _q_intervals(spark, sf_dir):
     """IntervalQuery (Lucene queries.intervals, minimal-interval
     semantics): ordered(spark, or(join, merge)) with max_gaps=2 on the
@@ -1414,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_terms": _q_significant_terms,
         "dismax_search": _q_dismax_search,
         "intervals_search": _q_intervals,
+        "phrase_prefix": _q_phrase_prefix,
         "span_near": _q_span_near,
         "span_near_ordered": _q_span_near_ordered,
         "synonym_search": _q_synonym_search,
@@ -1468,6 +1487,7 @@ def oracle_sql() -> dict[str, str]:
         dismax_sql,
         span_near_sql,
         intervals_sql,
+        phrase_prefix_sql,
         synonym_sql,
         multi_phrase_sql,
         complete_sql,
@@ -1692,6 +1712,7 @@ FROM tf JOIN dft USING (term) WHERE tf.doc_id = {DOC_TERMS_ID}""",
             field_cols=FIELD_COLS),
         "intervals_search": intervals_sql("spark", ["join", "merge"],
                                           max_gaps=2),
+        "phrase_prefix": phrase_prefix_sql(["slow", "qu"]),
         "span_near": span_near_sql(["spark", "merge", "join"], slop=6,
                                    in_order=False),
         "span_near_ordered": span_near_sql(["spark", "join"], slop=4,

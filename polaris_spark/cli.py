@@ -221,6 +221,16 @@ def main(argv: list[str] | None = None) -> int:
     mp.add_argument("-k", type=int, default=10)
     mp.add_argument("--distributed", action="store_true")
 
+    pp = sub.add_parser(
+        "phrase-prefix",
+        help="match_phrase_prefix (ES search-as-you-type): quoted phrase "
+             "whose LAST token is a prefix (needs a positions=True index)")
+    pp.add_argument("--index", required=True)
+    pp.add_argument("--phrase", required=True)
+    pp.add_argument("-k", type=int, default=10)
+    pp.add_argument("--slop", type=int, default=0)
+    pp.add_argument("--distributed", action="store_true")
+
     iv = sub.add_parser(
         "intervals",
         help="IntervalQuery (Lucene queries.intervals analog): nested "
@@ -815,6 +825,18 @@ def main(argv: list[str] | None = None) -> int:
                 slots, k=args.k, slop=args.slop).collect()]
         else:
             rows = eng.search_multi_phrase(slots, k=args.k, slop=args.slop)
+        print(json.dumps(rows))
+    elif args.cmd == "phrase-prefix":
+        from polaris_spark.query.engine import SearchEngine
+
+        spark = _session("polaris_spark_phrase_prefix")
+        eng = SearchEngine(spark, args.index)
+        if args.distributed:
+            rows = [r.asDict() for r in eng.search_phrase_prefix_df(
+                args.phrase, k=args.k, slop=args.slop).collect()]
+        else:
+            rows = eng.search_phrase_prefix(args.phrase, k=args.k,
+                                            slop=args.slop)
         print(json.dumps(rows))
     elif args.cmd == "intervals":
         from polaris_spark.query.engine import SearchEngine

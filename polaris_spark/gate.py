@@ -979,6 +979,79 @@ FROM pf JOIN dl USING (doc_id) CROSS JOIN stats s
 WHERE pf.pf > 0"""
 
 
+def phrase_prefix_sql(tokens: list[str], max_expansions: int = 128,
+                      slop: int = 0, table: str = "documents") -> str:
+    """match_phrase_prefix mirror (engine ``search_phrase_prefix``): the
+    multi-phrase mirror with the LAST slot's members = the top
+    ``max_expansions`` dictionary terms carrying the prefix (df desc,
+    term asc — the engine's PrefixQuery expansion, recomputed here from
+    the corpus so the mirror is self-contained); Σ idf includes every
+    expansion member, like the engine's multi-phrase scoring."""
+    *lits, prefix = tokens
+    if not lits:
+        raise ValueError("phrase_prefix_sql needs ≥2 tokens")
+    p_lit = prefix.replace("'", "''")
+    fixed = sorted(set(lits))
+    idf_fixed = " + ".join(
+        "coalesce((SELECT ln(1.0 + (s.N - df + 0.5) / (df + 0.5)) FROM dft "
+        "WHERE term = '" + t.replace("'", "''") + "'), 0.0)"
+        for t in lits)
+    idf_exp = ("(SELECT coalesce(sum(ln(1.0 + (s.N - e.df + 0.5) "
+               "/ (e.df + 0.5))), 0.0) FROM exp e)")
+    n = len(tokens)
+    last = n - 1
+    if slop == 0:
+        conds = [
+            f"EXISTS (SELECT 1 FROM sl a{i} WHERE a{i}.doc_id = a0.doc_id "
+            f"AND a{i}.slot = a0.slot + {i} AND a{i}.tok = '"
+            + t.replace("'", "''") + "')"
+            for i, t in enumerate(lits[1:], start=1)]
+        conds.append(
+            f"EXISTS (SELECT 1 FROM sl a{last} WHERE a{last}.doc_id = "
+            f"a0.doc_id AND a{last}.slot = a0.slot + {last} "
+            f"AND a{last}.tok IN (SELECT term FROM exp))")
+        cond = "\n    AND ".join(conds)
+    else:
+        mins = [
+            f"(SELECT min(abs(a{i}.slot - (a0.slot + {i}))) FROM sl a{i} "
+            f"WHERE a{i}.doc_id = a0.doc_id AND a{i}.tok = '"
+            + t.replace("'", "''") + "')"
+            for i, t in enumerate(lits[1:], start=1)]
+        mins.append(
+            f"(SELECT min(abs(a{last}.slot - (a0.slot + {last}))) "
+            f"FROM sl a{last} WHERE a{last}.doc_id = a0.doc_id "
+            f"AND a{last}.tok IN (SELECT term FROM exp))")
+        cond = f"({' + '.join(mins)}) <= {int(slop)}"
+    impact = (f"(pf.pf * {K1P1_SQL} / (pf.pf + {K1_SQL} * "
+              f"(1.0 - {B_SQL} + {B_SQL} * dl.dl / (s.sumdl / s.N))))")
+    return base_cte(table) + f""",
+dic AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+exp AS (
+  SELECT term, df FROM dic
+  WHERE term LIKE '{p_lit}%' AND term NOT LIKE '%:%'
+  ORDER BY df DESC, term ASC LIMIT {int(max_expansions)}
+),
+qt AS (SELECT unnest({_sql_list(fixed)}) AS term),
+dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf
+  WHERE term IN (SELECT term FROM qt) GROUP BY term
+),
+{_slot_ctes(table)},
+pf AS (
+  SELECT a0.doc_id, count(*)::BIGINT AS pf
+  FROM sl a0
+  WHERE a0.tok = '{lits[0].replace(chr(39), chr(39) * 2)}'
+    AND {cond}
+  GROUP BY a0.doc_id
+)
+SELECT pf.doc_id,
+       CAST(round(({idf_fixed} + {idf_exp}) * {impact} * 10000) AS BIGINT)
+         AS score_e4,
+       pf.pf::INT AS phrase_freq
+FROM pf JOIN dl USING (doc_id) CROSS JOIN stats s
+WHERE pf.pf > 0"""
+
+
 def span_near_sql(terms: list[str], slop: int = 0, in_order: bool = False,
                   table: str = "documents") -> str:
     """SpanNearQuery mirror (engine ``span_near`` — Lucene

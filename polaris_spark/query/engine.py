@@ -3708,6 +3708,45 @@ class SearchEngine:
         out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
         return out.limit(k) if k is not None else out
 
+    def _phrase_prefix_slots(self, phrase: str):
+        toks = _BASE_RE.findall(phrase or "")
+        if len(toks) < 2:
+            raise ValueError(
+                "match_phrase_prefix needs ≥2 tokens (a lone prefix is a "
+                "plain prefix query — use 'pre*')")
+        exp = self._expand_prefix(toks[-1])
+        if not exp:
+            return None
+        return [*toks[:-1], exp]
+
+    def search_phrase_prefix(self, phrase: str, k: int | None = 10,
+                             slop: int = 0) -> list[dict]:
+        """match_phrase_prefix — the ES search-as-you-type phrase (Lucene
+        ``MultiPhraseQuery`` with a prefix-expanded last slot): the LAST
+        token of ``phrase`` matches any indexed term with that prefix
+        (top ``max_expansions`` by (df desc, term asc), the same
+        PrefixQuery expansion as ``term*``), the preceding tokens match
+        positionally — '"slow qu"' hits "slow query", "slow queries", …
+        Returns [{doc_id, score, phrase_freq}] with
+        :meth:`search_multi_phrase`'s documented scoring (the expansion
+        terms are the last slot's members; Σ idf over all slot members).
+        Empty expansion (no vocab term has the prefix) → no hits."""
+        slots = self._phrase_prefix_slots(phrase)
+        if slots is None:
+            return []
+        return self.search_multi_phrase(slots, k=k, slop=slop)
+
+    def search_phrase_prefix_df(self, phrase: str, k: int | None = 10,
+                                slop: int = 0):
+        """Distributed match_phrase_prefix — :meth:`search_multi_phrase_df`
+        over the prefix-expanded slots, bit-identical to
+        :meth:`search_phrase_prefix` (the expansion itself is one pushed
+        dictionary probe either way)."""
+        slots = self._phrase_prefix_slots(phrase)
+        if slots is None:
+            return self.spark.createDataFrame([], PHRASE_RESULT_SCHEMA)
+        return self.search_multi_phrase_df(slots, k=k, slop=slop)
+
     def search_intervals(self, spec, k: int | None = 10) -> list[dict]:
         """Driver-path IntervalQuery (Lucene queries.intervals analog —
         see :func:`intervals_shard` for the exact spec): ``spec`` is the

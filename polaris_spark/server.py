@@ -243,6 +243,14 @@ class _Handler(BaseHTTPRequestHandler):
             in_order=bool(b.get("inOrder", False)),
             k=int(b.get("k", 10)))}
 
+    def _m_phrasePrefix(self, b):
+        """match_phrase_prefix (ES search-as-you-type): quoted phrase
+        whose LAST token is a prefix, expanded against the dictionary.
+        Body: {phrase, k?, slop?}."""
+        return {"hits": self.engine.search_phrase_prefix(
+            b["phrase"], k=int(b.get("k", 10)),
+            slop=int(b.get("slop", 0)))}
+
     def _m_intervals(self, b):
         """IntervalQuery (Lucene queries.intervals analog): nested
         ordered/unordered/or spec with max_gaps, minimal-interval

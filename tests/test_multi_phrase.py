@@ -121,3 +121,39 @@ def test_guards(eng):
         eng.search_multi_phrase(["spark", []])
     # a slot whose every member is unknown matches nothing
     assert eng.search_multi_phrase(["spark", ["zzznope"]], k=5) == []
+
+
+# ------------------------------------------- match_phrase_prefix (ES)
+
+def test_phrase_prefix_expansion_and_parity(spark, tmp_path_factory):
+    """'"slow qu"' must equal a hand-built multi_phrase over the
+    dictionary's qu-prefix expansion; driver ≡ distributed; empty
+    expansion → no hits; single-token phrase rejected."""
+    import pytest as _pt
+
+    from polaris_spark.index.build import IndexConfig, build_index
+    from polaris_spark.query.engine import SearchEngine
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d = str(tmp_path_factory.mktemp("ppidx") / "idx")
+    build_index(spark, docs, d, doc_id_col="doc_id",
+                cfg=IndexConfig(n_buckets=8, n_shards=4, n_chunks=2,
+                                positions=True))
+    eng = SearchEngine(spark, d)
+    exp = eng._expand_prefix("qu")
+    assert exp  # the corpus has qu-terms ('query', ...)
+    want = eng.search_multi_phrase(["slow", exp], k=None)
+    drv = eng.search_phrase_prefix("slow qu", k=None)
+    dst = [r.asDict() for r in
+           eng.search_phrase_prefix_df("slow qu", k=None).collect()]
+    key = lambda r: (-r["score"], r["doc_id"])
+    assert sorted(drv, key=key) == sorted(want, key=key) and drv
+    assert sorted(dst, key=key) == sorted(drv, key=key)
+    # a full-token prefix also matches its own continuations
+    full = eng.search_phrase_prefix("slow query", k=None)
+    assert {r["doc_id"] for r in full} >= set()
+    # no vocab term with the prefix → empty
+    assert eng.search_phrase_prefix("slow zzqx", k=5) == []
+    assert eng.search_phrase_prefix_df("slow zzqx", k=5).count() == 0
+    with _pt.raises(ValueError, match="≥2 tokens"):
+        eng.search_phrase_prefix("qu")
