@@ -388,6 +388,9 @@ def run_suite(cpus: int, sf_dir: str, n_turns: int) -> dict:
                                       {"or": [{"term": "join"},
                                               {"term": "merge"}]}],
                           "max_gaps": 2}, k=10)
+    re_.search_decay("spark join", "n_chars", origin=300.0, scale=150.0,
+                     k=10, docs=docs).collect()
+    re_.search_phrase_prefix("slow qu", k=10)
     re_.suggest_phrase("sparkk joun", n=3).collect()
     times["query_api_mix"] = round(time.time() - t0, 3)
 

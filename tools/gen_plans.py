@@ -242,6 +242,19 @@ def main() -> None:
     ))
 
     SECTIONS.append((
+        "interval query (term-union pruned scan, shard-pinned kernels)",
+        "The intervals spec's TERM UNION drives the same pruned candidate "
+        "scan as span_near (bucket PartitionFilters + term PushedFilters); "
+        "minimal-interval evaluation happens inside the per-shard Arrow "
+        "kernel (FlatMapGroupsInPandas), and the cut is one "
+        "TakeOrderedAndProject.",
+        cap(eng.search_intervals_df(
+            {"ordered": [{"term": "spark"},
+                         {"or": [{"term": "join"}, {"term": "merge"}]}],
+             "max_gaps": 2}, k=10)),
+    ))
+
+    SECTIONS.append((
         "boosting query (two pruned match sets, one doc_id join, demote-then-cut)",
         "Both sides are the ordinary pruned candidate scans + per-shard "
         "kernels; the negative side collapses to a distinct doc set before "
