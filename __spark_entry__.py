@@ -1361,6 +1361,90 @@ def _q_transcripts_invariant(spark, sf_dir):
     return bad.select("conv_id", "turn_idx")
 
 
+# ------------------------------------------------- search aggregations
+
+AGG_TS_BASE = 1700000000  # deterministic per-doc epoch for date_histogram
+AGG_TS_STEP = 3517  # seconds between consecutive doc_ids (prime, ~1h)
+
+
+def _agg_engine(spark, sf_dir):
+    from polaris_spark.query.engine import SearchEngine
+
+    return SearchEngine(spark, _ensure_index(spark, sf_dir))
+
+
+def _agg_docs_numeric(spark, sf_dir):
+    """(doc_id, n_chars) side frame for aggs over a non-stored attribute."""
+    return _docs(spark, sf_dir).select("doc_id", "n_chars")
+
+
+def _q_agg_stats(spark, sf_dir):
+    from polaris_spark.query.aggs import stats_agg
+
+    return stats_agg(_agg_engine(spark, sf_dir), Q_OR, "n_chars",
+                     docs=_agg_docs_numeric(spark, sf_dir))
+
+
+def _q_agg_terms(spark, sf_dir):
+    from polaris_spark.query.aggs import terms_agg
+
+    return terms_agg(_agg_engine(spark, sf_dir), Q_OR, "source",
+                     metric_attr="n_chars",
+                     docs=_agg_docs_numeric(spark, sf_dir))
+
+
+def _q_agg_histogram(spark, sf_dir):
+    from polaris_spark.query.aggs import histogram_agg
+
+    return histogram_agg(_agg_engine(spark, sf_dir), Q_OR, "n_chars",
+                         interval=100.0,
+                         docs=_agg_docs_numeric(spark, sf_dir))
+
+
+def _q_agg_range(spark, sf_dir):
+    from polaris_spark.query.aggs import range_agg
+
+    return range_agg(_agg_engine(spark, sf_dir), Q_OR, "n_chars",
+                     edges=[100.0, 250.0, 400.0],
+                     docs=_agg_docs_numeric(spark, sf_dir))
+
+
+def _q_agg_date_histogram(spark, sf_dir):
+    """Fixed-interval (6h) date_histogram over a deterministic per-doc
+    timestamp (ts = BASE + doc_id*STEP): integer epoch arithmetic on both
+    sides, so the gate is timezone-proof."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.query.aggs import date_histogram_agg
+
+    ts_docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.timestamp_seconds(
+            F.lit(AGG_TS_BASE) + F.col("doc_id") * F.lit(AGG_TS_STEP)
+        ).alias("ts"),
+    )
+    return date_histogram_agg(_agg_engine(spark, sf_dir), Q_OR, "ts",
+                              interval="6h", docs=ts_docs)
+
+
+def _q_agg_cardinality(spark, sf_dir):
+    from polaris_spark.query.aggs import cardinality_agg
+
+    return cardinality_agg(_agg_engine(spark, sf_dir), Q_OR, "source",
+                           exact=True)
+
+
+def _q_agg_percentiles(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from polaris_spark.query.aggs import percentiles_agg
+
+    out = percentiles_agg(_agg_engine(spark, sf_dir), Q_OR, "n_chars",
+                          qs=(0.25, 0.5, 0.75, 0.95), exact=True,
+                          docs=_agg_docs_numeric(spark, sf_dir))
+    return out.select("q", F.round(F.col("value"), 4).alias("value"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize_tf": _q_tokenize_tf,
@@ -1462,6 +1546,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "top_docs_per_source": _q_top_docs_per_source,
         "sessionize": _q_sessionize,
+        "agg_stats": _q_agg_stats,
+        "agg_terms": _q_agg_terms,
+        "agg_histogram": _q_agg_histogram,
+        "agg_range": _q_agg_range,
+        "agg_date_histogram": _q_agg_date_histogram,
+        "agg_cardinality": _q_agg_cardinality,
+        "agg_percentiles": _q_agg_percentiles,
         "transcripts_invariant": _q_transcripts_invariant,
     }
 
@@ -1501,6 +1592,13 @@ def oracle_sql() -> dict[str, str]:
         suggest_sql,
         suggest_phrase_sql,
         tokenize_tf_sql,
+        stats_agg_sql,
+        terms_agg_sql,
+        histogram_sql,
+        range_agg_sql,
+        date_histogram_sql,
+        cardinality_sql,
+        percentiles_sql,
     )
     import polaris_spark.ops.analytics as _an
     from polaris_spark.ops.curate import duckdb_curate_sql
@@ -1793,6 +1891,20 @@ SELECT doc_id, query_id FROM (
         "events_hourly": _an.duckdb_events_hourly_sql(),
         "top_docs_per_source": _an.duckdb_top_docs_sql(3),
         "sessionize": _an.duckdb_sessionize_sql(),
+        "agg_stats": stats_agg_sql(Q_OR, "n_chars"),
+        "agg_terms": terms_agg_sql(Q_OR, "source", metric_attr="n_chars"),
+        "agg_histogram": histogram_sql(Q_OR, "n_chars", interval=100.0),
+        "agg_range": range_agg_sql(Q_OR, "n_chars",
+                                   edges=[100.0, 250.0, 400.0]),
+        "agg_date_histogram": date_histogram_sql(
+            Q_OR, f"({AGG_TS_BASE} + doc_id * {AGG_TS_STEP})",
+            width_s=6 * 3600),
+        "agg_cardinality": cardinality_sql(Q_OR, "source"),
+        "agg_percentiles": (
+            "SELECT q, round(value, 4) AS value FROM ("
+            + percentiles_sql(Q_OR, "n_chars", qs=(0.25, 0.5, 0.75, 0.95))
+            + ") p"
+        ),
         # transcripts_invariant: intentionally no oracle (not a testdata view);
         # driver records the rows-only check (must be 0 rows).
     }

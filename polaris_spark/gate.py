@@ -1572,3 +1572,124 @@ def index_check_sql() -> str:
         "SELECT chk, CAST(violations AS BIGINT) AS violations FROM (VALUES\n"
         f"  {rows}\n) AS t(chk, violations)\nORDER BY chk"
     )
+
+
+# ---------------------------------------------------------------- aggs
+
+def _match_join_cte(query: str, table: str, field_cols: tuple,
+                    expand_fields: bool) -> str:
+    """Shared aggs front half: the full BM25 match set joined to the base
+    table for attribute columns (mirror of ``aggs._attr_matches``)."""
+    inner = bm25_scores_sql(query, table, None, field_cols, expand_fields)
+    return f"SELECT d.* FROM ({inner}) m JOIN {table} d USING (doc_id)"
+
+
+def stats_agg_sql(query: str, attr: str, table: str = "documents",
+                  field_cols: tuple = (), expand_fields: bool = False) -> str:
+    """Mirror of ``aggs.stats_agg``: integer-space sum, f64 division last."""
+    j = _match_join_cte(query, table, field_cols, expand_fields)
+    return (
+        f"SELECT count(*)::BIGINT AS n,\n"
+        f"       min({attr})::DOUBLE AS min_v,\n"
+        f"       max({attr})::DOUBLE AS max_v,\n"
+        f"       sum({attr})::DOUBLE AS sum_v,\n"
+        f"       sum({attr})::DOUBLE / count(*) AS avg_v\n"
+        f"FROM ({j}) j"
+    )
+
+
+def terms_agg_sql(query: str, attr: str, metric_attr: str | None = None,
+                  size: int | None = None, table: str = "documents",
+                  field_cols: tuple = (), expand_fields: bool = False) -> str:
+    """Mirror of ``aggs.terms_agg`` — (n desc, key asc) bucket order."""
+    j = _match_join_cte(query, table, field_cols, expand_fields)
+    cols = f"{attr} AS key, count(*)::BIGINT AS n"
+    if metric_attr is not None:
+        cols += (
+            f", min({metric_attr})::DOUBLE AS min_v"
+            f", max({metric_attr})::DOUBLE AS max_v"
+            f", sum({metric_attr})::DOUBLE AS sum_v"
+            f", sum({metric_attr})::DOUBLE / count(*) AS avg_v"
+        )
+    sql = f"SELECT {cols} FROM ({j}) j GROUP BY 1 ORDER BY n DESC, key ASC"
+    if size is not None:
+        sql += f" LIMIT {int(size)}"
+    return sql
+
+
+def histogram_sql(query: str, attr: str, interval: float,
+                  table: str = "documents", field_cols: tuple = (),
+                  expand_fields: bool = False,
+                  min_doc_count: int = 1) -> str:
+    """Mirror of ``aggs.histogram_agg``: floor(v/interval)*interval keys."""
+    j = _match_join_cte(query, table, field_cols, expand_fields)
+    step = float(interval)
+    return (
+        f"SELECT floor({attr}::DOUBLE / {step!r}) * {step!r} AS bucket,\n"
+        f"       count(*)::BIGINT AS n\n"
+        f"FROM ({j}) j GROUP BY 1 HAVING count(*) >= {int(min_doc_count)}\n"
+        f"ORDER BY bucket ASC"
+    )
+
+
+def range_agg_sql(query: str, attr: str, edges: list,
+                  table: str = "documents", field_cols: tuple = (),
+                  expand_fields: bool = False) -> str:
+    """Mirror of ``aggs.range_agg``: from-inclusive/to-exclusive buckets."""
+    es = sorted(float(e) for e in edges)
+    j = _match_join_cte(query, table, field_cols, expand_fields)
+    cond = f"WHEN {attr}::DOUBLE < {es[0]!r} THEN 0 "
+    for i, e in enumerate(es[1:], start=1):
+        cond += f"WHEN {attr}::DOUBLE < {e!r} THEN {i} "
+    arr = "(ARRAY[" + ", ".join(repr(e) for e in es) + "]::DOUBLE[])"
+    return (
+        f"WITH j AS ({j}),\n"
+        f"b AS (SELECT CASE {cond}ELSE {len(es)} END::BIGINT AS bucket_idx\n"
+        f"      FROM j)\n"
+        f"SELECT bucket_idx,\n"
+        f"       CASE WHEN bucket_idx > 0 THEN {arr}[bucket_idx::INT] END AS lo,\n"
+        f"       CASE WHEN bucket_idx < {len(es)} THEN {arr}[bucket_idx::INT + 1] END AS hi,\n"
+        f"       count(*)::BIGINT AS n\n"
+        f"FROM b GROUP BY 1 ORDER BY bucket_idx ASC"
+    )
+
+
+def date_histogram_sql(query: str, ts_expr: str, width_s: int,
+                       table: str = "documents", field_cols: tuple = (),
+                       expand_fields: bool = False) -> str:
+    """Mirror of ``aggs.date_histogram_agg`` (FIXED intervals — the
+    timezone-proof integer form): ``ts_expr`` is a SQL expression over the
+    base table's columns producing an epoch-second BIGINT (the gate derives
+    a deterministic per-doc timestamp; a real deployment stores one),
+    bucketed by ``floor(epoch / width) * width``."""
+    j = _match_join_cte(query, table, field_cols, expand_fields)
+    w = int(width_s)
+    return (
+        f"SELECT (floor(({ts_expr})::DOUBLE / {w}) * {w})::BIGINT AS bucket_epoch,\n"
+        f"       count(*)::BIGINT AS n\n"
+        f"FROM ({j}) j GROUP BY 1 ORDER BY bucket_epoch ASC"
+    )
+
+
+def cardinality_sql(query: str, attr: str, table: str = "documents",
+                    field_cols: tuple = (), expand_fields: bool = False) -> str:
+    """Mirror of ``aggs.cardinality_agg(exact=True)``."""
+    j = _match_join_cte(query, table, field_cols, expand_fields)
+    return f"SELECT count(DISTINCT {attr})::BIGINT AS n_distinct FROM ({j}) j"
+
+
+def percentiles_sql(query: str, attr: str, qs=(0.25, 0.5, 0.75, 0.95),
+                    table: str = "documents", field_cols: tuple = (),
+                    expand_fields: bool = False) -> str:
+    """Mirror of ``aggs.percentiles_agg(exact=True)``: DuckDB
+    ``quantile_cont`` is the same sorted-values linear interpolation as
+    Spark's exact ``percentile``."""
+    j = _match_join_cte(query, table, field_cols, expand_fields)
+    qlist = ", ".join(repr(float(q)) for q in qs)
+    return (
+        f"WITH j AS ({j}),\n"
+        f"qv AS (SELECT unnest(ARRAY[{qlist}]::DOUBLE[]) AS q,\n"
+        f"              unnest(quantile_cont({attr}::DOUBLE, ARRAY[{qlist}]::DOUBLE[])) AS value\n"
+        f"       FROM j)\n"
+        f"SELECT q, value::DOUBLE AS value FROM qv ORDER BY q ASC"
+    )

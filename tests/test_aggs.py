@@ -1,0 +1,199 @@
+"""Search aggregations (Lucene facets module / ES ``aggs`` analog):
+stats / terms / histogram / range / date_histogram / cardinality /
+percentiles over a query's FULL match set, checked against a pandas
+reference on a hand-built corpus; approximate (sketch) forms vs exact;
+attribute resolution (stored doc_map attr vs caller docs frame vs
+missing); calendar date_histogram vs DuckDB date_trunc."""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from polaris_spark.index.build import IndexConfig, build_index
+from polaris_spark.query import aggs
+from polaris_spark.query.engine import SearchEngine
+
+DOCS = [
+    # (doc_id, text, source, n_chars)
+    (1, "spark join merge", "s2", 17),
+    (2, "spark join scan", "s1", 15),
+    (3, "spark merge", "s3", 11),
+    (4, "join merge scan", "s1", 15),
+    (5, "spark sort", "s2", 10),
+    (6, "merge sort scan", "s3", 15),
+    (7, "spark join sort scan", "s1", 20),
+    (8, "totally unrelated words", "s2", 23),
+    (9, "spark spark join join merge", "s2", 27),
+]
+Q = "spark join"
+MATCH = [1, 2, 3, 4, 5, 7, 9]  # docs containing spark or join
+TS_BASE, TS_STEP = 1_700_000_000, 3_517
+
+
+def _pdf():
+    return pd.DataFrame(DOCS, columns=["doc_id", "text", "source", "n_chars"])
+
+
+@pytest.fixture(scope="module")
+def seng(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("aggs_idx"))
+    docs = spark.createDataFrame(
+        DOCS, "doc_id long, text string, source string, n_chars long")
+    build_index(spark, docs, d, doc_id_col="doc_id",
+                cfg=IndexConfig(n_buckets=8, n_shards=2, n_chunks=2,
+                                attr_cols=("source",), positions=True))
+    return SearchEngine(spark, d)
+
+
+@pytest.fixture(scope="module")
+def ndocs(spark):
+    return spark.createDataFrame(
+        [(d, n) for d, _t, _s, n in DOCS], "doc_id long, n_chars long")
+
+
+def test_stats(seng, ndocs):
+    m = _pdf()[_pdf().doc_id.isin(MATCH)]
+    row = aggs.stats_agg(seng, Q, "n_chars", docs=ndocs).collect()[0]
+    assert row["n"] == len(MATCH)
+    assert row["min_v"] == float(m.n_chars.min())
+    assert row["max_v"] == float(m.n_chars.max())
+    assert row["sum_v"] == float(m.n_chars.sum())
+    assert row["avg_v"] == pytest.approx(m.n_chars.sum() / len(MATCH))
+
+
+def test_terms_with_metric_and_order(seng, ndocs):
+    m = _pdf()[_pdf().doc_id.isin(MATCH)]
+    want = (m.groupby("source")
+             .agg(n=("doc_id", "size"), min_v=("n_chars", "min"),
+                  max_v=("n_chars", "max"), sum_v=("n_chars", "sum"))
+             .reset_index()
+             .sort_values(["n", "source"], ascending=[False, True]))
+    got = aggs.terms_agg(seng, Q, "source", metric_attr="n_chars",
+                         docs=ndocs).collect()
+    assert [(r["key"], r["n"]) for r in got] == \
+        list(zip(want.source, want.n))
+    for r, (_, w) in zip(got, want.iterrows()):
+        assert (r["min_v"], r["max_v"], r["sum_v"]) == \
+            (float(w.min_v), float(w.max_v), float(w.sum_v))
+        assert r["avg_v"] == pytest.approx(w.sum_v / w.n)
+    # size cut keeps the (n desc, key asc) head
+    top1 = aggs.terms_agg(seng, Q, "source", size=1).collect()
+    assert [(r["key"], r["n"]) for r in top1] == \
+        [(want.source.iloc[0], want.n.iloc[0])]
+
+
+def test_histogram_and_min_doc_count(seng, ndocs):
+    m = _pdf()[_pdf().doc_id.isin(MATCH)]
+    want = ((m.n_chars // 10) * 10).value_counts().sort_index()
+    got = aggs.histogram_agg(seng, Q, "n_chars", interval=10.0,
+                             docs=ndocs).collect()
+    assert [(r["bucket"], r["n"]) for r in got] == \
+        [(float(k), int(v)) for k, v in want.items()]
+    got2 = aggs.histogram_agg(seng, Q, "n_chars", interval=10.0, docs=ndocs,
+                              min_doc_count=2).collect()
+    assert [(r["bucket"], r["n"]) for r in got2] == \
+        [(float(k), int(v)) for k, v in want.items() if v >= 2]
+
+
+def test_range_buckets(seng, ndocs):
+    # edges [12, 16): buckets (-inf,12) [12,16) [16,inf)
+    got = aggs.range_agg(seng, Q, "n_chars", edges=[12.0, 16.0],
+                         docs=ndocs).collect()
+    m = _pdf()[_pdf().doc_id.isin(MATCH)].n_chars
+    want = [(0, None, 12.0, int((m < 12).sum())),
+            (1, 12.0, 16.0, int(((m >= 12) & (m < 16)).sum())),
+            (2, 16.0, None, int((m >= 16).sum()))]
+    assert [(r["bucket_idx"], r["lo"], r["hi"], r["n"]) for r in got] == want
+
+
+def test_date_histogram_fixed_and_calendar(spark, seng):
+    ts = spark.createDataFrame(
+        [(d, TS_BASE + d * TS_STEP) for d, *_ in DOCS],
+        "doc_id long, epoch long"
+    ).select("doc_id", F.timestamp_seconds("epoch").alias("ts"))
+    got = aggs.date_histogram_agg(seng, Q, "ts", interval="6h",
+                                  docs=ts).collect()
+    w = 6 * 3600
+    want = pd.Series([(TS_BASE + d * TS_STEP) // w * w
+                      for d in MATCH]).value_counts().sort_index()
+    assert [(r["bucket_epoch"], r["n"]) for r in got] == \
+        [(int(k), int(v)) for k, v in want.items()]
+    # calendar interval vs DuckDB date_trunc on the same epochs
+    got_m = aggs.date_histogram_agg(seng, Q, "ts", interval="month",
+                                    docs=ts).collect()
+    con = duckdb.connect()
+    want_m = con.execute(
+        "SELECT date_trunc('month', to_timestamp(e)) AS b, count(*) AS n "
+        "FROM (SELECT unnest(?::BIGINT[]) AS e) GROUP BY 1 ORDER BY 1",
+        [[TS_BASE + d * TS_STEP for d in MATCH]],
+    ).fetchall()
+    assert [(r["bucket"], r["n"]) for r in got_m] == \
+        [(b.replace(tzinfo=None), n) for b, n in want_m]
+    with pytest.raises(ValueError):
+        aggs.date_histogram_agg(seng, Q, "ts", interval="fortnight",
+                                docs=ts)
+
+
+def test_cardinality_exact_and_approx(seng):
+    n = aggs.cardinality_agg(seng, Q, "source").collect()[0]["n_distinct"]
+    assert n == 3
+    approx = aggs.cardinality_agg(seng, Q, "source",
+                                  exact=False).collect()[0]["n_distinct"]
+    assert approx == 3  # HLL is exact at tiny cardinality
+    # doc_id cardinality == match count without any join
+    nd = aggs.cardinality_agg(seng, Q, "doc_id").collect()[0]["n_distinct"]
+    assert nd == len(MATCH)
+
+
+def test_percentiles_exact_matches_quantile_cont(seng, ndocs):
+    qs = (0.25, 0.5, 0.75, 0.95)
+    got = aggs.percentiles_agg(seng, Q, "n_chars", qs=qs,
+                               docs=ndocs).collect()
+    vals = sorted(_pdf()[_pdf().doc_id.isin(MATCH)].n_chars)
+    con = duckdb.connect()
+    want = con.execute(
+        "SELECT unnest(quantile_cont(v::DOUBLE, ?::DOUBLE[])) "
+        "FROM (SELECT unnest(?::BIGINT[]) AS v)", [list(qs), vals]
+    ).fetchall()
+    assert [r["q"] for r in got] == list(qs)
+    for r, (w,) in zip(got, want):
+        assert r["value"] == pytest.approx(w, abs=1e-9)
+    # sketch form stays within coarse tolerance of exact
+    apx = aggs.percentiles_agg(seng, Q, "n_chars", qs=qs, exact=False,
+                               docs=ndocs).collect()
+    for r, (w,) in zip(apx, want):
+        assert abs(r["value"] - w) <= max(2.0, 0.2 * w)
+
+
+def test_attr_resolution_and_errors(seng, ndocs):
+    # stored doc_map attribute needs no docs frame
+    assert aggs.cardinality_agg(seng, Q, "source").collect()[0][0] == 3
+    with pytest.raises(ValueError, match="neither stored"):
+        aggs.stats_agg(seng, Q, "nope").collect()
+    with pytest.raises(ValueError, match="metric attribute"):
+        aggs.terms_agg(seng, Q, "source", metric_attr="nope")
+    with pytest.raises(ValueError, match="at least one edge"):
+        aggs.range_agg(seng, Q, "n_chars", edges=[])
+
+
+def test_full_parser_routing(seng, ndocs):
+    """aggs run over match_df's routed surface: a boolean tree query and a
+    quoted phrase aggregate over exactly their own match sets."""
+    tree = aggs.cardinality_agg(seng, "spark AND (join OR merge) -scan",
+                                "doc_id").collect()[0][0]
+    want_tree = {d for d, t, _s, _n in DOCS
+                 if "spark" in t and ("join" in t or "merge" in t)
+                 and "scan" not in t}
+    assert tree == len(want_tree)
+    ph = aggs.cardinality_agg(seng, '"spark join"', "doc_id").collect()[0][0]
+    want_ph = {d for d, t, _s, _n in DOCS if "spark join" in t}
+    assert ph == len(want_ph)
+
+
+def test_partial_aggregation_plan(seng, ndocs):
+    """The groupBy folds map-side: the plan carries a partial_count before
+    the exchange (HashAggregate partial → Exchange → HashAggregate final)."""
+    plan = aggs.terms_agg(seng, Q, "source")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "partial_count" in plan
