@@ -1427,6 +1427,30 @@ def _q_agg_date_histogram(spark, sf_dir):
                               interval="6h", docs=ts_docs)
 
 
+AGG_COMPOSITE_AFTER = ("src1", "en")  # exclusive keyset cursor (page 2+)
+AGG_FILTERS = {  # named filter buckets: flat, prohibit, and empty
+    "has_scan": "scan",
+    "no_merge": "spark -merge",
+    "nothing": "zzzznotaterm",
+}
+
+
+def _q_agg_composite(spark, sf_dir):
+    """(source, lang) bucket page AFTER the cursor — exercises the keyset
+    predicate (pushed below the aggregate) plus the size cut."""
+    from polaris_spark.query.aggs import composite_agg
+
+    return composite_agg(_agg_engine(spark, sf_dir), Q_OR,
+                         ["source", "lang"], size=8,
+                         after=AGG_COMPOSITE_AFTER)
+
+
+def _q_agg_filters(spark, sf_dir):
+    from polaris_spark.query.aggs import filters_agg
+
+    return filters_agg(_agg_engine(spark, sf_dir), Q_OR, AGG_FILTERS)
+
+
 def _q_agg_cardinality(spark, sf_dir):
     from polaris_spark.query.aggs import cardinality_agg
 
@@ -1553,6 +1577,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_date_histogram": _q_agg_date_histogram,
         "agg_cardinality": _q_agg_cardinality,
         "agg_percentiles": _q_agg_percentiles,
+        "agg_composite": _q_agg_composite,
+        "agg_filters": _q_agg_filters,
         "transcripts_invariant": _q_transcripts_invariant,
     }
 
@@ -1599,6 +1625,8 @@ def oracle_sql() -> dict[str, str]:
         date_histogram_sql,
         cardinality_sql,
         percentiles_sql,
+        composite_sql,
+        filters_agg_sql,
     )
     import polaris_spark.ops.analytics as _an
     from polaris_spark.ops.curate import duckdb_curate_sql
@@ -1905,6 +1933,9 @@ SELECT doc_id, query_id FROM (
             + percentiles_sql(Q_OR, "n_chars", qs=(0.25, 0.5, 0.75, 0.95))
             + ") p"
         ),
+        "agg_composite": composite_sql(Q_OR, ["source", "lang"], size=8,
+                                       after=AGG_COMPOSITE_AFTER),
+        "agg_filters": filters_agg_sql(Q_OR, AGG_FILTERS),
         # transcripts_invariant: intentionally no oracle (not a testdata view);
         # driver records the rows-only check (must be 0 rows).
     }

@@ -394,6 +394,26 @@ def run_suite(cpus: int, sf_dir: str, n_turns: int) -> dict:
     re_.suggest_phrase("sparkk joun", n=3).collect()
     times["query_api_mix"] = round(time.time() - t0, 3)
 
+    # ES multi-agg request: one shared (persisted-on-reuse) match set
+    # feeding five aggregations + a composite page + filter buckets
+    from polaris_spark.query.aggs import run_aggs
+
+    t0 = time.time()
+    run_aggs(re_, "spark join", {
+        "by_source": {"type": "terms", "attr": "source",
+                      "metric_attr": "n_chars"},
+        "len_hist": {"type": "histogram", "attr": "n_chars",
+                     "interval": 50},
+        "n_langs": {"type": "cardinality", "attr": "lang"},
+        "len_pcts": {"type": "percentiles", "attr": "n_chars",
+                     "exact": False},
+        "pages": {"type": "composite", "sources": ["source", "lang"],
+                  "size": 16},
+        "flt": {"type": "filters",
+                "filters": {"scan": "scan", "no_merge": "spark -merge"}},
+    }, docs=docs)
+    times["aggs_request"] = round(time.time() - t0, 3)
+
     spark.stop()
     return {"times": times, **extras}
 

@@ -270,6 +270,16 @@ def main(argv: list[str] | None = None) -> int:
     fc.add_argument("--attr", required=True)
     fc.add_argument("--mode", choices=["or", "and"], default="or")
 
+    ag = sub.add_parser("aggs", help="ES multi-aggregation request over "
+                        "one shared match set: --spec is the aggs body "
+                        '{name: {"type": stats|terms|histogram|range|'
+                        "date_histogram|cardinality|percentiles|composite|"
+                        "filters, ...params}}")
+    ag.add_argument("--index", required=True)
+    ag.add_argument("--query", required=True)
+    ag.add_argument("--spec", required=True, help="JSON aggs spec object")
+    ag.add_argument("--mode", choices=["or", "and"], default="or")
+
     us = sub.add_parser("usages", help="decoded (doc_id, tf) occurrence "
                         "list for a term (the reference's `polaris "
                         "findusages`, cli/command/FindUsages.java)")
@@ -904,6 +914,15 @@ def main(argv: list[str] | None = None) -> int:
                 eng.facet_counts(args.query, args.attr, args.mode).collect()]
         rows.sort(key=lambda r: (-r["n"], str(r["facet"])))
         print(json.dumps(rows))
+    elif args.cmd == "aggs":
+        from polaris_spark.query.aggs import run_aggs
+        from polaris_spark.query.engine import SearchEngine
+
+        spark = _session("polaris_spark_aggs")
+        eng = SearchEngine(spark, args.index)
+        out = run_aggs(eng, args.query, json.loads(args.spec),
+                       mode=args.mode)
+        print(json.dumps(out, default=str))
     elif args.cmd == "usages":
         from polaris_spark.query.engine import SearchEngine
 

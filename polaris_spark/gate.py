@@ -1693,3 +1693,45 @@ def percentiles_sql(query: str, attr: str, qs=(0.25, 0.5, 0.75, 0.95),
         f"       FROM j)\n"
         f"SELECT q, value::DOUBLE AS value FROM qv ORDER BY q ASC"
     )
+
+
+def _sql_lit(v) -> str:
+    """One SQL literal for a composite after-cursor value."""
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return repr(float(v)) if isinstance(v, float) else repr(int(v))
+
+
+def composite_sql(query: str, sources: list, size: int = 10,
+                  after: tuple | None = None, table: str = "documents",
+                  field_cols: tuple = (), expand_fields: bool = False) -> str:
+    """Mirror of ``aggs.composite_agg``: key-tuple-asc bucket pages with an
+    exclusive keyset cursor (DuckDB row-value comparison ≡ the engine's
+    compiled lexicographic predicate)."""
+    j = _match_join_cte(query, table, field_cols, expand_fields)
+    keys = ", ".join(sources)
+    sql = (f"SELECT {keys}, count(*)::BIGINT AS n FROM ({j}) j\n")
+    if after is not None:
+        vals = ", ".join(_sql_lit(v) for v in after)
+        sql += f"WHERE ({keys}) > ({vals})\n"
+    sql += f"GROUP BY {keys} ORDER BY {keys} LIMIT {int(size)}"
+    return sql
+
+
+def filters_agg_sql(query: str, filters: dict, table: str = "documents",
+                    field_cols: tuple = (), expand_fields: bool = False) -> str:
+    """Mirror of ``aggs.filters_agg``: per-name scalar counts of the main
+    match set intersected with each sub-query's match set (0 for empty
+    buckets — the keyed-bucket contract)."""
+    main = bm25_scores_sql(query, table, None, field_cols, expand_fields)
+    parts = []
+    for name in sorted(filters):
+        sub = bm25_scores_sql(filters[name], table, None, field_cols,
+                              expand_fields)
+        parts.append(
+            f"SELECT {_sql_lit(name)} AS name,\n"
+            f"  (SELECT count(*) FROM ({main}) m JOIN ({sub}) s "
+            f"USING (doc_id))::BIGINT AS n"
+        )
+    return ("SELECT name, n FROM (\n" + "\nUNION ALL\n".join(parts)
+            + "\n) b ORDER BY name ASC")

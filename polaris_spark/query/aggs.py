@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "stats_agg", "terms_agg", "histogram_agg", "range_agg",
     "date_histogram_agg", "cardinality_agg", "percentiles_agg",
+    "composite_agg", "filters_agg",
 ]
 
 
@@ -221,6 +222,94 @@ def date_histogram_agg(engine, query: str, attr: str,
                      "(use <n>s/m/h/d or week/month/quarter/year)")
 
 
+def composite_agg(engine, query: str, sources: list[str], size: int = 10,
+                  after: tuple | None = None, docs=None, mode: str = "or",
+                  expand_fields: bool = False):
+    """ES ``composite`` aggregation: buckets over a TUPLE of attributes in
+    key order (every source asc — a deterministic total order), sized
+    pages walked with an exclusive ``after`` keyset cursor — the only
+    bucket enumeration that stays bounded when |buckets| itself is huge
+    (per-source terms × terms can mint 10^9 composite keys; ``terms_agg``'s
+    n-desc head needs every bucket at the reduce, this needs ``size``).
+    Returns (<source1>, .., <sourcem>, n) ordered by the key tuple asc;
+    the last row of a page IS the next ``after`` (ES's after_key).
+
+    Spark shape: attributes resolve like every agg here (stored doc_map
+    column — one shared column-pruned scan carries all stored sources —
+    else the caller ``docs`` frame); then ONE partial-aggregated groupBy
+    on the key tuple. The ``after`` cursor compiles to a lexicographic
+    row-comparison predicate on the GROUPING columns only, so Catalyst
+    pushes it below the HashAggregate (PushPredicateThroughNonJoin):
+    pages beyond the first aggregate only the keyspace tail, and the
+    final cut is a TakeOrderedAndProject over |page-visible buckets|.
+    """
+    if not sources:
+        raise ValueError("composite_agg needs at least one source")
+    if after is not None and len(after) != len(sources):
+        raise ValueError(
+            f"after cursor has {len(after)} values for {len(sources)} sources")
+    j = _attr_matches(engine, query, sources[0], docs, mode, expand_fields)
+    have = set(j.columns)
+    for s in sources[1:]:
+        if s in have:
+            continue
+        dm = engine._live(engine.spark.read.parquet(engine.doc_map_path))
+        src = dm if s in dm.columns else docs
+        if src is None or s not in src.columns:
+            raise ValueError(f"composite source {s!r} not available")
+        j = j.join(src.select("doc_id", s), "doc_id")
+        have.add(s)
+    if after is not None:
+        # lexicographic (k1..km) > (a1..am): k1>a1 OR (k1=a1 AND k2>a2) ..
+        pred = None
+        for i in range(len(sources)):
+            clause = F.col(sources[i]) > F.lit(after[i])
+            for p in range(i):
+                clause = clause & (F.col(sources[p]) == F.lit(after[p]))
+            pred = clause if pred is None else (pred | clause)
+        j = j.where(pred)
+    out = (j.groupBy(*[F.col(s) for s in sources])
+            .agg(F.count("*").cast("long").alias("n"))
+            .orderBy(*[F.asc(s) for s in sources]))
+    return out.limit(int(size)) if size is not None else out
+
+
+def filters_agg(engine, query: str, filters: dict[str, str],
+                mode: str = "or", expand_fields: bool = False):
+    """ES ``filters`` aggregation: named buckets, each counting how many
+    docs of the main query's match set ALSO match a named sub-query (full
+    parser surface — trees, phrases, prohibits — per bucket; buckets are
+    independent, a doc may land in several, and an empty bucket still
+    reports n=0, ES's keyed-bucket contract). Returns (name, n), name asc.
+
+    Spark shape: every sub-query's match set is tagged with its bucket
+    name and UNIONED into one frame — Spark turns the union of pruned
+    candidate scans into one multi-child job, not |filters| sequential
+    jobs — then ONE doc_id equi-join against the main match set and ONE
+    partial-aggregated groupBy(name); the reduce moves |filters| ×
+    partitions rows. Zero-count names come from a |filters|-row literal
+    frame left-joined to the counts (driver-side constant, no scan).
+    """
+    if not filters:
+        raise ValueError("filters_agg needs at least one named filter")
+    hits = engine.match_df(query, mode=mode,
+                           expand_fields=expand_fields).select("doc_id")
+    tagged = None
+    for name in sorted(filters):
+        sub = (engine.match_df(filters[name], mode=mode,
+                               expand_fields=expand_fields)
+               .select("doc_id", F.lit(name).alias("name")))
+        tagged = sub if tagged is None else tagged.unionByName(sub)
+    counts = (tagged.join(hits, "doc_id")
+              .groupBy("name").agg(F.count("*").cast("long").alias("n")))
+    names = engine.spark.createDataFrame(
+        [(n,) for n in sorted(filters)], "name string")
+    return (names.join(counts, "name", "left")
+            .select("name", F.coalesce(F.col("n"), F.lit(0))
+                    .cast("long").alias("n"))
+            .orderBy(F.asc("name")))
+
+
 def cardinality_agg(engine, query: str, attr: str, exact: bool = True,
                     rsd: float = 0.05, docs=None, mode: str = "or",
                     expand_fields: bool = False):
@@ -272,3 +361,102 @@ def percentiles_agg(engine, query: str, attr: str,
                .select(F.col("p.q").alias("q"),
                        F.col("p.value").alias("value"))
                .orderBy(F.asc("q")))
+
+
+class _MatchMemo:
+    """Engine proxy sharing match sets across one multi-agg request: the
+    first use of a (query, mode, expand_fields) match set runs plain; a
+    SECOND use upgrades it to ``persist()`` so every further aggregation
+    reuses the materialized candidate scan instead of re-running the
+    scoring kernels (a once-used frame is never pinned). Everything else
+    delegates to the real engine."""
+
+    def __init__(self, engine):
+        self._engine = engine
+        self._dfs = {}
+
+    def match_df(self, query, mode="or", expand_fields=False):
+        key = (query, mode, bool(expand_fields))
+        hit = self._dfs.get(key)
+        if hit is not None:
+            df, persisted = hit
+            if not persisted:
+                df = df.persist()
+                self._dfs[key] = (df, True)
+            return df
+        df = self._engine.match_df(query, mode=mode,
+                                   expand_fields=expand_fields)
+        self._dfs[key] = (df, False)
+        return df
+
+    def release(self):
+        for df, persisted in self._dfs.values():
+            if persisted:
+                df.unpersist(blocking=True)  # visible-now serving hygiene
+        self._dfs.clear()
+
+    def __getattr__(self, name):
+        return getattr(self._engine, name)
+
+
+def run_aggs(engine, query: str, spec: dict, mode: str = "or",
+             expand_fields: bool = False, docs=None) -> dict:
+    """ES multi-aggregation request body: every named entry of ``spec``
+    (``{name: {"type": <agg>, ...params}}``) evaluated over ONE shared
+    match set — the serving shape, where a dashboard asks for several
+    summaries of the same query in one round-trip. The match set is
+    lazily persisted on its second use (see :class:`_MatchMemo`) and
+    released before returning, so a long-lived daemon leaks nothing.
+    Returns ``{name: [row dicts...]}`` with each agg's documented order.
+    """
+    dispatch = {
+        "stats": lambda a: stats_agg(
+            memo, query, a["attr"], docs=docs, mode=mode,
+            expand_fields=expand_fields),
+        "terms": lambda a: terms_agg(
+            memo, query, a["attr"], metric_attr=a.get("metric_attr"),
+            size=a.get("size"), docs=docs, mode=mode,
+            expand_fields=expand_fields),
+        "histogram": lambda a: histogram_agg(
+            memo, query, a["attr"], float(a["interval"]), docs=docs,
+            mode=mode, expand_fields=expand_fields,
+            min_doc_count=int(a.get("min_doc_count", 1))),
+        "range": lambda a: range_agg(
+            memo, query, a["attr"], list(a["edges"]), docs=docs,
+            mode=mode, expand_fields=expand_fields),
+        "date_histogram": lambda a: date_histogram_agg(
+            memo, query, a["attr"], interval=a.get("interval", "1d"),
+            docs=docs, mode=mode, expand_fields=expand_fields),
+        "cardinality": lambda a: cardinality_agg(
+            memo, query, a["attr"], exact=bool(a.get("exact", True)),
+            rsd=float(a.get("rsd", 0.05)), docs=docs, mode=mode,
+            expand_fields=expand_fields),
+        "percentiles": lambda a: percentiles_agg(
+            memo, query, a["attr"], qs=tuple(a.get("qs",
+                (0.25, 0.5, 0.75, 0.95))),
+            exact=bool(a.get("exact", True)),
+            accuracy=int(a.get("accuracy", 10000)), docs=docs, mode=mode,
+            expand_fields=expand_fields),
+        "composite": lambda a: composite_agg(
+            memo, query, list(a["sources"]), size=a.get("size", 10),
+            after=tuple(a["after"]) if a.get("after") else None,
+            docs=docs, mode=mode, expand_fields=expand_fields),
+        "filters": lambda a: filters_agg(
+            memo, query, dict(a["filters"]), mode=mode,
+            expand_fields=expand_fields),
+    }
+    memo = _MatchMemo(engine)
+    out = {}
+    try:
+        for name in sorted(spec):
+            a = dict(spec[name])
+            typ = a.pop("type", None)
+            fn = dispatch.get(typ)
+            if fn is None:
+                raise ValueError(
+                    f"aggregation {name!r}: unknown type {typ!r} "
+                    f"(supported: {sorted(dispatch)})")
+            out[name] = [r.asDict() for r in fn(a).collect()]
+    finally:
+        memo.release()
+    return out

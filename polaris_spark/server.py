@@ -41,6 +41,13 @@ Methods (POST JSON to /api/<method>):
                  the fuzzy n-gram table's pruned probe).
 - ``facets``     {query, attr, mode?} → per-attribute-value match counts
                  over the FULL match set (Lucene facets analog).
+- ``aggs``       {query, aggs: {name: {type, ...}}, mode?} → the ES
+                 multi-aggregation request: every named agg (stats /
+                 terms / histogram / range / date_histogram /
+                 cardinality / percentiles / composite / filters)
+                 evaluated over ONE shared match set (lazily persisted
+                 on second use, released after the request) —
+                 ``{name: [bucket rows...]}`` keyed like the spec.
 - ``collapse``   {query, attr, k?, perGroup?, mode?} → field-collapsed
                  hits: top-k attr groups, ≤ perGroup hits each, group and
                  within-group ranks (Lucene grouping TopGroups / ES
@@ -431,6 +438,20 @@ class _Handler(BaseHTTPRequestHandler):
             b["query"], b["attr"], mode=b.get("mode", "or")))
         rows.sort(key=lambda r: (-r["n"], str(r["facet"])))
         return {"facets": rows}
+
+    def _m_aggs(self, b):
+        """ES multi-aggregation request over one shared match set. Body:
+        {query, aggs: {name: {type: stats|terms|histogram|range|
+        date_histogram|cardinality|percentiles|composite|filters, ...}},
+        mode?}. Timestamps/decimals in bucket rows render via their JSON
+        string form."""
+        from .query.aggs import run_aggs
+
+        spec = b.get("aggs")
+        if not isinstance(spec, dict) or not spec:
+            raise ValueError("body needs a non-empty 'aggs' spec object")
+        return {"aggregations": run_aggs(
+            self.engine, b["query"], spec, mode=b.get("mode", "or"))}
 
     def _m_collapse(self, b):
         """Field-collapsed search (Lucene grouping / ES collapse): top-k

@@ -197,3 +197,101 @@ def test_partial_aggregation_plan(seng, ndocs):
     plan = aggs.terms_agg(seng, Q, "source")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "partial_count" in plan
+
+
+def test_composite_pagination_walk(seng):
+    """Walking size-2 pages with the after cursor reproduces the full
+    (source, lang-less) bucket enumeration exactly — no skips, no dups."""
+    full = aggs.composite_agg(seng, Q, ["source"], size=None).collect()
+    want = [(r["source"], r["n"]) for r in full]
+    got, after = [], None
+    while True:
+        page = aggs.composite_agg(seng, Q, ["source"], size=2,
+                                  after=after).collect()
+        if not page:
+            break
+        got += [(r["source"], r["n"]) for r in page]
+        after = (page[-1]["source"],)
+    assert got == want
+    m = _pdf()[_pdf().doc_id.isin(MATCH)]
+    assert dict(got) == m.groupby("source").size().to_dict()
+
+
+def test_composite_multi_key_and_errors(seng, ndocs):
+    """Two-source keys (one stored, one from a docs frame) order
+    lexicographically and the cursor is exclusive on the full tuple."""
+    m = _pdf()[_pdf().doc_id.isin(MATCH)]
+    want = sorted((s, n, c) for (s, n), c in
+                  m.groupby(["source", "n_chars"]).size().items())
+    got = aggs.composite_agg(seng, Q, ["source", "n_chars"], size=None,
+                             docs=ndocs).collect()
+    assert [(r["source"], r["n_chars"], r["n"]) for r in got] == want
+    cut = aggs.composite_agg(seng, Q, ["source", "n_chars"], size=None,
+                             after=want[1][:2], docs=ndocs).collect()
+    assert [(r["source"], r["n_chars"], r["n"]) for r in cut] == want[2:]
+    with pytest.raises(ValueError, match="at least one source"):
+        aggs.composite_agg(seng, Q, [])
+    with pytest.raises(ValueError, match="after cursor"):
+        aggs.composite_agg(seng, Q, ["source"], after=("a", "b"))
+    with pytest.raises(ValueError, match="not available"):
+        aggs.composite_agg(seng, Q, ["source", "nope"])
+
+
+def test_composite_keyset_pushed_below_aggregate(seng):
+    """The after predicate references only grouping columns, so Catalyst
+    pushes it below the HashAggregate: the filter must NOT sit above any
+    partial_count in the executed plan."""
+    plan = aggs.composite_agg(seng, Q, ["source"], size=2,
+                              after=("s1",))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "partial_count" in plan
+    first_agg = plan.index("partial_count")
+    assert "s1" in plan[first_agg:]  # the cursor filter is below the agg
+
+
+def test_filters_agg_semantics(seng):
+    """Overlapping buckets count independently; a prohibit sub-query and
+    an empty bucket both behave; order is name asc."""
+    m = _pdf()[_pdf().doc_id.isin(MATCH)]
+    got = aggs.filters_agg(seng, Q, {
+        "a_scan": "scan",
+        "b_no_merge": "spark -merge",
+        "c_empty": "zzznope",
+    }).collect()
+    want_scan = int(m.text.str.contains("scan").sum())
+    want_nm = int((m.text.str.contains("spark")
+                   & ~m.text.str.contains("merge")).sum())
+    assert [(r["name"], r["n"]) for r in got] == [
+        ("a_scan", want_scan), ("b_no_merge", want_nm), ("c_empty", 0)]
+    with pytest.raises(ValueError, match="at least one named filter"):
+        aggs.filters_agg(seng, Q, {})
+
+
+def test_run_aggs_multi_request(spark, seng, ndocs):
+    """The multi-agg executor returns each agg's rows keyed by name,
+    identical to the standalone calls, and releases every persisted
+    match set afterwards (no cached-RDD growth — serving hygiene)."""
+    spec = {
+        "by_source": {"type": "terms", "attr": "source"},
+        "n_match": {"type": "cardinality", "attr": "doc_id"},
+        "pages": {"type": "composite", "sources": ["source"], "size": 2,
+                  "after": ["s1"]},
+        "flt": {"type": "filters",
+                "filters": {"scan": "scan", "none": "zzznope"}},
+    }
+    out = aggs.run_aggs(seng, Q, spec, docs=ndocs)
+    n1 = spark.sparkContext._jsc.getPersistentRDDs().size()
+    aggs.run_aggs(seng, "merge sort", spec, docs=ndocs)
+    aggs.run_aggs(seng, "scan", spec, docs=ndocs)
+    # the memo released its persists; only the engine's SINGLE scoped
+    # candidate frame remains, so repeated requests add nothing
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= n1
+    assert set(out) == {"by_source", "n_match", "pages", "flt"}
+    want_terms = [r.asDict() for r in
+                  aggs.terms_agg(seng, Q, "source").collect()]
+    assert out["by_source"] == want_terms
+    assert out["n_match"] == [{"n_distinct": len(MATCH)}]
+    assert [r["source"] for r in out["pages"]] == ["s2", "s3"]
+    assert {r["name"]: r["n"] for r in out["flt"]}["none"] == 0
+    with pytest.raises(ValueError, match="unknown type"):
+        aggs.run_aggs(seng, Q, {"x": {"type": "nope"}})

@@ -421,3 +421,27 @@ def test_metrics_endpoint(daemon):
     assert m["count"]["n"] >= 1 and m["count"]["p50_ms"] > 0
     assert m["search"]["n"] >= 2 and m["search"]["errors"] >= 1
     assert m["search"]["p99_ms"] >= m["search"]["p50_ms"]
+
+
+def test_aggs_endpoint(spark, daemon):
+    """/api/aggs: the ES multi-aggregation body over one shared match
+    set — served rows identical to the library executor; bad specs 400."""
+    from polaris_spark.query.aggs import run_aggs
+
+    base, d, pdf = daemon
+    q = pdf["text"].iloc[0].split()[0]
+    spec = {
+        "by_role": {"type": "terms", "attr": "role"},
+        "n_docs": {"type": "cardinality", "attr": "doc_id"},
+        "role_pages": {"type": "composite", "sources": ["role"],
+                       "size": 1},
+    }
+    got = _post(base, "aggs", {"query": q, "aggs": spec})["aggregations"]
+    want = run_aggs(SearchEngine(spark, d), q, spec)
+    assert got == want
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base, "aggs", {"query": q})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base, "aggs", {"query": q, "aggs": {"x": {"type": "bogus"}}})
+    assert e.value.code == 400

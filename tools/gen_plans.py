@@ -28,6 +28,7 @@ def main() -> None:
     from pyspark.sql import SparkSession, functions as F
 
     from polaris_spark.index.build import IndexConfig, build_index
+    from polaris_spark.query import aggs as _aggs
     from polaris_spark.query.engine import SearchEngine
 
     spark = (
@@ -239,6 +240,18 @@ def main() -> None:
         "carries only (doc_id, attr), and HashAggregate partial-folds per "
         "task to ≤ |attribute values| rows before the exchange.",
         cap(eng.facet_counts("spark join", "source")),
+    ))
+
+    SECTIONS.append((
+        "composite agg (keyset cursor pushed BELOW the bucket aggregate)",
+        "The exclusive after-cursor compiles to a lexicographic predicate "
+        "over the grouping columns only, so PushPredicateThroughNonJoin "
+        "sinks it under the HashAggregate: look for the Filter on the "
+        "attr columns sitting below the partial aggregate — pages beyond "
+        "the first aggregate only the keyspace tail, and the size cut is "
+        "a TakeOrderedAndProject over page-visible buckets.",
+        cap(_aggs.composite_agg(eng, "spark join", ["source", "lang"],
+                                size=8, after=("src1", "en"))),
     ))
 
     SECTIONS.append((
