@@ -1427,6 +1427,20 @@ def _q_agg_date_histogram(spark, sf_dir):
                               interval="6h", docs=ts_docs)
 
 
+Q_CLASSIC = "spark^1.5 join -window"  # boost + prohibit through the
+# ClassicSimilarity path (the reference's Lucene 4.3 DefaultSimilarity)
+
+
+def _q_classic_search(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    out = _agg_engine(spark, sf_dir).search_classic_df(Q_CLASSIC, k=None)
+    return out.select(
+        "doc_id",
+        F.round(F.col("score") * 10000).cast("long").alias("score_e4"),
+        "n_match")
+
+
 AGG_COMPOSITE_AFTER = ("src1", "en")  # exclusive keyset cursor (page 2+)
 AGG_FILTERS = {  # named filter buckets: flat, prohibit, and empty
     "has_scan": "scan",
@@ -1579,6 +1593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_percentiles": _q_agg_percentiles,
         "agg_composite": _q_agg_composite,
         "agg_filters": _q_agg_filters,
+        "classic_search": _q_classic_search,
         "transcripts_invariant": _q_transcripts_invariant,
     }
 
@@ -1627,6 +1642,7 @@ def oracle_sql() -> dict[str, str]:
         percentiles_sql,
         composite_sql,
         filters_agg_sql,
+        classic_scores_sql,
     )
     import polaris_spark.ops.analytics as _an
     from polaris_spark.ops.curate import duckdb_curate_sql
@@ -1936,6 +1952,7 @@ SELECT doc_id, query_id FROM (
         "agg_composite": composite_sql(Q_OR, ["source", "lang"], size=8,
                                        after=AGG_COMPOSITE_AFTER),
         "agg_filters": filters_agg_sql(Q_OR, AGG_FILTERS),
+        "classic_search": classic_scores_sql(Q_CLASSIC),
         # transcripts_invariant: intentionally no oracle (not a testdata view);
         # driver records the rows-only check (must be 0 rows).
     }

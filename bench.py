@@ -392,6 +392,7 @@ def run_suite(cpus: int, sf_dir: str, n_turns: int) -> dict:
                      k=10, docs=docs).collect()
     re_.search_phrase_prefix("slow qu", k=10)
     re_.suggest_phrase("sparkk joun", n=3).collect()
+    re_.search_classic_df("spark join", k=10).collect()
     times["query_api_mix"] = round(time.time() - t0, 3)
 
     # ES multi-agg request: one shared (persisted-on-reuse) match set

@@ -128,6 +128,12 @@ def main(argv: list[str] | None = None) -> int:
                         "FilteredQuery / ES bool filter): restricts hits "
                         "without touching scores; full parser surface "
                         "(e.g. 'lang:en', 'lang:en OR lang:de')")
+    q.add_argument("--similarity", choices=["bm25", "classic"],
+                   default="bm25",
+                   help="'classic' ranks with Lucene ClassicSimilarity — "
+                        "the reference's DefaultSimilarity TF-IDF scoring "
+                        "incl. the exact byte315 norm quantization "
+                        "(always the distributed path)")
     q.add_argument("--dismax", action="store_true",
                    help="DisjunctionMaxQuery scoring: each token ranks by "
                         "the max over its field variants + --tie x the "
@@ -719,6 +725,13 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"query": args.query,
                               "count": eng.search_count(args.query,
                                                         args.mode)}))
+            return
+        if args.similarity == "classic":
+            rows = [r.asDict() for r in eng.search_classic_df(
+                args.query, args.k, mode=args.mode,
+                expand_fields=args.expand_fields,
+                filter_query=args.filter).collect()]
+            print(json.dumps(rows))
             return
         if args.rescore_query:
             rows = [r.asDict() for r in eng.rescore(

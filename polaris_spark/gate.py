@@ -1735,3 +1735,67 @@ def filters_agg_sql(query: str, filters: dict, table: str = "documents",
         )
     return ("SELECT name, n FROM (\n" + "\nUNION ALL\n".join(parts)
             + "\n) b ORDER BY name ASC")
+
+
+def classic_scores_sql(query: str, table: str = "documents",
+                       limit: int | None = None, field_cols: tuple = (),
+                       expand_fields: bool = False) -> str:
+    """Mirror of ``SearchEngine.search_classic_df`` — Lucene
+    ClassicSimilarity (the reference's DefaultSimilarity ranking; see
+    query/classic.py): e4-rounded scores with the EXACT byte315 norm
+    quantization reproduced as "largest decodable value <= float32
+    lengthNorm" over the embedded 256-value decode table (truncation ==
+    round-toward-zero onto the 3-bit-mantissa grid, verified exhaustively
+    in tests). idf/queryNorm/coord fold over the same term sets as the
+    engine: queryNorm over matched terms, coord denominator over ALL
+    parsed terms (the qt rows)."""
+    from .query.classic import NORM_DECODE
+
+    inc, pinc, _exc, _pexc = _split_chunks(query, field_cols, expand_fields)
+    vals = ", ".join(repr(float(v)) for v in NORM_DECODE)
+    sql = base_cte(table, field_cols) + f""",
+qt AS (
+  {_qt_cte(inc, pinc)}
+),
+dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf
+  WHERE term IN (SELECT term FROM qt) GROUP BY term
+),
+idfq AS (
+  SELECT qt.term, qt.boost,
+         (1.0 + ln(s.N / (dft.df + 1.0))) AS idf
+  FROM qt JOIN dft USING (term) CROSS JOIN stats s
+),
+qn AS (
+  SELECT 1.0 / sqrt(sum((idf * boost) * (idf * boost))) AS qnorm FROM idfq
+),
+normv AS (SELECT unnest(ARRAY[{vals}]::DOUBLE[]) AS v),
+dnorm AS (
+  SELECT dl.doc_id,
+         (SELECT max(v) FROM normv
+          WHERE v <= CAST(1.0 / sqrt(dl.dl::DOUBLE) AS REAL)) AS nrm
+  FROM dl
+),
+contrib AS (
+  SELECT tf.doc_id,
+         i.idf * i.idf * i.boost * qn.qnorm
+         * sqrt(tf.tf::DOUBLE) * d.nrm AS c,
+         tf.term AS term
+  FROM tf
+  JOIN idfq i USING (term)
+  JOIN dnorm d ON d.doc_id = tf.doc_id
+  CROSS JOIN qn
+),
+scored AS (
+  SELECT doc_id,
+         sum(c) * (count(DISTINCT term)::DOUBLE
+                   / (SELECT count(*) FROM qt)) AS raw_score,
+         count(DISTINCT term)::INT AS n_match
+  FROM contrib{_exclusion_clause(query, field_cols, expand_fields)}
+  GROUP BY doc_id
+)
+SELECT doc_id, CAST(round(raw_score * 10000) AS BIGINT) AS score_e4, n_match
+FROM scored"""
+    if limit is not None:
+        sql += f"\nORDER BY raw_score DESC, doc_id ASC LIMIT {int(limit)}"
+    return sql

@@ -2603,6 +2603,53 @@ class SearchEngine:
         out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
         return out.limit(k) if k is not None else out
 
+    def search_classic_df(self, query: str, k: int | None = 10,
+                          mode: str = "or", expand_fields: bool = False,
+                          filter_query: str | None = None):
+        """Distributed search under **Lucene ClassicSimilarity** — the
+        reference's ACTUAL ranking function (it never overrides Lucene
+        4.3's DefaultSimilarity; see ``query/classic.py`` for the formula,
+        the exact byte315 norm-quantization replication, and the two
+        documented float-precision deviations). The flat parser surface
+        applies (boosts ``t^N``, prohibits ``-t``, ``field:t``; wildcard/
+        fuzzy expansion via the same parse), and ``filter_query`` is the
+        same constant-score FILTER context as :meth:`search_df`.
+
+        Spark shape: the exact :meth:`search_df` exchange — pruned
+        candidate scan, per-shard kernels, cogrouped exclusion/filter,
+        TakeOrderedAndProject — with the classic kernel plugged into
+        :meth:`_flat_scored_df`'s ``scorer`` hook (the dismax pattern).
+        No MaxScore pruning (block-max stores BM25 impacts): every
+        term-pruned candidate is scored, shard-parallel."""
+        from .classic import classic_weights, score_shard_classic
+
+        self._check_wildcard_mode(query, mode)
+        terms, exc, boosts = self.parse_query_boosts(query, expand_fields)
+        empty = self.spark.createDataFrame([], RESULT_SCHEMA)
+        if not terms:
+            return empty
+        from pyspark.sql import functions as F
+
+        cand = self._cache_scoped(self._candidates(terms))
+        rows = cand.groupBy("term").agg(F.sum("df").alias("df")).collect()
+        dfs = {r["term"]: int(r["df"]) for r in rows}
+        if not dfs:
+            return empty
+        wts = classic_weights(dfs, int(self.stats["N"]), boosts)
+        S = int(self.stats["n_shards"])
+        nq = len(terms)
+
+        def scorer(pdf, sh, excl, incl):
+            return score_shard_classic(pdf, wts, k, mode, nq, n_shards=S,
+                                       shard=sh, excluded=excl,
+                                       included=incl)
+
+        include_df = (self._filter_docs_df(filter_query,
+                                           expand_fields=expand_fields)
+                      if filter_query is not None else None)
+        return self._flat_scored_df(cand, wts, k, mode, nq, exc_terms=exc,
+                                    include_df=include_df, scorer=scorer)
+
     def _dismax_parse(self, query: str, field_boosts: dict | None):
         """Parse a dismax query: plain text tokens only (the per-field
         variants are generated HERE — that is what dismax is), so every
