@@ -12,7 +12,8 @@ search/CodeSearchImpl.java). Differences, both deliberate:
 
 Methods (POST JSON to /api/<method>):
 
-- ``search``     {query, rankFrom?, rankTo?, mode?, payload?, filter?} →
+- ``search``     {query, rankFrom?, rankTo?, mode?, payload?, filter?,
+                 similarity?} →
                  the full mixed response (hits + completions + count +
                  latency_ms); each hit carries its doc_map identity columns
                  and, when the index stores text, a ``snippet`` context
@@ -23,6 +24,8 @@ Methods (POST JSON to /api/<method>):
                  hits. ``filter`` is a constant-score FILTER sub-query
                  (Lucene 4.3 FilteredQuery / ES bool filter): survivors
                  keep their unfiltered scores bit-exactly.
+                 ``similarity: "classic"`` ranks with the reference's
+                 DefaultSimilarity TF-IDF (query/classic.py) — bare hits.
 - ``searchMany`` {queries: [...], k?} → per-query top-k hits, the whole
                  list scored as ONE distributed job (engine.search_many_df
                  — replay/eval volume; bit-identical to per-query search).
@@ -205,6 +208,19 @@ class _Handler(BaseHTTPRequestHandler):
     # ------------------------------------------------------- API methods
 
     def _m_search(self, b):
+        if b.get("similarity", "bm25") == "classic":
+            # the reference's DefaultSimilarity ranking (query/classic.py);
+            # bare hits — classic is the parity scorer, the mixed response
+            # (completions/payload) stays on the BM25 flagship path
+            import time as _t
+
+            t0 = _t.time()
+            hits = [r.asDict() for r in self.engine.search_classic_df(
+                b["query"], k=int(b.get("rankTo", 20)),
+                mode=b.get("mode", "or"),
+                filter_query=b.get("filter")).collect()]
+            return {"hits": hits, "count": len(hits),
+                    "latency_ms": round((_t.time() - t0) * 1000.0, 3)}
         return self.engine.search_mixed(
             b["query"],
             rank_from=int(b.get("rankFrom", 0)),

@@ -445,3 +445,16 @@ def test_aggs_endpoint(spark, daemon):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(base, "aggs", {"query": q, "aggs": {"x": {"type": "bogus"}}})
     assert e.value.code == 400
+
+
+def test_search_classic_similarity(spark, daemon):
+    """similarity:'classic' serves the reference's DefaultSimilarity
+    ranking — identical to the engine's classic path."""
+    base, d, pdf = daemon
+    q = pdf["text"].iloc[0].split()[0]
+    got = _post(base, "search", {"query": q, "rankTo": 5,
+                                 "similarity": "classic"})
+    want = SearchEngine(spark, d).search_classic_df(q, k=5).collect()
+    assert [(h["doc_id"], round(h["score"], 9)) for h in got["hits"]] == \
+        [(r["doc_id"], round(r["score"], 9)) for r in want]
+    assert "latency_ms" in got
