@@ -1427,6 +1427,30 @@ def _q_agg_date_histogram(spark, sf_dir):
                               interval="6h", docs=ts_docs)
 
 
+NB_FEATURES = 4096  # small enough to force hash collisions at sf0.01
+
+
+def _q_nb_classify(spark, sf_dir):
+    """Self-train + self-score the hashed NB classifier on (text → lang):
+    the CCNet-style trained-classifier slot, replayed exactly by the
+    DuckDB oracle (same md5 feature hash, same smoothing fold). The
+    synthetic corpus's lang column is text-INDEPENDENT (same template
+    vocabulary for every lang), so the classifier correctly collapses to
+    the majority prior — the gate checks the train+score mechanism
+    bit-for-bit, not model quality (tests/test_classifier.py covers real
+    discrimination on a separable corpus)."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.ops.classifier import nb_score, nb_train
+
+    docs = _docs(spark, sf_dir)
+    model, ls = nb_train(docs, "lang", n_features=NB_FEATURES)
+    out = nb_score(docs, model, ls, n_features=NB_FEATURES)
+    return out.select(
+        "doc_id", "label",
+        F.round(F.col("score") * 10000).cast("long").alias("score_e4"))
+
+
 Q_CLASSIC = "spark^1.5 join -window"  # boost + prohibit through the
 # ClassicSimilarity path (the reference's Lucene 4.3 DefaultSimilarity)
 
@@ -1594,6 +1618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_composite": _q_agg_composite,
         "agg_filters": _q_agg_filters,
         "classic_search": _q_classic_search,
+        "nb_classify": _q_nb_classify,
         "transcripts_invariant": _q_transcripts_invariant,
     }
 
@@ -1645,6 +1670,7 @@ def oracle_sql() -> dict[str, str]:
         classic_scores_sql,
     )
     import polaris_spark.ops.analytics as _an
+    from polaris_spark.ops.classifier import duckdb_nb_sql
     from polaris_spark.ops.curate import duckdb_curate_sql
     from polaris_spark.ops.mixing import (duckdb_budget_sql,
                                           duckdb_pack_sql,
@@ -1953,6 +1979,7 @@ SELECT doc_id, query_id FROM (
                                        after=AGG_COMPOSITE_AFTER),
         "agg_filters": filters_agg_sql(Q_OR, AGG_FILTERS),
         "classic_search": classic_scores_sql(Q_CLASSIC),
+        "nb_classify": duckdb_nb_sql("lang", n_features=NB_FEATURES),
         # transcripts_invariant: intentionally no oracle (not a testdata view);
         # driver records the rows-only check (must be 0 rows).
     }

@@ -336,6 +336,13 @@ def run_suite(cpus: int, sf_dir: str, n_turns: int) -> dict:
     _consume(dsir_logweights(docs, docs.where("lang = 'en'")))
     times["dsir_weights_scan"] = round(time.time() - t0, 3)
 
+    from polaris_spark.ops.classifier import nb_score, nb_train
+
+    t0 = time.time()
+    _nbm, _nbl = nb_train(docs, "lang", n_features=2 ** 16)
+    _consume(nb_score(docs, _nbm, _nbl, n_features=2 ** 16))
+    times["nb_classify_scan"] = round(time.time() - t0, 3)
+
     from polaris_spark.ops.bpe import bpe_encode, bpe_learn
     from polaris_spark.ops.text import top_ngrams
 

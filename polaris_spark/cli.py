@@ -534,6 +534,27 @@ def main(argv: list[str] | None = None) -> int:
                          "setting; identical output modulo 2^-64 "
                          "collisions)")
 
+    cl = sub.add_parser("classify", help="hashed multinomial NB text "
+                        "classifier (the CCNet/GPT-3 trained-quality-"
+                        "classifier slot): closed-form one-pass training "
+                        "on --train's --label-col, map-side scoring of "
+                        "--input")
+    cl.add_argument("--input", required=True,
+                    help="documents parquet to score")
+    cl.add_argument("--train", default=None,
+                    help="labeled documents parquet (default: --input — "
+                         "self-train, e.g. on its lang column)")
+    cl.add_argument("--label-col", required=True)
+    cl.add_argument("--output", required=True,
+                    help="predictions parquet (doc_id, label, score)")
+    cl.add_argument("--text-col", default="text")
+    cl.add_argument("--doc-id-col", default="doc_id")
+    cl.add_argument("--features", type=int, default=2 ** 18)
+    cl.add_argument("--alpha", type=float, default=1.0)
+    cl.add_argument("--scores", action="store_true",
+                    help="write the full |docs| x |labels| score matrix "
+                         "instead of the argmax row (thresholded curation)")
+
     ds = sub.add_parser("dsir", help="DSIR importance weights (Xie et al. "
                         "2023): hashed unigram+bigram bucket "
                         "distributions, log importance weight per raw "
@@ -1067,6 +1088,29 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"output": args.output, "n_docs": agg["n"],
                           "n_docs_cut": int(agg["nd"] or 0),
                           "n_tokens_cut": int(agg["nt"] or 0)}))
+    elif args.cmd == "classify":
+        from pyspark.sql import functions as F
+
+        from polaris_spark.ops.classifier import nb_score, nb_train
+
+        spark = _session("polaris_spark_classify")
+        docs = spark.read.parquet(args.input)
+        train = spark.read.parquet(args.train) if args.train else docs
+        model, ls = nb_train(train, args.label_col, text_col=args.text_col,
+                             n_features=args.features)
+        out = nb_score(docs, model, ls, text_col=args.text_col,
+                       id_col=args.doc_id_col, n_features=args.features,
+                       alpha=args.alpha, keep_scores=args.scores)
+        out.write.mode("overwrite").parquet(args.output)
+        out = spark.read.parquet(args.output)
+        res = {"output": args.output, "n_rows": out.count(),
+               "n_labels": ls.count()}
+        if not args.scores:
+            res["by_label"] = {
+                r["label"]: r["n"] for r in
+                out.groupBy("label").agg(F.count("*").alias("n"))
+                .orderBy("label").collect()}
+        print(json.dumps(res))
     elif args.cmd == "dsir":
         from pyspark.sql import functions as F
 
