@@ -690,3 +690,40 @@ def kmeans_refine(emb, centroids: list[list[float]], n_iter: int = 2,
                 nxt.append(c[cid])
         c = nxt
     return c
+
+
+def append_ivf(spark, emb_new, ivf_dir: str,
+               vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Append vectors to a PREBUILT IVF index without rebuilding — the
+    FAISS ``add()``-after-``train()`` contract, and the vector-side twin
+    of the text index's ``append_index``: new vectors are assigned
+    against the STORED centroids (``_centroids.json``) and written in
+    append mode into the same ``centroid_id=`` partition directories, so
+    every existing probe plan (partition pruning included) serves the
+    union immediately.
+
+    Centroids stay FIXED on append (the IVF contract): assignment of old
+    vectors never changes, so append ∘ append ≡ one build over the union
+    GIVEN the same centroids (tested). Distribution drift degrades
+    recall only — periodic ``build_ivf(refine_iters=...)`` re-trains.
+    Spark shape: one codegen'd assignment scan over the NEW batch + one
+    partitioned append — cost ∝ batch, never index size. The caller owns
+    id uniqueness (same contract as the text append's remap note): a
+    duplicate vec_id would surface twice, exactly like FAISS add()."""
+    import json
+    import os
+
+    from ..fs import get_fs
+
+    fs = get_fs(spark, ivf_dir)
+    centroids = json.loads(
+        fs.read_text(os.path.join(ivf_dir, "_centroids.json")))
+    assigned = assign_centroids(emb_new, centroids, vec_col, id_col)
+    (
+        assigned.repartition("centroid_id")
+        .write.mode("append")
+        .option("compression", "zstd")
+        .partitionBy("centroid_id")
+        .parquet(os.path.join(ivf_dir, "vectors"))
+    )
+    return centroids

@@ -610,3 +610,32 @@ def test_ivf_refined_centroids_keep_full_probe_identity(spark, tmp_path):
     full = [(r["vec_id"], r["sim"]) for r in
             ivf_topk(spark, d, q, k=10, nprobe=4).collect()]
     assert brute == full
+
+
+def test_ivf_append_equals_union_build(spark, tmp_path):
+    """append_ivf: build on half the vectors, append the other half —
+    every probe (full and pruned) returns exactly what one build over the
+    union returns with the SAME centroids (fixed-centroid contract)."""
+    from polaris_spark.ops.similarity import (
+        append_ivf,
+        build_ivf,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = kmeans_centroids(emb, n_centroids=4, seed=7, sample_n=200)
+    half_a, half_b = emb.where("vec_id % 2 = 0"), emb.where("vec_id % 2 = 1")
+    d_inc = str(tmp_path / "ivf_inc")
+    build_ivf(spark, half_a, d_inc, centroids=cents)
+    append_ivf(spark, half_b, d_inc)
+    d_all = str(tmp_path / "ivf_all")
+    build_ivf(spark, emb, d_all, centroids=cents)
+    q = [float(x) for x in
+         emb.where("vec_id = 3").collect()[0]["embedding"]]
+    for nprobe in (4, 1):
+        inc = [(r["vec_id"], r["sim"]) for r in
+               ivf_topk(spark, d_inc, q, k=10, nprobe=nprobe).collect()]
+        full = [(r["vec_id"], r["sim"]) for r in
+                ivf_topk(spark, d_all, q, k=10, nprobe=nprobe).collect()]
+        assert inc == full
