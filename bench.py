@@ -283,6 +283,21 @@ def run_suite(cpus: int, sf_dir: str, n_turns: int) -> dict:
     ivf_topk_many(spark, ivf_dir, qvs, k=10, nprobe=2).count()
     times["ivf_many_probe8"] = round(time.time() - t0, 3)
 
+    from polaris_spark.ops.similarity import build_ivf_quantized, ivf_topk_sq
+
+    t0 = time.time()
+    build_ivf_quantized(spark, emb, ivf_dir)
+    times["ivf_sq_build"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    sq_hits = [r["vec_id"] for r in
+               ivf_topk_sq(spark, ivf_dir, qv, k=10, nprobe=2,
+                           window=64).collect()]
+    times["ivf_sq_probe_top10"] = round(time.time() - t0, 3)
+    exact_hits = [r["vec_id"] for r in
+                  ivf_topk(spark, ivf_dir, qv, k=10, nprobe=2).collect()]
+    extras["ivf_sq_recall10"] = round(
+        len(set(sq_hits) & set(exact_hits)) / max(1, len(exact_hits)), 3)
+
     from polaris_spark.ops.similarity import knn_join, srp_candidate_pairs
 
     t0 = time.time()

@@ -727,3 +727,116 @@ def append_ivf(spark, emb_new, ivf_dir: str,
         .parquet(os.path.join(ivf_dir, "vectors"))
     )
     return centroids
+
+
+def _quantize_cols(vec_col, bits: int = 8):
+    """Packed-array form of :func:`quantize_embeddings`' exact spec:
+    returns (qvec tinyint-array, scale) column pair — round-half-up
+    symmetric quantization, zero vector → zeros with scale 0."""
+    from pyspark.sql import functions as F
+
+    qmax = (1 << (bits - 1)) - 1
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = mx / F.lit(float(qmax))
+    q = F.transform(
+        v,
+        lambda x: F.when(mx == 0, F.lit(0))
+        .otherwise(F.floor(x / scale + F.lit(0.5))).cast("tinyint"),
+    )
+    return q, F.when(mx == 0, F.lit(0.0)).otherwise(scale)
+
+
+def build_ivf_quantized(spark, emb, ivf_dir: str,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id", bits: int = 8):
+    """Add the SQ sidecar to a PREBUILT IVF index: the same vectors,
+    int8-quantized (4× smaller scan), written into matching
+    ``centroid_id=`` partitions as ``vectors_q``. Probe-side use:
+    :func:`ivf_topk_sq` scans the quantized sidecar first and rescores a
+    top window against the full-precision table — FAISS's
+    SQ8-with-refine pattern. One assignment-identical pass over the
+    index's source vectors; call after (or with the same input as)
+    :func:`build_ivf`."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..fs import get_fs
+
+    fs = get_fs(spark, ivf_dir)
+    centroids = json.loads(
+        fs.read_text(os.path.join(ivf_dir, "_centroids.json")))
+    assigned = assign_centroids(emb, centroids, vec_col, id_col)
+    qv, sc = _quantize_cols(F.col("embedding"), bits)
+    (
+        assigned.select("vec_id", "centroid_id", qv.alias("qvec"),
+                        sc.alias("scale"))
+        .repartition("centroid_id")
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .partitionBy("centroid_id")
+        .parquet(os.path.join(ivf_dir, "vectors_q"))
+    )
+    return centroids
+
+
+def ivf_topk_sq(spark, ivf_dir: str, query: list[float], k: int = 10,
+                nprobe: int = 2, window: int | None = 64):
+    """SQ-IVF probe with exact rescoring (FAISS IndexIVFScalarQuantizer +
+    refine): rank centroids driver-side, scan the probed partitions of
+    the INT8 sidecar (¼ the bytes of the float32 scan — at 10⁹×768-dim
+    the difference between a probe that fits the page cache and one that
+    doesn't), take the top ``window`` by approximate cosine
+    (dequantized q·scale against the query), then rescore ONLY that
+    window against the full-precision vectors via a broadcast semi-join
+    and return the exact top-k of the window.
+
+    ``window=None`` rescores every probed row — then the result is
+    EXACTLY :func:`ivf_topk` (and brute force at nprobe=all): the gate/
+    identity form. Finite windows trade recall for the 4× scan cut;
+    the rescore read stays bounded by the probed partitions and keeps
+    only |window| rows (partition-internal vec_id sorting would add
+    row-group pruning; documented, not required for correctness)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..fs import get_fs
+
+    centroids = json.loads(
+        get_fs(spark, ivf_dir).read_text(
+            os.path.join(ivf_dir, "_centroids.json")))
+    probe = _rank_centroids(centroids, query, nprobe)
+    vq = (spark.read.parquet(os.path.join(ivf_dir, "vectors_q"))
+          .where(F.col("centroid_id").isin(probe)))
+    deq = F.transform(F.col("qvec"),
+                      lambda x: x.cast("double") * F.col("scale"))
+    approx = vq.select(
+        "vec_id",
+        (
+            F.aggregate(
+                F.zip_with(deq,
+                           F.array(*[F.lit(float(x)) for x in query]),
+                           lambda a, b: a * b),
+                F.lit(0.0), lambda acc, x: acc + x)
+            / (F.sqrt(F.aggregate(deq, F.lit(0.0),
+                                  lambda acc, x: acc + x * x))
+               * F.lit(sum(float(x) * float(x) for x in query) ** 0.5))
+        ).alias("sim_q"),
+    )
+    if window is not None:
+        approx = approx.orderBy(F.desc("sim_q"), F.asc("vec_id")) \
+                       .limit(int(window))
+    vecs = (spark.read.parquet(os.path.join(ivf_dir, "vectors"))
+            .where(F.col("centroid_id").isin(probe)))
+    return (
+        vecs.join(F.broadcast(approx.select("vec_id")), "vec_id")
+        .select("vec_id",
+                F.round(cosine_sim_col(F.col("embedding"), query), 6)
+                .alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -639,3 +639,41 @@ def test_ivf_append_equals_union_build(spark, tmp_path):
         full = [(r["vec_id"], r["sim"]) for r in
                 ivf_topk(spark, d_all, q, k=10, nprobe=nprobe).collect()]
         assert inc == full
+
+
+def test_ivf_sq_probe_rescore(spark, tmp_path):
+    """SQ-IVF with exact rescore: window=None + nprobe=all is EXACTLY
+    brute force (rescoring everything removes the quantization error);
+    a finite window returns exactly-scored rows whose approximate
+    ordering was close (quantization error bound scale/2 per dim)."""
+    from polaris_spark.ops.similarity import (
+        build_ivf,
+        build_ivf_quantized,
+        cosine_topk,
+        ivf_topk_sq,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = kmeans_centroids(emb, n_centroids=4, seed=7, sample_n=200)
+    d = str(tmp_path / "ivf_sq")
+    build_ivf(spark, emb, d, centroids=cents)
+    build_ivf_quantized(spark, emb, d)
+    q = [float(x) for x in
+         emb.where("vec_id = 0").collect()[0]["embedding"]]
+    brute = [(r["vec_id"], r["sim"]) for r in
+             cosine_topk(emb, q, k=10).collect()]
+    exact_all = [(r["vec_id"], r["sim"]) for r in
+                 ivf_topk_sq(spark, d, q, k=10, nprobe=4,
+                             window=None).collect()]
+    assert exact_all == brute
+    # finite window: every returned sim is the EXACT cosine (it came from
+    # the rescore), rows ordered (sim desc, vec_id asc), high overlap
+    win = [(r["vec_id"], r["sim"]) for r in
+           ivf_topk_sq(spark, d, q, k=10, nprobe=4, window=32).collect()]
+    assert win == sorted(win, key=lambda t: (-t[1], t[0]))
+    exact_map = dict(brute)
+    for vid, s in win:
+        if vid in exact_map:
+            assert s == exact_map[vid]
+    assert len(set(dict(win)) & set(exact_map)) >= 8  # recall@10 >= 0.8
