@@ -72,6 +72,14 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--no-gc", action="store_true",
                     help="keep the tf checkpoint generations")
 
+    sn = sub.add_parser("snapshot", help="point-in-time index snapshot "
+                        "(SnapshotDeletionPolicy/backup analog): a "
+                        "consistent copy of the PUBLISHED state, safe "
+                        "while appends run; restore = serve (or snapshot "
+                        "back) the copied directory")
+    sn.add_argument("--index", required=True)
+    sn.add_argument("--dest", required=True)
+
     mg = sub.add_parser("merge", help="tiered generation merge (Lucene "
                         "TieredMergePolicy analog): merge all appended "
                         "generations into one, leaving the base segment "
@@ -726,6 +734,11 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = _session("polaris_spark_compact")
         print(json.dumps(compact_index(spark, args.index, gc=not args.no_gc)))
+    elif args.cmd == "snapshot":
+        from polaris_spark.index.maintenance import snapshot_index
+
+        spark = _session("polaris_spark_snapshot")
+        print(json.dumps(snapshot_index(spark, args.index, args.dest)))
     elif args.cmd == "delete":
         from polaris_spark.index.maintenance import delete_docs
 

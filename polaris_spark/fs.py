@@ -83,6 +83,17 @@ class LocalFS:
             return []
         return sorted(os.listdir(path))
 
+    def copy_tree(self, src: str, dst: str) -> None:
+        """Recursive copy (file or directory) within this filesystem —
+        the snapshot primitive. Absent source → no-op."""
+        import shutil
+
+        if os.path.isdir(src):
+            shutil.copytree(src, dst, dirs_exist_ok=True)
+        elif os.path.exists(src):
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copy2(src, dst)
+
 
 class HadoopFS:
     """org.apache.hadoop.fs.FileSystem via the SparkSession JVM gateway.
@@ -179,6 +190,15 @@ class HadoopFS:
             return []
         return sorted(st.getPath().getName()
                       for st in self._fs.listStatus(p))
+
+    def copy_tree(self, src: str, dst: str) -> None:
+        """Recursive copy within this filesystem via Hadoop FileUtil —
+        the snapshot primitive. Absent source → no-op."""
+        sp = self._p(src)
+        if not self._fs.exists(sp):
+            return
+        self._jvm.org.apache.hadoop.fs.FileUtil.copy(
+            self._fs, sp, self._fs, self._p(dst), False, True, self._conf)
 
 
 def get_fs(spark, path: str):

@@ -658,3 +658,53 @@ def gc_tf(spark, index_dir: str) -> dict:
     fs.delete(tf_path)
     _mark(fs, man_dir, "tf_gc", {"freed_bytes": freed})
     return {"deleted": True, "freed_bytes": freed}
+
+
+def snapshot_index(spark, index_dir: str, dest_dir: str) -> dict:
+    """Point-in-time index snapshot — the Lucene SnapshotDeletionPolicy /
+    backup analog: a consistent copy of the PUBLISHED state that another
+    engine (or a restore) can serve directly, safe to take while appends
+    run.
+
+    Consistency argument (no locks, no coordination): ``_stats.json`` —
+    the publish point every reader pins — is READ FIRST and written into
+    the snapshot LAST. Data and manifests copied in between can only be
+    NEWER than the pinned state, so the snapshot contains (a) everything
+    generation ≤ pinned G references (those manifests were complete
+    before the pin, hence their files were fully on disk before any of
+    our listings), plus (b) possibly partial files of a generation that
+    published mid-copy — which is byte-for-byte the crashed/in-flight
+    append state every reader already ignores (the point-in-time
+    snapshot gate, tests/test_concurrent_serve.py) and the retry-safe
+    append rolls forward over (tests/test_append_retry.py). Restore =
+    copy the (quiescent) snapshot anywhere and serve it; the same
+    function works for that copy too.
+
+    Spark shape: driver-side control-plane file copy through the FS
+    abstraction (LocalFS shutil / Hadoop FileUtil) — snapshotting is an
+    I/O job, not a compute job; on an object store a real deployment
+    would hand the manifest list to a bulk-copy service instead, which
+    this function's file enumeration is the input for."""
+    import json
+    import os
+
+    from ..fs import get_fs
+
+    fs = get_fs(spark, index_dir)
+    stats_name = "_stats.json"
+    pinned = fs.read_text(os.path.join(index_dir, stats_name))
+    dst = get_fs(spark, dest_dir)
+    dst.makedirs(dest_dir)
+    copied = []
+    for name in fs.listdir(index_dir):
+        if name == stats_name:
+            continue
+        fs.copy_tree(os.path.join(index_dir, name),
+                     os.path.join(dest_dir, name))
+        copied.append(name)
+    dst.write_text_atomic(os.path.join(dest_dir, stats_name), pinned)
+    st = json.loads(pinned)
+    return {"dest": dest_dir, "entries": sorted(copied),
+            "generations": int(st.get("generations", 0)),
+            "n_docs": int(st.get("N", 0)),
+            "bytes": dst.dir_bytes(dest_dir)}
