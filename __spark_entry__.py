@@ -1450,6 +1450,38 @@ def _q_agg_date_histogram(spark, sf_dir):
                               interval="6h", docs=ts_docs)
 
 
+def _ensure_half_indices(spark, sf_dir) -> list:
+    """Two disjoint half-corpus indices (doc_id parity split) for the
+    federated-search identity gate. Resume-safe like _ensure_index."""
+    from polaris_spark.index.build import IndexConfig, build_index
+
+    docs = _docs(spark, sf_dir)
+    dirs = []
+    for half in (0, 1):
+        d = _index_dir(sf_dir, f"v5h{half}")
+        os.makedirs(CACHE, exist_ok=True)
+        build_index(spark, docs.where(f"doc_id % 2 = {half}"), d,
+                    doc_id_col="doc_id", cfg=IndexConfig(**_INDEX_CFG))
+        dirs.append(d)
+    return dirs
+
+
+def _q_multi_search(spark, sf_dir):
+    """Federated search over two half-corpus indices with MERGED global
+    stats (Lucene MultiReader / ES dfs_query_then_fetch): scores must be
+    BIT-identical to one monolithic index over the union — so the gate
+    shares the full-table bm25 oracle."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.query.multi import search_multi_df
+
+    out = search_multi_df(spark, _ensure_half_indices(spark, sf_dir),
+                          Q_OR, k=None)
+    return out.select(
+        "doc_id",
+        F.round(F.col("score") * 10000).cast("long").alias("score_e4"))
+
+
 KMR_K = 4  # refine-gate centroid count (init = embeddings of vec_id < K)
 
 
@@ -1671,6 +1703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classic_search": _q_classic_search,
         "nb_classify": _q_nb_classify,
         "kmeans_refine1": _q_kmeans_refine,
+        "multi_search": _q_multi_search,
         "transcripts_invariant": _q_transcripts_invariant,
     }
 
@@ -1821,6 +1854,9 @@ SELECT doc_id, lpad(lower(to_hex(val)), 4, '0') AS simhash16 FROM packed"""
         "doc_stats": doc_stats_sql(),
         "dictionary": dictionary_sql(),
         "bm25_scores": bm25_scores_sql(Q_OR),
+        # federated two-half-indices search with merged stats must equal
+        # the monolithic index bit-for-bit — same oracle
+        "multi_search": bm25_scores_sql(Q_OR),
         "bm25_top10": bm25_scores_sql(Q_OR, limit=10),
         "boolean_and": boolean_and_sql(Q_AND),
         "min_should_match": msm_scores_sql(Q_MSM[0], Q_MSM[1]),

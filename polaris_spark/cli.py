@@ -72,6 +72,18 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--no-gc", action="store_true",
                     help="keep the tf checkpoint generations")
 
+    mq = sub.add_parser("multi-query", help="federated search over several "
+                        "index dirs with MERGED global stats (Lucene "
+                        "MultiReader / ES dfs_query_then_fetch): scores "
+                        "bit-identical to one monolithic index over the "
+                        "union")
+    mq.add_argument("--indexes", required=True,
+                    help="comma-separated index directories")
+    mq.add_argument("--query", required=True)
+    mq.add_argument("-k", type=int, default=10)
+    mq.add_argument("--mode", choices=["or", "and"], default="or")
+    mq.add_argument("--expand-fields", action="store_true")
+
     sn = sub.add_parser("snapshot", help="point-in-time index snapshot "
                         "(SnapshotDeletionPolicy/backup analog): a "
                         "consistent copy of the PUBLISHED state, safe "
@@ -734,6 +746,15 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = _session("polaris_spark_compact")
         print(json.dumps(compact_index(spark, args.index, gc=not args.no_gc)))
+    elif args.cmd == "multi-query":
+        from polaris_spark.query.multi import search_multi_df
+
+        spark = _session("polaris_spark_multi")
+        rows = [r.asDict() for r in search_multi_df(
+            spark, [d for d in args.indexes.split(",") if d],
+            args.query, k=args.k, mode=args.mode,
+            expand_fields=args.expand_fields).collect()]
+        print(json.dumps(rows))
     elif args.cmd == "snapshot":
         from polaris_spark.index.maintenance import snapshot_index
 

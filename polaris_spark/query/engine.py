@@ -2523,7 +2523,7 @@ class SearchEngine:
 
     def _flat_scored_df(self, cand, idf, k, mode, nq, exc_terms=(),
                         extra_excluded=None, min_match=None, after=None,
-                        include_df=None, scorer=None):
+                        include_df=None, scorer=None, avgdl=None):
         """The kernel half of :meth:`search_df` over pre-resolved candidate
         rows + idf weights: per-shard kernels, distributed exclusion
         (prohibit terms' postings + tombstones + an optional caller-supplied
@@ -2550,10 +2550,13 @@ class SearchEngine:
 
         stats = self.stats
         S = int(stats["n_shards"])
+        # avgdl override = the federated (MultiReader) path: global
+        # corpus stats scored against this index's postings
+        adl = float(avgdl) if avgdl is not None else stats["avgdl"]
         routed = self._pin_groups(self._routed(cand, S), S, F.col("shard"))
         if scorer is None:
             def scorer(pdf, sh, excl, incl):
-                return score_shard(pdf, idf, stats["avgdl"], stats["k1"],
+                return score_shard(pdf, idf, adl, stats["k1"],
                                    stats["b"], k, mode, nq, n_shards=S,
                                    shard=sh, excluded=excl,
                                    min_match=min_match, after=after,
