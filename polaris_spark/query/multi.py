@@ -48,9 +48,8 @@ def search_multi_df(spark, dirs: list[str], query: str,
     if not dirs:
         raise ValueError("search_multi_df needs at least one index dir")
     engines = [SearchEngine(spark, d) for d in dirs]
-    parsed = engines[0].parse_query_boosts(query, expand_fields)
-    terms, exc, boosts = parsed
-    if not terms:
+    terms0, _exc0, _b0 = engines[0].parse_query_boosts(query, expand_fields)
+    if not terms0:
         return spark.createDataFrame(
             [], "index_id int, doc_id bigint, score double, n_match int")
     # NOTE: wildcard/fuzzy chunks expand against EACH index's dictionary;
