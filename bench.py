@@ -664,6 +664,7 @@ Per-stage walls (JSON below) show where time goes at each level.
         "query_p50_s": res["query_p50_s"],
         "query_p99_s": res["query_p99_s"],
         "query_warm_p50_s": res.get("query_warm_p50_s"),
+        "ivf_sq_recall10": res.get("ivf_sq_recall10"),
     }
     print(json.dumps(out))
 

@@ -747,7 +747,7 @@ def _quantize_cols(vec_col, bits: int = 8):
     return q, F.when(mx == 0, F.lit(0.0)).otherwise(scale)
 
 
-def build_ivf_quantized(spark, emb, ivf_dir: str,
+def build_ivf_quantized(spark, emb=None, ivf_dir: str = None,
                         vec_col: str = "embedding",
                         id_col: str = "vec_id", bits: int = 8):
     """Add the SQ sidecar to a PREBUILT IVF index: the same vectors,
@@ -755,9 +755,15 @@ def build_ivf_quantized(spark, emb, ivf_dir: str,
     ``centroid_id=`` partitions as ``vectors_q``. Probe-side use:
     :func:`ivf_topk_sq` scans the quantized sidecar first and rescores a
     top window against the full-precision table — FAISS's
-    SQ8-with-refine pattern. One assignment-identical pass over the
-    index's source vectors; call after (or with the same input as)
-    :func:`build_ivf`."""
+    SQ8-with-refine pattern.
+
+    Reads the index's OWN ``vectors`` table (already centroid-assigned),
+    so the sidecar build is one quantize-project + partitioned write —
+    no re-assignment scan (the chained cosine projection dominates cost
+    at high centroid counts), and the sidecar is partition-for-partition
+    consistent with the float table by construction, including any
+    :func:`append_ivf` batches written since. ``emb`` is accepted and
+    ignored for back-compat with the assignment-recomputing form."""
     import json
     import os
 
@@ -768,7 +774,7 @@ def build_ivf_quantized(spark, emb, ivf_dir: str,
     fs = get_fs(spark, ivf_dir)
     centroids = json.loads(
         fs.read_text(os.path.join(ivf_dir, "_centroids.json")))
-    assigned = assign_centroids(emb, centroids, vec_col, id_col)
+    assigned = spark.read.parquet(os.path.join(ivf_dir, "vectors"))
     qv, sc = _quantize_cols(F.col("embedding"), bits)
     (
         assigned.select("vec_id", "centroid_id", qv.alias("qvec"),
