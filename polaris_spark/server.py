@@ -44,6 +44,10 @@ Methods (POST JSON to /api/<method>):
                  the fuzzy n-gram table's pruned probe).
 - ``facets``     {query, attr, mode?} → per-attribute-value match counts
                  over the FULL match set (Lucene facets analog).
+- ``multiSearch`` {query, indexes: [dir...], k?, mode?} → federated hits
+                 over several index dirs with merged global stats
+                 (MultiReader / dfs_query_then_fetch; each hit carries
+                 index_id).
 - ``aggs``       {query, aggs: {name: {type, ...}}, mode?} → the ES
                  multi-aggregation request: every named agg (stats /
                  terms / histogram / range / date_histogram /
@@ -454,6 +458,23 @@ class _Handler(BaseHTTPRequestHandler):
             b["query"], b["attr"], mode=b.get("mode", "or")))
         rows.sort(key=lambda r: (-r["n"], str(r["facet"])))
         return {"facets": rows}
+
+    def _m_multiSearch(self, b):
+        """Federated search over several index directories with MERGED
+        global stats (Lucene MultiReader / ES dfs_query_then_fetch —
+        scores bit-identical to one monolithic index over the union).
+        Body: {query, indexes: [dir, ...], k?, mode?}. Point-in-time
+        engines are constructed per request (stats read + manifest
+        listing — the ops/eval path, not the hot single-index one)."""
+        from .query.multi import search_multi_df
+
+        dirs = list(b.get("indexes") or [])
+        if not dirs:
+            raise ValueError("body needs a non-empty 'indexes' list")
+        rows = [r.asDict() for r in search_multi_df(
+            self._spark, dirs, b["query"], k=int(b.get("k", 10)),
+            mode=b.get("mode", "or")).collect()]
+        return {"hits": rows}
 
     def _m_aggs(self, b):
         """ES multi-aggregation request over one shared match set. Body:

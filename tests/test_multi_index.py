@@ -107,3 +107,40 @@ def test_doc_id_collision_disambiguated(spark, tmp_path):
     assert all(sorted(v) == [0, 1] for v in by_doc.values())
     with pytest.raises(ValueError, match="at least one index"):
         search_multi_df(spark, [], q)
+
+
+def test_multisearch_endpoint(spark, split):
+    """/api/multiSearch serves the federated hits with merged stats —
+    identical to the library path; empty indexes list 400s."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    from polaris_spark.server import serve
+
+    d_all, halves, pdf = split
+    srv, _t = serve(spark, d_all, port=0)
+    base = f"http://{srv.server_address[0]}:{srv.server_address[1]}"
+    try:
+        q = pdf["text"].iloc[0].split()[0]
+        req = urllib.request.Request(
+            f"{base}/api/multiSearch",
+            data=json.dumps({"query": q, "indexes": halves, "k": 7}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            got = json.loads(r.read())["hits"]
+        want = [r.asDict() for r in
+                search_multi_df(spark, halves, q, k=7).collect()]
+        assert [(h["index_id"], h["doc_id"], round(h["score"], 9))
+                for h in got] == \
+            [(w["index_id"], w["doc_id"], round(w["score"], 9))
+             for w in want]
+        bad = urllib.request.Request(
+            f"{base}/api/multiSearch",
+            data=json.dumps({"query": q, "indexes": []}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(bad, timeout=30)
+        assert e.value.code == 400
+    finally:
+        srv.shutdown()

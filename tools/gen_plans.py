@@ -242,6 +242,27 @@ def main() -> None:
         cap(eng.facet_counts("spark join", "source")),
     ))
 
+    from polaris_spark.query.multi import search_multi_df
+
+    half_dirs = []
+    for h in (0, 1):
+        hd = os.path.join(REPO, ".cache", f"plans_idx_h{h}")
+        shutil.rmtree(hd, ignore_errors=True)
+        build_index(spark, docs.where(f"doc_id % 2 = {h}"), hd,
+                    doc_id_col="doc_id",
+                    cfg=IndexConfig(n_buckets=32, n_shards=8, n_chunks=2))
+        half_dirs.append(hd)
+    SECTIONS.append((
+        "federated multi-index search (per-index pruned exchanges, one merge cut)",
+        "Both indices keep their OWN bucket-partition-pruned candidate "
+        "scan + per-shard kernel subtree (the merged global idf/avgdl are "
+        "kernel closure constants — nothing about the exchange changes); "
+        "the federation is ONE Union of the per-index results and ONE "
+        "TakeOrderedAndProject over ≤ N·k rows. No cross-index shuffle "
+        "exists anywhere in the plan.",
+        cap(search_multi_df(spark, half_dirs, "spark join", k=10)),
+    ))
+
     from polaris_spark.ops.classifier import nb_score, nb_train
 
     _nb_model, _nb_ls = nb_train(docs, "lang", n_features=4096)
