@@ -1536,6 +1536,48 @@ def _q_nb_classify(spark, sf_dir):
 Q_CLASSIC = "spark^1.5 join -window"  # boost + prohibit through the
 # ClassicSimilarity path (the reference's Lucene 4.3 DefaultSimilarity)
 
+Q_EVAL = ["spark join", "slow scan -merge", '"slow query"']  # rank_eval
+# run set: plain OR, prohibit, and a phrase — each auto-routed by
+# search_many_df, each already mirrored by the batch_search oracle
+RE_MOD2, RE_MOD1 = 17, 7  # judgment-synthesis moduli (grade 2 / grade 1)
+
+
+def _q_rank_eval(spark, sf_dir):
+    """Ranking-quality evaluation (ES _rank_eval analog): the batched
+    run over Q_EVAL scored as one job, judged against a deterministic
+    doc_id-arithmetic judgments set (grade 2 where doc_id%17 hits the
+    query's residue, grade 1 where doc_id%7 does), metrics per query at
+    k=10. BOTH sides rank on the e4-rounded score so tie order can
+    never diverge on float dust; metrics emit e6-rounded (ratios of
+    small ints and <=10-term double sums — e6 is far above double
+    summation-order noise)."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.query.engine import SearchEngine
+    from polaris_spark.query.rankeval import rank_eval
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir, pos=True))
+    run = eng.search_many_df(Q_EVAL, k=None).select(
+        "query", "doc_id",
+        F.round(F.col("score") * 10000).cast("long").alias("score"))
+    qidx = spark.createDataFrame(list(enumerate(Q_EVAL)),
+                                 "i int, query string")
+    jud = (_docs(spark, sf_dir).select("doc_id").crossJoin(qidx)
+           .withColumn(
+               "grade",
+               F.when(F.col("doc_id") % RE_MOD2
+                      == (3 * F.col("i") + 1) % RE_MOD2, 2)
+                .when(F.col("doc_id") % RE_MOD1
+                      == (2 * F.col("i") + 1) % RE_MOD1, 1)
+                .otherwise(0))
+           .where("grade > 0").select("query", "doc_id", "grade"))
+    out = rank_eval(run, jud, k=10)
+    return out.select(
+        "query", "n_ret", "n_rel",
+        *(F.round(F.col(c) * 1e6).cast("long").alias(f"{a}_e6")
+          for c, a in (("precision_k", "precision"), ("recall_k", "recall"),
+                       ("rr", "rr"), ("ndcg_k", "ndcg"))))
+
 
 def _q_classic_search(spark, sf_dir):
     from pyspark.sql import functions as F
@@ -1704,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classify": _q_nb_classify,
         "kmeans_refine1": _q_kmeans_refine,
         "multi_search": _q_multi_search,
+        "rank_eval": _q_rank_eval,
         "transcripts_invariant": _q_transcripts_invariant,
     }
 
@@ -1714,6 +1757,7 @@ def oracle_sql() -> dict[str, str]:
     from polaris_spark.gate import (
         base_cte,
         batch_scores_sql,
+        rank_eval_sql,
         bm25_scores_sql,
         bool_scores_sql,
         boolean_and_sql,
@@ -1881,6 +1925,8 @@ SELECT doc_id, lpad(lower(to_hex(val)), 4, '0') AS simhash16 FROM packed"""
         "field_group_search": bool_scores_sql(Q_FGROUP,
                                               field_cols=FIELD_COLS),
         "batch_search": batch_scores_sql(Q_BATCH),
+        "rank_eval": rank_eval_sql(Q_EVAL, k=10, mod2=RE_MOD2,
+                                   mod1=RE_MOD1),
         "phrase_slop": phrase_sql(Q_SLOP[0], slop=Q_SLOP[1]),
         "prefix_complete": complete_sql(Q_PREFIX, 20),
         "curate": duckdb_curate_sql(),

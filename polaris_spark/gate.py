@@ -688,6 +688,82 @@ def batch_scores_sql(queries: list[str], table: str = "documents",
     return "\nUNION ALL\n".join(subs)
 
 
+def rank_eval_sql(queries: list[str], k: int = 10, mod2: int = 17,
+                  mod1: int = 7, table: str = "documents") -> str:
+    """Oracle for the rank_eval gate (query/rankeval.py): the run is the
+    batched-search mirror (:func:`batch_scores_sql`) ranked by
+    (score_e4 desc, doc_id asc) — the engine side ranks on the SAME
+    e4-rounded score so tie order is bit-stable across both engines —
+    and the judgments are replayed from pure doc_id arithmetic: for
+    query index i, grade 2 where doc_id % mod2 = (3i+1) % mod2, else
+    grade 1 where doc_id % mod1 = (2i+1) % mod1 (doc_id is dense
+    0..N-1 in the driver corpus, so both moduli are sign-trivial).
+    Metrics follow the module docstring of rankeval.py exactly
+    (exponential-gain DCG, ideal from the judgments cut at k,
+    precision over retrieved, recall over the query's relevant set),
+    emitted e6-rounded."""
+    vals = ", ".join(
+        f"('{q.replace(chr(39), chr(39) * 2)}', {i})"
+        for i, q in enumerate(queries))
+    return f"""
+WITH res AS (
+{batch_scores_sql(queries, table)}
+),
+ranked AS (
+  SELECT query, doc_id,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY score_e4 DESC, doc_id ASC) AS rank
+  FROM res
+),
+qidx(query, i) AS (VALUES {vals}),
+jud AS (
+  SELECT query, doc_id, grade FROM (
+    SELECT q.query, d.doc_id,
+           CASE WHEN d.doc_id % {mod2} = (3 * q.i + 1) % {mod2} THEN 2
+                WHEN d.doc_id % {mod1} = (2 * q.i + 1) % {mod1} THEN 1
+                ELSE 0 END AS grade
+    FROM {table} d CROSS JOIN qidx q
+  ) WHERE grade > 0
+),
+run AS (
+  SELECT r.query, r.doc_id, r.rank, coalesce(j.grade, 0) AS grade
+  FROM ranked r LEFT JOIN jud j USING (query, doc_id)
+  WHERE r.rank <= {int(k)}
+),
+perq AS (
+  SELECT query,
+         count(*)::BIGINT AS n_ret,
+         sum(CASE WHEN grade >= 1 THEN 1 ELSE 0 END) AS rel_ret,
+         min(CASE WHEN grade >= 1 THEN rank END) AS first_rel,
+         sum((power(2.0, grade) - 1.0) / log2(rank + 1.0)) AS dcg
+  FROM run GROUP BY query
+),
+ideal AS (
+  SELECT query,
+         sum(CASE WHEN irank <= {int(k)}
+                  THEN (power(2.0, grade) - 1.0) / log2(irank + 1.0)
+                  ELSE 0 END) AS idcg,
+         sum(CASE WHEN grade >= 1 THEN 1 ELSE 0 END)::BIGINT AS n_rel
+  FROM (SELECT query, doc_id, grade,
+               row_number() OVER (PARTITION BY query
+                                  ORDER BY grade DESC, doc_id ASC) AS irank
+        FROM jud)
+  GROUP BY query
+)
+SELECT p.query, p.n_ret, coalesce(i.n_rel, 0)::BIGINT AS n_rel,
+       CAST(round(1e6 * p.rel_ret / p.n_ret) AS BIGINT) AS precision_e6,
+       CAST(round(CASE WHEN coalesce(i.n_rel, 0) > 0
+                       THEN 1e6 * p.rel_ret / i.n_rel ELSE 0 END)
+            AS BIGINT) AS recall_e6,
+       CAST(round(CASE WHEN p.first_rel IS NOT NULL
+                       THEN 1e6 / p.first_rel ELSE 0 END)
+            AS BIGINT) AS rr_e6,
+       CAST(round(CASE WHEN coalesce(i.idcg, 0) > 0
+                       THEN 1e6 * p.dcg / i.idcg ELSE 0 END)
+            AS BIGINT) AS ndcg_e6
+FROM perq p LEFT JOIN ideal i USING (query)"""
+
+
 def boolean_and_sql(query: str, table: str = "documents") -> str:
     """Doc ids containing ALL query terms (posting-list intersection)."""
     qt = _qt_list(query)

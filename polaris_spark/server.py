@@ -48,6 +48,10 @@ Methods (POST JSON to /api/<method>):
                  over several index dirs with merged global stats
                  (MultiReader / dfs_query_then_fetch; each hit carries
                  index_id).
+- ``rankEval``   {requests: [{query, judgments: [[doc_id, grade]...]}],
+                 k?, relThreshold?, mode?} → per-query precision@k /
+                 recall@k / RR / nDCG@k plus the mean summary (the ES
+                 _rank_eval API; all requests scored as ONE batched job).
 - ``aggs``       {query, aggs: {name: {type, ...}}, mode?} → the ES
                  multi-aggregation request: every named agg (stats /
                  terms / histogram / range / date_histogram /
@@ -475,6 +479,36 @@ class _Handler(BaseHTTPRequestHandler):
             self._spark, dirs, b["query"], k=int(b.get("k", 10)),
             mode=b.get("mode", "or")).collect()]
         return {"hits": rows}
+
+    def _m_rankEval(self, b):
+        """Ranking-quality evaluation (ES _rank_eval): every request's
+        query is scored in ONE batched job (search_many_df), judged
+        against the request's inline graded judgments, and folded to the
+        standard IR metrics (query/rankeval.py). Body: {requests:
+        [{query, judgments: [[doc_id, grade], ...]}, ...], k?,
+        relThreshold?, mode?}."""
+        from .query.rankeval import rank_eval
+
+        reqs = b.get("requests") or []
+        if not isinstance(reqs, list) or not reqs:
+            raise ValueError("body needs a non-empty 'requests' list")
+        queries = [r["query"] for r in reqs]
+        jrows = [(r["query"], int(d), int(g))
+                 for r in reqs for d, g in (r.get("judgments") or [])]
+        spark = self.engine.spark
+        jud = spark.createDataFrame(
+            jrows, "query string, doc_id long, grade int")
+        run = self.engine.search_many_df(
+            queries, k=None, mode=b.get("mode", "or"))
+        per = [r.asDict() for r in rank_eval(
+            run.select("query", "doc_id", "score"), jud,
+            k=int(b.get("k", 10)),
+            rel_threshold=int(b.get("relThreshold", 1))).collect()]
+        n = len(per)
+        summary = {m: (sum(r[m] for r in per) / n if n else 0.0)
+                   for m in ("precision_k", "recall_k", "rr", "ndcg_k")}
+        summary["n_queries"] = n
+        return {"queries": per, "summary": summary}
 
     def _m_aggs(self, b):
         """ES multi-aggregation request over one shared match set. Body:
