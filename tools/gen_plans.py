@@ -263,6 +263,25 @@ def main() -> None:
         cap(search_multi_df(spark, half_dirs, "spark join", k=10)),
     ))
 
+    from polaris_spark.query.rankeval import rank_eval
+
+    _re_run = eng.search_many_df(["spark join", "slow scan"], k=None) \
+                 .select("query", "doc_id", "score")
+    _re_jud = docs.select("doc_id").crossJoin(
+        spark.createDataFrame([("spark join",), ("slow scan",)],
+                              "query string")) \
+        .withColumn("grade", (F.col("doc_id") % 7 == 0).cast("int")) \
+        .where("grade > 0")
+    SECTIONS.append((
+        "rank evaluation (window rank cut + judgment join + per-query fold)",
+        "The run is cut to |Q|·k rows by a per-query Window over the "
+        "RESULT set (the corpus never enters); judgments join via "
+        "BroadcastHashJoin (label sets are tiny by nature) and both the "
+        "metric fold and the ideal-DCG fold are partial-aggregated "
+        "HashAggregates that reduce to |Q| rows.",
+        cap(rank_eval(_re_run, _re_jud, k=10)),
+    ))
+
     from polaris_spark.ops.classifier import nb_score, nb_train
 
     _nb_model, _nb_ls = nb_train(docs, "lang", n_features=4096)
