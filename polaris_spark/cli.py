@@ -84,6 +84,23 @@ def main(argv: list[str] | None = None) -> int:
     mq.add_argument("--mode", choices=["or", "and"], default="or")
     mq.add_argument("--expand-fields", action="store_true")
 
+    ri = sub.add_parser("reindex", help="rebuild an index under a NEW "
+                        "configuration from its own stored fields (ES "
+                        "_reindex analog; source must be store_text=True; "
+                        "tombstones not carried). Unset flags keep the "
+                        "source's value.")
+    ri.add_argument("--index", required=True, help="source index dir")
+    ri.add_argument("--dest", required=True, help="destination index dir")
+    ri.add_argument("--buckets", type=int, default=None)
+    ri.add_argument("--shards", type=int, default=None)
+    ri.add_argument("--chunks", type=int, default=None)
+    ri.add_argument("--positions", action="store_true", default=None)
+    ri.add_argument("--field-cols", default=None,
+                    help="comma-separated columns (must be stored in the "
+                         "source doc_map)")
+    ri.add_argument("--attr-cols", default=None)
+    ri.add_argument("--store-text", action="store_true", default=None)
+
     sn = sub.add_parser("snapshot", help="point-in-time index snapshot "
                         "(SnapshotDeletionPolicy/backup analog): a "
                         "consistent copy of the PUBLISHED state, safe "
@@ -755,6 +772,22 @@ def main(argv: list[str] | None = None) -> int:
             args.query, k=args.k, mode=args.mode,
             expand_fields=args.expand_fields).collect()]
         print(json.dumps(rows))
+    elif args.cmd == "reindex":
+        from polaris_spark.index.maintenance import reindex
+
+        spark = _session("polaris_spark_reindex")
+        over = {}
+        for flag, key in (("buckets", "n_buckets"), ("shards", "n_shards"),
+                          ("chunks", "n_chunks"), ("positions", "positions"),
+                          ("store_text", "store_text")):
+            v = getattr(args, flag)
+            if v is not None:
+                over[key] = v
+        for flag in ("field_cols", "attr_cols"):
+            v = getattr(args, flag)
+            if v is not None:
+                over[flag] = tuple(c for c in v.split(",") if c)
+        print(json.dumps(reindex(spark, args.index, args.dest, **over)))
     elif args.cmd == "snapshot":
         from polaris_spark.index.maintenance import snapshot_index
 

@@ -708,3 +708,78 @@ def snapshot_index(spark, index_dir: str, dest_dir: str) -> dict:
             "generations": int(st.get("generations", 0)),
             "n_docs": int(st.get("N", 0)),
             "bytes": dst.dir_bytes(dest_dir)}
+
+
+def reindex(spark, src_dir: str, dest_dir: str,
+            cfg: IndexConfig | None = None, **cfg_overrides) -> dict:
+    """Rebuild an index under a NEW configuration from its own stored
+    fields — the Elasticsearch ``_reindex``(-from-source) operational
+    surface the reference lacks entirely (``polaris index`` re-walks the
+    original tree, reference cli/command/Index.java:25-34; once the
+    corpus has moved on, its index can never change analyzers or shard
+    counts). Here the source's ``doc_map`` IS the stored-source: built
+    with ``store_text=True`` it carries doc_id + identity + attribute
+    columns + text, which is everything a fresh :func:`build_index`
+    needs — so resharding (``n_buckets``/``n_shards``/``n_chunks``),
+    enabling ``positions`` for phrase queries, or adding
+    ``field_cols``/``attr_cols`` (from columns the source stored) never
+    requires the original corpus table.
+
+    Config: ``cfg`` wins if given; otherwise the SOURCE config (from
+    ``_stats.json``, which persists the full IndexConfig) with
+    ``cfg_overrides`` applied — ``reindex(s, src, dst, positions=True)``
+    changes exactly one knob.
+
+    Semantics: doc_ids are PRESERVED (they are content-addressed here,
+    unlike Lucene's ephemeral ints, so result identity across the
+    rebuild is testable); tombstoned docs are NOT carried and stats are
+    recomputed post-delete — a reindex of a tombstoned index equals a
+    fresh build over the live docs, exactly like ``compact_index``'s
+    expungeDeletes. Cost is one full build over N live docs (the same
+    distributed plan as build_index — PLANS.md §build); the source
+    serves reads throughout and the destination publishes atomically
+    via build_index's own manifest protocol.
+    """
+    from dataclasses import fields as _dc_fields
+
+    from .build import build_index
+
+    fs = get_fs(spark, src_dir)
+    if cfg is None:
+        s = json.loads(fs.read_text(os.path.join(src_dir, "_stats.json")))
+        base = {}
+        for f in _dc_fields(IndexConfig):
+            if f.name in s:
+                v = s[f.name]
+                base[f.name] = tuple(v) if isinstance(v, list) else v
+        base.update(cfg_overrides)
+        cfg = IndexConfig(**base)
+    elif cfg_overrides:
+        raise ValueError("pass cfg OR cfg_overrides, not both")
+
+    dm = spark.read.parquet(os.path.join(src_dir, "doc_map"))
+    if "text" not in dm.columns:
+        raise ValueError(
+            "reindex needs the stored text (build the source with "
+            "store_text=True); doc_map has no 'text' column")
+    missing = [c for c in (*cfg.attr_cols, *cfg.field_cols)
+               if c not in dm.columns]
+    if missing:
+        raise ValueError(
+            f"new config needs columns the source never stored: {missing} "
+            f"(doc_map has {sorted(dm.columns)})")
+
+    del_path = os.path.join(src_dir, "deletes")
+    if fs.exists(del_path):
+        tomb = spark.read.parquet(del_path).select("doc_id").distinct()
+        dm = dm.join(tomb, "doc_id", "left_anti")
+
+    id_cols = tuple(c for c in dm.columns if c not in ("doc_id", "text"))
+    metrics = build_index(spark, dm, dest_dir, doc_id_col="doc_id",
+                          id_cols=id_cols, cfg=cfg)
+    return {"dest": dest_dir, "n_docs": metrics["n_docs"],
+            "wall_s": metrics["wall_s"],
+            "cfg": {"n_buckets": cfg.n_buckets, "n_shards": cfg.n_shards,
+                    "n_chunks": cfg.n_chunks, "positions": cfg.positions,
+                    "field_cols": list(cfg.field_cols),
+                    "attr_cols": list(cfg.attr_cols)}}
