@@ -1579,6 +1579,28 @@ def _q_rank_eval(spark, sf_dir):
                        ("rr", "rr"), ("ndcg_k", "ndcg"))))
 
 
+HYB_WINDOW, HYB_RC = 50, 60  # hybrid RRF: per-leg window + rank constant
+
+
+def _q_hybrid_search(spark, sf_dir):
+    """Hybrid BM25 + cosine-kNN retrieval fused by reciprocal rank (the
+    ES 8 rrf retriever): both legs cut at window=50, rrf a pure function
+    of the integer ranks (gate-stable by construction), output ranks +
+    e6-rounded fused score."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.query.engine import SearchEngine
+    from polaris_spark.query.hybrid import hybrid_search_df
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir))
+    out = hybrid_search_df(eng, Q_OR, _emb(spark, sf_dir),
+                           _query_vec(spark, sf_dir), k=10,
+                           window=HYB_WINDOW, rank_constant=HYB_RC)
+    return out.select(
+        "doc_id", "rank_leg0", "rank_leg1",
+        F.round(F.col("rrf") * 1e6).cast("long").alias("rrf_e6"))
+
+
 def _q_classic_search(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1747,6 +1769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_refine1": _q_kmeans_refine,
         "multi_search": _q_multi_search,
         "rank_eval": _q_rank_eval,
+        "hybrid_search": _q_hybrid_search,
         "transcripts_invariant": _q_transcripts_invariant,
     }
 
@@ -1758,6 +1781,7 @@ def oracle_sql() -> dict[str, str]:
         base_cte,
         batch_scores_sql,
         rank_eval_sql,
+        hybrid_rrf_sql,
         bm25_scores_sql,
         bool_scores_sql,
         boolean_and_sql,
@@ -1927,6 +1951,8 @@ SELECT doc_id, lpad(lower(to_hex(val)), 4, '0') AS simhash16 FROM packed"""
         "batch_search": batch_scores_sql(Q_BATCH),
         "rank_eval": rank_eval_sql(Q_EVAL, k=10, mod2=RE_MOD2,
                                    mod1=RE_MOD1),
+        "hybrid_search": hybrid_rrf_sql(Q_OR, k=10, window=HYB_WINDOW,
+                                        rank_constant=HYB_RC),
         "phrase_slop": phrase_sql(Q_SLOP[0], slop=Q_SLOP[1]),
         "prefix_complete": complete_sql(Q_PREFIX, 20),
         "curate": duckdb_curate_sql(),

@@ -684,6 +684,29 @@ def main(argv: list[str] | None = None) -> int:
                     help="write only clean rows (anti-join the hit set; "
                          "no per-doc flag columns)")
 
+    hy = sub.add_parser("hybrid", help="hybrid BM25 + cosine-kNN search "
+                        "fused by reciprocal rank (ES rrf retriever): the "
+                        "embeddings id column must share the index's "
+                        "doc_id space")
+    hy.add_argument("--index", required=True)
+    hy.add_argument("--embeddings", required=True,
+                    help="embeddings parquet (id + array<float> column)")
+    hy.add_argument("--query", required=True)
+    hy.add_argument("--query-vec-id", type=int, default=None,
+                    help="take the query vector from this embeddings row")
+    hy.add_argument("--query-vec", default=None,
+                    help="comma-separated floats (alternative to "
+                         "--query-vec-id)")
+    hy.add_argument("-k", type=int, default=10)
+    hy.add_argument("--window", type=int, default=100,
+                    help="per-leg rank window before fusion")
+    hy.add_argument("--rank-constant", type=int, default=60)
+    hy.add_argument("--weights", default="1,1",
+                    help="lexical,vector leg weights")
+    hy.add_argument("--id-col", default="vec_id")
+    hy.add_argument("--vec-col", default="embedding")
+    hy.add_argument("--mode", default="or")
+
     kn = sub.add_parser("neighbors", help="k-nearest-neighbor self-join "
                         "over an embeddings parquet (SemDeDup prep): "
                         "exact, or multi-table SRP-LSH at scale")
@@ -1493,6 +1516,27 @@ def main(argv: list[str] | None = None) -> int:
                           "n_dropped": n_drop,
                           "n_clusters": args.centroids,
                           "threshold": args.threshold}))
+    elif args.cmd == "hybrid":
+        from polaris_spark.query.engine import SearchEngine
+        from polaris_spark.query.hybrid import hybrid_search_df
+
+        spark = _session("polaris_spark_hybrid")
+        emb = spark.read.parquet(args.embeddings)
+        if args.query_vec is not None:
+            qv = [float(x) for x in args.query_vec.split(",")]
+        elif args.query_vec_id is not None:
+            qv = [float(x) for x in emb.where(
+                f"{args.id_col} = {int(args.query_vec_id)}")
+                .select(args.vec_col).collect()[0][0]]
+        else:
+            raise SystemExit("hybrid needs --query-vec or --query-vec-id")
+        eng = SearchEngine(spark, args.index)
+        out = hybrid_search_df(
+            eng, args.query, emb, qv, k=args.k, window=args.window,
+            rank_constant=args.rank_constant,
+            weights=[float(x) for x in args.weights.split(",")],
+            mode=args.mode, vec_id_col=args.id_col, vec_col=args.vec_col)
+        print(json.dumps([r.asDict() for r in out.collect()]))
     elif args.cmd == "neighbors":
         from polaris_spark.ops.similarity import knn_join, srp_candidate_pairs
 

@@ -764,6 +764,63 @@ SELECT p.query, p.n_ret, coalesce(i.n_rel, 0)::BIGINT AS n_rel,
 FROM perq p LEFT JOIN ideal i USING (query)"""
 
 
+def hybrid_rrf_sql(query: str, k: int = 10, window: int = 50,
+                   rank_constant: int = 60, qvec_id: int = 0,
+                   table: str = "documents",
+                   emb_table: str = "embeddings") -> str:
+    """Oracle for the hybrid RRF gate (query/hybrid.py): the lexical leg
+    is the bm25 mirror ranked by (raw_score desc, doc_id asc) — bit-equal
+    doubles per the bm25 gates, so ranks agree — and the vector leg
+    mirrors ``cosine_topk`` exactly: sims ROUNDED TO 6 DECIMALS BEFORE
+    ordering (that is what the engine ranks on), vec_id tiebreak. Both
+    legs cut at ``window``; rrf = Σ 1/(rank_constant + rank) over present
+    legs, a pure function of small integer ranks, emitted e6-rounded."""
+    rc = int(rank_constant)
+    qvec = (f"(SELECT embedding::DOUBLE[] FROM {emb_table} "
+            f"WHERE vec_id = {int(qvec_id)})")
+    dot = (f"list_sum(list_transform(list_zip(embedding::DOUBLE[], {qvec}),"
+           f" p -> p[1] * p[2]))")
+    n1 = "sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))"
+    n2 = f"sqrt(list_sum(list_transform({qvec}, x -> x * x)))"
+    return f"""
+WITH lexbase AS (
+  SELECT * FROM (
+{bm25_scores_sql(query, table, limit=int(window), raw=True)}
+  )
+),
+lexr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY raw_score DESC, doc_id ASC)
+         AS rank_leg0
+  FROM lexbase
+),
+vecbase AS (
+  SELECT vec_id AS doc_id, round({dot} / ({n1} * {n2}), 6) AS sim
+  FROM {emb_table} ORDER BY sim DESC, vec_id ASC LIMIT {int(window)}
+),
+vecr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id ASC)
+         AS rank_leg1
+  FROM vecbase
+),
+fused AS (
+  SELECT doc_id, coalesce(rank_leg0, 0) AS rank_leg0,
+         coalesce(rank_leg1, 0) AS rank_leg1
+  FROM lexr FULL OUTER JOIN vecr USING (doc_id)
+),
+scored AS (
+  SELECT doc_id, rank_leg0, rank_leg1,
+         (CASE WHEN rank_leg0 > 0 THEN 1.0 / ({rc} + rank_leg0)
+               ELSE 0 END)
+         + (CASE WHEN rank_leg1 > 0 THEN 1.0 / ({rc} + rank_leg1)
+                 ELSE 0 END) AS rrf
+  FROM fused
+)
+SELECT doc_id, rank_leg0, rank_leg1,
+       CAST(round(1e6 * rrf) AS BIGINT) AS rrf_e6
+FROM scored
+ORDER BY rrf DESC, doc_id ASC LIMIT {int(k)}"""
+
+
 def boolean_and_sql(query: str, table: str = "documents") -> str:
     """Doc ids containing ALL query terms (posting-list intersection)."""
     qt = _qt_list(query)

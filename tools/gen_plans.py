@@ -263,6 +263,23 @@ def main() -> None:
         cap(search_multi_df(spark, half_dirs, "spark join", k=10)),
     ))
 
+    from polaris_spark.query.hybrid import hybrid_search_df
+
+    _hy_emb = spark.createDataFrame(
+        [(int(i), [float(i % 7), float(i % 3), 1.0]) for i in range(200)],
+        "vec_id long, embedding array<float>")
+    SECTIONS.append((
+        "hybrid RRF fusion (two bounded legs, tiny fuse stage)",
+        "Each leg keeps its own scaled subtree — the pruned-scan BM25 "
+        "kernel exchange and the codegen cosine TakeOrdered — and is cut "
+        "to top-window BEFORE fusing, so the rank Windows and the "
+        "full-outer join run on ≤ 2·window rows (the unpartitioned "
+        "Window's input IS a top-k result, bounded by construction — "
+        "never a corpus frame).",
+        cap(hybrid_search_df(eng, "spark join", _hy_emb,
+                             [1.0, 2.0, 3.0], k=10, window=20)),
+    ))
+
     from polaris_spark.query.rankeval import rank_eval
 
     _re_run = eng.search_many_df(["spark join", "slow scan"], k=None) \
