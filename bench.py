@@ -415,6 +415,9 @@ def run_suite(cpus: int, sf_dir: str, n_turns: int) -> dict:
     re_.search_phrase_prefix("slow qu", k=10)
     re_.suggest_phrase("sparkk joun", n=3).collect()
     re_.search_classic_df("spark join", k=10).collect()
+    from polaris_spark.query.hybrid import hybrid_search_df
+    hybrid_search_df(re_, "spark join", emb, qv, k=10,
+                     window=100).collect()
     times["query_api_mix"] = round(time.time() - t0, 3)
 
     # ES multi-agg request: one shared (persisted-on-reuse) match set

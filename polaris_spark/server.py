@@ -52,6 +52,11 @@ Methods (POST JSON to /api/<method>):
                  k?, relThreshold?, mode?} → per-query precision@k /
                  recall@k / RR / nDCG@k plus the mean summary (the ES
                  _rank_eval API; all requests scored as ONE batched job).
+- ``hybrid``     {query, embeddings: path, queryVecId? | queryVec?, k?,
+                 window?, rankConstant?, weights?, mode?} → BM25 +
+                 cosine-kNN hits fused by reciprocal rank (ES 8 rrf
+                 retriever; the embeddings id space = the index's
+                 doc_id space).
 - ``aggs``       {query, aggs: {name: {type, ...}}, mode?} → the ES
                  multi-aggregation request: every named agg (stats /
                  terms / histogram / range / date_histogram /
@@ -509,6 +514,35 @@ class _Handler(BaseHTTPRequestHandler):
                    for m in ("precision_k", "recall_k", "rr", "ndcg_k")}
         summary["n_queries"] = n
         return {"queries": per, "summary": summary}
+
+    def _m_hybrid(self, b):
+        """Hybrid BM25 + cosine-kNN search fused by reciprocal rank
+        (query/hybrid.py). Body: {query, embeddings: parquet path,
+        queryVecId? | queryVec: [floats]?, k?, window?, rankConstant?,
+        weights: [lex, vec]?, mode?, idCol?, vecCol?}."""
+        from .query.hybrid import hybrid_search_df
+
+        path = b.get("embeddings")
+        if not path:
+            raise ValueError("body needs an 'embeddings' parquet path")
+        id_col = b.get("idCol", "vec_id")
+        vec_col = b.get("vecCol", "embedding")
+        emb = self.engine.spark.read.parquet(path)
+        if b.get("queryVec") is not None:
+            qv = [float(x) for x in b["queryVec"]]
+        elif b.get("queryVecId") is not None:
+            qv = [float(x) for x in emb.where(
+                f"{id_col} = {int(b['queryVecId'])}")
+                .select(vec_col).collect()[0][0]]
+        else:
+            raise ValueError("body needs 'queryVec' or 'queryVecId'")
+        out = hybrid_search_df(
+            self.engine, b["query"], emb, qv, k=int(b.get("k", 10)),
+            window=int(b.get("window", 100)),
+            rank_constant=int(b.get("rankConstant", 60)),
+            weights=[float(x) for x in b.get("weights", (1.0, 1.0))],
+            mode=b.get("mode", "or"), vec_id_col=id_col, vec_col=vec_col)
+        return {"hits": [r.asDict() for r in out.collect()]}
 
     def _m_aggs(self, b):
         """ES multi-aggregation request over one shared match set. Body:

@@ -60,6 +60,67 @@ def test_tie_break_is_doc_id(spark):
     assert [(r["doc_id"], r["rank_leg0"]) for r in rows] == [(4, 1), (7, 2)]
 
 
+def test_hybrid_endpoint(spark, tmp_path):
+    """/api/hybrid serves the library fusion bit-for-bit; a body without
+    a query vector 400s."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    import numpy as np
+
+    from polaris_spark.index.build import IndexConfig, build_index
+    from polaris_spark.server import serve
+    from polaris_spark.synth import make_transcripts
+
+    d = str(tmp_path / "hsrv_idx")
+    pdf = make_transcripts(n_turns=300, seed=17)
+    docs = spark.createDataFrame(pdf)
+    build_index(spark, docs, d,
+                cfg=IndexConfig(n_buckets=8, n_shards=2, n_chunks=1))
+    ids = sorted(r["doc_id"] for r in
+                 spark.read.parquet(f"{d}/doc_map")
+                 .select("doc_id").collect())
+    rng = np.random.RandomState(3)
+    emb_path = str(tmp_path / "hsrv_emb")
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in rng.randn(6)]) for i in ids],
+        "vec_id long, embedding array<float>")
+    emb.write.parquet(emb_path)
+    q = pdf["text"].iloc[0].split()[0]
+
+    srv, _t = serve(spark, d, port=0)
+    base = f"http://{srv.server_address[0]}:{srv.server_address[1]}"
+    try:
+        req = urllib.request.Request(
+            f"{base}/api/hybrid",
+            data=json.dumps({"query": q, "embeddings": emb_path,
+                             "queryVecId": int(ids[0]), "k": 7,
+                             "window": 25}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            got = json.loads(r.read())["hits"]
+        from polaris_spark.query.engine import SearchEngine
+        qv = [float(x) for x in
+              spark.read.parquet(emb_path)
+              .where(f"vec_id = {int(ids[0])}").collect()[0]["embedding"]]
+        want = hybrid_search_df(SearchEngine(spark, d), q,
+                                spark.read.parquet(emb_path), qv,
+                                k=7, window=25).collect()
+        assert [(h["doc_id"], round(h["rrf"], 12)) for h in got] == \
+            [(w["doc_id"], round(w["rrf"], 12)) for w in want]
+        bad = urllib.request.Request(
+            f"{base}/api/hybrid",
+            data=json.dumps({"query": q,
+                             "embeddings": emb_path}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(bad, timeout=30)
+        assert e.value.code == 400
+    finally:
+        srv.shutdown()
+
+
 def test_engine_hybrid_matches_manual_legs(spark, tmp_path):
     """hybrid_search_df over a real index + synthetic embeddings equals
     manually fusing search_df and cosine_topk ranks; a prebuilt vec_leg
