@@ -94,12 +94,16 @@ def main(argv: list[str] | None = None) -> int:
     ri.add_argument("--buckets", type=int, default=None)
     ri.add_argument("--shards", type=int, default=None)
     ri.add_argument("--chunks", type=int, default=None)
-    ri.add_argument("--positions", action="store_true", default=None)
+    ri.add_argument("--positions", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="--positions / --no-positions (a positions=True "
+                         "source CAN be rebuilt without them)")
     ri.add_argument("--field-cols", default=None,
                     help="comma-separated columns (must be stored in the "
                          "source doc_map)")
     ri.add_argument("--attr-cols", default=None)
-    ri.add_argument("--store-text", action="store_true", default=None)
+    ri.add_argument("--store-text", action=argparse.BooleanOptionalAction,
+                    default=None)
 
     sn = sub.add_parser("snapshot", help="point-in-time index snapshot "
                         "(SnapshotDeletionPolicy/backup analog): a "
@@ -1525,9 +1529,14 @@ def main(argv: list[str] | None = None) -> int:
         if args.query_vec is not None:
             qv = [float(x) for x in args.query_vec.split(",")]
         elif args.query_vec_id is not None:
-            qv = [float(x) for x in emb.where(
-                f"{args.id_col} = {int(args.query_vec_id)}")
-                .select(args.vec_col).collect()[0][0]]
+            rows = emb.where(
+                f"{args.id_col} = {int(args.query_vec_id)}") \
+                .select(args.vec_col).collect()
+            if not rows:
+                raise SystemExit(
+                    f"no embeddings row with {args.id_col}="
+                    f"{args.query_vec_id}")
+            qv = [float(x) for x in rows[0][0]]
         else:
             raise SystemExit("hybrid needs --query-vec or --query-vec-id")
         eng = SearchEngine(spark, args.index)

@@ -745,6 +745,17 @@ def reindex(spark, src_dir: str, dest_dir: str,
     from .build import build_index
 
     fs = get_fs(spark, src_dir)
+    # build_index(resume=True) would silently adopt a PREVIOUS build's
+    # manifests in dest_dir (manifest marks carry no cfg fingerprint) and
+    # report the new cfg without applying it — so the destination must be
+    # fresh, and reindexing onto the serving source is never legal
+    if os.path.normpath(src_dir) == os.path.normpath(dest_dir):
+        raise ValueError("reindex dest must differ from the source")
+    dfs = get_fs(spark, dest_dir)
+    if dfs.exists(dest_dir):
+        raise ValueError(
+            f"reindex dest already exists: {dest_dir} — remove it first "
+            "(a resumed build would keep the OLD config's artifacts)")
     if cfg is None:
         s = json.loads(fs.read_text(os.path.join(src_dir, "_stats.json")))
         base = {}

@@ -64,7 +64,9 @@ def rank_eval(results, judgments, k: int = 10, rel_threshold: int = 1):
     query, so callers pass raw scored output (ties resolve exactly like
     the engine's total order). ``judgments``: (query, doc_id, grade) —
     grade >= ``rel_threshold`` counts as relevant; docs absent from the
-    judgments are grade 0 (the pooling convention).
+    judgments are grade 0 (the pooling convention); duplicate
+    (query, doc_id) rows collapse to their max grade. ``k`` must be a
+    positive int (use the run's own top-k for whole-run metrics).
 
     Returns one row per DISTINCT query in ``results``:
     (query, n_ret, n_rel, precision_k, recall_k, rr, ndcg_k) with the
@@ -72,11 +74,14 @@ def rank_eval(results, judgments, k: int = 10, rel_threshold: int = 1):
     ``judgments`` are not emitted (no run rows to evaluate — ES behaves
     the same way).
     """
-    if k is not None and k <= 0:
-        raise ValueError(f"k must be positive, got {k}")
-    j = judgments.select(
-        "query", "doc_id",
-        F.col("grade").cast("int").alias("grade"))
+    if k is None or int(k) <= 0:
+        raise ValueError(f"k must be a positive int, got {k}")
+    # duplicate (query, doc_id) judgments would multiply run rows through
+    # the left join (inflating n_ret/precision/DCG silently) — collapse
+    # to the max grade, the usual revised-label convention
+    j = (judgments.select(
+            "query", "doc_id", F.col("grade").cast("int").alias("grade"))
+         .groupBy("query", "doc_id").agg(F.max("grade").alias("grade")))
 
     w = Window.partitionBy("query").orderBy(
         F.col("score").desc(), F.col("doc_id").asc())

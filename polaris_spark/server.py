@@ -498,17 +498,33 @@ class _Handler(BaseHTTPRequestHandler):
         if not isinstance(reqs, list) or not reqs:
             raise ValueError("body needs a non-empty 'requests' list")
         queries = [r["query"] for r in reqs]
+        k = int(b.get("k", 10))
+        thr = int(b.get("relThreshold", 1))
         jrows = [(r["query"], int(d), int(g))
                  for r in reqs for d, g in (r.get("judgments") or [])]
         spark = self.engine.spark
         jud = spark.createDataFrame(
             jrows, "query string, doc_id long, grade int")
+        # k here, not None: search_many_df's per-query top-k uses the
+        # SAME (score desc, doc_id asc) order as rank_eval's cut, so
+        # metrics are identical and the full match sets never shuffle
         run = self.engine.search_many_df(
-            queries, k=None, mode=b.get("mode", "or"))
+            queries, k=k, mode=b.get("mode", "or"))
         per = [r.asDict() for r in rank_eval(
             run.select("query", "doc_id", "score"), jud,
-            k=int(b.get("k", 10)),
-            rel_threshold=int(b.get("relThreshold", 1))).collect()]
+            k=k, rel_threshold=thr).collect()]
+        # a zero-hit query must count as ZEROS, not vanish from the mean
+        # (ES reports metric_score 0 for it) — a regression that kills a
+        # query's recall must drag the summary down, never raise it
+        seen = {r["query"] for r in per}
+        for q in queries:
+            if q not in seen:
+                seen.add(q)
+                n_rel = len({d for qq, d, g in jrows
+                             if qq == q and g >= thr})
+                per.append({"query": q, "n_ret": 0, "n_rel": n_rel,
+                            "precision_k": 0.0, "recall_k": 0.0,
+                            "rr": 0.0, "ndcg_k": 0.0})
         n = len(per)
         summary = {m: (sum(r[m] for r in per) / n if n else 0.0)
                    for m in ("precision_k", "recall_k", "rr", "ndcg_k")}
@@ -531,9 +547,13 @@ class _Handler(BaseHTTPRequestHandler):
         if b.get("queryVec") is not None:
             qv = [float(x) for x in b["queryVec"]]
         elif b.get("queryVecId") is not None:
-            qv = [float(x) for x in emb.where(
-                f"{id_col} = {int(b['queryVecId'])}")
-                .select(vec_col).collect()[0][0]]
+            rows = emb.where(f"{id_col} = {int(b['queryVecId'])}") \
+                      .select(vec_col).collect()
+            if not rows:
+                raise ValueError(
+                    f"no embeddings row with {id_col}="
+                    f"{int(b['queryVecId'])}")
+            qv = [float(x) for x in rows[0][0]]
         else:
             raise ValueError("body needs 'queryVec' or 'queryVecId'")
         out = hybrid_search_df(

@@ -109,14 +109,16 @@ def test_hybrid_endpoint(spark, tmp_path):
                                 k=7, window=25).collect()
         assert [(h["doc_id"], round(h["rrf"], 12)) for h in got] == \
             [(w["doc_id"], round(w["rrf"], 12)) for w in want]
-        bad = urllib.request.Request(
-            f"{base}/api/hybrid",
-            data=json.dumps({"query": q,
-                             "embeddings": emb_path}).encode(),
-            headers={"Content-Type": "application/json"}, method="POST")
-        with pytest.raises(urllib.error.HTTPError) as e:
-            urllib.request.urlopen(bad, timeout=30)
-        assert e.value.code == 400
+        for body in ({"query": q, "embeddings": emb_path},
+                     {"query": q, "embeddings": emb_path,
+                      "queryVecId": 987654321}):  # missing vec / bad id
+            bad = urllib.request.Request(
+                f"{base}/api/hybrid", data=json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST")
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(bad, timeout=30)
+            assert e.value.code == 400
     finally:
         srv.shutdown()
 

@@ -160,6 +160,25 @@ def test_rank_eval_endpoint(spark, tmp_path):
         assert gq["n_rel"] == n_judged  # unretrieved judged docs count
         assert got["summary"]["n_queries"] == 1
 
+        # a zero-hit query must surface as explicit zeros and DRAG the
+        # summary down, not silently vanish from the mean
+        req2 = urllib.request.Request(
+            f"{base}/api/rankEval",
+            data=json.dumps({"requests": [
+                {"query": q, "judgments": judg},
+                {"query": "zzzznotaterm", "judgments": [[1, 1]]},
+            ], "k": 5}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        with urllib.request.urlopen(req2, timeout=120) as r:
+            got2 = json.loads(r.read())
+        assert got2["summary"]["n_queries"] == 2
+        zero = next(r for r in got2["queries"]
+                    if r["query"] == "zzzznotaterm")
+        assert zero["n_ret"] == 0 and zero["n_rel"] == 1
+        assert zero["ndcg_k"] == 0.0
+        assert got2["summary"]["ndcg_k"] == \
+            pytest.approx(got["summary"]["ndcg_k"] / 2)
+
         bad = urllib.request.Request(
             f"{base}/api/rankEval",
             data=json.dumps({"requests": []}).encode(),
@@ -176,3 +195,18 @@ def test_k_must_be_positive(spark):
     jud = _jud(spark, [("q", 1, 1)])
     with pytest.raises(ValueError, match="positive"):
         rank_eval(res, jud, k=0)
+    with pytest.raises(ValueError, match="positive"):
+        rank_eval(res, jud, k=None)
+
+
+def test_duplicate_judgments_collapse_to_max(spark):
+    """Duplicate (query, doc_id) judgment rows must not multiply run rows
+    through the join: they collapse to the max grade."""
+    res = _res(spark, [("q", 5, 2.0), ("q", 6, 1.0)])
+    jud = _jud(spark, [("q", 5, 1), ("q", 5, 2)])  # revised grade kept
+    m = _by_q(rank_eval(res, jud, k=10))["q"]
+    assert m["n_ret"] == 2          # not inflated to 3
+    assert m["n_rel"] == 1          # one judged doc, not two
+    assert m["precision_k"] == pytest.approx(0.5)
+    # dcg = (2^2-1)/log2(2) = 3; idcg identical -> ndcg 1
+    assert m["ndcg_k"] == pytest.approx(1.0)

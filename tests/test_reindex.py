@@ -109,3 +109,12 @@ def test_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="not both"):
         reindex(spark, src_t, str(tmp_path / "x3"),
                 cfg=IndexConfig(), n_buckets=8)
+    # an existing destination must refuse (a resumed build would keep the
+    # OLD config's artifacts while reporting the new one), as must
+    # reindexing onto the source itself
+    dst_ok = str(tmp_path / "done_once")
+    reindex(spark, src_t, dst_ok)
+    with pytest.raises(ValueError, match="already exists"):
+        reindex(spark, src_t, dst_ok, n_buckets=16)
+    with pytest.raises(ValueError, match="differ from the source"):
+        reindex(spark, src_t, src_t)
