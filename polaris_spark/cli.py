@@ -710,6 +710,9 @@ def main(argv: list[str] | None = None) -> int:
     hy.add_argument("--id-col", default="vec_id")
     hy.add_argument("--vec-col", default="embedding")
     hy.add_argument("--mode", default="or")
+    hy.add_argument("--filter", default=None,
+                    help="constant-score FILTER query applied to BOTH "
+                         "legs pre-ranking (ES filtered-kNN contract)")
 
     kn = sub.add_parser("neighbors", help="k-nearest-neighbor self-join "
                         "over an embeddings parquet (SemDeDup prep): "
@@ -1544,7 +1547,8 @@ def main(argv: list[str] | None = None) -> int:
             eng, args.query, emb, qv, k=args.k, window=args.window,
             rank_constant=args.rank_constant,
             weights=[float(x) for x in args.weights.split(",")],
-            mode=args.mode, vec_id_col=args.id_col, vec_col=args.vec_col)
+            mode=args.mode, vec_id_col=args.id_col, vec_col=args.vec_col,
+            filter_query=args.filter)
         print(json.dumps([r.asDict() for r in out.collect()]))
     elif args.cmd == "neighbors":
         from polaris_spark.ops.similarity import knn_join, srp_candidate_pairs

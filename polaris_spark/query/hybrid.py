@@ -81,7 +81,7 @@ def hybrid_search_df(engine, query: str, vectors, query_vec,
                      k: int = 10, window: int = 100, rank_constant: int = 60,
                      weights=(1.0, 1.0), mode: str = "or",
                      vec_id_col: str = "vec_id", vec_col: str = "embedding",
-                     vec_leg=None):
+                     vec_leg=None, filter_query: str | None = None):
     """BM25 + cosine-kNN hybrid search over one doc-id space.
 
     ``vectors``: embedding frame whose ``vec_id_col`` shares the index's
@@ -92,11 +92,32 @@ def hybrid_search_df(engine, query: str, vectors, query_vec,
     vector; both legs are cut at ``window`` before fusing (the ES
     rank_window_size contract: fusion only sees what either leg
     surfaced).
+
+    ``filter_query`` (the ES filtered-kNN contract): a constant-score
+    FILTER applied to BOTH legs pre-ranking — the lexical leg through
+    the engine's own FILTER context (scores unchanged, docs constrained)
+    and the vector leg by restricting candidates to the filter's match
+    set BEFORE the top-``window`` cut, so the vector leg returns up to
+    ``window`` docs that all satisfy the filter (post-filtering a kNN
+    result would silently under-fill it — ES pre-filters for the same
+    reason).
     """
     from ..ops.similarity import cosine_topk
 
-    lex = engine.search_df(query, k=int(window), mode=mode) \
+    lex = engine.search_df(query, k=int(window), mode=mode,
+                           filter_query=filter_query) \
                 .select("doc_id", "score")
+    if filter_query is not None:
+        allowed = engine.match_df(filter_query, mode=mode) \
+                        .select("doc_id")
+        if vectors is not None:
+            vectors = vectors.join(
+                allowed.withColumnRenamed("doc_id", vec_id_col),
+                vec_id_col, "left_semi")
+        if vec_leg is not None:
+            vec_leg = vec_leg.join(
+                allowed.withColumnRenamed("doc_id", vec_leg.columns[0]),
+                vec_leg.columns[0], "left_semi")
     if vec_leg is None:
         vec_leg = cosine_topk(vectors, query_vec, k=int(window),
                               vec_col=vec_col, id_col=vec_id_col)

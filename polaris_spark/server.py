@@ -53,10 +53,11 @@ Methods (POST JSON to /api/<method>):
                  recall@k / RR / nDCG@k plus the mean summary (the ES
                  _rank_eval API; all requests scored as ONE batched job).
 - ``hybrid``     {query, embeddings: path, queryVecId? | queryVec?, k?,
-                 window?, rankConstant?, weights?, mode?} → BM25 +
-                 cosine-kNN hits fused by reciprocal rank (ES 8 rrf
-                 retriever; the embeddings id space = the index's
-                 doc_id space).
+                 window?, rankConstant?, weights?, mode?, filter?} →
+                 BM25 + cosine-kNN hits fused by reciprocal rank (ES 8
+                 rrf retriever; the embeddings id space = the index's
+                 doc_id space; ``filter`` pre-constrains BOTH legs —
+                 the ES filtered-kNN contract).
 - ``aggs``       {query, aggs: {name: {type, ...}}, mode?} → the ES
                  multi-aggregation request: every named agg (stats /
                  terms / histogram / range / date_histogram /
@@ -561,7 +562,8 @@ class _Handler(BaseHTTPRequestHandler):
             window=int(b.get("window", 100)),
             rank_constant=int(b.get("rankConstant", 60)),
             weights=[float(x) for x in b.get("weights", (1.0, 1.0))],
-            mode=b.get("mode", "or"), vec_id_col=id_col, vec_col=vec_col)
+            mode=b.get("mode", "or"), vec_id_col=id_col, vec_col=vec_col,
+            filter_query=b.get("filter"))
         return {"hits": [r.asDict() for r in out.collect()]}
 
     def _m_aggs(self, b):

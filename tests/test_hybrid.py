@@ -172,3 +172,20 @@ def test_engine_hybrid_matches_manual_legs(spark, tmp_path):
         vec_leg=cosine_topk(emb, qv, k=15)).collect()
     assert [(r["doc_id"], r["rrf"]) for r in plugged] == \
         [(r["doc_id"], r["rrf"]) for r in out]
+
+    # filtered hybrid (ES filtered-kNN contract): every hit satisfies the
+    # filter, both legs are PRE-filtered (the vector leg re-ranks within
+    # the allowed set rather than post-dropping), and it equals fusing
+    # manually pre-filtered legs
+    fq = w[1]
+    filt = hybrid_search_df(eng, q, emb, qv, k=20, window=15,
+                            filter_query=fq).collect()
+    assert filt, "filter term occurs in doc 0's text, must match"
+    allowed = {r["doc_id"] for r in eng.match_df(fq).collect()}
+    assert {r["doc_id"] for r in filt} <= allowed
+    emb_f = emb.where(F.col("vec_id").isin([int(i) for i in allowed]))
+    want_f = hybrid_search_df(eng, q, None, None, k=20, window=15,
+                              vec_leg=cosine_topk(emb_f, qv, k=15),
+                              filter_query=fq).collect()
+    assert [(r["doc_id"], round(r["rrf"], 12)) for r in filt] == \
+        [(r["doc_id"], round(r["rrf"], 12)) for r in want_f]
