@@ -688,6 +688,21 @@ def main(argv: list[str] | None = None) -> int:
                     help="write only clean rows (anti-join the hit set; "
                          "no per-doc flag columns)")
 
+    ex = sub.add_parser("export", help="materialize a query's FULL match "
+                        "set to parquet (corpus-subset selection; ES "
+                        "scroll-and-export as one distributed job)")
+    ex.add_argument("--index", required=True)
+    ex.add_argument("--query", required=True)
+    ex.add_argument("--output", required=True, help="output parquet path")
+    ex.add_argument("--docs", default=None,
+                    help="payload parquet (doc_id + columns); default: "
+                         "the index's doc_map")
+    ex.add_argument("--columns", default=None,
+                    help="comma-separated payload columns (doc_id kept)")
+    ex.add_argument("--mode", default="or")
+    ex.add_argument("--no-score", action="store_true",
+                    help="drop score/n_match for a pure subset table")
+
     hy = sub.add_parser("hybrid", help="hybrid BM25 + cosine-kNN search "
                         "fused by reciprocal rank (ES rrf retriever): the "
                         "embeddings id column must share the index's "
@@ -1523,6 +1538,16 @@ def main(argv: list[str] | None = None) -> int:
                           "n_dropped": n_drop,
                           "n_clusters": args.centroids,
                           "threshold": args.threshold}))
+    elif args.cmd == "export":
+        from polaris_spark.query.engine import SearchEngine
+
+        spark = _session("polaris_spark_export")
+        eng = SearchEngine(spark, args.index)
+        docs = spark.read.parquet(args.docs) if args.docs else None
+        cols = [c for c in (args.columns or "").split(",") if c] or None
+        print(json.dumps(eng.export_matches(
+            args.query, args.output, docs=docs, columns=cols,
+            mode=args.mode, with_score=not args.no_score)))
     elif args.cmd == "hybrid":
         from polaris_spark.query.engine import SearchEngine
         from polaris_spark.query.hybrid import hybrid_search_df

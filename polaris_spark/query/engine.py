@@ -4033,6 +4033,45 @@ class SearchEngine:
             )
         return out.orderBy(F.desc("score"), F.asc("doc_id"))
 
+    def export_matches(self, query: str, output_path: str, docs=None,
+                       columns=None, mode: str = "or",
+                       expand_fields: bool = False,
+                       with_score: bool = True) -> dict:
+        """Materialize a query's FULL match set to parquet — the
+        corpus-subset selection step of a training pipeline ("every doc
+        matching ``lang:en AND topic terms`` → a table for
+        scrubbing/packing/mixing") and the ES scroll-and-export pattern
+        re-expressed as ONE distributed job instead of a cursor loop.
+
+        The match set comes from :meth:`match_df` (full parser routing,
+        tombstones filtered) and joins payload columns from ``docs`` (or
+        the index's own doc_map). Unlike the top-k payload join this is
+        NOT a broadcast: the match set is corpus-sized by design, so it
+        is a plain shuffle join that scales with executors, and rows go
+        straight to the parquet sink — nothing ever centralizes.
+        ``columns`` restricts the payload (doc_id always kept);
+        ``with_score=False`` drops score/n_match for a pure subset
+        table. Returns {"n_rows", "path"}."""
+        from pyspark.sql import functions as F
+
+        hits = self.match_df(query, mode=mode, expand_fields=expand_fields)
+        payload = docs if docs is not None \
+            else self.spark.read.parquet(self.doc_map_path)
+        if columns:
+            missing = [c for c in columns if c not in payload.columns]
+            if missing:
+                raise ValueError(
+                    f"export columns not in the payload frame: {missing} "
+                    f"(has {sorted(payload.columns)})")
+            payload = payload.select(
+                "doc_id", *[c for c in columns if c != "doc_id"])
+        out = payload.join(hits, "doc_id")
+        if not with_score:
+            out = out.drop("score", "n_match")
+        out.write.mode("overwrite").parquet(output_path)
+        n = self.spark.read.parquet(output_path).count()
+        return {"n_rows": int(n), "path": output_path}
+
     def search_mixed(self, query: str, rank_from: int = 0, rank_to: int = 20,
                      mode: str = "or", payload: bool = True,
                      min_match: int | None = None,
