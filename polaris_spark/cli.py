@@ -688,6 +688,19 @@ def main(argv: list[str] | None = None) -> int:
                     help="write only clean rows (anti-join the hit set; "
                          "no per-doc flag columns)")
 
+    rv = sub.add_parser("rank-eval", help="ranking-quality evaluation "
+                        "(ES _rank_eval): per-query precision/recall/RR/"
+                        "nDCG@k against a graded judgments parquet "
+                        "(query, doc_id, grade); all queries scored as "
+                        "ONE batched job")
+    rv.add_argument("--index", required=True)
+    rv.add_argument("--judgments", required=True,
+                    help="parquet with (query, doc_id, grade) rows; the "
+                         "evaluated query set = its distinct queries")
+    rv.add_argument("-k", type=int, default=10)
+    rv.add_argument("--rel-threshold", type=int, default=1)
+    rv.add_argument("--mode", default="or")
+
     ex = sub.add_parser("export", help="materialize a query's FULL match "
                         "set to parquet (corpus-subset selection; ES "
                         "scroll-and-export as one distributed job)")
@@ -1538,6 +1551,34 @@ def main(argv: list[str] | None = None) -> int:
                           "n_dropped": n_drop,
                           "n_clusters": args.centroids,
                           "threshold": args.threshold}))
+    elif args.cmd == "rank-eval":
+        from polaris_spark.query.engine import SearchEngine
+        from polaris_spark.query.rankeval import rank_eval, rank_eval_summary
+
+        spark = _session("polaris_spark_rank_eval")
+        jud = spark.read.parquet(args.judgments)
+        queries = sorted(r["query"] for r in
+                         jud.select("query").distinct().collect())
+        if not queries:
+            raise SystemExit("judgments parquet has no rows")
+        eng = SearchEngine(spark, args.index)
+        run = eng.search_many_df(queries, k=args.k, mode=args.mode) \
+                 .select("query", "doc_id", "score")
+        per = rank_eval(run, jud, k=args.k,
+                        rel_threshold=args.rel_threshold)
+        rows = [r.asDict() for r in per.orderBy("query").collect()]
+        summ = rank_eval_summary(per).collect()[0].asDict()
+        # zero-hit queries count as zeros in the summary, like the daemon
+        missing = [q for q in queries
+                   if q not in {r["query"] for r in rows}]
+        if missing:
+            n = len(rows) + len(missing)
+            for m in ("precision_k", "recall_k", "ndcg_k"):
+                summ[m] = summ[m] * len(rows) / n
+            summ["mrr"] = summ["mrr"] * len(rows) / n
+            summ["n_queries"] = n
+        print(json.dumps({"queries": rows, "missing": missing,
+                          "summary": summ}))
     elif args.cmd == "export":
         from polaris_spark.query.engine import SearchEngine
 
