@@ -1579,6 +1579,32 @@ def _q_rank_eval(spark, sf_dir):
                        ("rr", "rr"), ("ndcg_k", "ndcg"))))
 
 
+def _q_lsh_ingest(spark, sf_dir):
+    """Incremental near-dup ingest: the corpus arrives as two id-ordered
+    batches against a fresh band state; the flag set must equal the
+    single-batch min-partner fold (the chunked ≡ one-shot identity the
+    op guarantees for id-ordered splits). State dir is wiped first —
+    the op under test is APPEND-stateful, so the gate must not inherit
+    a previous rehearsal's state."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from polaris_spark.ops.dedup import lsh_ingest
+
+    docs = _docs(spark, sf_dir)
+    mid = docs.agg(F.max("doc_id")).first()[0] // 2
+    state = os.path.join(CACHE, "lsh_ingest_state")
+    shutil.rmtree(state, ignore_errors=True)
+    # k=8/bands=4 matches the shared DuckDB band CTE (same as the
+    # lsh_candidate_pairs gate)
+    f1 = lsh_ingest(spark, docs.where(f"doc_id <= {mid}"), state,
+                    k=8, bands=4)
+    f2 = lsh_ingest(spark, docs.where(f"doc_id > {mid}"), state,
+                    k=8, bands=4)
+    return f1.unionByName(f2)
+
+
 HYB_WINDOW, HYB_RC = 50, 60  # hybrid RRF: per-leg window + rank constant
 
 
@@ -1770,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_search": _q_multi_search,
         "rank_eval": _q_rank_eval,
         "hybrid_search": _q_hybrid_search,
+        "lsh_ingest": _q_lsh_ingest,
         "transcripts_invariant": _q_transcripts_invariant,
     }
 
@@ -1890,6 +1917,16 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b USING (band, band_hash)
 WHERE a.doc_id < b.doc_id"""
 
+    # incremental ingest over id-ordered batches ≡ the one-shot
+    # min-partner fold over the same candidate pairs (first-seen-wins
+    # with id order = id priority) — so the oracle is the batch mirror
+    # plus one GROUP BY
+    lsh_ingest_sql = f"""
+WITH cand AS (
+{lsh}
+)
+SELECT doc_b AS doc_id, min(doc_a) AS dup_of FROM cand GROUP BY doc_b"""
+
     ws = duckdb_ws_tokens("text")
     simhash = f"""
 WITH d AS (SELECT doc_id, {ws} AS toks FROM documents),
@@ -1968,6 +2005,7 @@ SELECT doc_id, lpad(lower(to_hex(val)), 4, '0') AS simhash16 FROM packed"""
         ),
         "minhash_signatures": duckdb_minhash_sql("documents", "doc_id", "text", k=8),
         "lsh_candidate_pairs": lsh,
+        "lsh_ingest": lsh_ingest_sql,
         "dup_clusters": duckdb_dup_clusters_sql(lsh),
         # star CC must agree with min-label CC — same transitive-closure oracle
         "dup_clusters_star": duckdb_dup_clusters_sql(lsh),

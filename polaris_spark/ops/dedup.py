@@ -111,6 +111,25 @@ def minhash_signatures(docs, text_col="text", id_col="doc_id", k=MINHASH_K, n=N_
     )
 
 
+def lsh_band_table(docs, text_col="text", id_col="doc_id",
+                   k=MINHASH_K, bands=LSH_BANDS, n=N_SHINGLE):
+    """(doc_id, band, band_hash): each doc's LSH bucket keys —
+    band_hash = md5 of the band's concatenated (seed:minhash) entries.
+    Shared by the batch pair join (:func:`lsh_candidate_pairs`) and the
+    incremental ingest state (:func:`lsh_ingest`)."""
+    from pyspark.sql import functions as F
+
+    r = k // bands
+    sig = minhash_signatures(docs, text_col, id_col, k, n)
+    return (
+        sig.withColumn("band", F.floor(F.col("seed") / r).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list(
+            F.concat_ws(":", F.col("seed").cast("string"), F.col("minhash"))
+        ))).cast("binary")).alias("band_hash"))
+    )
+
+
 def lsh_candidate_pairs(docs, text_col="text", id_col="doc_id",
                         k=MINHASH_K, bands=LSH_BANDS, n=N_SHINGLE):
     """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
@@ -118,15 +137,7 @@ def lsh_candidate_pairs(docs, text_col="text", id_col="doc_id",
     the only pair-producing operation (bounded by true collisions)."""
     from pyspark.sql import functions as F
 
-    r = k // bands
-    sig = minhash_signatures(docs, text_col, id_col, k, n)
-    bandt = (
-        sig.withColumn("band", F.floor(F.col("seed") / r).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list(
-            F.concat_ws(":", F.col("seed").cast("string"), F.col("minhash"))
-        ))).cast("binary")).alias("band_hash"))
-    )
+    bandt = lsh_band_table(docs, text_col, id_col, k, bands, n)
     a, b = bandt.alias("a"), bandt.alias("b")
     return (
         a.join(b, ["band", "band_hash"])
@@ -134,6 +145,70 @@ def lsh_candidate_pairs(docs, text_col="text", id_col="doc_id",
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def lsh_ingest(spark, new_docs, state_dir: str, text_col="text",
+               id_col="doc_id", k=MINHASH_K, bands=LSH_BANDS, n=N_SHINGLE):
+    """Incremental near-dup ingest — the append/streaming-time face of
+    MinHash+LSH dedup: flag each NEW doc that shares an LSH band bucket
+    with a PRIOR doc, then append the batch's band table to the
+    persistent state under ``state_dir``. Batch dedup
+    (:func:`lsh_candidate_pairs`) rescans the corpus per run; a corpus
+    that grows by appends needs exactly this instead: probe new docs
+    against stored buckets, cost ∝ batch, state grows by
+    |batch|×bands rows.
+
+    Priority is FIRST-SEEN-WINS (the streaming dedup convention, Lee et
+    al. 2022): a prior doc is (a) anything already in the state whose id
+    is not in this batch, or (b) a lower-id doc of the same batch.
+    ``dup_of`` = the minimum such prior id (deterministic). Consequences,
+    both tested: ingesting a corpus in id-ordered chunks — any split —
+    yields EXACTLY the single-batch flags (the batch path's min-partner
+    fold over a<b candidate pairs); and a REPLAYED batch reproduces its
+    original flags bit-for-bit (its own docs' earlier state rows, and its
+    batch-mates', are excluded by the id filter), so a foreachBatch retry
+    is safe — the duplicate state rows it appends collapse in the
+    distinct+min fold and never change any later probe.
+
+    Spark shape: band computation is the shared :func:`lsh_band_table`
+    (map-side groupBy); the probe is one equi-join on (band, band_hash)
+    against a band-partitioned parquet state — true-collision-bounded
+    like the batch path, with directory-level pruning per band; flags are
+    materialized (localCheckpoint) BEFORE the state append so the probe
+    can never observe the batch's own freshly-written rows.
+    Returns (doc_id, dup_of) for the flagged new docs.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..fs import get_fs
+
+    nb = lsh_band_table(new_docs, text_col, id_col, k, bands, n) \
+        .localCheckpoint(eager=True)
+    bands_path = os.path.join(state_dir, "bands")
+    fs = get_fs(spark, state_dir)
+
+    me = nb.select("band", "band_hash",
+                   F.col("doc_id").alias("prior_id"))
+    cand = nb.join(me, ["band", "band_hash"]) \
+             .where(F.col("prior_id") < F.col("doc_id")) \
+             .select("doc_id", "prior_id")
+    if fs.exists(bands_path):
+        state = spark.read.parquet(bands_path).select(
+            "band", "band_hash", F.col("doc_id").alias("prior_id"))
+        batch_ids = nb.select(F.col("doc_id").alias("prior_id")).distinct()
+        prior = state.join(batch_ids, "prior_id", "left_anti")
+        cand = cand.unionByName(
+            nb.join(prior, ["band", "band_hash"])
+              .select("doc_id", "prior_id"))
+    flags = (cand.distinct()
+             .groupBy("doc_id").agg(F.min("prior_id").alias("dup_of"))
+             .localCheckpoint(eager=True))
+
+    nb.write.mode("append").partitionBy("band").parquet(bands_path)
+    nb.unpersist()
+    return flags
 
 
 def simhash_col(text_col, id_col_unused=None):
