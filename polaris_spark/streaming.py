@@ -271,6 +271,58 @@ def stream_scrub(
     return writer.start()
 
 
+def stream_neardup(
+    spark,
+    input_dir: str,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: str = DOCUMENT_SCHEMA,
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    drop: bool = True,
+    available_now: bool = True,
+):
+    """Streaming CORPUS-GLOBAL near-dup scrub — the stateful counterpart
+    of :func:`stream_decontam`: each micro-batch probes the persistent
+    LSH band state (:func:`..ops.dedup.lsh_ingest`) so a document is
+    flagged against EVERYTHING ingested so far, not just its own batch —
+    first-seen-wins across the whole stream. Appends either the
+    surviving rows (``drop=True``) or all rows + (dup_of) flags.
+
+    Exactly-once: the checkpoint gives at-least-once ``foreachBatch``
+    invocations, and ``lsh_ingest``'s replay property (a re-run batch
+    reproduces its original flags; its duplicate state rows are
+    result-neutral) upgrades the FLAGS to exactly-once semantics; the
+    parquet append of a replayed batch can still duplicate OUTPUT rows,
+    exactly like ``stream_decontam`` — dedup the sink on doc_id
+    downstream if the job died mid-write (standard foreachBatch
+    contract)."""
+    from .ops.dedup import lsh_ingest
+
+    def sink(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        flags = lsh_ingest(spark, batch_df, state_dir,
+                           text_col=text_col, k=k, bands=bands)
+        if drop:
+            out = batch_df.join(flags.select("doc_id"), "doc_id",
+                                "left_anti")
+        else:
+            out = batch_df.join(flags, "doc_id", "left")
+        out.write.mode("append").parquet(out_dir)
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_decontam(
     spark,
     input_dir: str,

@@ -225,3 +225,49 @@ def test_stream_scrub_gopher_c4_columns(spark, dirs):
         assert got[i]["c4_clean_text"] == exp[i]["c4_clean_text"]
         assert got[i]["c4_pass"] == exp[i]["c4_pass"]
     assert got[2]["c4_has_brace"] == 1
+
+
+def test_stream_neardup_corpus_global_and_replay(spark, dirs, tmp_path):
+    """stream_neardup: a doc near-duplicating a PRIOR batch's doc is
+    dropped (corpus-global state), a fresh unique doc survives, and
+    re-running with the same checkpoint is a no-op (exactly-once files)."""
+    import glob
+    import shutil
+    import tempfile
+
+    from polaris_spark.streaming import stream_neardup
+
+    inp, out, ckpt = dirs
+    state = str(tmp_path / "lsh_state")
+    cols = "doc_id long, text string, lang string, source string, n_chars long"
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+
+    def _wdocs(rows, name):
+        stage = tempfile.mkdtemp()
+        spark.createDataFrame(rows, cols).coalesce(1) \
+            .write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(inp, f"{name}.parquet"))
+        shutil.rmtree(stage, ignore_errors=True)
+
+    _wdocs([(1, base, "en", "s", len(base))], "f1")
+    q = stream_neardup(spark, inp, state, out, ckpt)
+    q.awaitTermination()
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1}
+
+    # batch 2: doc 7 = doc 1's text (near-dup across batches -> dropped),
+    # doc 8 unique -> survives
+    _wdocs([(7, base + " extra", "en", "s", len(base) + 6),
+            (8, "completely different unrelated sentence with many "
+                "novel words appearing only here once", "en", "s", 90)],
+           "f2")
+    q = stream_neardup(spark, inp, state, out, ckpt)
+    q.awaitTermination()
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1, 8}
+
+    # replay with the same checkpoint: nothing new, output unchanged
+    q = stream_neardup(spark, inp, state, out, ckpt)
+    q.awaitTermination()
+    assert sorted(r["doc_id"] for r in
+                  spark.read.parquet(out).collect()) == [1, 8]
