@@ -280,6 +280,43 @@ def main() -> None:
                              [1.0, 2.0, 3.0], k=10, window=20)),
     ))
 
+    from polaris_spark.ops.dedup import lsh_band_table, lsh_ingest
+
+    _li_state = os.path.join(REPO, ".cache", "plans_lsh_state")
+    shutil.rmtree(_li_state, ignore_errors=True)
+    lsh_ingest(spark, docs.where("doc_id < 250"), _li_state, k=8, bands=4)
+    _li_nb = lsh_band_table(docs.where("doc_id >= 250"), k=8, bands=4)
+    _li_state_df = spark.read.parquet(os.path.join(_li_state, "bands"))
+    from pyspark.sql import functions as _F2
+    _li_probe = _li_nb.join(
+        _li_state_df.select("band", "band_hash",
+                            _F2.col("doc_id").alias("prior_id")),
+        ["band", "band_hash"]).select("doc_id", "prior_id")
+    SECTIONS.append((
+        "incremental LSH ingest probe (band-partitioned state equi-join)",
+        "The new batch's band table (map-side hash aggregates over the "
+        "shingle explode) equi-joins the parquet state on (band, "
+        "band_hash) — and the BUILD side of the join is the BATCH "
+        "(BuildLeft here): batch-bounded by construction, so at scale "
+        "the batch-side broadcast against the big state scan is exactly "
+        "the shape you want; join output is bounded by true collisions, "
+        "never |batch|x|state|.",
+        cap(_li_probe),
+    ))
+
+    SECTIONS.append((
+        "corpus-subset export (match-set shuffle join into the sink)",
+        "The one surface with corpus-sized OUTPUT: the pruned match-set "
+        "subtree joins the payload on doc_id as a plain shuffle join "
+        "and rows stream straight to the sink — no collect, no "
+        "TakeOrdered, nothing driver-side. (At this 500-doc capture AQE "
+        "broadcasts the tiny doc_map; at corpus scale both sides are "
+        "large and Catalyst picks the shuffle join — the invariant "
+        "evidenced here is the absence of any driver-side operator.)",
+        cap(spark.read.parquet(os.path.join(idx, "doc_map"))
+            .join(eng.match_df("spark join"), "doc_id")),
+    ))
+
     from polaris_spark.query.rankeval import rank_eval
 
     _re_run = eng.search_many_df(["spark join", "slow scan"], k=None) \
