@@ -1553,32 +1553,31 @@ def main(argv: list[str] | None = None) -> int:
                           "threshold": args.threshold}))
     elif args.cmd == "rank-eval":
         from polaris_spark.query.engine import SearchEngine
-        from polaris_spark.query.rankeval import rank_eval, rank_eval_summary
+        from polaris_spark.query.rankeval import (
+            mean_summary,
+            pad_zero_queries,
+            rank_eval,
+        )
 
         spark = _session("polaris_spark_rank_eval")
         jud = spark.read.parquet(args.judgments)
-        queries = sorted(r["query"] for r in
-                         jud.select("query").distinct().collect())
+        jrows = [(r["query"], int(r["doc_id"]), int(r["grade"]))
+                 for r in jud.collect()]
+        queries = sorted({q for q, _d, _g in jrows})
         if not queries:
             raise SystemExit("judgments parquet has no rows")
         eng = SearchEngine(spark, args.index)
         run = eng.search_many_df(queries, k=args.k, mode=args.mode) \
                  .select("query", "doc_id", "score")
-        per = rank_eval(run, jud, k=args.k,
-                        rel_threshold=args.rel_threshold)
-        rows = [r.asDict() for r in per.orderBy("query").collect()]
-        summ = rank_eval_summary(per).collect()[0].asDict()
-        # zero-hit queries count as zeros in the summary, like the daemon
-        missing = [q for q in queries
-                   if q not in {r["query"] for r in rows}]
-        if missing:
-            n = len(rows) + len(missing)
-            for m in ("precision_k", "recall_k", "ndcg_k"):
-                summ[m] = summ[m] * len(rows) / n
-            summ["mrr"] = summ["mrr"] * len(rows) / n
-            summ["n_queries"] = n
-        print(json.dumps({"queries": rows, "missing": missing,
-                          "summary": summ}))
+        # ONE collect; zero-hit queries become explicit zero rows and the
+        # summary folds in Python — same helpers as /api/rankEval
+        rows = [r.asDict() for r in
+                rank_eval(run, jud, k=args.k,
+                          rel_threshold=args.rel_threshold).collect()]
+        rows = sorted(pad_zero_queries(rows, queries, jrows,
+                                       rel_threshold=args.rel_threshold),
+                      key=lambda r: r["query"])
+        print(json.dumps({"queries": rows, "summary": mean_summary(rows)}))
     elif args.cmd == "export":
         from polaris_spark.query.engine import SearchEngine
 

@@ -2475,7 +2475,8 @@ class SearchEngine:
                   expand_fields: bool = False,
                   min_match: int | None = None,
                   after: tuple | None = None,
-                  filter_query: str | None = None):
+                  filter_query: str | None = None,
+                  filter_docs=None):
         """Distributed search: per-shard kernels + global sort-limit merge.
         Returns a DataFrame (doc_id, score, n_match). ``min_match`` is the
         BooleanQuery.setMinimumNumberShouldMatch analog (see :meth:`search`);
@@ -2514,9 +2515,15 @@ class SearchEngine:
             return empty
         if boosts:
             idf = {t: w * boosts.get(t, 1.0) for t, w in idf.items()}
-        include_df = (self._filter_docs_df(filter_query,
-                                           expand_fields=expand_fields)
-                      if filter_query is not None else None)
+        if filter_docs is not None:
+            # precomputed FILTER doc set (shard, doc_id) — a caller that
+            # needs the same set for another leg (hybrid's vector
+            # semi-join) computes it ONCE and passes it here
+            include_df = filter_docs
+        else:
+            include_df = (self._filter_docs_df(filter_query,
+                                               expand_fields=expand_fields)
+                          if filter_query is not None else None)
         return self._flat_scored_df(cand, idf, k, mode, len(terms),
                                     exc_terms=exc, min_match=min_match,
                                     after=after, include_df=include_df)
@@ -4065,9 +4072,18 @@ class SearchEngine:
                     f"(has {sorted(payload.columns)})")
             payload = payload.select(
                 "doc_id", *[c for c in columns if c != "doc_id"])
-        out = payload.join(hits, "doc_id")
         if not with_score:
-            out = out.drop("score", "n_match")
+            # join on the id set alone: cheaper, and a payload frame with
+            # its own score/n_match columns passes through untouched
+            hits = hits.select("doc_id")
+        else:
+            clash = [c for c in hits.columns
+                     if c != "doc_id" and c in payload.columns]
+            if clash:
+                raise ValueError(
+                    f"payload frame already has {clash}; use "
+                    "with_score=False (--no-score) or rename them")
+        out = payload.join(hits, "doc_id")
         out.write.mode("overwrite").parquet(output_path)
         n = self.spark.read.parquet(output_path).count()
         return {"n_rows": int(n), "path": output_path}

@@ -94,22 +94,25 @@ def hybrid_search_df(engine, query: str, vectors, query_vec,
     surfaced).
 
     ``filter_query`` (the ES filtered-kNN contract): a constant-score
-    FILTER applied to BOTH legs pre-ranking — the lexical leg through
-    the engine's own FILTER context (scores unchanged, docs constrained)
-    and the vector leg by restricting candidates to the filter's match
-    set BEFORE the top-``window`` cut, so the vector leg returns up to
-    ``window`` docs that all satisfy the filter (post-filtering a kNN
-    result would silently under-fill it — ES pre-filters for the same
-    reason).
+    FILTER applied to BOTH legs pre-ranking — computed ONCE via the
+    engine's own FILTER context (``_filter_docs_df``: the same routing
+    ``search_df(filter_query=...)`` uses, so the two legs constrain to
+    the IDENTICAL doc set regardless of the main query's ``mode``),
+    materialized (localCheckpoint), then fed to the lexical kernel as
+    the include set and to the vector leg as a semi-join BEFORE the
+    top-``window`` cut — so the vector leg returns up to ``window``
+    docs that all satisfy the filter (post-filtering a kNN result would
+    silently under-fill it; ES pre-filters for the same reason). The
+    materialized set is |filter match| ids — on a very broad filter at
+    extreme scale prefer restricting the vectors frame upstream.
     """
     from ..ops.similarity import cosine_topk
 
-    lex = engine.search_df(query, k=int(window), mode=mode,
-                           filter_query=filter_query) \
-                .select("doc_id", "score")
+    filter_docs = None
     if filter_query is not None:
-        allowed = engine.match_df(filter_query, mode=mode) \
-                        .select("doc_id")
+        filter_docs = engine._filter_docs_df(filter_query) \
+                            .localCheckpoint(eager=True)
+        allowed = filter_docs.select("doc_id").distinct()
         if vectors is not None:
             vectors = vectors.join(
                 allowed.withColumnRenamed("doc_id", vec_id_col),
@@ -118,6 +121,9 @@ def hybrid_search_df(engine, query: str, vectors, query_vec,
             vec_leg = vec_leg.join(
                 allowed.withColumnRenamed("doc_id", vec_leg.columns[0]),
                 vec_leg.columns[0], "left_semi")
+    lex = engine.search_df(query, k=int(window), mode=mode,
+                           filter_docs=filter_docs) \
+                .select("doc_id", "score")
     if vec_leg is None:
         vec_leg = cosine_topk(vectors, query_vec, k=int(window),
                               vec_col=vec_col, id_col=vec_id_col)

@@ -44,7 +44,8 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-__all__ = ["rank_eval", "rank_eval_summary"]
+__all__ = ["rank_eval", "rank_eval_summary", "pad_zero_queries",
+           "mean_summary"]
 
 
 def _gain(col):
@@ -145,3 +146,43 @@ def rank_eval_summary(per_query):
         F.avg("rr").alias("mrr"),
         F.avg("ndcg_k").alias("ndcg_k"),
     )
+
+
+def pad_zero_queries(per: list, queries, judgment_rows,
+                     rel_threshold: int = 1) -> list:
+    """Driver-side convention shared by the daemon and the CLI: a query
+    with NO run rows must surface as an explicit all-zero metric row
+    (ES reports metric_score 0) so a regression that kills a query's
+    recall drags the mean DOWN instead of silently vanishing from it.
+
+    ``per``: collected rank_eval row dicts; ``queries``: the full
+    requested query list; ``judgment_rows``: (query, doc_id, grade)
+    triples — n_rel for a zero row replays rank_eval's max-grade
+    collapse. Returns per + zero rows (input list untouched)."""
+    best: dict = {}
+    for q, d, g in judgment_rows:
+        key = (q, d)
+        best[key] = max(best.get(key, 0), int(g))
+    out = list(per)
+    seen = {r["query"] for r in out}
+    for q in queries:
+        if q in seen:
+            continue
+        seen.add(q)
+        n_rel = sum(1 for (qq, _d), g in best.items()
+                    if qq == q and g >= int(rel_threshold))
+        out.append({"query": q, "n_ret": 0, "n_rel": n_rel,
+                    "precision_k": 0.0, "recall_k": 0.0,
+                    "rr": 0.0, "ndcg_k": 0.0})
+    return out
+
+
+def mean_summary(per: list) -> dict:
+    """Python-side means over collected per-query rows (one job fewer
+    than re-aggregating the frame; identical arithmetic). All-zero with
+    n_queries=0 on an empty list — never NULL/None."""
+    n = len(per)
+    out = {m: (sum(r[m] for r in per) / n if n else 0.0)
+           for m in ("precision_k", "recall_k", "rr", "ndcg_k")}
+    out["n_queries"] = n
+    return out

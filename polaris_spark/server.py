@@ -493,7 +493,7 @@ class _Handler(BaseHTTPRequestHandler):
         standard IR metrics (query/rankeval.py). Body: {requests:
         [{query, judgments: [[doc_id, grade], ...]}, ...], k?,
         relThreshold?, mode?}."""
-        from .query.rankeval import rank_eval
+        from .query.rankeval import mean_summary, pad_zero_queries, rank_eval
 
         reqs = b.get("requests") or []
         if not isinstance(reqs, list) or not reqs:
@@ -514,23 +514,11 @@ class _Handler(BaseHTTPRequestHandler):
         per = [r.asDict() for r in rank_eval(
             run.select("query", "doc_id", "score"), jud,
             k=k, rel_threshold=thr).collect()]
-        # a zero-hit query must count as ZEROS, not vanish from the mean
-        # (ES reports metric_score 0 for it) — a regression that kills a
-        # query's recall must drag the summary down, never raise it
-        seen = {r["query"] for r in per}
-        for q in queries:
-            if q not in seen:
-                seen.add(q)
-                n_rel = len({d for qq, d, g in jrows
-                             if qq == q and g >= thr})
-                per.append({"query": q, "n_ret": 0, "n_rel": n_rel,
-                            "precision_k": 0.0, "recall_k": 0.0,
-                            "rr": 0.0, "ndcg_k": 0.0})
-        n = len(per)
-        summary = {m: (sum(r[m] for r in per) / n if n else 0.0)
-                   for m in ("precision_k", "recall_k", "rr", "ndcg_k")}
-        summary["n_queries"] = n
-        return {"queries": per, "summary": summary}
+        # zero-hit queries surface as explicit zeros and drag the mean
+        # down (ES reports metric_score 0) — shared convention with the
+        # rank-eval CLI via the rankeval helpers
+        per = pad_zero_queries(per, queries, jrows, rel_threshold=thr)
+        return {"queries": per, "summary": mean_summary(per)}
 
     def _m_hybrid(self, b):
         """Hybrid BM25 + cosine-kNN search fused by reciprocal rank

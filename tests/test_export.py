@@ -43,6 +43,24 @@ def test_export_columns_and_no_score(spark, eng, tmp_path):
         e.export_matches(q, str(tmp_path / "x"), columns=["nope"])
 
 
+def test_export_payload_collision_guard(spark, eng, tmp_path):
+    """A caller payload with its own score column: rejected with
+    with_score=True (duplicate columns), passed through untouched with
+    with_score=False (the join shrinks to the id set)."""
+    from pyspark.sql import functions as F
+
+    e, q = eng
+    payload = spark.read.parquet(f"{e.index_dir}/doc_map") \
+        .select("doc_id", F.lit(0.5).alias("score"))
+    with pytest.raises(ValueError, match="score"):
+        e.export_matches(q, str(tmp_path / "x"), docs=payload)
+    out = str(tmp_path / "own_score")
+    e.export_matches(q, out, docs=payload, with_score=False)
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"doc_id", "score"}
+    assert all(r["score"] == 0.5 for r in got.collect())  # the payload's
+
+
 def test_export_excludes_tombstones(spark, eng, tmp_path):
     e, q = eng
     victims = [h["doc_id"] for h in e.search(q, k=2)]

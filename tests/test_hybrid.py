@@ -189,3 +189,18 @@ def test_engine_hybrid_matches_manual_legs(spark, tmp_path):
                               filter_query=fq).collect()
     assert [(r["doc_id"], round(r["rrf"], 12)) for r in filt] == \
         [(r["doc_id"], round(r["rrf"], 12)) for r in want_f]
+
+    # leg consistency under mode="and": the filter constrains BOTH legs
+    # to the engine's FILTER-context doc set (the filter's OWN routing,
+    # independent of the main query's mode) — every fused hit is in it
+    fq2 = f"{w[1]} {w[3]}"  # multi-term filter: OR-context set
+    filt_and = hybrid_search_df(eng, q, emb, qv, k=50, window=25,
+                                mode="and", filter_query=fq2).collect()
+    ctx = {r["doc_id"] for r in
+           eng._filter_docs_df(fq2).select("doc_id").collect()}
+    assert {r["doc_id"] for r in filt_and} <= ctx
+    # and a vector-only hit outside the lexical AND set can still appear
+    # (proves the vector leg used the FILTER set, not the AND match set)
+    lex_and = {r["doc_id"] for r in
+               eng.search_df(q, k=None, mode="and").collect()}
+    assert any(r["doc_id"] not in lex_and for r in filt_and)

@@ -199,6 +199,26 @@ def test_k_must_be_positive(spark):
         rank_eval(res, jud, k=None)
 
 
+def test_pad_and_summary_helpers():
+    """pad_zero_queries + mean_summary (shared by daemon + CLI): zero
+    rows replay the max-grade collapse for n_rel, means never go NULL on
+    empty input, and padded zeros drag the mean down."""
+    from polaris_spark.query.rankeval import mean_summary, pad_zero_queries
+
+    per = [{"query": "a", "n_ret": 5, "n_rel": 2, "precision_k": 0.4,
+            "recall_k": 1.0, "rr": 1.0, "ndcg_k": 0.8}]
+    jrows = [("a", 1, 2), ("b", 7, 1), ("b", 7, 2), ("b", 9, 0)]
+    out = pad_zero_queries(per, ["a", "b"], jrows)
+    assert len(out) == 2 and len(per) == 1  # input untouched
+    zb = next(r for r in out if r["query"] == "b")
+    assert zb["n_rel"] == 1 and zb["ndcg_k"] == 0.0  # max-collapse: doc 7
+    s = mean_summary(out)
+    assert s["n_queries"] == 2 and s["ndcg_k"] == pytest.approx(0.4)
+    empty = mean_summary([])
+    assert empty == {"precision_k": 0.0, "recall_k": 0.0, "rr": 0.0,
+                     "ndcg_k": 0.0, "n_queries": 0}
+
+
 def test_duplicate_judgments_collapse_to_max(spark):
     """Duplicate (query, doc_id) judgment rows must not multiply run rows
     through the join: they collapse to the max grade."""
