@@ -1661,6 +1661,24 @@ def _q_agg_filters(spark, sf_dir):
     return filters_agg(_agg_engine(spark, sf_dir), Q_OR, AGG_FILTERS)
 
 
+def _q_agg_pipeline(spark, sf_dir):
+    """ES pipeline aggs (derivative / cumulative_sum / moving_fn) over
+    the n_chars histogram: exact functions of the integer bucket counts;
+    moving average e6-rounded."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.query.aggs import histogram_agg, pipeline_agg
+
+    h = histogram_agg(_agg_engine(spark, sf_dir), Q_OR, "n_chars",
+                      interval=100.0,
+                      docs=_agg_docs_numeric(spark, sf_dir))
+    out = pipeline_agg(h, moving_avg=3)
+    return out.select(
+        "bucket", "n", "derivative", "cumulative",
+        F.round(F.col("moving_avg_3") * 1e6).cast("long")
+         .alias("moving_avg_e6"))
+
+
 def _q_agg_cardinality(spark, sf_dir):
     from polaris_spark.query.aggs import cardinality_agg
 
@@ -1790,6 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_percentiles": _q_agg_percentiles,
         "agg_composite": _q_agg_composite,
         "agg_filters": _q_agg_filters,
+        "agg_pipeline": _q_agg_pipeline,
         "classic_search": _q_classic_search,
         "nb_classify": _q_nb_classify,
         "kmeans_refine1": _q_kmeans_refine,
@@ -1841,6 +1860,7 @@ def oracle_sql() -> dict[str, str]:
         stats_agg_sql,
         terms_agg_sql,
         histogram_sql,
+        pipeline_agg_sql,
         range_agg_sql,
         date_histogram_sql,
         cardinality_sql,
@@ -2163,6 +2183,8 @@ SELECT doc_id, query_id FROM (
         "agg_stats": stats_agg_sql(Q_OR, "n_chars"),
         "agg_terms": terms_agg_sql(Q_OR, "source", metric_attr="n_chars"),
         "agg_histogram": histogram_sql(Q_OR, "n_chars", interval=100.0),
+        "agg_pipeline": pipeline_agg_sql(Q_OR, "n_chars", interval=100.0,
+                                         moving_avg=3),
         "agg_range": range_agg_sql(Q_OR, "n_chars",
                                    edges=[100.0, 250.0, 400.0]),
         "agg_date_histogram": date_histogram_sql(

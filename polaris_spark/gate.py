@@ -1765,6 +1765,30 @@ def histogram_sql(query: str, attr: str, interval: float,
     )
 
 
+def pipeline_agg_sql(query: str, attr: str, interval: float,
+                     moving_avg: int = 3, table: str = "documents") -> str:
+    """Mirror of ``aggs.pipeline_agg`` over a histogram parent: window
+    functions over the bucket series — derivative = n − lag(n) (NULL for
+    the first bucket, exactly ES), running sum, and a trailing
+    ``moving_avg``-bucket mean including the current bucket. Derived
+    values are exact functions of the (integer) bucket counts; the
+    moving average emits e6-rounded."""
+    h = histogram_sql(query, attr, interval, table)
+    n = int(moving_avg)
+    return f"""
+WITH h AS (
+{h}
+)
+SELECT bucket, n,
+       n::DOUBLE - lag(n::DOUBLE) OVER (ORDER BY bucket) AS derivative,
+       sum(n::DOUBLE) OVER (ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS cumulative,
+       CAST(round(1e6 * avg(n::DOUBLE) OVER (
+            ORDER BY bucket ROWS {n - 1} PRECEDING)) AS BIGINT)
+           AS moving_avg_e6
+FROM h ORDER BY bucket"""
+
+
 def range_agg_sql(query: str, attr: str, edges: list,
                   table: str = "documents", field_cols: tuple = (),
                   expand_fields: bool = False) -> str:

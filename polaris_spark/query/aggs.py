@@ -31,12 +31,13 @@ in gate.py match bit-for-bit at the gate's 1e-9 rounding.
 """
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 __all__ = [
     "stats_agg", "terms_agg", "histogram_agg", "range_agg",
     "date_histogram_agg", "cardinality_agg", "percentiles_agg",
-    "composite_agg", "filters_agg",
+    "composite_agg", "filters_agg", "pipeline_agg",
 ]
 
 
@@ -147,6 +148,47 @@ def histogram_agg(engine, query: str, attr: str, interval: float,
             .where(F.col("n") >= int(min_doc_count))
             .orderBy(F.asc("bucket")))
     return out
+
+
+def pipeline_agg(buckets, value_col: str = "n", order_col: str = "bucket",
+                 derivative: bool = True, cumulative: bool = True,
+                 moving_avg: int | None = None):
+    """ES PIPELINE aggregations (``derivative``, ``cumulative_sum``,
+    ``moving_fn``/moving average): second-order series computed over a
+    PARENT aggregation's buckets — "requests per hour AND the hour-over-
+    hour delta / running total / 3-bucket trend" in one response. Takes
+    any (order_col, value_col) bucket frame (``histogram_agg`` /
+    ``date_histogram_agg`` output, or any tiny series) and appends:
+
+    - ``derivative``   = value − lag(value)  (NULL for the first bucket,
+      exactly ES: no derivative exists for the first bucket)
+    - ``cumulative``   = running sum over buckets so far
+    - ``moving_avg_N`` = trailing mean over the last N buckets INCLUDING
+      the current one (ES moving_fn with a size-N window)
+
+    Spark shape: pipeline aggs are post-processing over the parent's
+    REDUCED buckets — |buckets| rows regardless of corpus size — so the
+    single-partition Window here is bounded by construction, the same
+    argument as hybrid's rank windows (never a corpus frame). The parent
+    agg did the corpus-sized work map-side already.
+    """
+    w = Window.orderBy(F.asc(order_col))
+    out = buckets
+    v = F.col(value_col).cast("double")
+    if derivative:
+        out = out.withColumn("derivative", v - F.lag(v, 1).over(w))
+    if cumulative:
+        out = out.withColumn(
+            "cumulative",
+            F.sum(v).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    if moving_avg is not None:
+        n = int(moving_avg)
+        if n <= 0:
+            raise ValueError(f"moving_avg window must be positive: {n}")
+        out = out.withColumn(
+            f"moving_avg_{n}",
+            F.avg(v).over(w.rowsBetween(-(n - 1), 0)))
+    return out.orderBy(F.asc(order_col))
 
 
 def range_agg(engine, query: str, attr: str, edges: list[float],
@@ -399,6 +441,22 @@ class _MatchMemo:
         return getattr(self._engine, name)
 
 
+def _with_pipelines(buckets, a: dict):
+    """Apply an optional ``pipelines`` block of a histogram/date_histogram
+    spec entry: {"derivative": bool, "cumulative": bool, "movingAvg": N}
+    — the ES pipeline-agg (derivative / cumulative_sum / moving_fn)
+    request nested under its parent bucket agg."""
+    p = a.pop("pipelines", None)
+    if not p:
+        return buckets
+    order = "bucket_epoch" if "bucket_epoch" in buckets.columns else "bucket"
+    return pipeline_agg(
+        buckets, order_col=order,
+        derivative=bool(p.get("derivative", True)),
+        cumulative=bool(p.get("cumulative", True)),
+        moving_avg=p.get("movingAvg"))
+
+
 def run_aggs(engine, query: str, spec: dict, mode: str = "or",
              expand_fields: bool = False, docs=None) -> dict:
     """ES multi-aggregation request body: every named entry of ``spec``
@@ -417,16 +475,16 @@ def run_aggs(engine, query: str, spec: dict, mode: str = "or",
             memo, query, a["attr"], metric_attr=a.get("metric_attr"),
             size=a.get("size"), docs=docs, mode=mode,
             expand_fields=expand_fields),
-        "histogram": lambda a: histogram_agg(
+        "histogram": lambda a: _with_pipelines(histogram_agg(
             memo, query, a["attr"], float(a["interval"]), docs=docs,
             mode=mode, expand_fields=expand_fields,
-            min_doc_count=int(a.get("min_doc_count", 1))),
+            min_doc_count=int(a.get("min_doc_count", 1))), a),
         "range": lambda a: range_agg(
             memo, query, a["attr"], list(a["edges"]), docs=docs,
             mode=mode, expand_fields=expand_fields),
-        "date_histogram": lambda a: date_histogram_agg(
+        "date_histogram": lambda a: _with_pipelines(date_histogram_agg(
             memo, query, a["attr"], interval=a.get("interval", "1d"),
-            docs=docs, mode=mode, expand_fields=expand_fields),
+            docs=docs, mode=mode, expand_fields=expand_fields), a),
         "cardinality": lambda a: cardinality_agg(
             memo, query, a["attr"], exact=bool(a.get("exact", True)),
             rsd=float(a.get("rsd", 0.05)), docs=docs, mode=mode,

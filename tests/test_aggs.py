@@ -295,3 +295,55 @@ def test_run_aggs_multi_request(spark, seng, ndocs):
     assert {r["name"]: r["n"] for r in out["flt"]}["none"] == 0
     with pytest.raises(ValueError, match="unknown type"):
         aggs.run_aggs(seng, Q, {"x": {"type": "nope"}})
+
+
+def test_pipeline_agg_hand_golden(spark):
+    """pipeline_agg on a hand series: derivative NULL for the first
+    bucket (the ES convention), running sum, trailing-3 moving average
+    including the current bucket."""
+    b = spark.createDataFrame(
+        [(0.0, 4), (100.0, 6), (200.0, 2), (300.0, 8)],
+        "bucket double, n long")
+    rows = aggs.pipeline_agg(b, moving_avg=3).collect()
+    got = [(r["bucket"], r["derivative"], r["cumulative"],
+            round(r["moving_avg_3"], 9)) for r in rows]
+    assert got == [
+        (0.0, None, 4.0, 4.0),
+        (100.0, 2.0, 10.0, 5.0),
+        (200.0, -4.0, 12.0, 4.0),
+        (300.0, 6.0, 20.0, round(16 / 3, 9)),
+    ]
+    with pytest.raises(ValueError, match="positive"):
+        aggs.pipeline_agg(b, moving_avg=0)
+
+
+def test_pipeline_in_run_aggs(spark, seng, ndocs):
+    """A histogram spec with a pipelines block returns the derived
+    columns, equal to composing the ops by hand; date_histogram orders
+    on bucket_epoch."""
+    spec = {"h": {"type": "histogram", "attr": "n_chars",
+                  "interval": 10.0,
+                  "pipelines": {"movingAvg": 2}}}
+    out = aggs.run_aggs(seng, Q, spec, docs=ndocs)["h"]
+    want = [r.asDict() for r in aggs.pipeline_agg(
+        aggs.histogram_agg(seng, Q, "n_chars", 10.0, docs=ndocs),
+        moving_avg=2).collect()]
+    assert out == want
+    assert {"derivative", "cumulative", "moving_avg_2"} <= set(out[0])
+
+    ts = spark.createDataFrame(
+        [(d, TS_BASE + d * TS_STEP) for d, _t, _s, _n in DOCS],
+        "doc_id long, epoch long").select(
+        "doc_id", F.timestamp_seconds("epoch").alias("ts"))
+    spec2 = {"dh": {"type": "date_histogram", "attr": "ts",
+                    "interval": "6h", "pipelines": {}}}
+    spec3 = {"dh": {"type": "date_histogram", "attr": "ts",
+                    "interval": "6h",
+                    "pipelines": {"derivative": True,
+                                  "cumulative": False}}}
+    plain = aggs.run_aggs(seng, Q, spec2, docs=ts)["dh"]
+    withp = aggs.run_aggs(seng, Q, spec3, docs=ts)["dh"]
+    assert "derivative" not in plain[0]  # empty pipelines block = parent only
+    assert "derivative" in withp[0] and "cumulative" not in withp[0]
+    assert [r["bucket_epoch"] for r in withp] == \
+        sorted(r["bucket_epoch"] for r in withp)
