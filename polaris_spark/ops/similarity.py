@@ -382,24 +382,29 @@ def srp_candidate_pairs(emb, n_bits: int = 16, seed: int = 42,
 
     dim = len(emb.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
-    tables = []
-    for t in range(n_tables):
+    # ALL tables' signatures in ONE pass over the vectors (the planes are
+    # drawn sequentially per table, so per-table buckets are identical to
+    # the old L-separate-joins form), then ONE self-join keyed on
+    # (table, bucket): same collision set, but L scans + L shuffles +
+    # (L−1) unions collapse to one scan and one exchange — at 10^12
+    # vectors that is the difference between L passes over the corpus
+    # and one.
+    sig_cols = []
+    for _t in range(n_tables):
         planes = rng.standard_normal((n_bits, dim))
-        sig = emb.select(
-            F.col(id_col).alias("vec_id"),
-            srp_signature_col(F.col(vec_col), planes).alias("bucket"),
-        )
-        a, b = sig.alias("a"), sig.alias("b")
-        tables.append(
-            a.join(b, "bucket")
-            .where(F.col("a.vec_id") < F.col("b.vec_id"))
-            .select(F.col("a.vec_id").alias("vec_a"),
-                    F.col("b.vec_id").alias("vec_b"))
-        )
-    out = tables[0]
-    for t in tables[1:]:
-        out = out.union(t)
-    return out.distinct()
+        sig_cols.append(srp_signature_col(F.col(vec_col), planes))
+    sig = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.array(*sig_cols)).alias("table", "bucket"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(b, ["table", "bucket"])
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
 
 
 def quantize_embeddings(emb, bits: int = 8, vec_col: str = "embedding",
