@@ -1579,6 +1579,46 @@ def _q_rank_eval(spark, sf_dir):
                        ("rr", "rr"), ("ndcg_k", "ndcg"))))
 
 
+def _q_asof_join(spark, sf_dir):
+    """Backward as-of join (one mission-named operator Spark lacks):
+    every event joined to its user's most recent PRIOR error event's
+    value. Right side deduped on (user, ts) by max(value) — the as-of
+    tie rule every engine leaves undefined otherwise. DuckDB mirrors
+    with its native ASOF JOIN."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.ops.analytics import asof_join
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    right = (ev.where("event_type = 'error'")
+               .groupBy("user_id", "ts").agg(F.max("value").alias("value")))
+    out = asof_join(ev.select("event_id", "user_id", "ts"), right,
+                    key_col="user_id", ts_col="ts", value_cols=["value"])
+    return out.select(
+        "event_id",
+        F.round(F.col("value_asof"), 4).alias("value_asof4"),
+        "ts_asof_epoch")
+
+
+def _q_range_join(spark, sf_dir):
+    """Bucketed interval-containment join (the other mission-named
+    operator): events inside [error_ts, error_ts + 1800s) maintenance
+    windows of the SAME user; DuckDB mirrors with the plain theta join
+    the bucketed plan must exactly reproduce."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.ops.analytics import range_join
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    tsd = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6)
+    iv = (ev.where("event_type = 'error'")
+            .select(F.col("event_id").alias("interval_id"), "user_id",
+                    tsd.alias("lo"), (tsd + 1800.0).alias("hi")))
+    out = range_join(ev.select("event_id", "user_id", "ts"), iv,
+                     ts_col="ts", bucket_width_s=1800, key_col="user_id")
+    return out.select("event_id", "interval_id")
+
+
 def _q_lsh_ingest(spark, sf_dir):
     """Incremental near-dup ingest: the corpus arrives as two id-ordered
     batches against a fresh band state; the flag set must equal the
@@ -1816,6 +1856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_eval": _q_rank_eval,
         "hybrid_search": _q_hybrid_search,
         "lsh_ingest": _q_lsh_ingest,
+        "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
         "transcripts_invariant": _q_transcripts_invariant,
     }
 
@@ -2178,6 +2220,21 @@ SELECT doc_id, query_id FROM (
         "token_ids": duckdb_token_ids_sql("documents"),
         "assemble_docs": _an.duckdb_assemble_sql(),
         "events_hourly": _an.duckdb_events_hourly_sql(),
+        "asof_join": _an.duckdb_asof_sql(
+            "SELECT event_id, user_id, ts FROM events",
+            "SELECT user_id, ts, max(value) AS value FROM events "
+            "WHERE event_type = 'error' GROUP BY 1, 2",
+            key_col="user_id", ts_col="ts", value_cols=["value"],
+            out_cols="l.event_id",
+        ).replace("r.value AS value_asof",
+                  "round(r.value, 4) AS value_asof4"),
+        "range_join": """
+SELECT l.event_id, r.event_id AS interval_id
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND r.event_type = 'error'
+ AND epoch(l.ts) >= epoch(r.ts)
+ AND epoch(l.ts) < epoch(r.ts) + 1800.0""",
         "top_docs_per_source": _an.duckdb_top_docs_sql(3),
         "sessionize": _an.duckdb_sessionize_sql(),
         "agg_stats": stats_agg_sql(Q_OR, "n_chars"),

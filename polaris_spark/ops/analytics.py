@@ -169,3 +169,140 @@ def duckdb_assemble_sql(key_col: str = "source", order_col: str = "doc_id",
         f"count(*)::BIGINT AS n_parts "
         f"FROM {table} GROUP BY {key_col}"
     )
+
+
+def asof_join(left, right, key_col: str, ts_col: str,
+              value_cols: list[str], tolerance_s: int | None = None,
+              suffix: str = "_asof"):
+    """Backward AS-OF join — the time-series operator the mission names
+    and Spark lacks natively (pandas ``merge_asof`` / DuckDB ``ASOF
+    JOIN`` / kdb ``aj``): for every left row, attach the MOST RECENT
+    right row of the same key with ``right.ts <= left.ts`` (ties on ts:
+    the right row wins — a state change at t applies to an event at t).
+
+    Spark-first shape (NOT a theta join, NOT merge_asof-in-pandas): tag
+    and UNION the two sides, then one window per key ordered by
+    (ts, side) carrying the right side's values forward with
+    ``last(ignorenulls=True)`` — ONE shuffle on the key, no range cross
+    product, and the window never holds more than a running scalar per
+    value column. Skewed keys cost what any per-key window costs;
+    salting does not apply (the carry-forward is order-dependent), so a
+    single pathological key is the documented limit. ``tolerance_s``
+    (pandas semantics) nulls matches older than the window. Right rows
+    duplicated on (key, ts) must be pre-deduped by the caller — which
+    wins is otherwise tie-undefined in every engine's as-of.
+
+    Returns left's rows + ``<value><suffix>`` columns (+
+    ``ts{suffix}_epoch`` when ``tolerance_s`` is None, else applied and
+    dropped)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def _num(col, dtype):
+        # timestamps become exact epoch micros (no tz drift under the
+        # repo's UTC-session convention); numerics pass through
+        if dtype.typeName().startswith("timestamp"):
+            return F.unix_micros(col.cast("timestamp")) / F.lit(1e6)
+        return col.cast("double")
+
+    l_ts_t = left.schema[ts_col].dataType
+    r_ts_t = right.schema[ts_col].dataType
+    lcols = left.columns
+    lt = left.withColumn("_side", F.lit(1))
+    for v in value_cols:
+        lt = lt.withColumn(f"_rv_{v}",
+                           F.lit(None).cast(right.schema[v].dataType))
+    lt = lt.withColumn("_rts", F.lit(None).cast("double"))
+    rt = right.select(
+        F.col(key_col),
+        F.col(ts_col).cast(l_ts_t).alias(ts_col),
+        F.lit(0).alias("_side"),
+        *[F.col(v).alias(f"_rv_{v}") for v in value_cols],
+        _num(F.col(ts_col), r_ts_t).alias("_rts"),
+    )
+    for c in lcols:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    u = lt.unionByName(rt.select(*lt.columns))
+    # right rows sort BEFORE a left row at the same ts (side 0 < 1):
+    # <= semantics
+    w = (Window.partitionBy(key_col)
+         .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    for v in value_cols:
+        u = u.withColumn(f"{v}{suffix}",
+                         F.last(f"_rv_{v}", ignorenulls=True).over(w))
+    u = u.withColumn("_mts", F.last("_rts", ignorenulls=True).over(w))
+    out = u.where(F.col("_side") == 1)
+    if tolerance_s is not None:
+        ok = (_num(F.col(ts_col), l_ts_t) - F.col("_mts")
+              <= F.lit(float(tolerance_s)))
+        for v in value_cols:
+            out = out.withColumn(
+                f"{v}{suffix}",
+                F.when(ok, F.col(f"{v}{suffix}")))
+        out = out.drop("_mts")
+    else:
+        out = out.withColumn(f"ts{suffix}_epoch",
+                             F.floor("_mts").cast("long")).drop("_mts")
+    return out.select(*lcols,
+                      *[f"{v}{suffix}" for v in value_cols],
+                      *([f"ts{suffix}_epoch"]
+                        if tolerance_s is None else []))
+
+
+def duckdb_asof_sql(left_sql: str, right_sql: str, key_col: str,
+                    ts_col: str, value_cols: list[str],
+                    out_cols: str, suffix: str = "_asof") -> str:
+    """DuckDB mirror via its NATIVE ASOF JOIN (>= on ts picks the
+    greatest right ts <= left ts — exactly :func:`asof_join`'s backward
+    semantics incl. the tie rule)."""
+    vals = ", ".join(f"r.{v} AS {v}{suffix}" for v in value_cols)
+    return f"""
+SELECT {out_cols}, {vals},
+       floor(epoch(r.{ts_col}))::BIGINT AS ts{suffix}_epoch
+FROM ({left_sql}) l
+ASOF LEFT JOIN ({right_sql}) r
+  ON l.{key_col} = r.{key_col} AND l.{ts_col} >= r.{ts_col}"""
+
+
+def range_join(events, intervals, ts_col: str = "ts",
+               lo_col: str = "lo", hi_col: str = "hi",
+               bucket_width_s: int = 3600, key_col: str | None = None):
+    """Interval containment join — the second mission-named operator
+    Spark has no native strategy for: pair every event with every
+    interval satisfying ``lo <= ts < hi`` (optionally also equi-matched
+    on ``key_col``). A naive theta join degenerates to
+    |events| x |intervals| comparisons; this is the BUCKETED form (the
+    manual equivalent of Databricks' range-join hint): intervals explode
+    to the time buckets they cover, events map to their single bucket,
+    and an EQUI-join on bucket (+ key) restricts the exact containment
+    filter to co-bucketed pairs — cost ∝ true matches + interval spans /
+    ``bucket_width_s``, executed by the ordinary hash-join machinery.
+    Pick ``bucket_width_s`` near the typical interval length: much
+    smaller explodes intervals wide, much larger widens the per-bucket
+    cross section."""
+    from pyspark.sql import functions as F
+
+    def _num(col, dtype):
+        if dtype.typeName().startswith("timestamp"):
+            return F.unix_micros(col.cast("timestamp")) / F.lit(1e6)
+        return col.cast("double")
+
+    ts_n = _num(F.col(ts_col), events.schema[ts_col].dataType)
+    ev = events.withColumn("_tsn", ts_n).withColumn(
+        "_b", F.floor(F.col("_tsn") / F.lit(float(bucket_width_s)))
+               .cast("long"))
+    iv = intervals.withColumn(
+        "_b",
+        F.explode(F.sequence(
+            F.floor(F.col(lo_col).cast("double")
+                    / F.lit(float(bucket_width_s))).cast("long"),
+            F.floor((F.col(hi_col).cast("double")
+                     - F.lit(1e-9)) / F.lit(float(bucket_width_s)))
+             .cast("long"))))
+    on = ["_b"] + ([key_col] if key_col else [])
+    return (ev.join(iv, on)
+              .where((F.col("_tsn") >= F.col(lo_col).cast("double"))
+                     & (F.col("_tsn") < F.col(hi_col).cast("double")))
+              .drop("_b", "_tsn"))
