@@ -1579,6 +1579,37 @@ def _q_rank_eval(spark, sf_dir):
                        ("rr", "rr"), ("ndcg_k", "ndcg"))))
 
 
+def _q_rollup(spark, sf_dir):
+    """Materialized hourly rollup built INCREMENTALLY (build on half the
+    events, append the rest, one compact) must read back equal to the
+    one-shot aggregate over all events — the continuous-aggregate
+    exactness identity; DuckDB replays the direct aggregate."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from polaris_spark.ops.analytics import (
+        append_rollup,
+        build_rollup,
+        compact_rollup,
+        read_rollup,
+    )
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    d = os.path.join(CACHE, "rollup_state")
+    shutil.rmtree(d, ignore_errors=True)
+    build_rollup(spark, ev.where("event_id % 2 = 0"), d)
+    append_rollup(spark, ev.where("event_id % 2 = 1"), d)
+    compact_rollup(spark, d)
+    out = read_rollup(spark, d)
+    return out.select(
+        "bucket_epoch", "event_type", "n",
+        F.round(F.col("sum_value"), 4).alias("sum_value4"),
+        F.round(F.col("min_value"), 4).alias("min_value4"),
+        F.round(F.col("max_value"), 4).alias("max_value4"),
+        F.round(F.col("avg_value"), 6).alias("avg_value6"))
+
+
 def _q_asof_join(spark, sf_dir):
     """Backward as-of join (one mission-named operator Spark lacks):
     every event joined to its user's most recent PRIOR error event's
@@ -1858,6 +1889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ingest": _q_lsh_ingest,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
+        "rollup_hourly": _q_rollup,
         "transcripts_invariant": _q_transcripts_invariant,
     }
 
@@ -2235,6 +2267,14 @@ FROM events l JOIN events r
  AND r.event_type = 'error'
  AND epoch(l.ts) >= epoch(r.ts)
  AND epoch(l.ts) < epoch(r.ts) + 1800.0""",
+        "rollup_hourly": """
+SELECT (floor(epoch(ts) / 3600.0)::BIGINT * 3600)::BIGINT AS bucket_epoch,
+       event_type, count(*)::BIGINT AS n,
+       round(sum(value), 4) AS sum_value4,
+       round(min(value), 4) AS min_value4,
+       round(max(value), 4) AS max_value4,
+       round(sum(value) / count(*), 6) AS avg_value6
+FROM events GROUP BY 1, 2""",
         "top_docs_per_source": _an.duckdb_top_docs_sql(3),
         "sessionize": _an.duckdb_sessionize_sql(),
         "agg_stats": stats_agg_sql(Q_OR, "n_chars"),

@@ -306,3 +306,113 @@ def range_join(events, intervals, ts_col: str = "ts",
               .where((F.col("_tsn") >= F.col(lo_col).cast("double"))
                      & (F.col("_tsn") < F.col(hi_col).cast("double")))
               .drop("_b", "_tsn"))
+
+
+def _rollup_partials(events, width_s: int, keys):
+    from pyspark.sql import functions as F
+
+    b = (F.floor((F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6))
+                 / F.lit(float(width_s))).cast("long")
+         * F.lit(int(width_s))).alias("bucket_epoch")
+    return events.groupBy(b, *keys).agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def build_rollup(spark, events, rollup_dir: str, width_s: int = 3600,
+                 keys=("event_type",)) -> dict:
+    """Materialized time-bucketed rollup — the hypertable
+    continuous-aggregate analog (the third mission-named operator):
+    (bucket_epoch, keys..., n, sum/min/max) persisted as a parquet
+    table so dashboards read |buckets| rows instead of re-scanning the
+    event stream. Only SUM-MERGEABLE statistics are stored (count, sum,
+    min, max — avg derives at read), which is exactly what makes the
+    incremental refresh below exact rather than approximate.
+
+    Layout is GENERATIONAL (the index's append pattern): each
+    build/append writes its own partial rows; :func:`read_rollup` folds
+    generations with one tiny groupBy. ``append_rollup`` therefore
+    never reads existing state — cost ∝ batch — and
+    append ∘ append ≡ build over the union (the gate's identity).
+    ``compact_rollup`` refolds to one row per bucket when generations
+    accumulate."""
+    import json
+    import os
+
+    from ..fs import get_fs
+
+    fs = get_fs(spark, rollup_dir)
+    fs.makedirs(rollup_dir)
+    meta = {"width_s": int(width_s), "keys": list(keys)}
+    _rollup_partials(events, width_s, list(keys)) \
+        .write.mode("append").parquet(os.path.join(rollup_dir, "parts"))
+    fs.write_text_atomic(os.path.join(rollup_dir, "_rollup.json"),
+                         json.dumps(meta))
+    return meta
+
+
+def append_rollup(spark, new_events, rollup_dir: str) -> dict:
+    """Incremental refresh: aggregate ONLY the new batch under the
+    stored config and append it as a new generation — the existing
+    rollup is never read or rewritten. Exact by construction (all
+    stored stats are sum-mergeable); replaying a batch double-counts
+    like any blind append — drive from a checkpointed stream
+    (foreachBatch) or dedupe upstream for exactly-once."""
+    import json
+    import os
+
+    from ..fs import get_fs
+
+    fs = get_fs(spark, rollup_dir)
+    meta = json.loads(fs.read_text(os.path.join(rollup_dir, "_rollup.json")))
+    _rollup_partials(new_events, meta["width_s"], meta["keys"]) \
+        .write.mode("append").parquet(os.path.join(rollup_dir, "parts"))
+    return meta
+
+
+def read_rollup(spark, rollup_dir: str):
+    """Serving fold: one groupBy over the (tiny) generation partials —
+    (bucket_epoch, keys..., n, sum_value, min_value, max_value,
+    avg_value)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..fs import get_fs
+
+    fs = get_fs(spark, rollup_dir)
+    meta = json.loads(fs.read_text(os.path.join(rollup_dir, "_rollup.json")))
+    parts = spark.read.parquet(os.path.join(rollup_dir, "parts"))
+    return (parts.groupBy("bucket_epoch", *meta["keys"])
+            .agg(F.sum("n").alias("n"),
+                 F.sum("sum_value").alias("sum_value"),
+                 F.min("min_value").alias("min_value"),
+                 F.max("max_value").alias("max_value"))
+            .withColumn("avg_value", F.col("sum_value") / F.col("n")))
+
+
+def compact_rollup(spark, rollup_dir: str) -> dict:
+    """Refold all generations to one row per (bucket, keys) — the
+    continuous aggregate's maintenance step; read results identical
+    before and after (tested)."""
+    import json
+    import os
+
+    from ..fs import get_fs
+
+    folded = read_rollup(spark, rollup_dir).drop("avg_value")
+    tmp = os.path.join(rollup_dir, "parts_tmp")
+    folded.write.mode("overwrite").parquet(tmp)
+    fs = get_fs(spark, rollup_dir)
+    parts = os.path.join(rollup_dir, "parts")
+    # delete-then-rename (directory os.replace cannot overwrite): a
+    # maintenance-window op like compact_index, not a serving-path swap —
+    # run it when no concurrent reader is mid-fold
+    fs.delete(parts)
+    fs.rename(tmp, parts)
+    n = spark.read.parquet(parts).count()
+    return {"n_rows": int(n)}

@@ -323,6 +323,59 @@ def stream_neardup(
     return writer.start()
 
 
+EVENTS_SCHEMA = ("event_id long, ts timestamp, user_id long, "
+                 "event_type string, value double, props string")
+
+
+def stream_rollup(
+    spark,
+    input_dir: str,
+    rollup_dir: str,
+    checkpoint_dir: str,
+    schema: str = EVENTS_SCHEMA,
+    width_s: int = 3600,
+    keys=("event_type",),
+    available_now: bool = True,
+):
+    """Streaming continuous aggregate — the hypertable-rollup refresh
+    loop: each micro-batch folds to its bucket partials and lands as a
+    generation of the materialized rollup
+    (:func:`..ops.analytics.build_rollup` layout; serve with
+    ``read_rollup``). EXACTLY-ONCE: each batch writes its partials to
+    its own ``gen=<batch_id>`` directory with overwrite, so a
+    foreachBatch retry replaces rather than double-counts — the blind
+    double-count mode append_rollup documents cannot happen here."""
+    import json
+    import os
+
+    from .ops.analytics import _rollup_partials
+    from .fs import get_fs
+
+    fs = get_fs(spark, rollup_dir)
+    fs.makedirs(rollup_dir)
+    meta_path = os.path.join(rollup_dir, "_rollup.json")
+    if not fs.exists(meta_path):
+        fs.write_text_atomic(meta_path, json.dumps(
+            {"width_s": int(width_s), "keys": list(keys)}))
+    meta = json.loads(fs.read_text(meta_path))
+
+    def sink(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _rollup_partials(batch_df, meta["width_s"], meta["keys"]) \
+            .write.mode("overwrite").parquet(
+                os.path.join(rollup_dir, "parts", f"gen={batch_id}"))
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_decontam(
     spark,
     input_dir: str,
