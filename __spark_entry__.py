@@ -563,6 +563,31 @@ def _q_ivf_sq_top10(spark, sf_dir):
                        nprobe=4, window=None)
 
 
+def _q_ivf_pq_top10(spark, sf_dir):
+    """PQ-IVF probe (product-quantized codes sidecar, ADC lookup-table
+    scoring + exact rescore — FAISS IndexIVFPQ-with-refine) at
+    nprobe = all and window = None — rescoring everything removes the
+    quantization error, so it must equal brute force exactly and shares
+    that oracle. The finite-window ADC recall path is tested in
+    tests/test_pq.py."""
+    from polaris_spark.ops.similarity import (
+        build_ivf,
+        build_ivf_pq,
+        ivf_topk_pq,
+    )
+
+    d = os.path.join(
+        CACHE, f"ivf_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_c4"
+    )
+    if not os.path.exists(os.path.join(d, "_centroids.json")):
+        os.makedirs(CACHE, exist_ok=True)
+        build_ivf(spark, _emb(spark, sf_dir), d, n_centroids=4, seed=7)
+    if not os.path.exists(os.path.join(d, "_pq.json")):
+        build_ivf_pq(spark, d, m=8, nbits=4, seed=7)
+    return ivf_topk_pq(spark, d, _query_vec(spark, sf_dir), k=10,
+                       nprobe=4, window=None)
+
+
 def _q_ivf_many(spark, sf_dir):
     """Batched IVF ANN (ivf_topk_many — the embedding analog of
     search_many_df): 3 query vectors scored as ONE job over the prebuilt
@@ -1824,6 +1849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_quantize": _q_embed_quantize,
         "ivf_top10": _q_ivf_top10,
         "ivf_sq_top10": _q_ivf_sq_top10,
+        "ivf_pq_top10": _q_ivf_pq_top10,
         "ivf_many_top5": _q_ivf_many,
         "lookup_by_source": _q_lookup_by_source,
         "browse_listing": _q_browse,
@@ -2131,6 +2157,7 @@ SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.45""",
         # nprobe == n_centroids ⇒ IVF is exhaustive ⇒ identical to brute force
         "ivf_top10": cosine,
         "ivf_sq_top10": cosine,
+        "ivf_pq_top10": cosine,
         "ivf_many_top5": duckdb_ivf_many_sql(
             "embeddings", "vec_id", "embedding",
             [f"(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = {i})"

@@ -298,6 +298,19 @@ def run_suite(cpus: int, sf_dir: str, n_turns: int) -> dict:
     extras["ivf_sq_recall10"] = round(
         len(set(sq_hits) & set(exact_hits)) / max(1, len(exact_hits)), 3)
 
+    from polaris_spark.ops.similarity import build_ivf_pq, ivf_topk_pq
+
+    t0 = time.time()
+    build_ivf_pq(spark, ivf_dir, m=8, nbits=4, seed=7)
+    times["ivf_pq_build"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    pq_hits = [r["vec_id"] for r in
+               ivf_topk_pq(spark, ivf_dir, qv, k=10, nprobe=2,
+                           window=64).collect()]
+    times["ivf_pq_probe_top10"] = round(time.time() - t0, 3)
+    extras["ivf_pq_recall10"] = round(
+        len(set(pq_hits) & set(exact_hits)) / max(1, len(exact_hits)), 3)
+
     from polaris_spark.ops.similarity import knn_join, srp_candidate_pairs
 
     t0 = time.time()
@@ -668,6 +681,7 @@ Per-stage walls (JSON below) show where time goes at each level.
         "query_p99_s": res["query_p99_s"],
         "query_warm_p50_s": res.get("query_warm_p50_s"),
         "ivf_sq_recall10": res.get("ivf_sq_recall10"),
+        "ivf_pq_recall10": res.get("ivf_pq_recall10"),
     }
     print(json.dumps(out))
 

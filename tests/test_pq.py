@@ -1,0 +1,115 @@
+"""IVF-PQ: product-quantization sidecar + ADC probe with exact rescore
+(FAISS IndexIVFPQ-with-refine analog; Jégou et al. 2011). The identity
+contract mirrors the SQ sidecar's: window=None + nprobe=all rescores every
+probed row, so the result is EXACTLY brute force."""
+
+import json
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def pq_index(spark, emb, tmp_path_factory):
+    from polaris_spark.ops.similarity import (
+        build_ivf,
+        build_ivf_pq,
+        kmeans_centroids,
+    )
+
+    d = str(tmp_path_factory.mktemp("ivf") / "pq_idx")
+    cents = kmeans_centroids(emb, n_centroids=4, seed=7, sample_n=200)
+    build_ivf(spark, emb, d, centroids=cents)
+    build_ivf_pq(spark, d, m=8, nbits=4, seed=7)
+    return d
+
+
+def _q(emb, vid=0):
+    return [float(x) for x in
+            emb.where(f"vec_id = {vid}").collect()[0]["embedding"]]
+
+
+def test_pq_train_deterministic_and_shaped(emb):
+    from polaris_spark.ops.similarity import train_pq
+
+    b1 = train_pq(emb, m=8, nbits=4, seed=7, sample_n=200)
+    b2 = train_pq(emb, m=8, nbits=4, seed=7, sample_n=200)
+    assert b1 == b2  # fully seeded -> bit-reproducible
+    assert len(b1) == 8 and len(b1[0]) == 16 and len(b1[0][0]) == 8
+    b3 = train_pq(emb, m=8, nbits=4, seed=8, sample_n=200)
+    assert b3 != b1  # the seed actually reaches the init
+
+
+def test_pq_dim_guard(emb):
+    from polaris_spark.ops.similarity import train_pq
+
+    with pytest.raises(ValueError, match="not divisible"):
+        train_pq(emb, m=7, nbits=4, seed=7, sample_n=200)
+
+
+def test_pq_codes_match_numpy(spark, emb, pq_index):
+    """The Arrow encoder's codes equal a per-row numpy argmin replay."""
+    import numpy as np
+
+    meta = json.loads(open(f"{pq_index}/_pq.json").read())
+    cb = [np.asarray(b) for b in meta["codebooks"]]
+    m, sub = len(cb), len(cb[0][0])
+    rows = (spark.read.parquet(f"{pq_index}/vectors_pq")
+            .orderBy("vec_id").limit(50).collect())
+    vecs = {r["vec_id"]: np.asarray(list(r["embedding"]), dtype=np.float64)
+            for r in emb.where("vec_id < 50").collect()}
+    for r in rows:
+        x = vecs[r["vec_id"]]
+        want = [int(np.argmin(((x[s * sub:(s + 1) * sub] - cb[s]) ** 2)
+                              .sum(axis=1)))
+                for s in range(m)]
+        assert list(r["codes"]) == want
+
+
+def test_pq_identity_window_none_nprobe_all(spark, emb, pq_index):
+    from polaris_spark.ops.similarity import cosine_topk, ivf_topk_pq
+
+    q = _q(emb, 0)
+    brute = [(r["vec_id"], r["sim"]) for r in
+             cosine_topk(emb, q, k=10).collect()]
+    got = [(r["vec_id"], r["sim"]) for r in
+           ivf_topk_pq(spark, pq_index, q, k=10, nprobe=4,
+                       window=None).collect()]
+    assert got == brute
+
+
+def test_pq_finite_window_exact_scores_and_recall(spark, emb, pq_index):
+    """Finite window: every returned sim is the EXACT cosine (it came
+    from the rescore), ordering is (sim desc, vec_id asc), and a
+    64-wide window over 500 random vectors keeps recall@10 high."""
+    from polaris_spark.ops.similarity import cosine_topk, ivf_topk_pq
+
+    q = _q(emb, 3)
+    brute = dict((r["vec_id"], r["sim"])
+                 for r in cosine_topk(emb, q, k=10).collect())
+    win = [(r["vec_id"], r["sim"]) for r in
+           ivf_topk_pq(spark, pq_index, q, k=10, nprobe=4,
+                       window=64).collect()]
+    assert win == sorted(win, key=lambda t: (-t[1], t[0]))
+    for vid, s in win:
+        if vid in brute:
+            assert s == brute[vid]
+    assert len(set(dict(win)) & set(brute)) >= 6  # recall@10 >= 0.6
+
+
+def test_pq_sidecar_is_small(spark, pq_index):
+    """The codes sidecar stores m smallints per vector — schema-level
+    proof of the 16-32x scan cut the probe docstring claims."""
+    df = spark.read.parquet(f"{pq_index}/vectors_pq")
+    assert [f.name for f in df.schema if f.name != "centroid_id"] == \
+        ["vec_id", "codes"]
+    el = dict(df.dtypes)["codes"]
+    assert el == "array<smallint>"
+    n = df.count()
+    assert n == 500 and df.where("size(codes) = 8").count() == n
