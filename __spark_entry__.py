@@ -1441,6 +1441,20 @@ def _q_agg_terms(spark, sf_dir):
                      docs=_agg_docs_numeric(spark, sf_dir))
 
 
+def _q_agg_top_hits(spark, sf_dir):
+    """ES top_hits sub-aggregation (terms → top_hits nesting): per stored
+    'source' bucket, the top-3 hits by the engine's exact (score desc,
+    doc_id asc) order — scores e4-projected like every scored gate."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.query.aggs import top_hits_agg
+
+    return top_hits_agg(_agg_engine(spark, sf_dir), Q_OR, "source",
+                        size=3).select(
+        "key", "rank", "doc_id",
+        F.round(F.col("score") * 10000).cast("long").alias("score_e4"))
+
+
 def _q_agg_histogram(spark, sf_dir):
     from polaris_spark.query.aggs import histogram_agg
 
@@ -1898,6 +1912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "agg_stats": _q_agg_stats,
         "agg_terms": _q_agg_terms,
+        "agg_top_hits": _q_agg_top_hits,
         "agg_histogram": _q_agg_histogram,
         "agg_range": _q_agg_range,
         "agg_date_histogram": _q_agg_date_histogram,
@@ -1959,6 +1974,7 @@ def oracle_sql() -> dict[str, str]:
         tokenize_tf_sql,
         stats_agg_sql,
         terms_agg_sql,
+        top_hits_sql,
         histogram_sql,
         pipeline_agg_sql,
         range_agg_sql,
@@ -2306,6 +2322,7 @@ FROM events GROUP BY 1, 2""",
         "sessionize": _an.duckdb_sessionize_sql(),
         "agg_stats": stats_agg_sql(Q_OR, "n_chars"),
         "agg_terms": terms_agg_sql(Q_OR, "source", metric_attr="n_chars"),
+        "agg_top_hits": top_hits_sql(Q_OR, "source", size=3),
         "agg_histogram": histogram_sql(Q_OR, "n_chars", interval=100.0),
         "agg_pipeline": pipeline_agg_sql(Q_OR, "n_chars", interval=100.0,
                                          moving_avg=3),

@@ -1750,6 +1750,30 @@ def terms_agg_sql(query: str, attr: str, metric_attr: str | None = None,
     return sql
 
 
+def top_hits_sql(query: str, attr: str, size: int = 3,
+                 table: str = "documents", field_cols: tuple = (),
+                 expand_fields: bool = False) -> str:
+    """Mirror of ``aggs.top_hits_agg``: per attribute value, the top
+    ``size`` hits by the engine's exact (raw score desc, doc_id asc)
+    order, scores e4-rounded AFTER ranking (matching the gate's
+    score_e4 projection of the engine's double scores)."""
+    inner = bm25_scores_sql(query, table, None, field_cols,
+                            expand_fields, raw=True)
+    return f"""
+WITH j AS (
+  SELECT d.{attr} AS key, m.doc_id, m.raw_score
+  FROM ({inner}) m JOIN {table} d USING (doc_id)
+), r AS (
+  SELECT key, doc_id,
+         CAST(round(raw_score * 10000) AS BIGINT) AS score_e4,
+         row_number() OVER (PARTITION BY key
+                            ORDER BY raw_score DESC, doc_id ASC) AS rank
+  FROM j
+)
+SELECT key, rank::BIGINT AS rank, doc_id, score_e4
+FROM r WHERE rank <= {int(size)}"""
+
+
 def histogram_sql(query: str, attr: str, interval: float,
                   table: str = "documents", field_cols: tuple = (),
                   expand_fields: bool = False,

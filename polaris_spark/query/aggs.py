@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "stats_agg", "terms_agg", "histogram_agg", "range_agg",
     "date_histogram_agg", "cardinality_agg", "percentiles_agg",
-    "composite_agg", "filters_agg", "pipeline_agg",
+    "composite_agg", "filters_agg", "pipeline_agg", "top_hits_agg",
 ]
 
 
@@ -405,6 +405,51 @@ def percentiles_agg(engine, query: str, attr: str,
                .orderBy(F.asc("q")))
 
 
+def top_hits_agg(engine, query: str, attr: str, size: int = 3,
+                 docs=None, mode: str = "or",
+                 expand_fields: bool = False):
+    """ES ``top_hits`` sub-aggregation (the usual ``terms → top_hits``
+    nesting): per value of a stored categorical attribute, the bucket's
+    top ``size`` matching docs by relevance — "the best 3 hits from each
+    source" next to the per-source counts. Returns
+    (key, rank, doc_id, score), ordered (key asc, rank asc); rank 1..size
+    by the engine's exact (score desc, doc_id asc) hit order within the
+    bucket.
+
+    Spark shape: unlike the metric aggs this one keeps the score column —
+    match set → doc_id equi-join to the attribute frame → ONE
+    hash-partitioned per-key ``row_number`` window + rank filter. The
+    window's partitions are the buckets of the MATCH SET (≤ |match| rows
+    shuffled once, same volume as every agg here); no bucket ever holds
+    more than its own matches, and the output is ≤ |buckets|·size rows.
+    A skew-hot bucket costs what that bucket's match count costs — the
+    same bound as ``terms_agg``'s partial fold on the same key."""
+    hits = engine.match_df(query, mode=mode,
+                           expand_fields=expand_fields) \
+                 .select("doc_id", "score")
+    if attr == "doc_id":
+        raise ValueError("top_hits buckets need a non-id attribute")
+    dm = engine._live(engine.spark.read.parquet(engine.doc_map_path))
+    if attr in dm.columns:
+        src = dm
+    elif docs is not None and attr in docs.columns:
+        src = docs
+    else:
+        raise ValueError(
+            f"attribute {attr!r} neither stored in doc_map "
+            f"(available: {[c for c in dm.columns if c != 'doc_id']}) "
+            f"nor present in the docs frame"
+        )
+    j = hits.join(src.select("doc_id", attr), "doc_id")
+    w = Window.partitionBy(attr).orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        j.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= int(size))
+        .select(F.col(attr).alias("key"), "rank", "doc_id", "score")
+        .orderBy(F.asc("key"), F.asc("rank"))
+    )
+
+
 class _MatchMemo:
     """Engine proxy sharing match sets across one multi-agg request: the
     first use of a (query, mode, expand_fields) match set runs plain; a
@@ -502,6 +547,9 @@ def run_aggs(engine, query: str, spec: dict, mode: str = "or",
         "filters": lambda a: filters_agg(
             memo, query, dict(a["filters"]), mode=mode,
             expand_fields=expand_fields),
+        "top_hits": lambda a: top_hits_agg(
+            memo, query, a["attr"], size=int(a.get("size", 3)),
+            docs=docs, mode=mode, expand_fields=expand_fields),
     }
     memo = _MatchMemo(engine)
     out = {}

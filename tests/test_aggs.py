@@ -267,6 +267,39 @@ def test_filters_agg_semantics(seng):
         aggs.filters_agg(seng, Q, {})
 
 
+def test_top_hits_per_bucket(seng):
+    """top_hits: per source bucket, the top-size hits in the ENGINE's
+    exact hit order — each bucket's rank sequence must equal the slice
+    of the global (score desc, doc_id asc) hit list restricted to that
+    bucket; output ordered (key asc, rank asc); ranks dense from 1."""
+    by_src = dict(_pdf()[["doc_id", "source"]].values)
+    full = [(r["doc_id"], r["score"])
+            for r in seng.search_df(Q, k=None)
+            .orderBy(F.desc("score"), F.asc("doc_id")).collect()]
+    want = {}
+    for did, sc in full:  # global order sliced per bucket = bucket order
+        want.setdefault(by_src[did], []).append((did, sc))
+    got = aggs.top_hits_agg(seng, Q, "source", size=2).collect()
+    assert got == sorted(got, key=lambda r: (r["key"], r["rank"]))
+    for key in {r["key"] for r in got}:
+        rows = [r for r in got if r["key"] == key]
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        assert [(r["doc_id"], r["score"]) for r in rows] == want[key][:2]
+    # every matching bucket is present (none has zero matches here)
+    assert {r["key"] for r in got} == set(want)
+    with pytest.raises(ValueError, match="non-id attribute"):
+        aggs.top_hits_agg(seng, Q, "doc_id")
+
+
+def test_top_hits_in_run_aggs(seng):
+    out = aggs.run_aggs(seng, Q, {
+        "best": {"type": "top_hits", "attr": "source", "size": 1}})
+    want = [r.asDict() for r in
+            aggs.top_hits_agg(seng, Q, "source", size=1).collect()]
+    assert out["best"] == want
+    assert all(r["rank"] == 1 for r in out["best"])
+
+
 def test_run_aggs_multi_request(spark, seng, ndocs):
     """The multi-agg executor returns each agg's rows keyed by name,
     identical to the standalone calls, and releases every persisted
