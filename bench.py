@@ -301,7 +301,11 @@ def run_suite(cpus: int, sf_dir: str, n_turns: int) -> dict:
     from polaris_spark.ops.similarity import build_ivf_pq, ivf_topk_pq
 
     t0 = time.time()
-    build_ivf_pq(spark, ivf_dir, m=8, nbits=4, seed=7)
+    # m=16 sub-codes x 64-code books: 8x smaller scan than float32 at
+    # recall ~1.0 on this corpus (random vectors are PQ's worst case —
+    # fewer/coarser codes lose recall fast here; real clustered
+    # embeddings tolerate far coarser settings)
+    build_ivf_pq(spark, ivf_dir, m=16, nbits=6, seed=7)
     times["ivf_pq_build"] = round(time.time() - t0, 3)
     t0 = time.time()
     pq_hits = [r["vec_id"] for r in
