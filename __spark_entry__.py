@@ -1771,6 +1771,46 @@ def _q_agg_filters(spark, sf_dir):
     return filters_agg(_agg_engine(spark, sf_dir), Q_OR, AGG_FILTERS)
 
 
+def _q_agg_weighted_avg(spark, sf_dir):
+    """ES weighted_avg: Σ(n_chars·doc_id)/Σdoc_id over the match set —
+    integer-space products/sums, f64 division last (oracle-exact)."""
+    from polaris_spark.query.aggs import weighted_avg_agg
+
+    return weighted_avg_agg(_agg_engine(spark, sf_dir), Q_OR, "n_chars",
+                            "doc_id", docs=_docs(spark, sf_dir))
+
+
+def _q_agg_matrix_stats(spark, sf_dir):
+    """ES matrix_stats: pairwise covariance/correlation of (doc_id,
+    n_chars) over the match set — integer raw moments + the literally
+    mirrored f64 derivation shapes, e6-rounded."""
+    from polaris_spark.query.aggs import matrix_stats_agg
+
+    return matrix_stats_agg(_agg_engine(spark, sf_dir),
+                            Q_OR, ["doc_id", "n_chars"],
+                            docs=_docs(spark, sf_dir))
+
+
+def _q_agg_adjacency(spark, sf_dir):
+    """ES adjacency_matrix: the AGG_FILTERS buckets plus every pairwise
+    intersection within the Q_OR match context; empty buckets (and
+    empty intersections) are omitted, ES's contract."""
+    from polaris_spark.query.aggs import adjacency_matrix_agg
+
+    return adjacency_matrix_agg(_agg_engine(spark, sf_dir), Q_OR,
+                                AGG_FILTERS)
+
+
+def _q_agg_sampler(spark, sf_dir):
+    """ES sampler: terms counts over only the top-100 highest-scoring
+    matches (global top by the engine's exact order — the per-shard ES
+    sample made deterministic; documented deviation)."""
+    from polaris_spark.query.aggs import sampler_agg
+
+    return sampler_agg(_agg_engine(spark, sf_dir), Q_OR, "source",
+                       shard_size=100)
+
+
 def _q_agg_pipeline(spark, sf_dir):
     """ES pipeline aggs (derivative / cumulative_sum / moving_fn) over
     the n_chars histogram: exact functions of the integer bucket counts;
@@ -1921,6 +1961,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_composite": _q_agg_composite,
         "agg_filters": _q_agg_filters,
         "agg_pipeline": _q_agg_pipeline,
+        "agg_weighted_avg": _q_agg_weighted_avg,
+        "agg_matrix_stats": _q_agg_matrix_stats,
+        "agg_adjacency": _q_agg_adjacency,
+        "agg_sampler": _q_agg_sampler,
         "classic_search": _q_classic_search,
         "nb_classify": _q_nb_classify,
         "kmeans_refine1": _q_kmeans_refine,
@@ -1975,6 +2019,10 @@ def oracle_sql() -> dict[str, str]:
         stats_agg_sql,
         terms_agg_sql,
         top_hits_sql,
+        weighted_avg_sql,
+        matrix_stats_sql,
+        adjacency_matrix_sql,
+        sampler_agg_sql,
         histogram_sql,
         pipeline_agg_sql,
         range_agg_sql,
@@ -2340,6 +2388,10 @@ FROM events GROUP BY 1, 2""",
         "agg_composite": composite_sql(Q_OR, ["source", "lang"], size=8,
                                        after=AGG_COMPOSITE_AFTER),
         "agg_filters": filters_agg_sql(Q_OR, AGG_FILTERS),
+        "agg_weighted_avg": weighted_avg_sql(Q_OR, "n_chars", "doc_id"),
+        "agg_matrix_stats": matrix_stats_sql(Q_OR, ["doc_id", "n_chars"]),
+        "agg_adjacency": adjacency_matrix_sql(Q_OR, AGG_FILTERS),
+        "agg_sampler": sampler_agg_sql(Q_OR, "source", shard_size=100),
         "classic_search": classic_scores_sql(Q_CLASSIC),
         "nb_classify": duckdb_nb_sql("lang", n_features=NB_FEATURES),
         "kmeans_refine1": f"""

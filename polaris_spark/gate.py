@@ -1918,6 +1918,104 @@ def filters_agg_sql(query: str, filters: dict, table: str = "documents",
             + "\n) b ORDER BY name ASC")
 
 
+def weighted_avg_sql(query: str, attr: str, weight_attr: str,
+                     table: str = "documents", field_cols: tuple = (),
+                     expand_fields: bool = False) -> str:
+    """Mirror of ``aggs.weighted_avg_agg``: integer-space Σ(v·w) and Σw,
+    f64 division last."""
+    j = _match_join_cte(query, table, field_cols, expand_fields)
+    return (
+        f"SELECT count(*)::BIGINT AS n,\n"
+        f"       sum({attr} * {weight_attr})::DOUBLE AS vw_sum,\n"
+        f"       sum({weight_attr})::DOUBLE AS w_sum,\n"
+        f"       sum({attr} * {weight_attr})::DOUBLE"
+        f" / sum({weight_attr})::DOUBLE AS wavg\n"
+        f"FROM ({j}) j"
+    )
+
+
+def matrix_stats_sql(query: str, attrs: list, table: str = "documents",
+                     field_cols: tuple = (),
+                     expand_fields: bool = False) -> str:
+    """Mirror of ``aggs.matrix_stats_agg``: the same integer-space raw
+    sums and the LITERAL same f64 derivation shapes (ssx/n − (sx/n)²,
+    sp/n − mx·my, cov/sqrt(vx·vy)), e6-rounded — IEEE-deterministic so
+    the rounded moments match bit-for-bit."""
+    j = _match_join_cte(query, table, field_cols, expand_fields)
+    sums = ["count(*)::BIGINT AS n"]
+    for a in attrs:
+        sums.append(f"sum({a}) AS s_{a}")
+        sums.append(f"sum({a} * {a}) AS ss_{a}")
+    pairs = []
+    for i, ax in enumerate(attrs):
+        for ay in attrs[i + 1:]:
+            sums.append(f"sum({ax} * {ay}) AS sp_{ax}_{ay}")
+            pairs.append((ax, ay))
+    parts = []
+    for ax, ay in pairs:
+        mx = f"(s_{ax}::DOUBLE / n)"
+        my = f"(s_{ay}::DOUBLE / n)"
+        vx = f"(ss_{ax}::DOUBLE / n - {mx} * {mx})"
+        vy = f"(ss_{ay}::DOUBLE / n - {my} * {my})"
+        cov = f"(sp_{ax}_{ay}::DOUBLE / n - {mx} * {my})"
+        parts.append(
+            f"SELECT '{ax}' AS attr_x, '{ay}' AS attr_y, n,\n"
+            f"  round({mx}, 6) AS mean_x, round({my}, 6) AS mean_y,\n"
+            f"  round({vx}, 6) AS var_x, round({vy}, 6) AS var_y,\n"
+            f"  round({cov}, 6) AS cov,\n"
+            f"  round(CASE WHEN {vx} * {vy} > 0\n"
+            f"        THEN {cov} / sqrt({vx} * {vy}) END, 6) AS corr\n"
+            f"FROM one"
+        )
+    return (f"WITH one AS (SELECT {', '.join(sums)} FROM ({j}) j)\n"
+            + "\nUNION ALL\n".join(parts)
+            + "\nORDER BY attr_x, attr_y")
+
+
+def adjacency_matrix_sql(query: str, filters: dict, sep: str = "&",
+                         table: str = "documents", field_cols: tuple = (),
+                         expand_fields: bool = False) -> str:
+    """Mirror of ``aggs.adjacency_matrix_agg``: scalar counts for every
+    name and every name-sorted pair intersection, non-empty only."""
+    main = bm25_scores_sql(query, table, field_cols=field_cols,
+                           expand_fields=expand_fields)
+    names = sorted(filters)
+    subs = {n: bm25_scores_sql(filters[n], table, field_cols=field_cols,
+                               expand_fields=expand_fields)
+            for n in names}
+    parts = []
+    for n in names:
+        parts.append(
+            f"SELECT {_sql_lit(n)} AS key,\n"
+            f"  (SELECT count(*) FROM ({main}) m JOIN ({subs[n]}) s "
+            f"USING (doc_id))::BIGINT AS n")
+    for i, na in enumerate(names):
+        for nb in names[i + 1:]:
+            parts.append(
+                f"SELECT {_sql_lit(na + sep + nb)} AS key,\n"
+                f"  (SELECT count(*) FROM ({main}) m"
+                f" JOIN ({subs[na]}) s1 USING (doc_id)"
+                f" JOIN ({subs[nb]}) s2 USING (doc_id))::BIGINT AS n")
+    return ("SELECT key, n FROM (\n" + "\nUNION ALL\n".join(parts)
+            + "\n) b WHERE n > 0 ORDER BY key ASC")
+
+
+def sampler_agg_sql(query: str, attr: str, shard_size: int = 100,
+                    table: str = "documents", field_cols: tuple = (),
+                    expand_fields: bool = False) -> str:
+    """Mirror of ``aggs.sampler_agg``: terms counts over the global
+    top-``shard_size`` matches in exact (raw score desc, doc_id asc)
+    order."""
+    inner = bm25_scores_sql(query, table, limit=int(shard_size),
+                            field_cols=field_cols,
+                            expand_fields=expand_fields)
+    return (
+        f"SELECT d.{attr} AS key, count(*)::BIGINT AS n\n"
+        f"FROM ({inner}) m JOIN {table} d USING (doc_id)\n"
+        f"GROUP BY 1 ORDER BY n DESC, key ASC"
+    )
+
+
 def classic_scores_sql(query: str, table: str = "documents",
                        limit: int | None = None, field_cols: tuple = (),
                        expand_fields: bool = False) -> str:

@@ -38,6 +38,8 @@ __all__ = [
     "stats_agg", "terms_agg", "histogram_agg", "range_agg",
     "date_histogram_agg", "cardinality_agg", "percentiles_agg",
     "composite_agg", "filters_agg", "pipeline_agg", "top_hits_agg",
+    "weighted_avg_agg", "matrix_stats_agg", "adjacency_matrix_agg",
+    "sampler_agg",
 ]
 
 
@@ -450,6 +452,178 @@ def top_hits_agg(engine, query: str, attr: str, size: int = 3,
     )
 
 
+def _resolve_attr(engine, j, attr: str, docs):
+    """Join one more attribute column onto a match frame (shared by the
+    multi-attribute aggs); no-op when already present."""
+    if attr in j.columns:
+        return j
+    dm = engine._live(engine.spark.read.parquet(engine.doc_map_path))
+    src = dm if attr in dm.columns else docs
+    if src is None or attr not in src.columns:
+        raise ValueError(f"attribute {attr!r} not available")
+    return j.join(src.select("doc_id", attr), "doc_id")
+
+
+def weighted_avg_agg(engine, query: str, attr: str, weight_attr: str,
+                     docs=None, mode: str = "or",
+                     expand_fields: bool = False):
+    """ES ``weighted_avg`` aggregation: Σ(value·weight) / Σweight over
+    matching docs — the "mean rating weighted by review count" shape.
+    Returns one row (n, vw_sum, w_sum, wavg). Integer attributes fold
+    EXACTLY: the products and both sums aggregate in integer space
+    (Spark long / DuckDB hugeint, both exact), only the final division
+    runs in f64 — the same oracle-exactness discipline as ``stats_agg``.
+
+    Spark shape: join + ONE partial-aggregated global Aggregate — a
+    single (count, Σvw, Σw) partial per task."""
+    j = _attr_matches(engine, query, attr, docs, mode, expand_fields)
+    j = _resolve_attr(engine, j, weight_attr, docs)
+    v, w = F.col(attr), F.col(weight_attr)
+    return j.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(v * w).cast("double").alias("vw_sum"),
+        F.sum(w).cast("double").alias("w_sum"),
+        (F.sum(v * w).cast("double") / F.sum(w).cast("double"))
+        .alias("wavg"),
+    )
+
+
+def matrix_stats_agg(engine, query: str, attrs: list[str], docs=None,
+                     mode: str = "or", expand_fields: bool = False):
+    """ES ``matrix_stats`` aggregation: pairwise covariance and Pearson
+    correlation between numeric attributes of the matching docs (the
+    "does doc length correlate with recency across this query's
+    matches" panel). Returns one row per ordered pair attr_x < attr_y
+    (input order): (attr_x, attr_y, n, mean_x, mean_y, var_x, var_y,
+    cov, corr), moments e6-rounded; population (1/n) forms.
+
+    Exactness contract: every raw sum (Σx, Σx², Σxy) folds in integer
+    space when the attributes are integers — exact in both engines —
+    and the f64 derivations use ONE fixed expression shape
+    (``Σxx/n − (Σx/n)²`` etc.) mirrored literally in the DuckDB oracle,
+    so IEEE determinism makes the rounded values identical.
+
+    Spark shape: the match set joins each attribute frame once, then
+    ONE global Aggregate computes ALL moments in a single pass (a
+    2R + R(R−1)/2-column partial per task); the per-pair output rows
+    are column shuffles of that one aggregated row — no second scan."""
+    if len(attrs) < 2:
+        raise ValueError("matrix_stats needs at least two attributes")
+    j = _attr_matches(engine, query, attrs[0], docs, mode, expand_fields)
+    for a in attrs[1:]:
+        j = _resolve_attr(engine, j, a, docs)
+    exprs = [F.count("*").cast("long").alias("n")]
+    for a in attrs:
+        exprs.append(F.sum(F.col(a)).alias(f"s_{a}"))
+        exprs.append(F.sum(F.col(a) * F.col(a)).alias(f"ss_{a}"))
+    for i, ax in enumerate(attrs):
+        for ay in attrs[i + 1:]:
+            exprs.append(F.sum(F.col(ax) * F.col(ay))
+                         .alias(f"sp_{ax}_{ay}"))
+    one = j.agg(*exprs)
+    out = None
+    for i, ax in enumerate(attrs):
+        for ay in attrs[i + 1:]:
+            n = F.col("n").cast("double")
+            mx = F.col(f"s_{ax}").cast("double") / n
+            my = F.col(f"s_{ay}").cast("double") / n
+            vx = F.col(f"ss_{ax}").cast("double") / n - mx * mx
+            vy = F.col(f"ss_{ay}").cast("double") / n - my * my
+            cov = F.col(f"sp_{ax}_{ay}").cast("double") / n - mx * my
+            corr = F.when(vx * vy > 0, cov / F.sqrt(vx * vy))
+            sel = one.select(
+                F.lit(ax).alias("attr_x"), F.lit(ay).alias("attr_y"),
+                F.col("n"),
+                F.round(mx, 6).alias("mean_x"),
+                F.round(my, 6).alias("mean_y"),
+                F.round(vx, 6).alias("var_x"),
+                F.round(vy, 6).alias("var_y"),
+                F.round(cov, 6).alias("cov"),
+                F.round(corr, 6).alias("corr"),
+            )
+            out = sel if out is None else out.unionByName(sel)
+    return out.orderBy("attr_x", "attr_y")
+
+
+def adjacency_matrix_agg(engine, query: str, filters: dict[str, str],
+                         sep: str = "&", mode: str = "or",
+                         expand_fields: bool = False):
+    """ES ``adjacency_matrix`` aggregation: named filter buckets PLUS
+    every pairwise intersection — the co-occurrence grid ("docs matching
+    both the 'error' and the 'timeout' saved filters") a drill-down UI
+    draws. Keys are the filter name for singles and ``a&b`` (name-sorted)
+    for pairs; like ES, only non-empty buckets return. Rows (key, n),
+    key asc.
+
+    Spark shape: the tagged union of sub-query match sets (one
+    multi-child job, as ``filters_agg``) joins the main match set once;
+    singles are a groupBy(name), pairs come from a doc_id self-join of
+    the tagged frame — each doc carries ≤|filters| tags, so the join
+    emits ≤ C(|filters|,2) rows per doc, bounded by construction, and
+    both folds are partial-aggregated. Nothing corpus-sized
+    centralizes."""
+    if not filters:
+        raise ValueError("adjacency_matrix needs at least one named filter")
+    for name in filters:
+        if sep in name:
+            raise ValueError(
+                f"filter name {name!r} contains the pair separator {sep!r}")
+    hits = engine.match_df(query, mode=mode,
+                           expand_fields=expand_fields).select("doc_id")
+    tagged = None
+    for name in sorted(filters):
+        sub = (engine.match_df(filters[name], mode=mode,
+                               expand_fields=expand_fields)
+               .select("doc_id", F.lit(name).alias("name")))
+        tagged = sub if tagged is None else tagged.unionByName(sub)
+    t = tagged.join(hits, "doc_id")
+    singles = (t.groupBy(F.col("name").alias("key"))
+               .agg(F.count("*").cast("long").alias("n")))
+    a = t.select("doc_id", F.col("name").alias("na"))
+    b = t.select("doc_id", F.col("name").alias("nb"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("na") < F.col("nb"))
+        .select(F.concat_ws(sep, "na", "nb").alias("key"))
+        .groupBy("key").agg(F.count("*").cast("long").alias("n"))
+    )
+    return (singles.unionByName(pairs)
+            .where(F.col("n") > 0)
+            .orderBy(F.asc("key")))
+
+
+def sampler_agg(engine, query: str, attr: str, shard_size: int = 100,
+                docs=None, mode: str = "or", expand_fields: bool = False):
+    """ES ``sampler`` aggregation: sub-aggregate over only the TOP
+    ``shard_size`` highest-scoring matches — the "what sources dominate
+    the best hits" cut that keeps an expensive sub-agg off the long
+    tail. The sample here is the global top ``shard_size`` by the
+    engine's exact (score desc, doc_id asc) order (ES samples per
+    shard; one logical index ⇒ the global form, documented deviation),
+    and the sub-aggregation is a terms count over ``attr``. Rows
+    (key, n) ordered (n desc, key asc).
+
+    Spark shape: the match set's top-``shard_size`` cut is a
+    TakeOrderedAndProject (never a full sort), then the usual tiny
+    join + partial-aggregated groupBy over ≤ shard_size rows."""
+    sample = (engine.match_df(query, mode=mode,
+                              expand_fields=expand_fields)
+              .orderBy(F.desc("score"), F.asc("doc_id"))
+              .limit(int(shard_size))
+              .select("doc_id"))
+    dm = engine._live(engine.spark.read.parquet(engine.doc_map_path))
+    if attr in dm.columns:
+        src = dm
+    elif docs is not None and attr in docs.columns:
+        src = docs
+    else:
+        raise ValueError(f"attribute {attr!r} not available")
+    return (sample.join(src.select("doc_id", attr), "doc_id")
+            .groupBy(F.col(attr).alias("key"))
+            .agg(F.count("*").cast("long").alias("n"))
+            .orderBy(F.desc("n"), F.asc("key")))
+
+
 class _MatchMemo:
     """Engine proxy sharing match sets across one multi-agg request: the
     first use of a (query, mode, expand_fields) match set runs plain; a
@@ -550,6 +724,19 @@ def run_aggs(engine, query: str, spec: dict, mode: str = "or",
         "top_hits": lambda a: top_hits_agg(
             memo, query, a["attr"], size=int(a.get("size", 3)),
             docs=docs, mode=mode, expand_fields=expand_fields),
+        "weighted_avg": lambda a: weighted_avg_agg(
+            memo, query, a["attr"], a["weight_attr"], docs=docs,
+            mode=mode, expand_fields=expand_fields),
+        "matrix_stats": lambda a: matrix_stats_agg(
+            memo, query, list(a["attrs"]), docs=docs, mode=mode,
+            expand_fields=expand_fields),
+        "adjacency_matrix": lambda a: adjacency_matrix_agg(
+            memo, query, dict(a["filters"]), sep=a.get("sep", "&"),
+            mode=mode, expand_fields=expand_fields),
+        "sampler": lambda a: sampler_agg(
+            memo, query, a["attr"],
+            shard_size=int(a.get("shard_size", 100)), docs=docs,
+            mode=mode, expand_fields=expand_fields),
     }
     memo = _MatchMemo(engine)
     out = {}

@@ -300,6 +300,93 @@ def test_top_hits_in_run_aggs(seng):
     assert all(r["rank"] == 1 for r in out["best"])
 
 
+def test_weighted_avg(seng, ndocs):
+    """Σ(v·w)/Σw with n_chars weighted by doc_id (hand-checkable)."""
+    m = _pdf()[_pdf().doc_id.isin(MATCH)]
+    row = aggs.weighted_avg_agg(seng, Q, "n_chars", "doc_id",
+                                docs=ndocs).collect()[0]
+    vw = float((m.n_chars * m.doc_id).sum())
+    w = float(m.doc_id.sum())
+    assert row["n"] == len(MATCH)
+    assert row["vw_sum"] == vw and row["w_sum"] == w
+    assert row["wavg"] == pytest.approx(vw / w)
+
+
+def test_matrix_stats_pairs(seng, ndocs):
+    """Population moments of (doc_id, n_chars) over the match set equal
+    the numpy replay; corr NULL when a variance is zero."""
+    import numpy as np
+
+    m = _pdf()[_pdf().doc_id.isin(MATCH)]
+    got = aggs.matrix_stats_agg(seng, Q, ["doc_id", "n_chars"],
+                                docs=ndocs).collect()
+    assert len(got) == 1
+    r = got[0]
+    x, y = m.doc_id.to_numpy(float), m.n_chars.to_numpy(float)
+    assert (r["attr_x"], r["attr_y"], r["n"]) == ("doc_id", "n_chars",
+                                                  len(MATCH))
+    assert r["mean_x"] == pytest.approx(x.mean(), abs=1e-6)
+    assert r["var_y"] == pytest.approx(y.var(), abs=1e-6)
+    assert r["cov"] == pytest.approx(((x * y).mean() - x.mean() * y.mean()),
+                                     abs=1e-6)
+    assert r["corr"] == pytest.approx(np.corrcoef(x, y)[0, 1], abs=1e-6)
+    with pytest.raises(ValueError, match="at least two"):
+        aggs.matrix_stats_agg(seng, Q, ["n_chars"])
+
+
+def test_adjacency_matrix(seng):
+    """Singles + pairwise intersections within the main match context;
+    empty buckets omitted; name guard against the separator."""
+    m = _pdf()[_pdf().doc_id.isin(MATCH)]
+    got = {r["key"]: r["n"] for r in aggs.adjacency_matrix_agg(
+        seng, Q, {"s": "scan", "m": "merge", "z": "zzznope"}).collect()}
+    n_s = int(m.text.str.contains("scan").sum())
+    n_m = int(m.text.str.contains("merge").sum())
+    n_sm = int((m.text.str.contains("scan")
+                & m.text.str.contains("merge")).sum())
+    want = {"s": n_s, "m": n_m}
+    if n_sm:
+        want["m&s"] = n_sm
+    assert got == want  # no 'z', no empty pairs
+    with pytest.raises(ValueError, match="separator"):
+        aggs.adjacency_matrix_agg(seng, Q, {"a&b": "scan"})
+
+
+def test_sampler_top_scoring(seng):
+    """The sample is the global top-shard_size by exact hit order: with
+    shard_size ≥ |match| it degenerates to plain terms counts; with a
+    small shard_size only the best hits' buckets count."""
+    full = {r["key"]: r["n"]
+            for r in aggs.terms_agg(seng, Q, "source").collect()}
+    all_rows = {r["key"]: r["n"] for r in aggs.sampler_agg(
+        seng, Q, "source", shard_size=100).collect()}
+    assert all_rows == full
+    by_src = dict(_pdf()[["doc_id", "source"]].values)
+    top3 = [r["doc_id"] for r in seng.search_df(Q, k=3).collect()]
+    want3 = {}
+    for d in top3:
+        want3[by_src[d]] = want3.get(by_src[d], 0) + 1
+    got3 = {r["key"]: r["n"] for r in aggs.sampler_agg(
+        seng, Q, "source", shard_size=3).collect()}
+    assert got3 == want3
+
+
+def test_new_aggs_in_run_aggs(seng, ndocs):
+    out = aggs.run_aggs(seng, Q, {
+        "wa": {"type": "weighted_avg", "attr": "n_chars",
+               "weight_attr": "doc_id"},
+        "mx": {"type": "matrix_stats", "attrs": ["doc_id", "n_chars"]},
+        "adj": {"type": "adjacency_matrix",
+                "filters": {"s": "scan", "m": "merge"}},
+        "smp": {"type": "sampler", "attr": "source", "shard_size": 3},
+    }, docs=ndocs)
+    assert set(out) == {"wa", "mx", "adj", "smp"}
+    assert out["wa"][0]["n"] == len(MATCH)
+    assert out["mx"][0]["attr_x"] == "doc_id"
+    assert all(r["n"] > 0 for r in out["adj"])
+    assert sum(r["n"] for r in out["smp"]) == 3
+
+
 def test_run_aggs_multi_request(spark, seng, ndocs):
     """The multi-agg executor returns each agg's rows keyed by name,
     identical to the standalone calls, and releases every persisted

@@ -192,6 +192,20 @@ def main() -> None:
         cap(ivf_topk(spark, ivf_dir, qv, k=10, nprobe=1)),
     ))
 
+    from polaris_spark.ops.similarity import build_ivf_pq, ivf_topk_pq
+
+    build_ivf_pq(spark, ivf_dir, m=8, nbits=4, seed=7)
+    SECTIONS.append((
+        "PQ-IVF probe (codes sidecar, ADC lookup tables, exact rescore)",
+        "ivf_topk_pq scans only the probed `centroid_id=` partitions of "
+        "the m-smallint codes sidecar (same PartitionFilters pruning as "
+        "the float probe, 16-32x fewer bytes); the ADC score is a codegen "
+        "aggregate over element_at into two literal lookup arrays — no "
+        "Python, no shuffle before the window cut — and the rescore is a "
+        "broadcast semi-join back to the float partitions.",
+        cap(ivf_topk_pq(spark, ivf_dir, qv, k=10, nprobe=1, window=16)),
+    ))
+
     from polaris_spark.ops.similarity import knn_join, srp_candidate_pairs
 
     SECTIONS.append((
