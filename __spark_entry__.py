@@ -588,6 +588,25 @@ def _q_ivf_pq_top10(spark, sf_dir):
                        nprobe=4, window=None)
 
 
+def _q_maxsim(spark, sf_dir):
+    """Late-interaction (ColBERT MaxSim) scoring: the embeddings table
+    grouped into 'docs' of token vectors by vec_id % 50, scored against
+    a 3-token query (vectors 0,1,2) — Σ over query tokens of the max
+    per-doc cosine; top-5 docs. Brute-force verifier form (the scale
+    path gathers ANN candidates per query token first — docstring)."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.ops.similarity import maxsim_topk
+
+    emb = _emb(spark, sf_dir)
+    qs = [[float(x) for x in r["embedding"]]
+          for r in emb.where("vec_id IN (0, 1, 2)")
+          .orderBy("vec_id").collect()]
+    return maxsim_topk(
+        emb.withColumn("doc_id", (F.col("vec_id") % 50).cast("long")),
+        qs, k=5)
+
+
 def _q_ivf_many(spark, sf_dir):
     """Batched IVF ANN (ivf_topk_many — the embedding analog of
     search_many_df): 3 query vectors scored as ONE job over the prebuilt
@@ -1905,6 +1924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_sq_top10": _q_ivf_sq_top10,
         "ivf_pq_top10": _q_ivf_pq_top10,
         "ivf_many_top5": _q_ivf_many,
+        "maxsim_top5": _q_maxsim,
         "lookup_by_source": _q_lookup_by_source,
         "browse_listing": _q_browse,
         "doc_terms": _q_doc_terms,
@@ -2051,6 +2071,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from polaris_spark.ops.similarity import (duckdb_ivf_many_sql,
                                               duckdb_knn_join_sql,
+                                              duckdb_maxsim_sql,
                                               duckdb_semdedup_sql,
                                               duckdb_quantize_sql)
     from polaris_spark.ops.text import (
@@ -2226,6 +2247,10 @@ SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.45""",
             "embeddings", "vec_id", "embedding",
             [f"(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = {i})"
              for i in (0, 1, 2)], k=5),
+        "maxsim_top5": duckdb_maxsim_sql(
+            "embeddings", "vec_id", "embedding",
+            [f"(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = {i})"
+             for i in (0, 1, 2)], doc_expr="vec_id % 50", k=5),
         "lookup_by_source": (
             "SELECT doc_id, source FROM documents WHERE source = 'src3'"
         ),

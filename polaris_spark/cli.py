@@ -759,6 +759,20 @@ def main(argv: list[str] | None = None) -> int:
                     help="LSH tables (recall dial; only with --srp-bits)")
     kn.add_argument("--seed", type=int, default=42)
 
+    mx = sub.add_parser("maxsim", help="late-interaction (ColBERT MaxSim) "
+                        "scoring over a token-vector parquet: per doc, "
+                        "sum over query tokens of the max token cosine")
+    mx.add_argument("--input", required=True,
+                    help="token-vector parquet (doc col + array<float>)")
+    mx.add_argument("--doc-col", required=True,
+                    help="column grouping token vectors into docs")
+    mx.add_argument("--vec-col", default="embedding")
+    mx.add_argument("--query-ids", required=True,
+                    help="comma-separated vec_id list whose vectors form "
+                         "the query tokens")
+    mx.add_argument("--id-col", default="vec_id")
+    mx.add_argument("-k", type=int, default=5)
+
     st = sub.add_parser("ingest-stream", help="streaming ingest: stream "
                         "parquet files landing in a directory into an "
                         "EXISTING index (foreachBatch append_index; "
@@ -1633,6 +1647,18 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"output": args.output, "n_vectors": emb.count(),
                           "n_neighbor_rows": n,
                           "mode": ("srp" if cand is not None else "exact")}))
+    elif args.cmd == "maxsim":
+        from polaris_spark.ops.similarity import maxsim_topk
+
+        spark = _session("polaris_spark_maxsim")
+        emb = spark.read.parquet(args.input)
+        ids = [int(x) for x in args.query_ids.split(",") if x.strip()]
+        qs = [[float(v) for v in r[args.vec_col]]
+              for r in emb.where(
+                  emb[args.id_col].isin(ids)).orderBy(args.id_col).collect()]
+        out = maxsim_topk(emb, qs, k=args.k, doc_col=args.doc_col,
+                          vec_col=args.vec_col)
+        print(json.dumps([r.asDict() for r in out.collect()]))
     elif args.cmd == "decontam":
         from polaris_spark.ops.dedup import decontaminate
 

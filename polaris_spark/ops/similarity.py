@@ -861,6 +861,80 @@ def ivf_topk_sq(spark, ivf_dir: str, query: list[float], k: int = 10,
     )
 
 
+def maxsim_topk(emb, queries: list[list[float]], k: int = 5,
+                doc_col: str = "doc_id", vec_col: str = "embedding"):
+    """Late-interaction retrieval scoring — ColBERT's MaxSim operator
+    (Khattab & Zaharia 2020, *ColBERT: Efficient and Effective Passage
+    Search via Contextualized Late Interaction*): documents are BAGS of
+    token vectors (``doc_col`` groups the vector table into docs), a
+    query is a LIST of token vectors, and
+    ``score(doc) = Σ_q max_{v∈doc} cos(q, v)`` — each query token picks
+    its best-matching doc token, so fine-grained term interactions
+    survive where a single pooled vector averages them away. Returns
+    the top-``k`` ``(doc, maxsim)``, ordered (maxsim desc, doc asc),
+    score e6-rounded AFTER the final sum (oracle-identical: max is
+    exact selection, the Σ folds in fixed column order).
+
+    Spark shape: |queries| chained cosine projections (one codegen'd
+    scan — the query vectors are literals, the same broadcast-by-
+    closure pattern as :func:`assign_centroids`) → ONE
+    partial-aggregated groupBy(doc) of per-query maxes (each task
+    pre-folds to |docs-in-task| rows) → TakeOrderedAndProject. This
+    brute-force form is the verifier/gate shape, O(|vectors|·|q|) dot
+    products in one pass; at 10¹² token vectors, first gather CANDIDATE
+    docs per query token with ANN over the token-vector table
+    (:func:`ivf_topk_many` — one probe job for all query tokens), then
+    run this exact scorer on ``emb`` pre-filtered to the candidate
+    union — the standard ColBERT retrieve-then-rerank split, exactness
+    preserved within the candidate set."""
+    from pyspark.sql import functions as F
+
+    if not queries:
+        raise ValueError("maxsim needs at least one query vector")
+    sims = [
+        cosine_sim_col(F.col(vec_col), [float(x) for x in q])
+        .alias(f"s{i}")
+        for i, q in enumerate(queries)
+    ]
+    g = (emb.select(F.col(doc_col).alias("doc"), *sims)
+         .groupBy("doc")
+         .agg(*[F.max(f"s{i}").alias(f"m{i}")
+                for i in range(len(queries))]))
+    total = F.col("m0")
+    for i in range(1, len(queries)):
+        total = total + F.col(f"m{i}")
+    return (g.select("doc", F.round(total, 6).alias("maxsim"))
+            .orderBy(F.desc("maxsim"), F.asc("doc"))
+            .limit(int(k)))
+
+
+def duckdb_maxsim_sql(table: str, id_col: str, vec_col: str,
+                      queries_sql: list[str], doc_expr: str,
+                      k: int = 5) -> str:
+    """Oracle for :func:`maxsim_topk`: same per-vector cosine shape as
+    the other vector oracles, same max-then-left-assoc-sum fold,
+    rounded after the sum. ``queries_sql[i]`` yields query i's
+    DOUBLE[]; ``doc_expr`` maps a row to its doc key."""
+    vec = f"{vec_col}::DOUBLE[]"
+    sims, maxes = [], []
+    for i, q in enumerate(queries_sql):
+        dot = (f"list_sum(list_transform(list_zip({vec}, {q}), "
+               f"p -> p[1] * p[2]))")
+        n1 = f"sqrt(list_sum(list_transform({vec}, x -> x * x)))"
+        n2 = f"sqrt(list_sum(list_transform({q}, x -> x * x)))"
+        sims.append(f"{dot} / ({n1} * {n2}) AS s{i}")
+        maxes.append(f"max(s{i}) AS m{i}")
+    total = " + ".join(f"m{i}" for i in range(len(queries_sql)))
+    return f"""
+WITH pv AS (
+  SELECT {doc_expr} AS doc, {', '.join(sims)} FROM {table}
+), g AS (
+  SELECT doc, {', '.join(maxes)} FROM pv GROUP BY doc
+)
+SELECT doc, round({total}, 6) AS maxsim
+FROM g ORDER BY maxsim DESC, doc ASC LIMIT {int(k)}"""
+
+
 # ----------------------------------------------------- product quantization
 
 def train_pq(emb, m: int = 8, nbits: int = 4, seed: int = 42,

@@ -501,7 +501,12 @@ def matrix_stats_agg(engine, query: str, attrs: list[str], docs=None,
     space when the attributes are integers — exact in both engines —
     and the f64 derivations use ONE fixed expression shape
     (``Σxx/n − (Σx/n)²`` etc.) mirrored literally in the DuckDB oracle,
-    so IEEE determinism makes the rounded values identical.
+    so IEEE determinism makes the rounded values identical. Overflow
+    bound: Spark's long sums wrap silently, so integer exactness holds
+    while n·max(v)² < 2⁶³ — e.g. 10¹² docs × values up to ~3M. For
+    wider-range attributes at corpus scale, pre-center/rescale the
+    attribute (moments are translation-covariant) or cast it to double
+    upstream (trading last-bit oracle identity for range).
 
     Spark shape: the match set joins each attribute frame once, then
     ONE global Aggregate computes ALL moments in a single pass (a

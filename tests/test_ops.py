@@ -677,3 +677,38 @@ def test_ivf_sq_probe_rescore(spark, tmp_path):
         if vid in exact_map:
             assert s == exact_map[vid]
     assert len(set(dict(win)) & set(exact_map)) >= 8  # recall@10 >= 0.8
+
+
+def test_maxsim_late_interaction(spark):
+    """ColBERT MaxSim: score(doc) = sum over query tokens of the max
+    per-doc-token cosine — checked against a full numpy replay on the
+    real embeddings table grouped into 20 'docs' of 25 token vectors,
+    plus the self-retrieval property (a query made of a doc's own
+    vectors ranks that doc first with score = |q|)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from polaris_spark.ops.similarity import maxsim_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    X = np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    docs_of = np.asarray([r["vec_id"] // 25 for r in rows])
+    qs = [list(map(float, X[i])) for i in (0, 1, 2)]
+    Qn = Xn[[0, 1, 2]]
+    sims = Xn @ Qn.T  # (n_vec, 3)
+    want = {}
+    for d in np.unique(docs_of):
+        want[int(d)] = round(float(sims[docs_of == d].max(axis=0).sum()), 6)
+    top = sorted(want.items(), key=lambda t: (-t[1], t[0]))[:7]
+    got = [(r["doc"], r["maxsim"]) for r in maxsim_topk(
+        emb.withColumn("doc_id", F.floor(F.col("vec_id") / 25)
+                       .cast("long")),
+        qs, k=7).collect()]
+    assert [(d, pytest.approx(s, abs=2e-6)) for d, s in top] == got
+    # self-retrieval: query vectors 0,1,2 all live in doc 0 (vec_id//25),
+    # so doc 0's score is exactly 3.0 and it ranks first
+    assert got[0][0] == 0 and got[0][1] == pytest.approx(3.0, abs=1e-6)
+    with pytest.raises(ValueError, match="at least one"):
+        maxsim_topk(emb, [], k=5)
