@@ -588,6 +588,18 @@ def _q_ivf_pq_top10(spark, sf_dir):
                        nprobe=4, window=None)
 
 
+def _q_semantic_decontam(spark, sf_dir):
+    """Embedding-level benchmark decontamination: every corpus vector's
+    max cosine against a 'bench' subset (vec_id % 40 == 7) with the
+    ≥0.95 contamination flag — the semantic complement of the 13-gram
+    `decontaminate` gate; zero-shuffle Arrow matmul kernel."""
+    from polaris_spark.ops.similarity import semantic_decontaminate
+
+    emb = _emb(spark, sf_dir)
+    return semantic_decontaminate(
+        emb, emb.where("vec_id % 40 = 7"), threshold=0.95)
+
+
 def _q_maxsim(spark, sf_dir):
     """Late-interaction (ColBERT MaxSim) scoring: the embeddings table
     grouped into 'docs' of token vectors by vec_id % 50, scored against
@@ -1925,6 +1937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_top10": _q_ivf_pq_top10,
         "ivf_many_top5": _q_ivf_many,
         "maxsim_top5": _q_maxsim,
+        "semantic_decontam": _q_semantic_decontam,
         "lookup_by_source": _q_lookup_by_source,
         "browse_listing": _q_browse,
         "doc_terms": _q_doc_terms,
@@ -2072,6 +2085,7 @@ def oracle_sql() -> dict[str, str]:
     from polaris_spark.ops.similarity import (duckdb_ivf_many_sql,
                                               duckdb_knn_join_sql,
                                               duckdb_maxsim_sql,
+                                              duckdb_semantic_decontam_sql,
                                               duckdb_semdedup_sql,
                                               duckdb_quantize_sql)
     from polaris_spark.ops.text import (
@@ -2247,6 +2261,9 @@ SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.45""",
             "embeddings", "vec_id", "embedding",
             [f"(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = {i})"
              for i in (0, 1, 2)], k=5),
+        "semantic_decontam": duckdb_semantic_decontam_sql(
+            "embeddings", "vec_id", "embedding",
+            bench_pred="vec_id % 40 = 7", threshold=0.95),
         "maxsim_top5": duckdb_maxsim_sql(
             "embeddings", "vec_id", "embedding",
             [f"(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = {i})"

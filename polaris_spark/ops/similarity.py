@@ -908,6 +908,84 @@ def maxsim_topk(emb, queries: list[list[float]], k: int = 5,
             .limit(int(k)))
 
 
+def semantic_decontaminate(emb, bench, threshold: float = 0.95,
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id",
+                           bench_vec_col: str | None = None):
+    """Embedding-level benchmark decontamination — the semantic
+    complement of the exact 13-gram rule (``ops/dedup.decontaminate``):
+    a training doc is contaminated when its embedding is within
+    ``threshold`` cosine of ANY benchmark item's embedding, catching
+    paraphrased/reformatted eval leakage that n-gram overlap misses
+    (the contamination mode studied in GPT-4-era eval audits). Returns
+    ``(vec_id, bench_cos, contaminated)`` for every corpus row —
+    ``bench_cos`` = e6-rounded max cosine against the bench set.
+
+    Spark shape: the BENCH side is the small one by nature (eval sets
+    are 10²-10⁵ items), so it collects into one L2-normalized numpy
+    matrix carried by closure into an Arrow-vectorized kernel — the
+    per-batch work is one (batch × dim)·(dim × |bench|) matmul and a
+    row max, ZERO shuffle, cost ∝ corpus · |bench| FLOPs streamed at
+    BLAS speed. At 10¹² docs this is a pure map over the corpus — the
+    same plan at every scale; if the bench ever outgrows closure size,
+    shard the bench matrix and take the elementwise max of the per-
+    shard columns (associative), still shuffle-free."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    bvc = bench_vec_col or vec_col
+    brows = bench.select(bvc).collect()
+    if not brows:
+        raise ValueError("bench set is empty")
+    B = np.asarray([list(r[0]) for r in brows], dtype=np.float64)
+    B = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf("double")
+    def max_cos(v: pd.Series) -> pd.Series:
+        X = np.asarray([list(e) for e in v], dtype=np.float64)
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        return pd.Series((X @ B.T).max(axis=1))
+
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(max_cos(F.col(vec_col)), 6).alias("bench_cos"),
+    ).withColumn(
+        "contaminated",
+        (F.col("bench_cos") >= F.lit(float(threshold))).cast("int"))
+
+
+def duckdb_semantic_decontam_sql(table: str, id_col: str, vec_col: str,
+                                 bench_pred: str,
+                                 threshold: float = 0.95) -> str:
+    """Oracle for :func:`semantic_decontaminate`: max cosine against the
+    bench subset (``bench_pred`` selects bench rows from the same
+    table), e6-rounded, threshold flag. The normalized-matmul kernel is
+    mirrored as normalize-then-dot so the FP shape matches: both sides
+    divide by their own norm BEFORE the product."""
+    vec = f"{vec_col}::DOUBLE[]"
+    nrm = f"sqrt(list_sum(list_transform({vec}, x -> x * x)))"
+    return f"""
+WITH nv AS (
+  SELECT {id_col} AS vid,
+         list_transform({vec}, x -> x / (CASE WHEN {nrm} < 1e-12
+                                         THEN 1e-12 ELSE {nrm} END)) AS u
+  FROM {table}
+), b AS (
+  SELECT u AS bu FROM nv WHERE vid IN
+    (SELECT {id_col} FROM {table} WHERE {bench_pred})
+), mx AS (
+  SELECT nv.vid,
+         max(list_sum(list_transform(list_zip(nv.u, b.bu),
+                                     p -> p[1] * p[2]))) AS mc
+  FROM nv CROSS JOIN b GROUP BY nv.vid
+)
+SELECT vid AS vec_id, round(mc, 6) AS bench_cos,
+       (CASE WHEN round(mc, 6) >= {threshold!r} THEN 1 ELSE 0 END)
+         ::INTEGER AS contaminated
+FROM mx"""
+
+
 def duckdb_maxsim_sql(table: str, id_col: str, vec_col: str,
                       queries_sql: list[str], doc_expr: str,
                       k: int = 5) -> str:

@@ -712,3 +712,39 @@ def test_maxsim_late_interaction(spark):
     assert got[0][0] == 0 and got[0][1] == pytest.approx(3.0, abs=1e-6)
     with pytest.raises(ValueError, match="at least one"):
         maxsim_topk(emb, [], k=5)
+
+
+def test_semantic_decontaminate(spark, con):
+    """Max-cosine-vs-bench flags: numpy replay over the real embeddings,
+    self-containment (bench members flag at cos 1.0), empty-bench guard,
+    and the DuckDB mirror (the gate shape) agrees row-for-row."""
+    import numpy as np
+
+    from polaris_spark.ops.similarity import (
+        duckdb_semantic_decontam_sql,
+        semantic_decontaminate,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = semantic_decontaminate(
+        emb, emb.where("vec_id % 40 = 7"), threshold=0.95)
+    got = {r["vec_id"]: (r["bench_cos"], r["contaminated"])
+           for r in out.collect()}
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    X = np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    bench_ids = [r["vec_id"] for r in rows if r["vec_id"] % 40 == 7]
+    B = Xn[[i for i, r in enumerate(rows) if r["vec_id"] % 40 == 7]]
+    mc = (Xn @ B.T).max(axis=1)
+    for i, r in enumerate(rows):
+        want = round(float(mc[i]), 6)
+        assert got[r["vec_id"]][0] == pytest.approx(want, abs=2e-6)
+    for b in bench_ids:  # a bench member matches itself at cos 1.0
+        assert got[b] == (1.0, 1)
+    n_flagged = sum(c for _s, c in got.values())
+    assert n_flagged >= len(bench_ids)  # at least the bench itself
+    _cmp(out, con.execute(duckdb_semantic_decontam_sql(
+        "embeddings", "vec_id", "embedding",
+        bench_pred="vec_id % 40 = 7", threshold=0.95)).fetchall())
+    with pytest.raises(ValueError, match="bench set is empty"):
+        semantic_decontaminate(emb, emb.where("vec_id < 0"))
