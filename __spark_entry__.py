@@ -660,6 +660,24 @@ def _q_facet_counts(spark, sf_dir):
     return eng.facet_counts(Q_FACET, "source")
 
 
+PINNED_IDS = [7, 3, 10**9, 11]  # out-of-order ids + one nonexistent
+
+
+def _q_pinned_search(spark, sf_dir):
+    """ES pinned query: PINNED_IDS promoted to ranks 1.. in list order
+    (the nonexistent id silently dropped), then the organic Q_OR top-k
+    excluding pinned; a pinned doc that also matches keeps its organic
+    score (NULL otherwise)."""
+    from pyspark.sql import functions as F
+
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir))
+    return eng.search_pinned(Q_OR, PINNED_IDS, k=10).select(
+        "doc_id", "rank", "pinned",
+        F.round(F.col("score") * 10000).cast("long").alias("score_e4"))
+
+
 def _q_sorted_search(spark, sf_dir):
     """Field-sorted search (IndexSearcher.search(query, n, Sort) analog):
     the Q_OR match set ordered by the stored 'source' attribute with
@@ -1942,6 +1960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "browse_listing": _q_browse,
         "doc_terms": _q_doc_terms,
         "facet_counts": _q_facet_counts,
+        "pinned_search": _q_pinned_search,
         "sorted_search": _q_sorted_search,
         "collapse_search": _q_collapse_search,
         "parent_search": _q_parent_search,
@@ -2028,6 +2047,7 @@ def oracle_sql() -> dict[str, str]:
         parent_sql,
         rescore_sql,
         filtered_sql,
+        pinned_sql,
         boosting_sql,
         function_score_sql,
         decay_sql,
@@ -2280,6 +2300,7 @@ dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
 SELECT tf.term, tf.tf, dft.df
 FROM tf JOIN dft USING (term) WHERE tf.doc_id = {DOC_TERMS_ID}""",
         "facet_counts": facet_sql(Q_FACET, "source"),
+        "pinned_search": pinned_sql(Q_OR, PINNED_IDS, k=10),
         "sorted_search": (
             f"SELECT s.doc_id, d.source, s.score_e4 "
             f"FROM ({bm25_scores_sql(Q_OR)}) s "

@@ -145,6 +145,10 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--count-only", action="store_true",
                    help="print only the total hit count "
                         "(TotalHitCountCollector analog)")
+    q.add_argument("--pinned", default=None,
+                   help="comma-separated doc ids promoted to the top in "
+                        "list order (ES pinned query); unknown/deleted "
+                        "ids are dropped")
     q.add_argument("--collapse-attr", default=None,
                    help="field-collapse hits on this stored attribute: "
                         "top-k GROUPS, --per-group hits each (Lucene "
@@ -899,6 +903,13 @@ def main(argv: list[str] | None = None) -> int:
                 window=args.rescore_window,
                 query_weight=args.query_weight,
                 rescore_weight=args.rescore_weight, mode=args.mode,
+                expand_fields=args.expand_fields).collect()]
+            print(json.dumps(rows))
+            return
+        if args.pinned:
+            ids = [int(x) for x in args.pinned.split(",") if x.strip()]
+            rows = [r.asDict() for r in eng.search_pinned(
+                args.query, ids, args.k, mode=args.mode,
                 expand_fields=args.expand_fields).collect()]
             print(json.dumps(rows))
             return

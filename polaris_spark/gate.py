@@ -1918,6 +1918,44 @@ def filters_agg_sql(query: str, filters: dict, table: str = "documents",
             + "\n) b ORDER BY name ASC")
 
 
+def pinned_sql(query: str, pinned_ids: list, k: int = 10,
+               table: str = "documents", field_cols: tuple = (),
+               expand_fields: bool = False) -> str:
+    """Mirror of ``SearchEngine.search_pinned``: pinned ids first in
+    list order (existing docs only; organic score kept when the pinned
+    doc also matches, NULL otherwise), then the organic top-k excluding
+    pinned; scores e4-rounded after ranking."""
+    org = bm25_scores_sql(query, table, None, field_cols, expand_fields,
+                          raw=True)
+    pins = ", ".join(f"({int(d)}, {i + 1})"
+                     for i, d in enumerate(pinned_ids))
+    return f"""
+WITH org AS ({org}),
+pins(doc_id, pin_pos) AS (VALUES {pins}),
+p AS (
+  SELECT pins.doc_id, 0 AS sec, pins.pin_pos AS o1, 0.0 AS o2,
+         org.raw_score AS score, 1 AS pinned
+  FROM pins
+  JOIN (SELECT doc_id FROM {table}) live USING (doc_id)
+  LEFT JOIN org USING (doc_id)
+), o AS (
+  SELECT doc_id, 1 AS sec, 0 AS o1, -raw_score AS o2,
+         raw_score AS score, 0 AS pinned
+  FROM org WHERE doc_id NOT IN (SELECT doc_id FROM pins)
+  ORDER BY raw_score DESC, doc_id ASC LIMIT {int(k)}
+), u AS (
+  SELECT * FROM p UNION ALL SELECT * FROM o
+), r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY sec, o1, o2, doc_id) AS rank,
+         pinned, score
+  FROM u
+)
+SELECT doc_id, rank::BIGINT AS rank, pinned::INTEGER AS pinned,
+       CAST(round(score * 10000) AS BIGINT) AS score_e4
+FROM r WHERE rank <= {int(k)} ORDER BY rank"""
+
+
 def weighted_avg_sql(query: str, attr: str, weight_attr: str,
                      table: str = "documents", field_cols: tuple = (),
                      expand_fields: bool = False) -> str:

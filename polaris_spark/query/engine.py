@@ -4527,6 +4527,58 @@ class SearchEngine:
         hits = self.match_df(query, mode=mode, expand_fields=expand_fields)
         return hits.join(dm.select("doc_id", attr), "doc_id")
 
+    def search_pinned(self, query: str, pinned_ids: list[int],
+                      k: int = 10, mode: str = "or",
+                      expand_fields: bool = False):
+        """ES ``pinned`` query (promoted/sponsored results): the listed
+        doc ids rank FIRST, in the given list order, ahead of the
+        organic match set — the curated-answer surface every search UI
+        grows. Pinned ids must exist (tombstone-hidden docs and unknown
+        ids are silently dropped, ES's behavior); a pinned doc that also
+        matches organically keeps its organic score (NULL otherwise) and
+        never appears twice. Returns (doc_id, rank, pinned, score),
+        rank 1..k.
+
+        Spark shape: the organic leg is the usual pruned match set CUT
+        to k by (score desc, doc_id asc) — a TakeOrderedAndProject —
+        BEFORE the merge, so the final ordering window sees at most
+        k + |pinned| rows (driver-literal pinned list, broadcast joins);
+        nothing match-set-sized reaches a single partition."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        if not pinned_ids:
+            raise ValueError("pinned query needs at least one pinned id")
+        pf = self.spark.createDataFrame(
+            [(int(d), i + 1) for i, d in enumerate(pinned_ids)],
+            "doc_id long, pin_pos int")
+        dm = self._live(self.spark.read.parquet(self.doc_map_path)) \
+                 .select("doc_id")
+        org = self.match_df(query, mode=mode,
+                            expand_fields=expand_fields) \
+                  .select("doc_id", "score")
+        pinned_rows = (
+            pf.join(dm, "doc_id")
+            .join(org, "doc_id", "left")
+            .select("doc_id", F.lit(0).alias("sec"),
+                    F.col("pin_pos").alias("o1"),
+                    F.lit(0.0).alias("o2"), "score",
+                    F.lit(1).alias("pinned")))
+        org_rows = (
+            org.join(F.broadcast(pf.select("doc_id")), "doc_id",
+                     "left_anti")
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k))
+            .select("doc_id", F.lit(1).alias("sec"),
+                    F.lit(0).alias("o1"),
+                    (-F.col("score")).alias("o2"), "score",
+                    F.lit(0).alias("pinned")))
+        u = pinned_rows.unionByName(org_rows)
+        w = Window.orderBy("sec", "o1", "o2", "doc_id")
+        return (u.withColumn("rank", F.row_number().over(w).cast("long"))
+                .where(F.col("rank") <= int(k))
+                .select("doc_id", "rank", "pinned", "score")
+                .orderBy("rank"))
+
     def search_collapse(self, query: str, attr: str, k: int = 10,
                         per_group: int = 1, mode: str = "or",
                         expand_fields: bool = False):

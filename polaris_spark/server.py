@@ -222,6 +222,19 @@ class _Handler(BaseHTTPRequestHandler):
     # ------------------------------------------------------- API methods
 
     def _m_search(self, b):
+        if b.get("pinned"):
+            # ES pinned query: promoted ids first in list order, then the
+            # organic tail — bare rows (the curation surface, not the
+            # mixed response)
+            import time as _t
+
+            t0 = _t.time()
+            hits = [r.asDict() for r in self.engine.search_pinned(
+                b["query"], [int(d) for d in b["pinned"]],
+                k=int(b.get("rankTo", 20)),
+                mode=b.get("mode", "or")).collect()]
+            return {"hits": hits, "count": len(hits),
+                    "latency_ms": round((_t.time() - t0) * 1000.0, 3)}
         if b.get("similarity", "bm25") == "classic":
             # the reference's DefaultSimilarity ranking (query/classic.py);
             # bare hits — classic is the parity scorer, the mixed response

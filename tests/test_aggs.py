@@ -387,6 +387,28 @@ def test_new_aggs_in_run_aggs(seng, ndocs):
     assert sum(r["n"] for r in out["smp"]) == 3
 
 
+def test_pinned_search(seng):
+    """ES pinned query: list-order promotion, nonexistent id dropped,
+    organic tail excludes pinned, pinned docs keep their organic score
+    (NULL when they don't match), rank dense from 1."""
+    org = [(r["doc_id"], r["score"])
+           for r in seng.search_df(Q, k=None)
+           .orderBy(F.desc("score"), F.asc("doc_id")).collect()]
+    org_scores = dict(org)
+    got = seng.search_pinned(Q, [6, 999, 2], k=6).collect()
+    # doc 6 ("merge sort scan") doesn't match "spark join" -> NULL score;
+    # doc 999 doesn't exist -> dropped; doc 2 matches -> organic score
+    assert [(r["doc_id"], r["pinned"]) for r in got[:2]] == [(6, 1), (2, 1)]
+    assert got[0]["score"] is None
+    assert got[1]["score"] == org_scores[2]
+    tail = [r["doc_id"] for r in got[2:]]
+    assert tail == [d for d, _ in org if d not in (6, 2)][:4]
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+    assert all(r["pinned"] == 0 for r in got[2:])
+    with pytest.raises(ValueError, match="at least one pinned id"):
+        seng.search_pinned(Q, [], k=5)
+
+
 def test_run_aggs_multi_request(spark, seng, ndocs):
     """The multi-agg executor returns each agg's rows keyed by name,
     identical to the standalone calls, and releases every persisted

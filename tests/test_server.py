@@ -458,3 +458,24 @@ def test_search_classic_similarity(spark, daemon):
     assert [(h["doc_id"], round(h["score"], 9)) for h in got["hits"]] == \
         [(r["doc_id"], round(r["score"], 9)) for r in want]
     assert "latency_ms" in got
+
+
+def test_search_pinned_param(spark, daemon):
+    """/api/search {pinned: [...]}: promoted ids lead in list order,
+    identical to the engine's search_pinned rows."""
+    from collections import Counter
+
+    base, d, pdf = daemon
+    q = Counter(w for t in pdf["text"] for w in t.split()
+                if w.isalnum()).most_common(1)[0][0]
+    eng = SearchEngine(spark, d)
+    org = [h["doc_id"] for h in eng.search(q, k=5)]
+    assert len(org) >= 3
+    pin = [org[2], org[0], 12345]  # reorder two real hits; unknown dropped
+    want = [r.asDict() for r in
+            eng.search_pinned(q, pin, k=5).collect()]
+    got = _post(base, "search", {"query": q, "rankTo": 5, "pinned": pin})
+    assert got["hits"] == want
+    assert [h["doc_id"] for h in got["hits"][:2]] == pin[:2]
+    assert got["hits"][0]["pinned"] == 1 and got["count"] == len(want)
+    assert all(h["pinned"] == 0 for h in got["hits"][2:])
