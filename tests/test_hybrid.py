@@ -204,3 +204,50 @@ def test_engine_hybrid_matches_manual_legs(spark, tmp_path):
     lex_and = {r["doc_id"] for r in
                eng.search_df(q, k=None, mode="and").collect()}
     assert any(r["doc_id"] not in lex_and for r in filt_and)
+
+
+def test_maxsim_leg_plugs_into_hybrid(spark, tmp_path):
+    """Late-interaction composition: a ColBERT MaxSim frame (doc-level
+    scores from bags of token vectors) plugs into hybrid RRF as the
+    vector leg — ranks on the leg follow the maxsim order, fused scores
+    are the standard RRF fold of both legs."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from polaris_spark.index.build import IndexConfig, build_index
+    from polaris_spark.ops.similarity import maxsim_topk
+    from polaris_spark.query.engine import SearchEngine
+    from polaris_spark.synth import make_transcripts
+
+    d = str(tmp_path / "hyb_ms_idx")
+    pdf = make_transcripts(n_turns=600, seed=13)
+    docs = spark.createDataFrame(pdf)
+    build_index(spark, docs, d,
+                cfg=IndexConfig(n_buckets=8, n_shards=2, n_chunks=1))
+    eng = SearchEngine(spark, d)
+    w = pdf["text"].iloc[0].split()
+    q = f"{w[0]} {w[1]}"
+
+    ids = sorted(r["doc_id"] for r in
+                 spark.read.parquet(f"{d}/doc_map")
+                 .select("doc_id").collect())
+    rng = np.random.RandomState(3)
+    # 4 token vectors per doc, tagged with the doc's id
+    tok = spark.createDataFrame(
+        [(int(i), [float(x) for x in rng.randn(8)])
+         for i in ids for _ in range(4)],
+        "doc_id long, embedding array<float>")
+    qs = [[float(x) for x in rng.randn(8)] for _ in range(2)]
+
+    leg = maxsim_topk(tok, qs, k=15).select(
+        F.col("doc").alias("vec_id"), F.col("maxsim").alias("sim"))
+    out = hybrid_search_df(eng, q, None, None, k=20, window=15,
+                           vec_leg=leg).collect()
+    assert out, "fused hits expected"
+    ms_rank = {r["doc"]: i + 1 for i, r in enumerate(
+        maxsim_topk(tok, qs, k=15).collect())}
+    for r in out:
+        assert r["rank_leg1"] == ms_rank.get(r["doc_id"], 0)
+        want = (1 / (60 + r["rank_leg0"]) if r["rank_leg0"] else 0) + \
+               (1 / (60 + r["rank_leg1"]) if r["rank_leg1"] else 0)
+        assert r["rrf"] == pytest.approx(want, abs=1e-15)
