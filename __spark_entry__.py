@@ -1246,6 +1246,18 @@ def _q_dsir(spark, sf_dir):
     return dsir_logweights(docs, docs.where("lang = 'en'"))
 
 
+def _q_vocab_shift(spark, sf_dir):
+    """Token-distribution drift between two corpus halves (doc_id
+    parity): hashed n-gram bucket counts, smoothed probabilities, and
+    per-bucket Jensen-Shannon contributions — the crawl-over-crawl
+    drift monitor; Σ js_e9/1e9 = the corpus-level JS divergence."""
+    from polaris_spark.ops.text import vocab_shift
+
+    docs = _docs(spark, sf_dir)
+    return vocab_shift(docs.where("doc_id % 2 = 0"),
+                       docs.where("doc_id % 2 = 1"), buckets=64)
+
+
 def _q_dsir_gumbel(spark, sf_dir):
     """DSIR resampling proper: Gumbel-top-k over the importance weights
     (md5-derived noise — deterministic, oracle-mirrorable); k=100, T=1."""
@@ -1943,6 +1955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_dup_spans": _q_strip_spans,
         "strip_dup_spans_keep1": _q_strip_spans_keep1,
         "dsir_weights": _q_dsir,
+        "vocab_shift": _q_vocab_shift,
         "dsir_gumbel": _q_dsir_gumbel,
         "decontaminate": _q_decontam,
         "simhash16": _q_simhash,
@@ -2112,6 +2125,7 @@ def oracle_sql() -> dict[str, str]:
         duckdb_chunks_sql,
         duckdb_dsir_gumbel_sql,
         duckdb_dsir_sql,
+        duckdb_vocab_shift_sql,
         duckdb_fingerprint_sql,
         duckdb_gopher_sql,
         duckdb_langid_sql,
@@ -2357,6 +2371,7 @@ FROM tf JOIN dft USING (term) WHERE tf.doc_id = {DOC_TERMS_ID}""",
             "documents", "doc_id", "text", n=8, min_docs=2),
         "strip_dup_spans_keep1": duckdb_strip_spans_sql(
             "documents", "doc_id", "text", n=8, min_docs=2, keep_one=True),
+        "vocab_shift": duckdb_vocab_shift_sql(buckets=64),
         "dsir_weights": duckdb_dsir_sql(
             "documents", "doc_id", "text", target_where="lang = 'en'"),
         "dsir_gumbel": duckdb_dsir_gumbel_sql(

@@ -803,6 +803,103 @@ def dsir_logweights(raw, target, text_col: str = "text",
     )
 
 
+def vocab_shift(corpus_a, corpus_b, text_col: str = "text",
+                id_col: str = "doc_id", buckets: int = 64):
+    """Token-distribution drift monitor between two corpus snapshots —
+    the check a training pipeline runs crawl-over-crawl (or between a
+    source mix and its predecessor) to catch silent distribution shift
+    before it reaches training. Features are the DSIR hashed
+    unigram+bigram buckets (:func:`_dsir_features` — md5, the
+    module-wide cross-engine hashing rule); each corpus's bucket
+    distribution is add-one-smoothed (p_b = (c_b+1)/(C+B)); the output
+    is one row per bucket 0..B−1 with both counts, both probabilities
+    and the bucket's Jensen-Shannon contribution —
+    ``Σ js_e9 / 1e9`` is the corpus-level JS divergence (0 = identical
+    distributions, ln 2 ≈ 0.693 = disjoint; symmetric and bounded,
+    unlike raw KL). Sorting by js_e9 desc names the most-shifted
+    buckets — the drill-down a drift alert links to.
+
+    Spark shape: two feature scans (corpus-proportional, the only big
+    work) each partial-aggregating to ≤B rows; the rest is a B-row
+    frame — a `range(B)` spine left-joined to both count sides, one
+    broadcast totals row, pure codegen math. Zero windows, zero driver
+    loops, output exactly ``buckets`` rows at any corpus size."""
+    from pyspark.sql import functions as F
+
+    spark = corpus_a.sparkSession
+    f_a = (_dsir_features(corpus_a, text_col, id_col, buckets)
+           .groupBy("bucket").agg(F.count("*").alias("c_a")))
+    f_b = (_dsir_features(corpus_b, text_col, id_col, buckets)
+           .groupBy("bucket").agg(F.count("*").alias("c_b")))
+    base = spark.range(int(buckets)).select(
+        F.col("id").cast("long").alias("bucket"))
+    j = (base.join(f_a, "bucket", "left").join(f_b, "bucket", "left")
+         .fillna(0, ["c_a", "c_b"]))
+    tot = j.agg(F.sum("c_a").alias("ta"), F.sum("c_b").alias("tb"))
+    j = j.crossJoin(F.broadcast(tot))
+    pa = (F.col("c_a") + 1.0) / (F.col("ta").cast("double") + buckets)
+    pb = (F.col("c_b") + 1.0) / (F.col("tb").cast("double") + buckets)
+    m = (pa + pb) / 2.0
+    js = 0.5 * pa * F.log(pa / m) + 0.5 * pb * F.log(pb / m)
+    return (j.select(
+        "bucket",
+        F.col("c_a").cast("long").alias("c_a"),
+        F.col("c_b").cast("long").alias("c_b"),
+        F.round(pa * 1e9).cast("long").alias("p_a_e9"),
+        F.round(pb * 1e9).cast("long").alias("p_b_e9"),
+        F.round(js * 1e9).cast("long").alias("js_e9"),
+    ).orderBy("bucket"))
+
+
+def duckdb_vocab_shift_sql(table: str = "documents",
+                           id_col: str = "doc_id",
+                           text_col: str = "text",
+                           where_a: str = "doc_id % 2 = 0",
+                           where_b: str = "doc_id % 2 = 1",
+                           buckets: int = 64) -> str:
+    """Oracle for :func:`vocab_shift` with the two corpora defined as
+    WHERE slices of one table: identical md5 feature buckets, smoothing
+    and the literally mirrored JS expression shape."""
+    toks = duckdb_ws_tokens(f"lower({text_col})")
+    grams = (
+        f"list_concat({toks}, "
+        f"list_transform(range(1, greatest(len({toks}), 1)), "
+        f"i -> {toks}[i] || ' ' || {toks}[i + 1]))"
+    )
+    bucket = ("(('0x' || substr(md5(g), 1, 15))::UBIGINT "
+              f"% {buckets})::BIGINT")
+    return f"""
+WITH ga AS (
+  SELECT {bucket} AS bucket, count(*)::BIGINT AS c_a
+  FROM (SELECT unnest({grams}) AS g FROM {table} WHERE {where_a})
+  GROUP BY 1
+), gb AS (
+  SELECT {bucket} AS bucket, count(*)::BIGINT AS c_b
+  FROM (SELECT unnest({grams}) AS g FROM {table} WHERE {where_b})
+  GROUP BY 1
+), base AS (
+  SELECT unnest(range({buckets}))::BIGINT AS bucket
+), j AS (
+  SELECT base.bucket, coalesce(ga.c_a, 0) AS c_a,
+         coalesce(gb.c_b, 0) AS c_b
+  FROM base LEFT JOIN ga USING (bucket) LEFT JOIN gb USING (bucket)
+), t AS (
+  SELECT sum(c_a)::DOUBLE AS ta, sum(c_b)::DOUBLE AS tb FROM j
+), e AS (
+  SELECT j.bucket, j.c_a, j.c_b,
+         (j.c_a + 1.0) / (t.ta + {buckets}) AS pa,
+         (j.c_b + 1.0) / (t.tb + {buckets}) AS pb
+  FROM j CROSS JOIN t
+)
+SELECT bucket, c_a, c_b,
+       CAST(round(pa * 1e9) AS BIGINT) AS p_a_e9,
+       CAST(round(pb * 1e9) AS BIGINT) AS p_b_e9,
+       CAST(round((0.5 * pa * ln(pa / ((pa + pb) / 2.0))
+                   + 0.5 * pb * ln(pb / ((pa + pb) / 2.0))) * 1e9)
+            AS BIGINT) AS js_e9
+FROM e ORDER BY bucket"""
+
+
 _GUMBEL_M = 1 << 52  # md5-derived uniform resolution for the Gumbel trick
 
 

@@ -121,3 +121,40 @@ def test_gumbel_select_determinism_and_oracle(spark, frames):
     want = sorted(tuple(r) for r in con.execute(duckdb_dsir_gumbel_sql(
         k=50, seed=1)).fetchall())
     assert got == want
+
+
+def test_vocab_shift_properties_and_mirror(spark):
+    """Drift monitor: identical corpora → JS exactly 0 per bucket;
+    disjoint corpora → ΣJS near ln 2; counts conserve total gram mass;
+    and the real-testdata split matches the DuckDB mirror row-for-row."""
+    from polaris_spark.ops.text import duckdb_vocab_shift_sql, vocab_shift
+
+    df = spark.createDataFrame(
+        [(1, "cat sat here"), (2, "cat ran far")],
+        "doc_id long, text string")
+    same = vocab_shift(df, df, buckets=16).collect()
+    assert len(same) == 16
+    assert all(r["js_e9"] == 0 for r in same)
+    assert all(r["p_a_e9"] == r["p_b_e9"] for r in same)
+
+    a = spark.createDataFrame([(1, "aaa bbb aaa")], "doc_id long, text string")
+    b = spark.createDataFrame([(2, "ccc ddd eee")], "doc_id long, text string")
+    dis = vocab_shift(a, b, buckets=16).collect()
+    js_total = sum(r["js_e9"] for r in dis) / 1e9
+    # smoothing keeps it well under ln 2 on tiny corpora (5 grams vs 16
+    # buckets of add-one mass); require positive divergence + the bound
+    assert 0.005 < js_total <= math.log(2) + 1e-9
+    # gram-mass conservation: 'aaa bbb aaa' = 3 unigrams + 2 bigrams
+    assert sum(r["c_a"] for r in dis) == 5
+    assert sum(r["c_b"] for r in dis) == 5
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = sorted(map(tuple, vocab_shift(
+        docs.where("doc_id % 2 = 0"), docs.where("doc_id % 2 = 1"),
+        buckets=64).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                "'/root/testdata/sf0.001/documents.parquet'")
+    exp = sorted(map(tuple, con.execute(
+        duckdb_vocab_shift_sql(buckets=64)).fetchall()))
+    assert got == exp
