@@ -763,6 +763,30 @@ def main(argv: list[str] | None = None) -> int:
                     help="LSH tables (recall dial; only with --srp-bits)")
     kn.add_argument("--seed", type=int, default=42)
 
+    dr = sub.add_parser("drift", help="token-distribution drift between "
+                        "two corpus parquets (JS divergence over hashed "
+                        "n-gram buckets; crawl-over-crawl monitor)")
+    dr.add_argument("--input-a", required=True)
+    dr.add_argument("--input-b", required=True)
+    dr.add_argument("--text-col", default="text")
+    dr.add_argument("--doc-id-col", default="doc_id")
+    dr.add_argument("--buckets", type=int, default=1024)
+    dr.add_argument("--top", type=int, default=10,
+                    help="print the N most-shifted buckets")
+
+    sdc = sub.add_parser("semdecontam", help="semantic benchmark "
+                         "decontamination: flag corpus embeddings within "
+                         "a cosine threshold of ANY bench embedding")
+    sdc.add_argument("--input", required=True,
+                     help="corpus embeddings parquet")
+    sdc.add_argument("--bench", required=True,
+                     help="benchmark embeddings parquet")
+    sdc.add_argument("--output", required=True,
+                     help="output parquet (vec_id, bench_cos, contaminated)")
+    sdc.add_argument("--threshold", type=float, default=0.95)
+    sdc.add_argument("--id-col", default="vec_id")
+    sdc.add_argument("--vec-col", default="embedding")
+
     mx = sub.add_parser("maxsim", help="late-interaction (ColBERT MaxSim) "
                         "scoring over a token-vector parquet: per doc, "
                         "sum over query tokens of the max token cosine")
@@ -1658,6 +1682,45 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"output": args.output, "n_vectors": emb.count(),
                           "n_neighbor_rows": n,
                           "mode": ("srp" if cand is not None else "exact")}))
+    elif args.cmd == "drift":
+        from pyspark.sql import functions as F
+
+        from polaris_spark.ops.text import vocab_shift
+
+        spark = _session("polaris_spark_drift")
+        out = vocab_shift(
+            spark.read.parquet(args.input_a),
+            spark.read.parquet(args.input_b),
+            text_col=args.text_col, id_col=args.doc_id_col,
+            buckets=args.buckets)
+        rows = out.collect()  # exactly `buckets` rows by construction
+        js = sum(r["js_e9"] for r in rows) / 1e9
+        top = sorted(rows, key=lambda r: -r["js_e9"])[:args.top]
+        print(json.dumps({
+            "js_divergence": round(js, 6),
+            "buckets": args.buckets,
+            "grams_a": sum(r["c_a"] for r in rows),
+            "grams_b": sum(r["c_b"] for r in rows),
+            "top_shifted": [
+                {"bucket": r["bucket"], "c_a": r["c_a"], "c_b": r["c_b"],
+                 "js_e9": r["js_e9"]} for r in top],
+        }))
+    elif args.cmd == "semdecontam":
+        from polaris_spark.ops.similarity import semantic_decontaminate
+
+        spark = _session("polaris_spark_semdecontam")
+        out = semantic_decontaminate(
+            spark.read.parquet(args.input),
+            spark.read.parquet(args.bench),
+            threshold=args.threshold, vec_col=args.vec_col,
+            id_col=args.id_col)
+        out.write.mode("overwrite").parquet(args.output)
+        flagged = spark.read.parquet(args.output) \
+                       .where("contaminated = 1").count()
+        total = spark.read.parquet(args.output).count()
+        print(json.dumps({"output": args.output, "n_vectors": total,
+                          "n_contaminated": flagged,
+                          "threshold": args.threshold}))
     elif args.cmd == "maxsim":
         from polaris_spark.ops.similarity import maxsim_topk
 
