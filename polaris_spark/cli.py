@@ -763,6 +763,18 @@ def main(argv: list[str] | None = None) -> int:
                     help="LSH tables (recall dial; only with --srp-bits)")
     kn.add_argument("--seed", type=int, default=42)
 
+    rp = sub.add_parser("report", help="dataset-card report: docs/tokens/"
+                        "length spread/language mix/dup rate/quality of a "
+                        "corpus parquet as one JSON")
+    rp.add_argument("--input", required=True)
+    rp.add_argument("--text-col", default="text")
+    rp.add_argument("--doc-id-col", default="doc_id")
+    rp.add_argument("--group-col", default=None,
+                    help="optional per-source breakdown column")
+    rp.add_argument("--approx", action="store_true",
+                    help="sketch forms (HLL++ dup count, approx "
+                         "percentiles) — the corpus-scale path")
+
     dr = sub.add_parser("drift", help="token-distribution drift between "
                         "two corpus parquets (JS divergence over hashed "
                         "n-gram buckets; crawl-over-crawl monitor)")
@@ -1682,6 +1694,15 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"output": args.output, "n_vectors": emb.count(),
                           "n_neighbor_rows": n,
                           "mode": ("srp" if cand is not None else "exact")}))
+    elif args.cmd == "report":
+        from polaris_spark.ops.report import corpus_report
+
+        spark = _session("polaris_spark_report")
+        out = corpus_report(
+            spark.read.parquet(args.input), text_col=args.text_col,
+            id_col=args.doc_id_col, group_col=args.group_col,
+            exact=not args.approx)
+        print(json.dumps(out))
     elif args.cmd == "drift":
         from pyspark.sql import functions as F
 
