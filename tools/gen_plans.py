@@ -678,6 +678,33 @@ def main() -> None:
                       {"q1": "spark AND join", "q2": "sca*"})),
     ))
 
+    from pyspark.sql import functions as F
+
+    from polaris_spark.ops.similarity import maxsim_topk
+
+    SECTIONS.append((
+        "MaxSim late-interaction scoring (one scan, partial-agg max fold)",
+        "All |q| cosine projections ride ONE WholeStageCodegen scan "
+        "(query vectors are literals); the per-doc max fold is a "
+        "partial-aggregated HashAggregate (map-side pre-fold to "
+        "|docs-in-task| rows), and the top-k is a TakeOrderedAndProject.",
+        cap(maxsim_topk(
+            emb.withColumn("doc_id", (F.col("vec_id") % 25).cast("long")),
+            [qv, qv], k=5)),
+    ))
+
+    from polaris_spark.ops.text import vocab_shift
+
+    SECTIONS.append((
+        "vocab drift (two bucket-bounded scans, B-row frame)",
+        "Each corpus side partial-aggregates its hashed-gram stream to "
+        "<=B bucket rows map-side (HashAggregate below); the JS math is "
+        "codegen over the B-row spine with a broadcast totals row — no "
+        "corpus-sized exchange anywhere.",
+        cap(vocab_shift(docs_pq.where("doc_id % 2 = 0"),
+                        docs_pq.where("doc_id % 2 = 1"), buckets=32)),
+    ))
+
     out = [
         "# PLANS — physical-plan evidence (captured from the live engine)",
         "",
