@@ -722,9 +722,21 @@ def append_ivf(spark, emb_new, ivf_dir: str,
     Spark shape: one codegen'd assignment scan over the NEW batch + one
     partitioned append — cost ∝ batch, never index size. The caller owns
     id uniqueness (same contract as the text append's remap note): a
-    duplicate vec_id would surface twice, exactly like FAISS add()."""
+    duplicate vec_id would surface twice, exactly like FAISS add().
+
+    Quantized sidecars stay COMPLETE: when the index carries an SQ
+    (``vectors_q``) or PQ (``vectors_pq`` + ``_pq.json``) sidecar, the
+    new batch is also quantized/encoded (against the STORED codebooks —
+    the same fixed-on-append contract as the centroids) and appended
+    into the matching partitions, so a probe's approximate scan never
+    silently misses appended vectors (the rescore only sees ids the
+    approx scan surfaced — a stale sidecar would hide them entirely).
+    Cost stays ∝ batch: one extra projection + partitioned append per
+    existing sidecar."""
     import json
     import os
+
+    from pyspark.sql import functions as F
 
     from ..fs import get_fs
 
@@ -739,6 +751,33 @@ def append_ivf(spark, emb_new, ivf_dir: str,
         .partitionBy("centroid_id")
         .parquet(os.path.join(ivf_dir, "vectors"))
     )
+    if fs.exists(os.path.join(ivf_dir, "vectors_q")):
+        sq_bits = 8  # builds older than _sq.json used the default
+        if fs.exists(os.path.join(ivf_dir, "_sq.json")):
+            sq_bits = int(json.loads(
+                fs.read_text(os.path.join(ivf_dir, "_sq.json")))["bits"])
+        qv, sc = _quantize_cols(F.col("embedding"), bits=sq_bits)
+        (
+            assigned.select("vec_id", "centroid_id", qv.alias("qvec"),
+                            sc.alias("scale"))
+            .repartition("centroid_id")
+            .write.mode("append")
+            .option("compression", "zstd")
+            .partitionBy("centroid_id")
+            .parquet(os.path.join(ivf_dir, "vectors_q"))
+        )
+    if fs.exists(os.path.join(ivf_dir, "_pq.json")):
+        meta = json.loads(fs.read_text(os.path.join(ivf_dir, "_pq.json")))
+        enc = _pq_encode_udf(meta["codebooks"])
+        (
+            assigned.select("vec_id", "centroid_id",
+                            enc(F.col("embedding")).alias("codes"))
+            .repartition("centroid_id")
+            .write.mode("append")
+            .option("compression", "zstd")
+            .partitionBy("centroid_id")
+            .parquet(os.path.join(ivf_dir, "vectors_pq"))
+        )
     return centroids
 
 
@@ -798,6 +837,9 @@ def build_ivf_quantized(spark, emb=None, ivf_dir: str = None,
         .partitionBy("centroid_id")
         .parquet(os.path.join(ivf_dir, "vectors_q"))
     )
+    # persist the bit width so append_ivf quantizes new batches the same
+    fs.write_text_atomic(os.path.join(ivf_dir, "_sq.json"),
+                         json.dumps({"bits": int(bits)}))
     return centroids
 
 

@@ -113,3 +113,47 @@ def test_pq_sidecar_is_small(spark, pq_index):
     assert el == "array<smallint>"
     n = df.count()
     assert n == 500 and df.where("size(codes) = 8").count() == n
+
+
+def test_append_keeps_quantized_sidecars_complete(spark, emb, tmp_path):
+    """append_ivf after SQ/PQ sidecar builds must extend the sidecars
+    too — a stale sidecar would make quantized probes silently miss
+    appended vectors (the rescore only sees ids the approx scan
+    surfaced). Probes at nprobe=all + window=None must equal brute
+    force over the UNION after the append."""
+    from polaris_spark.ops.similarity import (
+        append_ivf,
+        build_ivf,
+        build_ivf_pq,
+        build_ivf_quantized,
+        cosine_topk,
+        ivf_topk_pq,
+        ivf_topk_sq,
+        kmeans_centroids,
+    )
+
+    half_a = emb.where("vec_id < 250")
+    half_b = emb.where("vec_id >= 250")
+    d = str(tmp_path / "ivf_app")
+    cents = kmeans_centroids(emb, n_centroids=4, seed=7, sample_n=200)
+    build_ivf(spark, half_a, d, centroids=cents)
+    build_ivf_quantized(spark, half_a, d, bits=8)
+    build_ivf_pq(spark, d, m=8, nbits=4, seed=7)
+    append_ivf(spark, half_b, d)
+
+    n = spark.read.parquet(f"{d}/vectors").count()
+    assert n == 500
+    assert spark.read.parquet(f"{d}/vectors_q").count() == n
+    assert spark.read.parquet(f"{d}/vectors_pq").count() == n
+
+    q = _q(emb, 7)
+    brute = [(r["vec_id"], r["sim"]) for r in
+             cosine_topk(emb, q, k=10).collect()]
+    sq = [(r["vec_id"], r["sim"]) for r in
+          ivf_topk_sq(spark, d, q, k=10, nprobe=4, window=None).collect()]
+    pq = [(r["vec_id"], r["sim"]) for r in
+          ivf_topk_pq(spark, d, q, k=10, nprobe=4, window=None).collect()]
+    assert sq == brute
+    assert pq == brute
+    # the appended half is actually reachable through the approx scans
+    assert any(v >= 250 for v, _ in brute), "query must hit half B"
