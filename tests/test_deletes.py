@@ -181,3 +181,20 @@ def test_doc_terms_hides_tombstones(spark, idx, deleted_idx):
     assert live_eng.doc_terms(dead).count() > 0
     del_eng = SearchEngine(spark, deleted_idx)
     assert del_eng.doc_terms(dead).count() == 0
+
+
+def test_pinned_hides_tombstones(spark, idx, deleted_idx):
+    """A tombstoned doc cannot be promoted: pinning a deleted id drops
+    it (like an unknown id), surviving pinned ids keep their order, and
+    the organic tail is tombstone-filtered like every search surface."""
+    from polaris_spark.query.engine import SearchEngine
+
+    live = SearchEngine(spark, idx)
+    dele = SearchEngine(spark, deleted_idx)
+    # pin a deleted doc (5), a live doc (3), and an unknown id
+    got = dele.search_pinned("alpha beta", [5, 3, 999], k=8).collect()
+    assert [r["doc_id"] for r in got if r["pinned"] == 1] == [3]
+    assert all(r["doc_id"] not in (2, 5, 8) for r in got)
+    # on the undeleted index the same pin list promotes 5 then 3
+    got_live = live.search_pinned("alpha beta", [5, 3, 999], k=8).collect()
+    assert [r["doc_id"] for r in got_live if r["pinned"] == 1] == [5, 3]
