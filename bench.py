@@ -517,6 +517,16 @@ def main() -> None:
         # reported; all reps are recorded below it.
         def _one(cpus: int) -> dict:
             subprocess.run(["sync"], check=False)
+            if os.environ.get("SPARK_GRAFT_DROP_CACHES") == "1":
+                # cold-cache legs: model a cluster's FIRST pass over the
+                # input (a warm page cache makes the low-parallelism leg
+                # I/O-free and inflates the efficiency denominator —
+                # measured +25% on the local[2] leg after a day of runs)
+                try:
+                    with open("/proc/sys/vm/drop_caches", "w") as f:
+                        f.write("3\n")
+                except OSError:
+                    pass  # not privileged — proceed warm, as before
             time.sleep(5)
             env = dict(os.environ, SPARK_GRAFT_SCRATCH="/dev/shm/polaris_scratch")
             out = subprocess.run(

@@ -25,7 +25,9 @@ one pruned scan.
 
 Doc identity: rows carry ``index_id`` (the position in ``dirs``) —
 doc_ids need not be globally unique across indices (Lucene's docBase
-equivalent); the total order is (score desc, index_id asc, doc_id asc).
+equivalent); the total order is (score desc, doc_id asc, index_id asc) —
+doc_id before index_id so equal-score docs rank exactly as the
+monolithic engine ranks them.
 """
 from __future__ import annotations
 
@@ -37,7 +39,7 @@ def search_multi_df(spark, dirs: list[str], query: str,
                     expand_fields: bool = False):
     """Search every index in ``dirs`` under merged global stats. Returns
     (index_id, doc_id, score, n_match) — top-k overall by
-    (score desc, index_id asc, doc_id asc); ``k=None`` returns the full
+    (score desc, doc_id asc, index_id asc); ``k=None`` returns the full
     federated match set. The flat parser surface applies (boosts,
     prohibits, ``field:``); each index's prohibit exclusion runs against
     its own postings (a doc lives in exactly one index)."""
@@ -91,5 +93,11 @@ def search_multi_df(spark, dirs: list[str], query: str,
                 .select(F.lit(i).cast("int").alias("index_id"),
                         "doc_id", "score", "n_match"))
         out = part if out is None else out.unionByName(part)
-    out = out.orderBy(F.desc("score"), F.asc("index_id"), F.asc("doc_id"))
+    # tie order (score desc, DOC_ID asc, index_id asc): equal-score docs
+    # rank exactly as the monolithic engine ranks them (measured: the
+    # old index_id-first order diverged from the monolithic top-k on
+    # cross-index score ties at bench scale — same members, same scores,
+    # swapped rows); index_id last keeps the order total when federated
+    # indexes contain colliding doc_ids
+    out = out.orderBy(F.desc("score"), F.asc("doc_id"), F.asc("index_id"))
     return out.limit(int(k)) if k is not None else out
