@@ -1725,10 +1725,17 @@ def _q_asof_join(spark, sf_dir):
                .groupBy("user_id", "ts").agg(F.max("value").alias("value")))
     out = asof_join(ev.select("event_id", "user_id", "ts"), right,
                     key_col="user_id", ts_col="ts", value_cols=["value"])
+    # Null-free gate projection: rows with no prior error keep sentinel
+    # -1 on BOTH sides — a nullable BIGINT oracle column floatifies
+    # through DuckDB→pandas (123→123.0) and a nullable double's NaN/None
+    # spelling differs by fetch path, so the driver's stringified hash
+    # would diverge on mechanics, not values.
     return out.select(
         "event_id",
-        F.round(F.col("value_asof"), 4).alias("value_asof4"),
-        "ts_asof_epoch")
+        F.coalesce(F.round(F.col("value_asof"), 4), F.lit(-1.0))
+         .alias("value_asof4"),
+        F.coalesce(F.col("ts_asof_epoch"), F.lit(-1))
+         .alias("ts_asof_epoch"))
 
 
 def _q_range_join(spark, sf_dir):
@@ -1909,39 +1916,90 @@ def _q_agg_percentiles(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Gate registry. ORDER MATTERS: the round driver verifies only the
+    FIRST 50 entries against the DuckDB oracle, so the window below is
+    curated each round to carry the strongest cross-section — the SURVEY
+    §2 core stays pinned, one representative per expansion-variant family
+    rides inside, and families the driver has not yet attested rotate in
+    (round 4: the ANN/quantization, aggregation, query-API, and
+    hybrid/rank_eval/rollup/as-of flagships).  Gates the round-3 driver
+    already attested green (dedup, mixing, DSIR, curate) sit past the
+    fold; every entry, windowed or not, still runs in
+    ``tools/gate_rehearsal.py`` with the driver-faithful comparator.
+    See COVERAGE.md §"driver window" for the invariant."""
     return {
+        # --- SURVEY §2 core: build stages + ranked/boolean/phrase search
         "tokenize_tf": _q_tokenize_tf,
         "doc_stats": _q_doc_stats,
         "dictionary": _q_dictionary,
         "bm25_scores": _q_bm25_scores,
         "bm25_top10": _q_bm25_top10,
         "boolean_and": _q_boolean_and,
-        "min_should_match": _q_min_should_match,
-        "search_after": _q_search_after,
         "boolean_not": _q_boolean_not,
+        "min_should_match": _q_min_should_match,
         "phrase_search": _q_phrase,
+        "phrase_slop": _q_phrase_slop,
+        "bool_tree_search": _q_bool_tree,
+        "search_after": _q_search_after,
+        "prefix_complete": _q_complete,
         "fielded_search": _q_fielded,
-        "field_fuzzy_search": _q_field_fuzzy,
-        "multifield_search": _q_multifield,
-        "wildcard_search": _q_wildcard,
+        "batch_search": _q_batch_search,
+        # --- one representative per expansion-variant family
         "wildcard_general": _q_wildcard_general,
+        "fuzzy_search": _q_fuzzy,
         "range_search": _q_range,
         "regexp_search": _q_regexp,
+        # --- round-3's one red row, oracle dtype fixed this round
+        "token_budget": _q_token_budget,
+        # --- ANN / quantization family (unattested before round 4)
+        "ann_cosine_top10": _q_cosine_top10,
+        "ivf_top10": _q_ivf_top10,
+        "ivf_sq_top10": _q_ivf_sq_top10,
+        "ivf_pq_top10": _q_ivf_pq_top10,
+        "knn_join_top3": _q_knn_join,
+        "maxsim_top5": _q_maxsim,
+        "hard_negatives_top3": _q_hard_negatives,
+        "semantic_decontam": _q_semantic_decontam,
+        "embed_quantize": _q_embed_quantize,
+        "kmeans_refine1": _q_kmeans_refine,
+        "semdedup": _q_semdedup,
+        # --- aggregation family
+        "agg_stats": _q_agg_stats,
+        "agg_terms": _q_agg_terms,
+        "agg_composite": _q_agg_composite,
+        "agg_date_histogram": _q_agg_date_histogram,
+        "agg_pipeline": _q_agg_pipeline,
+        "agg_percentiles": _q_agg_percentiles,
+        # --- query-API family
+        "collapse_search": _q_collapse_search,
+        "function_score": _q_function_score,
+        "significant_terms": _q_significant_terms,
+        "span_near": _q_span_near,
+        "more_like_this": _q_mlt,
+        # --- hybrid / eval / analytics flagships
+        "hybrid_search": _q_hybrid_search,
+        "rank_eval": _q_rank_eval,
+        "multi_search": _q_multi_search,
+        "rollup_hourly": _q_rollup,
+        "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
+        "sessionize": _q_sessionize,
+        "top_docs_per_source": _q_top_docs_per_source,
+        # ================= driver fold: entries below are past the
+        # 50-gate window (round-3 driver attested the dedup/mixing/DSIR
+        # block; same-family variants are represented inside the window).
+        "wildcard_search": _q_wildcard,
+        "field_fuzzy_search": _q_field_fuzzy,
+        "multifield_search": _q_multifield,
         "boosted_search": _q_boosted,
-        "fuzzy_search": _q_fuzzy,
-        "bool_tree_search": _q_bool_tree,
         "group_msm_search": _q_group_msm,
         "bool_required_search": _q_bool_required,
         "field_group_search": _q_field_group,
-        "batch_search": _q_batch_search,
-        "phrase_slop": _q_phrase_slop,
         "bool_phrase_search": _q_bool_phrase,
-        "prefix_complete": _q_complete,
         "curate": _q_curate,
         "curate_decontam": _q_curate_decontam,
         "mixture_sample": _q_mixture_sample,
         "split_assign": _q_split_assign,
-        "token_budget": _q_token_budget,
         "pack_sequences": _q_pack_sequences,
         "dedup_exact": _q_dedup_exact,
         "minhash_signatures": _q_minhash,
@@ -1949,7 +2007,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": _q_dup_clusters,
         "dup_clusters_star": _q_dup_clusters_star,
         "neardup_pairs": _q_neardup_pairs,
-        "semdedup": _q_semdedup,
         "jaccard_pairs": _q_jaccard,
         "dup_spans": _q_dup_spans,
         "strip_dup_spans": _q_strip_spans,
@@ -1959,34 +2016,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_gumbel": _q_dsir_gumbel,
         "decontaminate": _q_decontam,
         "simhash16": _q_simhash,
-        "ann_cosine_top10": _q_cosine_top10,
-        "knn_join_top3": _q_knn_join,
-        "hard_negatives_top3": _q_hard_negatives,
-        "embed_quantize": _q_embed_quantize,
-        "ivf_top10": _q_ivf_top10,
-        "ivf_sq_top10": _q_ivf_sq_top10,
-        "ivf_pq_top10": _q_ivf_pq_top10,
         "ivf_many_top5": _q_ivf_many,
-        "maxsim_top5": _q_maxsim,
-        "semantic_decontam": _q_semantic_decontam,
         "lookup_by_source": _q_lookup_by_source,
         "browse_listing": _q_browse,
         "doc_terms": _q_doc_terms,
         "facet_counts": _q_facet_counts,
         "pinned_search": _q_pinned_search,
         "sorted_search": _q_sorted_search,
-        "collapse_search": _q_collapse_search,
         "parent_search": _q_parent_search,
         "rescore": _q_rescore,
         "filtered_search": _q_filtered_search,
         "boosting_search": _q_boosting_search,
-        "function_score": _q_function_score,
         "decay_search": _q_decay_search,
-        "significant_terms": _q_significant_terms,
         "dismax_search": _q_dismax_search,
         "intervals_search": _q_intervals,
         "phrase_prefix": _q_phrase_prefix,
-        "span_near": _q_span_near,
         "span_near_ordered": _q_span_near_ordered,
         "synonym_search": _q_synonym_search,
         "multi_phrase": _q_multi_phrase,
@@ -1995,7 +2039,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest": _q_suggest,
         "suggest_phrase": _q_suggest_phrase,
         "explain_score": _q_explain,
-        "more_like_this": _q_mlt,
         "index_check": _q_index_check,
         "corpus_shuffle": _q_corpus_shuffle,
         "delete_search": _q_delete_search,
@@ -2013,33 +2056,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": _q_gopher_rules,
         "chunk_windows": _q_chunk_windows,
         "events_hourly": _q_events_hourly,
-        "top_docs_per_source": _q_top_docs_per_source,
-        "sessionize": _q_sessionize,
-        "agg_stats": _q_agg_stats,
-        "agg_terms": _q_agg_terms,
         "agg_top_hits": _q_agg_top_hits,
         "agg_histogram": _q_agg_histogram,
         "agg_range": _q_agg_range,
-        "agg_date_histogram": _q_agg_date_histogram,
         "agg_cardinality": _q_agg_cardinality,
-        "agg_percentiles": _q_agg_percentiles,
-        "agg_composite": _q_agg_composite,
         "agg_filters": _q_agg_filters,
-        "agg_pipeline": _q_agg_pipeline,
         "agg_weighted_avg": _q_agg_weighted_avg,
         "agg_matrix_stats": _q_agg_matrix_stats,
         "agg_adjacency": _q_agg_adjacency,
         "agg_sampler": _q_agg_sampler,
         "classic_search": _q_classic_search,
         "nb_classify": _q_nb_classify,
-        "kmeans_refine1": _q_kmeans_refine,
-        "multi_search": _q_multi_search,
-        "rank_eval": _q_rank_eval,
-        "hybrid_search": _q_hybrid_search,
         "lsh_ingest": _q_lsh_ingest,
-        "asof_join": _q_asof_join,
-        "range_join": _q_range_join,
-        "rollup_hourly": _q_rollup,
         "transcripts_invariant": _q_transcripts_invariant,
     }
 
@@ -2428,7 +2456,10 @@ SELECT doc_id, query_id FROM (
             key_col="user_id", ts_col="ts", value_cols=["value"],
             out_cols="l.event_id",
         ).replace("r.value AS value_asof",
-                  "round(r.value, 4) AS value_asof4"),
+                  "coalesce(round(r.value, 4), -1.0) AS value_asof4")
+         .replace("floor(epoch(r.ts))::BIGINT AS ts_asof_epoch",
+                  "coalesce(floor(epoch(r.ts))::BIGINT, -1) "
+                  "AS ts_asof_epoch"),
         "range_join": """
 SELECT l.event_id, r.event_id AS interval_id
 FROM events l JOIN events r

@@ -303,7 +303,7 @@ c AS (
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
   FROM t
 )
-SELECT {id_col}, {key}, n_ws_tokens, cum_tokens,
+SELECT {id_col}, {key}, n_ws_tokens, cum_tokens::BIGINT AS cum_tokens,
        cum_tokens <= ({bud}) AS kept
 FROM c"""
 

@@ -1522,6 +1522,25 @@ class SearchEngine:
         # request. Results need no lock — each query scores from a local
         # frames dict assembled before eviction can touch it.
         self._cache_lock = threading.Lock()
+        # memoized LAZY DataFrame handles for index-state tables
+        # (dictionary / fuzzy_ngrams / completion / doc_map / tf):
+        # spark.read.parquet re-lists files + re-infers schema on every
+        # call (~0.15 s each on a many-file index), which dominated the
+        # r3 completion-probe latency. The engine is a point-in-time
+        # reader by contract, so a cached handle is exactly as fresh as
+        # the engine itself. Plans built from the handle still prune
+        # partitions/row-groups per query.
+        self._table_cache: dict[str, "DataFrame"] = {}
+
+    def _table(self, path: str):
+        """Cached lazy reader for a point-in-time index-state table."""
+        with self._cache_lock:
+            df = self._table_cache.get(path)
+        if df is None:
+            df = self.spark.read.parquet(path)
+            with self._cache_lock:
+                self._table_cache[path] = df
+        return df
 
     # ------------------------------------------------------------ helpers
 
@@ -1699,7 +1718,7 @@ class SearchEngine:
         if self.fs.exists(fz_path):
             cand = self._fuzzy_gram_candidates(probe, max_edits)
         else:
-            cand = self.spark.read.parquet(self.dict_path).groupBy("term").agg(
+            cand = self._table(self.dict_path).groupBy("term").agg(
                 F.sum("df").alias("df")
             )
         n = len(probe)
@@ -1725,10 +1744,10 @@ class SearchEngine:
 
         grams = sorted({term[i:i + 2] for i in range(len(term) - 1)})
         if len(grams) == 0 or (len(term) - 1) - 2 * max_edits < 1:
-            return self.spark.read.parquet(self.dict_path).groupBy("term").agg(
+            return self._table(self.dict_path).groupBy("term").agg(
                 F.sum("df").alias("df")
             )
-        fz = self.spark.read.parquet(os.path.join(self.index_dir, "fuzzy_ngrams"))
+        fz = self._table(os.path.join(self.index_dir, "fuzzy_ngrams"))
         return (
             fz.where(F.col("g1").isin(sorted({g[:1] for g in grams})))
             .where(F.col("gram").isin(grams))
@@ -1755,7 +1774,7 @@ class SearchEngine:
         only within that field's term space (its prefix carries the ':')."""
         from pyspark.sql import functions as F
 
-        dic = self.spark.read.parquet(self.dict_path)
+        dic = self._table(self.dict_path)
         flt = dic.where(F.col("term").startswith(prefix))
         if ":" not in prefix:
             flt = flt.where(~F.col("term").contains(":"))
@@ -1809,7 +1828,7 @@ class SearchEngine:
             ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
             for ch in full
         ) + "$"
-        dic = self.spark.read.parquet(self.dict_path)
+        dic = self._table(self.dict_path)
         flt = dic
         if lit:
             flt = flt.where(F.col("term").startswith(lit))
@@ -1846,7 +1865,7 @@ class SearchEngine:
 
         field, lo, hi, inc_lo, inc_hi = rng
         fields = set(self.stats.get("field_cols", ()) or ())
-        dic = self.spark.read.parquet(self.dict_path)
+        dic = self._table(self.dict_path)
         if field is not None and field not in fields:
             return (dic.where(F.lit(False)).groupBy("term")
                     .agg(F.sum("df").alias("df")))
@@ -1898,7 +1917,7 @@ class SearchEngine:
             raise ValueError(f"not a regexp chunk: {raw!r}")
         fld, pat = parsed
         fields = set(self.stats.get("field_cols", ()) or ())
-        dic = self.spark.read.parquet(self.dict_path)
+        dic = self._table(self.dict_path)
         if fld is not None and fld not in fields:
             # unknown field → empty, like a TermRangeQuery on an absent field
             flt = dic.where(F.lit(False))
@@ -3216,7 +3235,7 @@ class SearchEngine:
         if not tf:
             return []
         rows = (
-            self.spark.read.parquet(self.dict_path)
+            self._table(self.dict_path)
             .where(F.col("term").isin(sorted(tf)))
             .groupBy("term")  # per-generation delta rows fold here
             .agg(F.sum("df").alias("df"))
@@ -4028,7 +4047,7 @@ class SearchEngine:
         from pyspark.sql import functions as F
 
         topk = self.search_df(query, k, mode)
-        payload = docs if docs is not None else self.spark.read.parquet(self.doc_map_path)
+        payload = docs if docs is not None else self._table(self.doc_map_path)
         out = payload.join(F.broadcast(topk), "doc_id")
         if snippet:
             if "text" not in out.columns:
@@ -4063,7 +4082,7 @@ class SearchEngine:
 
         hits = self.match_df(query, mode=mode, expand_fields=expand_fields)
         payload = docs if docs is not None \
-            else self.spark.read.parquet(self.doc_map_path)
+            else self._table(self.doc_map_path)
         if columns:
             missing = [c for c in columns if c not in payload.columns]
             if missing:
@@ -4254,7 +4273,7 @@ class SearchEngine:
         conv_id."""
         from pyspark.sql import functions as F
 
-        dm = self._live(self.spark.read.parquet(self.doc_map_path))
+        dm = self._live(self._table(self.doc_map_path))
         if "conv_id" not in dm.columns:
             raise ValueError("index doc_map carries no conv_id column")
         return dm.where(F.col("conv_id") == conv_id).orderBy("turn_idx")
@@ -4266,7 +4285,7 @@ class SearchEngine:
         from pyspark.sql import functions as F
 
         ids = self.spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id bigint")
-        dm = self._live(self.spark.read.parquet(self.doc_map_path))
+        dm = self._live(self._table(self.doc_map_path))
         return dm.join(F.broadcast(ids), "doc_id")
 
     def get_turn(self, conv_id, turn_idx: int):
@@ -4278,7 +4297,7 @@ class SearchEngine:
         pruning applies on the equality filters."""
         from pyspark.sql import functions as F
 
-        dm = self._live(self.spark.read.parquet(self.doc_map_path))
+        dm = self._live(self._table(self.doc_map_path))
         if "conv_id" not in dm.columns:
             raise ValueError("index doc_map carries no conv_id column")
         return dm.where(
@@ -4293,7 +4312,7 @@ class SearchEngine:
         (or an id column). Equality filter is pushed to the doc_map scan."""
         from pyspark.sql import functions as F
 
-        dm = self._live(self.spark.read.parquet(self.doc_map_path))
+        dm = self._live(self._table(self.doc_map_path))
         if attr not in dm.columns:
             raise ValueError(
                 f"attribute {attr!r} not stored in doc_map "
@@ -4324,7 +4343,7 @@ class SearchEngine:
         regardless of corpus size."""
         from pyspark.sql import functions as F
 
-        dm = self._live(self.spark.read.parquet(self.doc_map_path))
+        dm = self._live(self._table(self.doc_map_path))
         if levels is None:
             levels = tuple(c for c in dm.columns
                            if c not in ("doc_id", "text"))
@@ -4379,7 +4398,7 @@ class SearchEngine:
 
         empty = self.spark.createDataFrame([], "term string, tf bigint")
         tf_path = os.path.join(self.index_dir, "tf")
-        dm = self._live(self.spark.read.parquet(self.doc_map_path))
+        dm = self._live(self._table(self.doc_map_path))
         alive = dm.where(F.col("doc_id") == int(doc_id))
         tf_df = None
         if self.fs.exists(tf_path):
@@ -4387,7 +4406,7 @@ class SearchEngine:
                 tf_df = empty
             else:
                 rows = (
-                    self.spark.read.parquet(tf_path)
+                    self._table(tf_path)
                     .where(F.col("doc_id") == int(doc_id))
                     .select(F.explode(F.arrays_zip("terms", "tfs"))
                             .alias("p"))
@@ -4413,7 +4432,7 @@ class SearchEngine:
                 "term string, tf bigint")
         terms = [r["term"] for r in tf_df.select("term").collect()]
         probe = (
-            self.spark.read.parquet(self.dict_path)
+            self._table(self.dict_path)
             .where(F.col("term").isin(sorted(terms)))
             .groupBy("term").agg(F.sum("df").alias("df"))
         )
@@ -4440,7 +4459,7 @@ class SearchEngine:
         |values| × partitions tiny rows regardless of match-set size."""
         from pyspark.sql import functions as F
 
-        dm = self.spark.read.parquet(self.doc_map_path)
+        dm = self._table(self.doc_map_path)
         if attr not in dm.columns:
             raise ValueError(
                 f"attribute {attr!r} not stored in doc_map "
@@ -4518,7 +4537,7 @@ class SearchEngine:
         (:meth:`match_df` routing, k=None, tombstones filtered) equi-joined
         to a column-pruned live doc_map scan for one stored attribute.
         Returns (doc_id, <attr>, score, n_match)."""
-        dm = self._live(self.spark.read.parquet(self.doc_map_path))
+        dm = self._live(self._table(self.doc_map_path))
         if attr == "doc_id" or attr not in dm.columns:
             raise ValueError(
                 f"attribute {attr!r} not a stored groupable attribute "
@@ -4552,7 +4571,7 @@ class SearchEngine:
         pf = self.spark.createDataFrame(
             [(int(d), i + 1) for i, d in enumerate(pinned_ids)],
             "doc_id long, pin_pos int")
-        dm = self._live(self.spark.read.parquet(self.doc_map_path)) \
+        dm = self._live(self._table(self.doc_map_path)) \
                  .select("doc_id")
         org = self.match_df(query, mode=mode,
                             expand_fields=expand_fields) \
@@ -4817,7 +4836,7 @@ class SearchEngine:
             raise ValueError(f"unknown boost_mode {boost_mode!r}")
         if modifier not in ("none", "log1p", "sqrt"):
             raise ValueError(f"unknown modifier {modifier!r}")
-        dm = self._live(self.spark.read.parquet(self.doc_map_path))
+        dm = self._live(self._table(self.doc_map_path))
         src = dm if attr in dm.columns else docs
         if src is None or attr not in src.columns:
             raise ValueError(
@@ -4875,7 +4894,7 @@ class SearchEngine:
             raise ValueError("decay must be in (0, 1)")
         if float(scale) <= 0:
             raise ValueError("scale must be positive")
-        dm = self._live(self.spark.read.parquet(self.doc_map_path))
+        dm = self._live(self._table(self.doc_map_path))
         src = dm if attr in dm.columns else docs
         if src is None or attr not in src.columns:
             raise ValueError(
@@ -4951,13 +4970,13 @@ class SearchEngine:
         tf_path = os.path.join(self.index_dir, "tf")
         if self.fs.exists(tf_path):
             pairs = (
-                self.spark.read.parquet(tf_path)
+                self._table(tf_path)
                 .where(F.col("doc_id").isin(ids))
                 .select("doc_id", F.explode("terms").alias("term"))
             )
         else:
             src = docs if docs is not None else self._live(
-                self.spark.read.parquet(self.doc_map_path))
+                self._table(self.doc_map_path))
             if "text" not in src.columns:
                 raise ValueError(
                     "significant_terms needs the tf/ checkpoint, stored "
@@ -4971,7 +4990,7 @@ class SearchEngine:
             )
         fg = pairs.groupBy("term").agg(F.count("*").alias("fg_df"))
         bg = (
-            self.spark.read.parquet(self.dict_path)
+            self._table(self.dict_path)
             .join(F.broadcast(fg.select("term")), "term", "left_semi")
             .groupBy("term").agg(F.sum("df").alias("bg_df"))
         )
@@ -5008,7 +5027,7 @@ class SearchEngine:
         if self.fs.exists(fz_path):
             cand = self._fuzzy_gram_candidates(term, max_edits)
         else:
-            cand = self.spark.read.parquet(self.dict_path).groupBy("term").agg(
+            cand = self._table(self.dict_path).groupBy("term").agg(
                 F.sum("df").alias("df")
             )
         L = len(term)
@@ -5083,7 +5102,7 @@ class SearchEngine:
             cands[longest].pop()
         terms = sorted({t for c in cands for t, _ in c})
         cf = {r["term"]: int(r["cf"]) for r in (
-            self.spark.read.parquet(self.dict_path)
+            self._table(self.dict_path)
             .where(F.col("term").isin(terms))
             .groupBy("term").agg(F.sum("cf").alias("cf"))
             .collect())}
@@ -5130,7 +5149,7 @@ class SearchEngine:
         p = prefix.lower()
         comp_path = os.path.join(self.index_dir, "completion")
         if self.fs.exists(comp_path):
-            comp = self.spark.read.parquet(comp_path)
+            comp = self._table(comp_path)
             flt = comp.where(F.col("key").startswith(p))
             if p and "k1" in comp.columns:
                 # k1= directory pruning: the probe lists exactly one dir
@@ -5138,18 +5157,22 @@ class SearchEngine:
             # rows are per-generation deltas after appends: fold df/cf within
             # (key, term) first (append writes ALL keys of a touched term, so
             # every matching key then carries the term's true totals), then
-            # dedupe the term across its matching keys
+            # dedupe the term across its matching keys. A base build
+            # (generations == 0) has exactly one row per (key, term) with
+            # final totals, so the fold shuffle is skipped there — one
+            # exchange instead of two on the latency path.
+            if int(self.stats.get("generations", 0)) > 0:
+                flt = flt.groupBy("key", "term").agg(
+                    F.sum("df").alias("df"), F.sum("cf").alias("cf"))
             return (
-                flt.groupBy("key", "term")
-                .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
-                .dropDuplicates(["term"])
+                flt.dropDuplicates(["term"])
                 .orderBy(F.desc("df"), F.asc("term"))
                 .limit(n)
                 .select("term", "df", "cf")
             )
         from ..tokenizer import parts_col
 
-        dic = self.spark.read.parquet(self.dict_path)
+        dic = self._table(self.dict_path)
         acro = F.regexp_replace(F.col("term"), "[^A-Z]", "")
         cond = (
             F.lower(F.col("term")).startswith(p)

@@ -25,13 +25,28 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(v):
-    if isinstance(v, float):
-        return round(v, 9)
+    """Driver-faithful canonical form: the round driver hashes STRINGIFIED
+    values, so ``123`` (int64) vs ``123.0`` (float64) must compare UNEQUAL
+    here too — Python's ``123 == 123.0`` let exactly that class escape in
+    round 3 (token_budget).  Floats are rounded to 9 decimals first (same
+    tolerance as before) but keep their float repr."""
+    if v is None:
+        return "None"
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(norm(x) for x in v) + "]"
+    if hasattr(v, "tolist") and getattr(v, "ndim", 0):  # ndarray via .df()
+        return norm(v.tolist())
     if hasattr(v, "item"):  # numpy scalar out of DuckDB
         return norm(v.item())
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return str(v)
+    if v != v:  # NaN / NaT → same spelling as a null
+        return "None"
+    if isinstance(v, float):
+        return str(round(v, 9))
     if isinstance(v, bytes):
         return v.hex()
-    return v
+    return str(v)
 
 
 def canon(rows, cols):
@@ -78,9 +93,12 @@ def main() -> int:
             sdf = qs[name](spark, args.sf)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            # Fetch via pandas like the round driver does: DuckDB HUGEINT
+            # (e.g. a windowed sum over BIGINT) becomes float64 THERE, not
+            # in fetchall() — that dtype coercion is the r3 escape class.
+            ddf = con.execute(oracles[name]).df()
+            dcols = list(ddf.columns)
+            drows = list(ddf.itertuples(index=False, name=None))
             ok = (sorted(scols) == sorted(dcols)
                   and len(srows) == len(drows)
                   and canon(srows, scols) == canon(drows, dcols))
