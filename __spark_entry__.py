@@ -28,6 +28,7 @@ Q_PREFIX = "sca"  # matches 'scan' (full prefix path)
 Q_PHRASE = "spark join"  # exact-adjacency phrase over base tokens
 Q_FIELDED = "slow source:src3"  # ranked text term + field-scoped term
 Q_MULTI = "src3 slow"  # bare tokens, expanded across text + field columns
+Q_MULTI_NOT = "src3 slow -src1"  # negated bare chunk, field-expanded too
 Q_WILD = "s* join"  # Lucene-classic trailing-star prefix + literal term
 Q_BOOST = "spark^2.5 join"  # Lucene-classic clause boost
 Q_FUZZY = "scan~2 join"  # Lucene-classic fuzzy (maxEdits=2)
@@ -243,6 +244,18 @@ def _q_multifield(spark, sf_dir):
 
     eng = SearchEngine(spark, _ensure_index(spark, sf_dir, fields=True))
     return _score_e4(eng.search_df(Q_MULTI, k=None, expand_fields=True))
+
+
+def _q_multifield_not(spark, sf_dir):
+    """Negated BARE chunk under multi-field expansion (the r3 ADVICE
+    latent case): '-src1' must exclude docs matching the chunk in ANY
+    searchable field (here the source FIELD tokens), not just the text
+    tokens — gate.py _exclusion_clause receives expand_fields and the
+    engine's parse_query expands negations identically."""
+    from polaris_spark.query.engine import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_index(spark, sf_dir, fields=True))
+    return _score_e4(eng.search_df(Q_MULTI_NOT, k=None, expand_fields=True))
 
 
 def _q_wildcard(spark, sf_dir):
@@ -1991,6 +2004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_search": _q_wildcard,
         "field_fuzzy_search": _q_field_fuzzy,
         "multifield_search": _q_multifield,
+        "multifield_not_search": _q_multifield_not,
         "boosted_search": _q_boosted,
         "group_msm_search": _q_group_msm,
         "bool_required_search": _q_bool_required,
@@ -2254,6 +2268,8 @@ SELECT doc_id, lpad(lower(to_hex(val)), 4, '0') AS simhash16 FROM packed"""
                                               field_cols=FIELD_COLS),
         "multifield_search": bm25_scores_sql(Q_MULTI, field_cols=FIELD_COLS,
                                              expand_fields=True),
+        "multifield_not_search": bm25_scores_sql(
+            Q_MULTI_NOT, field_cols=FIELD_COLS, expand_fields=True),
         "wildcard_search": bm25_scores_sql(Q_WILD),
         "wildcard_general": bm25_scores_sql(Q_WILDG),
         "range_search": bm25_scores_sql(Q_RANGE),

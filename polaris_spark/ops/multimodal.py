@@ -7,6 +7,8 @@ numpy-native right here (no external media libraries needed):
 
 - **BMP** (24-bit BGR + 8-bit grayscale): :func:`decode_bmp` /
   :func:`encode_bmp` — header parse, row padding, bottom-up flip.
+- **PPM** (netpbm P6, 8-bit): :func:`decode_ppm` / :func:`encode_ppm` —
+  ASCII token header with comments, raw interleaved RGB.
 - **WAV** (PCM 16/8-bit, RIFF): :func:`decode_wav` / :func:`encode_wav` —
   chunk walk, interleaved-channel reshape.
 
@@ -114,6 +116,47 @@ def encode_bmp(rgb: np.ndarray) -> bytes:
     return header + info + body
 
 
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Decode a binary PPM (P6, 8-bit maxval) → uint8 (H, W, 3) RGB —
+    the other no-dependency image container (netpbm). Header is ASCII
+    tokens (``P6 <w> <h> <maxval>``) with ``#`` comments; pixel data is
+    raw interleaved RGB. Raises ValueError on non-P6 / 16-bit payloads."""
+    if len(data) < 2 or data[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    toks, pos = [], 2
+    while len(toks) < 3 and pos < len(data):
+        c = data[pos:pos + 1]
+        if c == b"#":  # comment to end-of-line
+            pos = data.find(b"\n", pos)
+            if pos < 0:
+                raise ValueError("truncated PPM header")
+            pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            j = pos
+            while j < len(data) and not data[j:j + 1].isspace():
+                j += 1
+            toks.append(data[pos:j])
+            pos = j
+    if len(toks) < 3:
+        raise ValueError("truncated PPM header")
+    w, h, maxv = (int(t) for t in toks)
+    if maxv != 255:
+        raise ValueError(f"unsupported PPM maxval {maxv}")
+    pos += 1  # single whitespace byte after maxval, then raw pixels
+    px = np.frombuffer(data, np.uint8, w * h * 3, pos)
+    return px.reshape(h, w, 3).copy()
+
+
+def encode_ppm(rgb: np.ndarray) -> bytes:
+    """uint8 (H, W, 3) RGB → binary P6 PPM bytes — the exact inverse of
+    :func:`decode_ppm`."""
+    arr = np.asarray(rgb, dtype=np.uint8)
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """Decode a RIFF/WAVE PCM payload (16-bit signed or 8-bit unsigned) →
     (samples, sample_rate); samples are float64 in [-1, 1], shape
@@ -207,10 +250,10 @@ def stub_featurizer(data: bytes) -> list[float]:
 
 
 def image_featurizer(data: bytes) -> list[float]:
-    """REAL image featurizer over decoded pixels (BMP path, numpy-native):
+    """REAL image featurizer over decoded pixels (BMP/PPM, numpy-native):
     grayscale luminance histogram, FEATURE_DIM bins, L1-normalized — same
     contract as :func:`stub_featurizer` (bytes → FEATURE_DIM floats)."""
-    rgb = decode_bmp(data)
+    rgb = decode_ppm(data) if data[:2] == b"P6" else decode_bmp(data)
     gray = rgb @ np.array([0.299, 0.587, 0.114])
     hist = np.histogram(gray, bins=FEATURE_DIM, range=(0, 256))[0]
     total = hist.sum() or 1
@@ -241,7 +284,7 @@ def media_featurizer(data: bytes) -> list[float]:
     route png/jpeg through PIL stays :func:`decode_features`'s
     ``featurizer`` argument."""
     try:
-        if data[:2] == b"BM":
+        if data[:2] in (b"BM", b"P6"):
             return image_featurizer(data)
         if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
             return audio_featurizer(data)
@@ -251,10 +294,10 @@ def media_featurizer(data: bytes) -> list[float]:
 
 
 def bmp_resizer(data: bytes, width: int, height: int) -> bytes:
-    """REAL resize (BMP path): decode, grayscale, nearest-neighbor resample
+    """REAL resize (BMP/PPM): decode, grayscale, nearest-neighbor resample
     with numpy index maps → w×h luminance bytes — same contract as
     :func:`stub_resizer` (bytes, w, h → width*height bytes)."""
-    rgb = decode_bmp(data)
+    rgb = decode_ppm(data) if data[:2] == b"P6" else decode_bmp(data)
     gray = (rgb @ np.array([0.299, 0.587, 0.114])).astype(np.uint8)
     h, w = gray.shape
     yi = (np.arange(height) * h) // height

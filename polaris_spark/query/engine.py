@@ -1456,13 +1456,21 @@ def score_shard_synonym(
 
 
 class SearchEngine:
-    def __init__(self, spark, index_dir: str, cache_terms: int = 0):
+    def __init__(self, spark, index_dir: str, cache_terms: int = 0,
+                 fuzzy_prefix_length: int = 0):
         """``cache_terms`` > 0 enables a driver-side LRU of candidate
         posting rows keyed by term (serving mode — the analog of the
         reference keeping one warm Lucene IndexReader open,
         search/CodeSearchImpl.java:53-69). Like a Lucene reader, a cached
         engine is a point-in-time view: construct a new engine after
-        ``append_index``/``compact_index`` to see new segments."""
+        ``append_index``/``compact_index`` to see new segments.
+
+        ``fuzzy_prefix_length`` is FuzzyQuery's prefixLength (Lucene
+        default 0): every ``term~N`` expansion candidate must share the
+        probe's first that-many characters EXACTLY, and with identical
+        prefixes whole-term Levenshtein equals suffix Levenshtein — so the
+        constraint is one extra pushed StartsWith on the dictionary/gram
+        scan, which also shrinks the expansion read at scale."""
         from ..fs import get_fs
 
         self.spark = spark
@@ -1512,6 +1520,7 @@ class SearchEngine:
 
             posts = posts.where(F.col("chunk").isin(self._serve_chunks))
         self._posts = posts
+        self.fuzzy_prefix_length = int(fuzzy_prefix_length)
         self._cache_cap = int(cache_terms)
         self._term_cache: dict[str, pd.DataFrame] = {}
         self._del_cache = "unloaded"  # see _deletes_np
@@ -1711,9 +1720,18 @@ class SearchEngine:
         fld, _, rest = term.partition(":")
         if rest and fld in fields:
             probe, scope = term, F.col("term").startswith(f"{fld}:")
+            pl_off = len(fld) + 1  # prefixLength counts BODY chars
         else:
             probe = rest if rest else term
             scope = ~F.col("term").contains(":")
+            pl_off = 0
+        pl = self.fuzzy_prefix_length
+        if pl > 0:
+            # FuzzyQuery prefixLength: candidates share the probe's first
+            # pl body chars exactly (identical prefixes ⇒ whole-term
+            # Levenshtein == suffix Levenshtein, so the filter below stays
+            # exact Lucene semantics); pushed as one more StartsWith
+            scope = scope & F.col("term").startswith(probe[:pl_off + pl])
         fz_path = os.path.join(self.index_dir, "fuzzy_ngrams")
         if self.fs.exists(fz_path):
             cand = self._fuzzy_gram_candidates(probe, max_edits)
@@ -2285,6 +2303,34 @@ class SearchEngine:
         t = self._deletes_df()
         return dm if t is None else dm.join(t, "doc_id", "left_anti")
 
+    def _match_all_df(self, k, exc_terms=(), after=None, include_df=None):
+        """``*:*`` MatchAllDocsQuery: every live doc at score 1.0 (Lucene's
+        constant), doc_id asc (equal-score tiebreak everywhere else in the
+        engine). One doc_map scan; exclusions/FILTER arrive as doc-id
+        frames and anti-/semi-join before the k cut — no postings are
+        decoded for the match side at all."""
+        from pyspark.sql import functions as F
+
+        out = self._live(self._table(self.doc_map_path)).select(
+            "doc_id",
+            F.lit(1.0).alias("score"),
+            F.lit(1).cast("int").alias("n_match"))
+        if exc_terms:
+            ex = (self._excluded_docs_df(list(exc_terms))
+                  .select("doc_id").distinct())
+            out = out.join(ex, "doc_id", "left_anti")
+        if include_df is not None:
+            out = out.join(include_df.select("doc_id").distinct(),
+                           "doc_id", "left_semi")
+        if after is not None:
+            a_score, a_doc = float(after[0]), int(after[1])
+            out = out.where(
+                (F.lit(1.0) < F.lit(a_score))
+                | ((F.lit(1.0) == F.lit(a_score))
+                   & (F.col("doc_id") > F.lit(a_doc))))
+        out = out.orderBy(F.asc("doc_id"))
+        return out.limit(int(k)) if k is not None else out
+
     def _excluded_docs(self, exc: list[str]) -> np.ndarray | None:
         """Union of doc_ids carrying any excluded term (driver-side decode
         of the pruned candidate rows) — the low-latency SERVING path only.
@@ -2454,10 +2500,25 @@ class SearchEngine:
         filter's match set is corpus-sized in general, so the driver path
         never collects it — filtered queries always delegate.
 
+        ``*:*`` is Lucene's classic MatchAllDocsQuery spelling (the last
+        classic-parser surface, reference SourceDbImpl.java:135-139 passes
+        user text straight to the parser): every live doc at constant
+        score 1.0 in doc_id order. It may ride with ``-term`` exclusions
+        (``*:* -foo`` = everything except foo's docs); combining it with
+        scoring terms is rejected — Lucene would score those docs anyway
+        and a silent constant-score union would misrank. Corpus-sized by
+        construction, so it always delegates to the distributed path.
+
         Prohibit terms with more than ``exclude_driver_limit`` total postings
         would make the driver-side id union the bottleneck — those queries
         fall over to :meth:`search_df`'s distributed exclusion and only the
         top-k comes back."""
+        if "*:*" in (query or "").split():
+            res = self.search_df(query, k=k, mode=mode,
+                                 expand_fields=expand_fields,
+                                 min_match=min_match, after=after,
+                                 filter_query=filter_query).toPandas()
+            return res.to_dict("records")
         self._check_wildcard_mode(query, mode)
         terms, exc, boosts = self.parse_query_boosts(query, expand_fields)
         if not terms:
@@ -2523,6 +2584,21 @@ class SearchEngine:
         set rides the exclusion cogroup as an inclusion frame
         (:meth:`_filter_docs_df`), applied in-kernel before θ₀ — MaxScore
         stays exact and no ids reach the driver."""
+        toks = (query or "").split()
+        if "*:*" in toks:
+            rest = " ".join(t for t in toks if t != "*:*")
+            r_terms, r_exc, _ = (self.parse_query_boosts(rest, expand_fields)
+                                 if rest else ([], (), {}))
+            if r_terms:
+                raise ValueError(
+                    "*:* (match-all) combines only with -exclusions; "
+                    "scoring terms alongside it would misrank under a "
+                    "constant-score union")
+            return self._match_all_df(
+                k, r_exc, after=after,
+                include_df=(self._filter_docs_df(
+                    filter_query, expand_fields=expand_fields)
+                    if filter_query is not None else None))
         self._check_wildcard_mode(query, mode)
         terms, exc, boosts = self.parse_query_boosts(query, expand_fields)
         empty = self.spark.createDataFrame([], RESULT_SCHEMA)

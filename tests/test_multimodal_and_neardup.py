@@ -187,6 +187,36 @@ def test_bmp_wav_roundtrip():
         decode_wav(b"OggS" + bytes(64))
 
 
+def test_ppm_roundtrip_and_featurizer_parity():
+    import numpy as np
+
+    from polaris_spark.ops.multimodal import (bmp_resizer, decode_ppm,
+                                              encode_bmp, encode_ppm,
+                                              image_featurizer,
+                                              media_featurizer)
+
+    rng = np.random.default_rng(13)
+    for w, h in [(5, 3), (16, 16), (33, 7)]:
+        px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        assert np.array_equal(decode_ppm(encode_ppm(px)), px)
+        # SAME pixels through BMP and PPM containers → identical features
+        # and identical resized buffers (container-independent kernels)
+        assert image_featurizer(encode_ppm(px)) == \
+            image_featurizer(encode_bmp(px))
+        assert bmp_resizer(encode_ppm(px), 4, 4) == \
+            bmp_resizer(encode_bmp(px), 4, 4)
+        assert media_featurizer(encode_ppm(px)) == \
+            media_featurizer(encode_bmp(px))
+    # header comments + arbitrary whitespace are legal netpbm
+    px = rng.integers(0, 256, (2, 2, 3)).astype(np.uint8)
+    hdr = b"P6 # a comment\n# another\n 2\t2\n255\n" + px.tobytes()
+    assert np.array_equal(decode_ppm(hdr), px)
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n2 2\n255\n" + bytes(4))  # PGM not P6
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 2\n65535\n" + bytes(24))  # 16-bit maxval
+
+
 def test_real_decode_pipeline_over_spark(spark):
     """decode_features with the REAL media featurizer over genuine BMP/WAV
     payloads: image/audio rows go through actual pixel/sample decode
