@@ -517,16 +517,24 @@ def main() -> None:
         # reported; all reps are recorded below it.
         def _one(cpus: int) -> dict:
             subprocess.run(["sync"], check=False)
+            cache_dropped = None  # None = cold mode not requested
             if os.environ.get("SPARK_GRAFT_DROP_CACHES") == "1":
                 # cold-cache legs: model a cluster's FIRST pass over the
                 # input (a warm page cache makes the low-parallelism leg
                 # I/O-free and inflates the efficiency denominator —
-                # measured +25% on the local[2] leg after a day of runs)
+                # measured +25% on the local[2] leg after a day of runs).
+                # NOTE this drops the whole HOST's page cache, not just
+                # this process's — anything else running on the machine
+                # pays the re-read too.
                 try:
                     with open("/proc/sys/vm/drop_caches", "w") as f:
                         f.write("3\n")
+                    cache_dropped = True
                 except OSError:
-                    pass  # not privileged — proceed warm, as before
+                    # not privileged — proceed warm, but RECORD it: a leg
+                    # labeled cold that silently ran warm poisoned the r3
+                    # scaling narrative (ADVICE r3)
+                    cache_dropped = False
             time.sleep(5)
             env = dict(os.environ, SPARK_GRAFT_SCRATCH="/dev/shm/polaris_scratch")
             out = subprocess.run(
@@ -534,7 +542,10 @@ def main() -> None:
                  "--cpus", str(cpus), "--n-turns", str(n_turns)],
                 capture_output=True, text=True, check=True, env=env,
             )
-            return json.loads(out.stdout.strip().splitlines()[-1])
+            leg = json.loads(out.stdout.strip().splitlines()[-1])
+            if cache_dropped is not None:
+                leg["cache_dropped"] = cache_dropped
+            return leg
 
         def _core_eff(lo, hi):
             """Efficiency of the north-rule pipeline (tokenize → encode →

@@ -828,6 +828,12 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--merge-every", type=int, default=None,
                     help="tiered-merge accumulated generations once this "
                          "many are unmerged (TieredMergePolicy loop)")
+    st.add_argument("--compact-every", type=int, default=None,
+                    help="full compact (forceMerge + side-table refold + "
+                         "tf GC) every this-many total generations — "
+                         "bounds side-table delta growth under "
+                         "indefinite ingest; costs ~a rebuild, so set "
+                         "much higher than --merge-every")
 
     sv = sub.add_parser("serve", help="HTTP serving daemon (devserver analog)")
     sv.add_argument("--index", required=True)
@@ -1216,7 +1222,8 @@ def main(argv: list[str] | None = None) -> int:
         spark = _session("polaris_spark_ingest_stream")
         q = stream_append(spark, args.input_dir, args.index, args.checkpoint,
                           available_now=not args.follow,
-                          merge_every=args.merge_every)
+                          merge_every=args.merge_every,
+                          compact_every=args.compact_every)
         q.awaitTermination()
         fs = get_fs(spark, args.index)
         stats = json.loads(

@@ -13,7 +13,8 @@
   (approximate scan → exact-rescore window; window=None ≡ exact):
   :func:`build_ivf_quantized` + :func:`ivf_topk_sq` (int8 scalar
   quantization, 4× scan cut) and :func:`build_ivf_pq` + :func:`ivf_topk_pq`
-  (product quantization with driver-built ADC lookup tables, 16-32× cut).
+  (product quantization with driver-built ADC lookup tables, 16× cut at
+  m=dim/8 with smallint codes).
 
 Scores are rounded to 6dp for cross-engine (DuckDB) comparison.
 """
@@ -22,6 +23,12 @@ from __future__ import annotations
 
 import pandas as pd  # module-level: pandas_udf resolves 'pd.Series' hints
                      # from the function's globals (same as tokenizer.py)
+
+# ADC LUT entries (m · 2^nbits) above which ivf_topk_pq switches from
+# literal-array codegen to the Arrow-batched numpy gather (ADVICE r3:
+# ~49k literals at m=96/nbits=8 would break Janino codegen); module-level
+# so tests can force the UDF path on small codebooks for parity checks
+_ADC_LUT_MAX = 2048
 
 
 def _dot(a, b):
@@ -732,7 +739,17 @@ def append_ivf(spark, emb_new, ivf_dir: str,
     silently misses appended vectors (the rescore only sees ids the
     approx scan surfaced — a stale sidecar would hide them entirely).
     Cost stays ∝ batch: one extra projection + partitioned append per
-    existing sidecar."""
+    existing sidecar.
+
+    CRASH SAFETY (ADVICE r3): the float + sidecar appends are separate
+    non-atomic writes, so an intent marker (``_append_pending.json``)
+    brackets them — written before the first append, removed after the
+    last. Quantized probes refuse to serve while the marker exists
+    (:func:`_check_sidecars_consistent`) because a crash mid-sequence
+    leaves a sidecar permanently missing the batch; recovery is
+    :func:`rebuild_sidecars` (sidecars are pure derivations of the float
+    table + stored codebooks, so a full re-derive is always correct) —
+    NOT re-running the append, which would duplicate the float rows."""
     import json
     import os
 
@@ -744,6 +761,13 @@ def append_ivf(spark, emb_new, ivf_dir: str,
     centroids = json.loads(
         fs.read_text(os.path.join(ivf_dir, "_centroids.json")))
     assigned = assign_centroids(emb_new, centroids, vec_col, id_col)
+    pending_path = os.path.join(ivf_dir, "_append_pending.json")
+    if fs.exists(pending_path):
+        raise RuntimeError(
+            f"{pending_path} exists: a previous append_ivf died between "
+            "the float and sidecar writes. Run rebuild_sidecars() first "
+            "(re-running the append would duplicate float rows).")
+    fs.write_text_atomic(pending_path, json.dumps({"phase": "appending"}))
     (
         assigned.repartition("centroid_id")
         .write.mode("append")
@@ -778,7 +802,71 @@ def append_ivf(spark, emb_new, ivf_dir: str,
             .partitionBy("centroid_id")
             .parquet(os.path.join(ivf_dir, "vectors_pq"))
         )
+    fs.delete(pending_path)  # all appends landed: batch is complete
     return centroids
+
+
+def _check_sidecars_consistent(fs, ivf_dir: str) -> None:
+    """Refuse to serve a quantized probe while an append's intent marker
+    is pending — the sidecar may be missing that batch's vectors, and an
+    approx scan that never surfaces them silently loses recall."""
+    import os
+
+    p = os.path.join(ivf_dir, "_append_pending.json")
+    if fs.exists(p):
+        raise RuntimeError(
+            f"{p} exists: an append_ivf died before completing the "
+            "sidecar writes — quantized probes would silently miss that "
+            "batch. Run rebuild_sidecars() (or delete the marker if you "
+            "have verified the sidecars by other means).")
+
+
+def rebuild_sidecars(spark, ivf_dir: str) -> None:
+    """Recovery + maintenance op: re-derive every quantized sidecar from
+    the float ``vectors`` table with the STORED codebooks/scale spec
+    (overwrite mode — idempotent, safe after any partial failure). The
+    sidecars are pure functions of (vectors, codebooks), so the rebuild
+    is bit-identical to what uninterrupted appends would have written;
+    clears the ``_append_pending.json`` marker on success."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..fs import get_fs
+
+    fs = get_fs(spark, ivf_dir)
+    vecs = spark.read.parquet(os.path.join(ivf_dir, "vectors"))
+    if fs.exists(os.path.join(ivf_dir, "vectors_q")):
+        sq_bits = 8
+        if fs.exists(os.path.join(ivf_dir, "_sq.json")):
+            sq_bits = int(json.loads(
+                fs.read_text(os.path.join(ivf_dir, "_sq.json")))["bits"])
+        qv, sc = _quantize_cols(F.col("embedding"), bits=sq_bits)
+        (
+            vecs.select("vec_id", "centroid_id", qv.alias("qvec"),
+                        sc.alias("scale"))
+            .repartition("centroid_id")
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .partitionBy("centroid_id")
+            .parquet(os.path.join(ivf_dir, "vectors_q"))
+        )
+    if fs.exists(os.path.join(ivf_dir, "_pq.json")):
+        meta = json.loads(fs.read_text(os.path.join(ivf_dir, "_pq.json")))
+        enc = _pq_encode_udf(meta["codebooks"])
+        (
+            vecs.select("vec_id", "centroid_id",
+                        enc(F.col("embedding")).alias("codes"))
+            .repartition("centroid_id")
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .partitionBy("centroid_id")
+            .parquet(os.path.join(ivf_dir, "vectors_pq"))
+        )
+    p = os.path.join(ivf_dir, "_append_pending.json")
+    if fs.exists(p):
+        fs.delete(p)
 
 
 def _quantize_cols(vec_col, bits: int = 8):
@@ -867,9 +955,10 @@ def ivf_topk_sq(spark, ivf_dir: str, query: list[float], k: int = 10,
 
     from ..fs import get_fs
 
+    fs = get_fs(spark, ivf_dir)
+    _check_sidecars_consistent(fs, ivf_dir)
     centroids = json.loads(
-        get_fs(spark, ivf_dir).read_text(
-            os.path.join(ivf_dir, "_centroids.json")))
+        fs.read_text(os.path.join(ivf_dir, "_centroids.json")))
     probe = _rank_centroids(centroids, query, nprobe)
     vq = (spark.read.parquet(os.path.join(ivf_dir, "vectors_q"))
           .where(F.col("centroid_id").isin(probe)))
@@ -1065,10 +1154,12 @@ def train_pq(emb, m: int = 8, nbits: int = 4, seed: int = 42,
     seeded hash sample :func:`kmeans_centroids` uses: the vector's ``dim``
     dimensions split into ``m`` contiguous subspaces (``dim % m == 0``),
     and each subspace gets an independent L2 k-means codebook of
-    ``2**nbits`` codes. A vector then encodes to ``m`` small ints —
-    at 768-dim float32 → m=96, nbits=8 that is 3072 bytes → 96 bytes per
-    vector (32×), the compression regime where a 10¹²-vector index's hot
-    probe set fits page cache. Training cost is m tiny k-means over a
+    ``2**nbits`` codes. A vector then encodes to ``m`` small ints — at
+    768-dim float32 → m=96, nbits=8 that is 3072 bytes → 192 bytes per
+    vector as the array<smallint> this store uses (16×; FAISS's 96-byte
+    32× figure needs byte-PACKED codes, which parquet smallint storage
+    does not provide) — the compression regime where a 10¹²-vector
+    index's hot probe set fits page cache. Training cost is m tiny k-means over a
     ≤``sample_n`` sample — negligible next to the data at any scale; fully
     seeded → bit-reproducible. Returns ``codebooks[m][2**nbits][dim//m]``."""
     import numpy as np
@@ -1143,7 +1234,9 @@ def build_ivf_pq(spark, ivf_dir: str, m: int = 8, nbits: int = 4,
     projection + partitioned write, no re-assignment scan, sidecar
     partition-consistent with the float table by construction. Storage is
     m·2 bytes/vector (smallint codes) vs 4·dim — 16× at the default
-    (64-dim, m=8) and up to 32× at FAISS's m=dim/8, nbits=8 setting."""
+    (64-dim, m=8) AND at FAISS's m=dim/8, nbits=8 setting (the dim/m
+    ratio cancels); 32× would require byte-packing two 4-bit codes per
+    byte, which smallint storage does not do."""
     import json
     import os
 
@@ -1190,7 +1283,13 @@ def ivf_topk_pq(spark, ivf_dir: str, query: list[float], k: int = 10,
     ``window=None`` rescores every probed row ⇒ EXACTLY :func:`ivf_topk`
     (brute force at nprobe=all) — the gate/identity form; finite windows
     trade recall for reading m·2-byte codes instead of 4·dim-byte floats
-    (16-32×)."""
+    (16× at m=dim/8, any nbits ≤ 8 — smallint codes, not byte-packed).
+
+    Past ``m·2^nbits`` ≈ 2k entries the LUTs stop being literal arrays
+    (m=96 × 256 codes would be ~49k Catalyst literal expressions — Janino
+    codegen limits + quadratic plan-build time) and the fold switches to
+    an Arrow-batched numpy gather with the LUTs in the UDF closure —
+    identical scores (parity-tested), still zero shuffle."""
     import json
     import os
 
@@ -1200,6 +1299,7 @@ def ivf_topk_pq(spark, ivf_dir: str, query: list[float], k: int = 10,
     from ..fs import get_fs
 
     fs = get_fs(spark, ivf_dir)
+    _check_sidecars_consistent(fs, ivf_dir)
     centroids = json.loads(
         fs.read_text(os.path.join(ivf_dir, "_centroids.json")))
     meta = json.loads(fs.read_text(os.path.join(ivf_dir, "_pq.json")))
@@ -1216,23 +1316,50 @@ def ivf_topk_pq(spark, ivf_dir: str, query: list[float], k: int = 10,
         n2_lut.extend((cb[s] ** 2).sum(axis=1).tolist())
     qnorm = float(np.linalg.norm(qa))
     probe = _rank_centroids(centroids, query, nprobe)
-    ip_arr = F.array(*[F.lit(float(x)) for x in ip_lut])
-    n2_arr = F.array(*[F.lit(float(x)) for x in n2_lut])
-    # per-row fold: codes[s] indexes table slice s (element_at is 1-based)
-    idx = F.zip_with(
-        F.col("codes"),
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda c, s: s * ncodes + c.cast("int") + 1)
-    ip = F.aggregate(idx, F.lit(0.0),
-                     lambda acc, i: acc + F.element_at(ip_arr, i))
-    n2 = F.aggregate(idx, F.lit(0.0),
-                     lambda acc, i: acc + F.element_at(n2_arr, i))
     cq = (spark.read.parquet(os.path.join(ivf_dir, "vectors_pq"))
           .where(F.col("centroid_id").isin(probe)))
-    approx = cq.select(
-        "vec_id",
-        (ip / (F.greatest(F.sqrt(n2), F.lit(1e-12)) * F.lit(max(qnorm, 1e-12))))
-        .alias("sim_q"))
+    if m * ncodes <= _ADC_LUT_MAX:
+        # literal-array codegen fold: the whole ADC stays inside
+        # whole-stage codegen, zero Python at probe time
+        ip_arr = F.array(*[F.lit(float(x)) for x in ip_lut])
+        n2_arr = F.array(*[F.lit(float(x)) for x in n2_lut])
+        # per-row fold: codes[s] indexes table slice s (element_at 1-based)
+        idx = F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, s: s * ncodes + c.cast("int") + 1)
+        ip = F.aggregate(idx, F.lit(0.0),
+                         lambda acc, i: acc + F.element_at(ip_arr, i))
+        n2 = F.aggregate(idx, F.lit(0.0),
+                         lambda acc, i: acc + F.element_at(n2_arr, i))
+        sim_q = ip / (F.greatest(F.sqrt(n2), F.lit(1e-12))
+                      * F.lit(max(qnorm, 1e-12)))
+        approx = cq.select("vec_id", sim_q.alias("sim_q"))
+    else:
+        # large-codebook path (ADVICE r3): m=96 × 256 codes would inline
+        # ~49k literal expressions — past Janino codegen limits and
+        # quadratic to plan. The LUTs ride the Arrow UDF closure instead;
+        # scoring is one vectorized numpy gather+sum per batch. Same
+        # scores as the codegen fold (parity-tested), still zero shuffle.
+        from pyspark.sql.functions import pandas_udf
+
+        ip_np = np.asarray(ip_lut, dtype=np.float64)
+        n2_np = np.asarray(n2_lut, dtype=np.float64)
+        offs = (np.arange(m, dtype=np.int64) * ncodes)
+        qn = max(qnorm, 1e-12)
+
+        @pandas_udf("double")
+        def _adc(codes: pd.Series) -> pd.Series:
+            if not len(codes):
+                return pd.Series(dtype="float64")
+            arr = np.stack([np.asarray(c, dtype=np.int64)
+                            for c in codes]) + offs
+            ips = ip_np[arr].sum(axis=1)
+            n2s = n2_np[arr].sum(axis=1)
+            return pd.Series(
+                ips / (np.maximum(np.sqrt(n2s), 1e-12) * qn))
+
+        approx = cq.select("vec_id", _adc(F.col("codes")).alias("sim_q"))
     if window is not None:
         approx = approx.orderBy(F.desc("sim_q"), F.asc("vec_id")) \
                        .limit(int(window))

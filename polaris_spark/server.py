@@ -225,7 +225,16 @@ class _Handler(BaseHTTPRequestHandler):
         if b.get("pinned"):
             # ES pinned query: promoted ids first in list order, then the
             # organic tail — bare rows (the curation surface, not the
-            # mixed response)
+            # mixed response). Unsupported combinations are rejected
+            # explicitly (ADVICE r3): the pinned path ranks its organic
+            # tail with BM25 and ignores expand_fields/filter, so
+            # accepting those params would silently serve the wrong
+            # scorer/result set.
+            for p in ("similarity", "filter", "expandFields"):
+                if b.get(p) not in (None, "", False, "bm25"):
+                    raise ValueError(
+                        f"pinned does not combine with {p!r} "
+                        "(pinned organic tail is BM25-ranked only)")
             import time as _t
 
             t0 = _t.time()

@@ -31,6 +31,7 @@ def stream_append(
     schema: str = TRANSCRIPT_SCHEMA,
     available_now: bool = True,
     merge_every: int | None = None,
+    compact_every: int | None = None,
 ):
     """Stream parquet files from ``input_dir`` into the index. Returns the
     StreamingQuery (await it with ``.awaitTermination()``).
@@ -45,25 +46,54 @@ def stream_append(
     mid-merge replays the batch, re-enters the merge (idempotent — an
     unpublished merged chunk is invisible and re-encoded; a published one
     leaves nothing pending), and only then appends — the exactly-once
-    ingest protocol is untouched."""
+    ingest protocol is untouched.
+
+    ``compact_every=K`` is the heavier tier of the same policy (VERDICT r3
+    #8): every K TOTAL generations, run :func:`..index.maintenance.
+    compact_index` (forceMerge(1) + side-table refold + **tf GC**) —
+    without it the tf checkpoint and dictionary/completion/fuzzy delta
+    rows grow one slab per micro-batch forever. Same quiescent-point
+    placement and idempotence as the tiered merge (a replayed batch
+    re-enters compaction, which folds only published state); query
+    results across the boundary are identity-tested. Use ``merge_every``
+    ≪ ``compact_every`` in production: merges cost ∝ appended batches,
+    the compact costs ∝ the corpus, so at 10^12 docs schedule it like
+    any other corpus-sized maintenance job."""
     import json as _json
     import os as _os
 
-    from .index.maintenance import append_index, merge_generations
+    from .index.maintenance import (append_index, compact_index,
+                                    merge_generations)
 
-    def _pending_generations() -> int:
+    def _read_stats() -> dict:
         from .fs import get_fs
 
         fs = get_fs(spark, index_dir)
-        st = _json.loads(
+        return _json.loads(
             fs.read_text(_os.path.join(index_dir, "_stats.json")))
+
+    def _pending_generations() -> int:
+        st = _read_stats()
         sup = st.get("superseded")
         merged_gen = (int(sup[1]) + 1) // 1000 if sup else 0
         return int(st.get("generations", 0)) - merged_gen
 
+    def _gens_since_compact() -> int:
+        from .fs import get_fs
+
+        fs = get_fs(spark, index_dir)
+        g = int(_read_stats().get("generations", 0))
+        mark = _os.path.join(index_dir, "manifest", "compaction.json")
+        if fs.exists(mark):
+            g -= int(_json.loads(fs.read_text(mark))
+                     .get("generations_merged", 0))
+        return g
+
     def sink(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if compact_every and _gens_since_compact() >= int(compact_every):
+            compact_index(spark, index_dir)  # forceMerge + refold + tf GC
         if merge_every and _pending_generations() >= int(merge_every):
             merge_generations(spark, index_dir)
         append_index(spark, batch_df, index_dir)

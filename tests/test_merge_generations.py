@@ -191,3 +191,74 @@ def test_streaming_ingest_with_merge_every(spark, tmp_path):
     build_index(spark, spark.createDataFrame(full), ref, cfg=IndexConfig(**CFG))
     assert _hits(spark, d) == _hits(spark, ref)
     assert check_index(spark, d)["ok"]
+
+
+def test_streaming_ingest_with_compact_every(spark, tmp_path):
+    """stream_append(compact_every=2) — the VERDICT r3 #8 policy: every 2
+    total generations the sink runs compact_index (forceMerge + side-table
+    refold + tf GC) BEFORE appending. tf bytes stay bounded vs an
+    uncompacted twin ingesting the same drains, and query results are
+    identical across the policy boundary (and to a from-scratch union
+    build). (tf itself is already GC'd per-append once manifests complete,
+    so the growth compaction bounds here is the per-generation DELTA rows
+    of the vocabulary side tables and postings fragmentation.)"""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from polaris_spark.streaming import stream_append
+
+    full = make_transcripts(n_turns=800, seed=23)
+    base, parts = full.iloc[:200], [full.iloc[200:400], full.iloc[400:600],
+                                    full.iloc[600:]]
+    schema = pa.schema([("conv_id", pa.string()), ("turn_idx", pa.int32()),
+                        ("role", pa.string()), ("text", pa.string()),
+                        ("tool", pa.string()), ("ts", pa.timestamp("us"))])
+
+    def tf_bytes(root):
+        total = 0
+        for r, _dirs, files in os.walk(os.path.join(root, "tf")):
+            total += sum(os.path.getsize(os.path.join(r, f)) for f in files)
+        return total
+
+    dirs = {}
+    for tag, ce in (("compact", 2), ("plain", None)):
+        d = str(tmp_path / f"idx_{tag}")
+        build_index(spark, spark.createDataFrame(base), d,
+                    cfg=IndexConfig(**CFG))
+        inbox = str(tmp_path / f"inbox_{tag}")
+        os.makedirs(inbox)
+        for i, part in enumerate(parts):
+            pq.write_table(
+                pa.Table.from_pandas(part, schema=schema,
+                                     preserve_index=False),
+                os.path.join(inbox, f"f{i}.parquet"))
+            q = stream_append(spark, inbox, d,
+                              str(tmp_path / f"ckpt_{tag}"),
+                              compact_every=ce)
+            q.awaitTermination(300)
+        dirs[tag] = d
+
+    # the policy fired: compaction marker records the folded generations
+    mark = json.load(
+        open(os.path.join(dirs["compact"], "manifest", "compaction.json")))
+    assert mark["generations_merged"] >= 2
+    # side-table deltas refolded + postings defragmented → strictly fewer
+    # rows than the uncompacted twin; tf stays bounded either way (the
+    # per-append GC) — compaction must never regress that
+    for tbl in ("dictionary", "postings"):
+        n_c = spark.read.parquet(
+            os.path.join(dirs["compact"], tbl)).count()
+        n_p = spark.read.parquet(os.path.join(dirs["plain"], tbl)).count()
+        assert n_c < n_p, (tbl, n_c, n_p)
+    assert tf_bytes(dirs["compact"]) <= tf_bytes(dirs["plain"])
+
+    # identical results across the policy boundary and vs a fresh build
+    ref = str(tmp_path / "ref")
+    build_index(spark, spark.createDataFrame(full), ref,
+                cfg=IndexConfig(**CFG))
+    want = _hits(spark, ref)
+    assert _hits(spark, dirs["compact"]) == want
+    assert _hits(spark, dirs["plain"]) == want
+    assert check_index(spark, dirs["compact"])["ok"]

@@ -157,3 +157,73 @@ def test_append_keeps_quantized_sidecars_complete(spark, emb, tmp_path):
     assert pq == brute
     # the appended half is actually reachable through the approx scans
     assert any(v >= 250 for v, _ in brute), "query must hit half B"
+
+
+def test_adc_udf_path_parity(spark, emb, pq_index, monkeypatch):
+    """The large-codebook ADC path (LUTs in the Arrow UDF closure
+    instead of literal arrays — ADVICE r3 codegen-limit fix) returns
+    byte-identical probe results to the codegen fold."""
+    import polaris_spark.ops.similarity as sim
+
+    q = _q(emb, 3)
+    lut = [(r["vec_id"], r["sim"]) for r in
+           sim.ivf_topk_pq(spark, pq_index, q, k=10, nprobe=4,
+                           window=16).collect()]
+    monkeypatch.setattr(sim, "_ADC_LUT_MAX", 0)  # force the UDF path
+    udf = [(r["vec_id"], r["sim"]) for r in
+           sim.ivf_topk_pq(spark, pq_index, q, k=10, nprobe=4,
+                           window=16).collect()]
+    assert udf == lut
+
+
+def test_append_pending_marker_blocks_probes(spark, emb, tmp_path):
+    """Crash between float and sidecar appends (simulated via the intent
+    marker): quantized probes refuse to serve, rebuild_sidecars re-derives
+    the sidecars from the float table and clears the marker, after which
+    probes serve the complete union again (ADVICE r3 atomicity)."""
+    import json
+    import os
+
+    from polaris_spark.ops.similarity import (
+        append_ivf,
+        build_ivf,
+        build_ivf_pq,
+        build_ivf_quantized,
+        cosine_topk,
+        ivf_topk_pq,
+        ivf_topk_sq,
+        kmeans_centroids,
+        rebuild_sidecars,
+    )
+
+    half_a = emb.where("vec_id < 250")
+    half_b = emb.where("vec_id >= 250")
+    d = str(tmp_path / "ivf_crash")
+    cents = kmeans_centroids(emb, n_centroids=4, seed=7, sample_n=200)
+    build_ivf(spark, half_a, d, centroids=cents)
+    build_ivf_quantized(spark, half_a, d, bits=8)
+    build_ivf_pq(spark, d, m=8, nbits=4, seed=7)
+    append_ivf(spark, half_b, d)
+
+    # simulate the crash: marker present (as if sidecar writes never ran)
+    with open(os.path.join(d, "_append_pending.json"), "w") as f:
+        json.dump({"phase": "appending"}, f)
+    q = _q(emb, 7)
+    with pytest.raises(RuntimeError, match="rebuild_sidecars"):
+        ivf_topk_sq(spark, d, q, k=10, nprobe=4, window=None).collect()
+    with pytest.raises(RuntimeError, match="rebuild_sidecars"):
+        ivf_topk_pq(spark, d, q, k=10, nprobe=4, window=None).collect()
+    # a second append must also refuse (re-running duplicates float rows)
+    with pytest.raises(RuntimeError, match="rebuild_sidecars"):
+        append_ivf(spark, half_b.limit(1), d)
+
+    rebuild_sidecars(spark, d)
+    assert not os.path.exists(os.path.join(d, "_append_pending.json"))
+    brute = [(r["vec_id"], r["sim"]) for r in
+             cosine_topk(emb, q, k=10).collect()]
+    assert [(r["vec_id"], r["sim"]) for r in
+            ivf_topk_sq(spark, d, q, k=10, nprobe=4,
+                        window=None).collect()] == brute
+    assert [(r["vec_id"], r["sim"]) for r in
+            ivf_topk_pq(spark, d, q, k=10, nprobe=4,
+                        window=None).collect()] == brute

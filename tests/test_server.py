@@ -479,3 +479,16 @@ def test_search_pinned_param(spark, daemon):
     assert [h["doc_id"] for h in got["hits"][:2]] == pin[:2]
     assert got["hits"][0]["pinned"] == 1 and got["count"] == len(want)
     assert all(h["pinned"] == 0 for h in got["hits"][2:])
+
+
+def test_search_pinned_rejects_classic(daemon):
+    """pinned + similarity=classic must 400, not silently BM25-rank the
+    organic tail (ADVICE r3); same for pinned + filter."""
+    import urllib.error
+
+    base, _d, _pdf = daemon
+    for extra in ({"similarity": "classic"}, {"filter": "spark"}):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base, "search",
+                  {"query": "spark", "rankTo": 3, "pinned": [1], **extra})
+        assert ei.value.code == 400
