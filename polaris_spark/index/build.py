@@ -538,6 +538,8 @@ def build_index(
     dict_path = os.path.join(index_dir, "dictionary")
     if not (resume and _done(fs, man_dir, "dictionary")
             and _done(fs, man_dir, "hot_terms")):
+        from pyspark.sql import Observation
+
         dic = (
             _explode_tf(spark.read.parquet(tf_path), cfg)
             .groupBy("term")
@@ -545,10 +547,14 @@ def build_index(
             .repartition(par, "term")
             .sortWithinPartitions("term")
         )
+        # n_terms observed during the write (the old count() re-read the
+        # whole vocab table right after writing it)
+        dobs = Observation("dictionary_metrics")
+        dic = dic.observe(dobs, F.count(F.lit(1)).alias("n_terms"))
         dic.write.mode("overwrite").option(
             "compression", cfg.parquet_codec).parquet(dict_path)
         _mark(fs, man_dir, "dictionary",
-              {"n_terms": spark.read.parquet(dict_path).count()})
+              {"n_terms": int(dobs.get["n_terms"])})
         hot_rows = (
             spark.read.parquet(dict_path)
             .where(F.col("df") > cfg.hot_df_threshold)
@@ -606,16 +612,24 @@ def build_index(
         # into every bucket) — query-time footer reads stay O(buckets hit).
         # The shuffle moves already-compressed segment bytes, not postings.
         seg = seg.repartition(max(1, cfg.n_buckets // cfg.n_chunks), "bucket")
-        seg.sortWithinPartitions("term", "shard").write.mode("overwrite").option(
-            "compression", cfg.parquet_codec
-        ).partitionBy("bucket").parquet(chunk_dir)
-        out = spark.read.parquet(chunk_dir)
-        agg = out.agg(
-            F.count("*").alias("n_terms_rows"),
+        # manifest metrics ride the WRITE job itself (observe: one pass over
+        # the rows as they stream to parquet) — the old read-back agg
+        # re-read + re-decompressed the whole just-written chunk, a pure
+        # corpus-proportional tax on the build's critical path
+        from pyspark.sql import Observation
+
+        obs = Observation(f"chunk_{c}_metrics")
+        seg = seg.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_terms_rows"),
             F.sum("df").alias("n_postings"),
             F.min("term").alias("term_min"),
             F.max("term").alias("term_max"),
-        ).collect()[0]
+        )
+        seg.sortWithinPartitions("term", "shard").write.mode("overwrite").option(
+            "compression", cfg.parquet_codec
+        ).partitionBy("bucket").parquet(chunk_dir)
+        agg = obs.get
         _mark(
             fs,
             man_dir,
