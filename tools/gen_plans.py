@@ -103,6 +103,16 @@ def main() -> None:
     ))
 
     SECTIONS.append((
+        "*:* match-all (MatchAllDocsQuery: one doc_map scan, no postings)",
+        "A `*:*` query never touches postings: every live doc at constant "
+        "score 1.0 from ONE doc_map column-pruned scan; `-term` exclusions "
+        "arrive as a decoded doc-id frame anti-joined before the k cut. "
+        "At 10^12 docs this is a metadata-only projection of the id "
+        "column, k-limited by TakeOrderedAndProject.",
+        cap(eng.search_df("*:* -join", k=10)),
+    ))
+
+    SECTIONS.append((
         "attribute point lookup (equality filter pushed to doc_map scan)",
         "list_by_attr routes exact-attribute queries to the doc_map parquet "
         "with the equality predicate in PushedFilters.",
