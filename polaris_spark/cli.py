@@ -179,6 +179,10 @@ def main(argv: list[str] | None = None) -> int:
                         "the reference's DefaultSimilarity TF-IDF scoring "
                         "incl. the exact byte315 norm quantization "
                         "(always the distributed path)")
+    q.add_argument("--fuzzy-prefix", type=int, default=0,
+                   help="FuzzyQuery prefixLength: term~N expansion "
+                        "candidates must share the probe's first this-"
+                        "many characters exactly (Lucene default 0)")
     q.add_argument("--dismax", action="store_true",
                    help="DisjunctionMaxQuery scoring: each token ranks by "
                         "the max over its field variants + --tie x the "
@@ -926,7 +930,8 @@ def main(argv: list[str] | None = None) -> int:
         from polaris_spark.query.engine import SearchEngine
 
         spark = _session("polaris_spark_query")
-        eng = SearchEngine(spark, args.index)
+        eng = SearchEngine(spark, args.index,
+                           fuzzy_prefix_length=args.fuzzy_prefix)
         if args.count_only:
             print(json.dumps({"query": args.query,
                               "count": eng.search_count(args.query,

@@ -808,11 +808,13 @@ def build_fuzzy_table(spark, index_dir: str, dic=None,
     from pyspark.sql import functions as F
 
     if dic is None:
-        dic = (
-            spark.read.parquet(os.path.join(index_dir, "dictionary"))
-            .groupBy("term")
-            .agg(F.sum("df").alias("df"))
-        )
+        # raw dictionary rows, NOT pre-folded: the probe folds by
+        # (term, gram) with SUM anyway (per-generation delta semantics),
+        # so a build-time groupBy was a redundant full-vocab shuffle on
+        # the build's critical path — a fresh dictionary has one row per
+        # term and a delta-carrying one sums to the same totals either way
+        dic = (spark.read.parquet(os.path.join(index_dir, "dictionary"))
+               .select("term", "df"))
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.length("term") - 1),
