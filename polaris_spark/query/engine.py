@@ -1611,6 +1611,11 @@ class SearchEngine:
                     boosts[t] = max(boosts.get(t, 1.0), boost)
 
         for chunk in fold_ranges(query).split():
+            if chunk == "*:*":
+                # MatchAllDocsQuery marker: contributes NO scoring terms
+                # (search/search_df route it to _match_all_df; mixed-path
+                # helpers like query_terms/complete just skip it)
+                continue
             neg = chunk.startswith("-") and len(chunk) > 1
             body = chunk[1:] if neg else chunk
             boost = 1.0

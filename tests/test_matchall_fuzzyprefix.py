@@ -99,3 +99,16 @@ def test_fuzzy_prefix_length_confines_expansion(spark, fidx):
     ids_pl = {r["doc_id"] for r in pl2.search("roam~1", k=None)}
     assert ids_free == {1, 2, 3, 4, 5}
     assert ids_pl == {1, 3}
+
+
+def test_match_all_collector_surfaces(spark, idx):
+    """*:* flows through the shared match_df front half: search_count
+    equals the live-doc count (IndexSearcher.count(MatchAllDocsQuery)),
+    and the mixed serving path pages it without error."""
+    eng = SearchEngine(spark, idx)
+    assert eng.search_count("*:*") == len(DOCS)
+    assert eng.search_count("*:* -scan") == 4
+    mixed = eng.search_mixed("*:*", rank_from=0, rank_to=3, payload=False)
+    assert [h["doc_id"] for h in mixed["hits"]] == [1, 2, 3]
+    # parse helpers skip the marker instead of raising leading-wildcard
+    assert eng.query_terms("*:* -scan") == []
