@@ -1156,6 +1156,29 @@ def _q_mixture_sample(spark, sf_dir):
         .select("doc_id", "source", "mix_u", "kept")
 
 
+def _q_temperature_sample(spark, sf_dir):
+    """Temperature mixing (mT5/Pile α-rule): per-source rates ∝ n^α/n
+    scaled to an overall target fraction, capped at 1 — one tiny count
+    agg + the same zero-shuffle hash filter as mixture_sample. Oracle
+    recomputes rates in SQL from the same counts (identical IEEE chain)."""
+    from polaris_spark.ops.mixing import temperature_sample
+
+    return temperature_sample(_docs(spark, sf_dir), alpha=0.5,
+                              target_frac=0.4, seed=7) \
+        .select("doc_id", "source", "mix_u", "kept")
+
+
+def _q_upsample(spark, sf_dir):
+    """Per-source integer upsampling (recipe epochs): each row appears
+    k(source) times tagged copy_idx — one map-side explode(sequence),
+    zero shuffle; k=0 drops the source."""
+    from polaris_spark.ops.mixing import upsample_epochs
+
+    return upsample_epochs(_docs(spark, sf_dir),
+                           {"src1": 3, "src2": 0}, default_repeat=1) \
+        .select("doc_id", "source", "copy_idx")
+
+
 SPLIT_FRACS = {"val": 0.1, "test": 0.05}  # remaining 85% → train
 
 
@@ -2013,6 +2036,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate": _q_curate,
         "curate_decontam": _q_curate_decontam,
         "mixture_sample": _q_mixture_sample,
+        "temperature_sample": _q_temperature_sample,
+        "upsample_epochs": _q_upsample,
         "split_assign": _q_split_assign,
         "pack_sequences": _q_pack_sequences,
         "dedup_exact": _q_dedup_exact,
@@ -2148,7 +2173,9 @@ def oracle_sql() -> dict[str, str]:
                                           duckdb_pack_sql,
                                           duckdb_sample_sql,
                                           duckdb_shuffle_sql,
-                                          duckdb_split_sql)
+                                          duckdb_split_sql,
+                                          duckdb_temperature_sql,
+                                          duckdb_upsample_sql)
     from polaris_spark.ops.dedup import (
         duckdb_decontaminate_sql,
         duckdb_dup_clusters_sql,
@@ -2294,6 +2321,11 @@ SELECT doc_id, lpad(lower(to_hex(val)), 4, '0') AS simhash16 FROM packed"""
         "mixture_sample": duckdb_sample_sql(MIX_RATES, default_rate=0.9,
                                             seed=7),
         "split_assign": duckdb_split_sql(SPLIT_FRACS, seed=11),
+        "temperature_sample": duckdb_temperature_sql(alpha=0.5,
+                                                     target_frac=0.4,
+                                                     seed=7),
+        "upsample_epochs": duckdb_upsample_sql({"src1": 3, "src2": 0},
+                                               default_repeat=1),
         "token_budget": duckdb_budget_sql(MIX_BUDGETS, default_budget=900),
         "pack_sequences": duckdb_pack_sql(PACK_CAP),
         "dedup_exact": (

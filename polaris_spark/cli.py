@@ -669,6 +669,19 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma list grp=rate (e.g. web=0.3,code=1.0); "
                          "unlisted groups use --default-rate")
     mx.add_argument("--default-rate", type=float, default=1.0)
+    mx.add_argument("--temperature", type=float, default=None,
+                    help="alpha for temperature mixing (mT5/Pile rule: "
+                         "source prob ∝ n^alpha); replaces --rates — "
+                         "rates derive from per-source counts, scaled to "
+                         "--target-frac and capped at 1")
+    mx.add_argument("--target-frac", type=float, default=0.5,
+                    help="overall kept fraction the temperature rates "
+                         "aim for (ignored without --temperature)")
+    mx.add_argument("--epochs", default="",
+                    help="comma list grp=int-repeats (recipe epochs, 0 "
+                         "drops the group); rows multiply map-side with "
+                         "copy_idx; unlisted groups use --default-epochs")
+    mx.add_argument("--default-epochs", type=int, default=1)
     mx.add_argument("--seed", type=int, default=0)
     mx.add_argument("--budgets", default="",
                     help="comma list grp=token-budget; unlisted groups use "
@@ -1433,13 +1446,31 @@ def main(argv: list[str] | None = None) -> int:
         spark = _session("polaris_spark_mix")
         df = spark.read.parquet(args.input)
         summary = {"n_in": df.count()}
-        rates = _kv(args.rates, float)
-        if rates or args.default_rate < 1.0:
-            df = stratified_sample(df, rates, args.default_rate,
-                                   key=args.key, id_col=args.doc_id_col,
-                                   seed=args.seed) \
+        if args.temperature is not None:
+            from polaris_spark.ops.mixing import temperature_sample
+
+            df = temperature_sample(df, alpha=args.temperature,
+                                    target_frac=args.target_frac,
+                                    key=args.key, id_col=args.doc_id_col,
+                                    seed=args.seed) \
                 .where("kept").drop("kept")
             summary["n_sampled"] = df.count()
+        else:
+            rates = _kv(args.rates, float)
+            if rates or args.default_rate < 1.0:
+                df = stratified_sample(df, rates, args.default_rate,
+                                       key=args.key,
+                                       id_col=args.doc_id_col,
+                                       seed=args.seed) \
+                    .where("kept").drop("kept")
+                summary["n_sampled"] = df.count()
+        epochs = _kv(args.epochs, int)
+        if epochs or args.default_epochs != 1:
+            from polaris_spark.ops.mixing import upsample_epochs
+
+            df = upsample_epochs(df, epochs, args.default_epochs,
+                                 key=args.key, id_col=args.doc_id_col)
+            summary["n_upsampled"] = df.count()
         budgets = _kv(args.budgets, int)
         if budgets or args.default_budget > 0:
             no_cap = 1 << 62  # 0 = unlimited

@@ -147,6 +147,76 @@ def token_budget(df, budgets: dict[str, int], default_budget: int,
     )
 
 
+def temperature_rates(counts: dict[str, int], alpha: float,
+                      target_frac: float) -> dict[str, float]:
+    """Per-source sampling rates from the TEMPERATURE mixing rule the
+    multilingual/multi-source recipes use (mT5, Xue et al. 2021 §3.1; the
+    Pile, Gao et al. 2020; α-scaled source weights): source probability
+    p(s) ∝ n_s^α — α=1 is natural proportions, α→0 uniform-over-sources,
+    the recipes' usual 0.2-0.7 boosts small sources. The per-ROW keep
+    rate that realizes p(s) at an overall kept fraction ``target_frac``
+    is r_s = target_frac · N · p_s / n_s, capped at 1 (a small source
+    saturates: it is kept whole and the realized overall fraction drops
+    below target — the standard recipe behavior; renormalize α or target
+    if that matters).
+
+    Driver-side on the per-source COUNTS (|sources| numbers) by design:
+    the rates become exact integer micro-unit thresholds shared verbatim
+    by the Spark filter and the DuckDB oracle, so no pow()
+    last-ulp difference between engines can flip a threshold."""
+    N = sum(counts.values())
+    if not N:
+        return {}
+    powed = {s: float(n) ** float(alpha) for s, n in counts.items()}
+    z = sum(powed.values())
+    return {s: min(1.0, target_frac * N * (powed[s] / z) / counts[s])
+            for s in counts}
+
+
+def temperature_sample(df, alpha: float, target_frac: float,
+                       key: str = "source", id_col: str = "doc_id",
+                       seed: int = 0):
+    """Temperature-based mixture sampling (see :func:`temperature_rates`):
+    ONE tiny per-source count aggregate (|sources| rows to the driver),
+    rates resolved to micro-unit thresholds, then the same zero-shuffle
+    deterministic hash filter as :func:`stratified_sample` — the whole op
+    is one small agg + one map-side filter at any corpus size. Returns
+    rows + ``mix_u`` + ``kept`` (audit-friendly, like the other mixers)."""
+    from pyspark.sql import functions as F
+
+    counts = {r[key]: r["n"] for r in
+              df.groupBy(key).agg(F.count("*").alias("n")).collect()}
+    rates = temperature_rates(counts, alpha, target_frac)
+    return stratified_sample(df, rates, default_rate=0.0, key=key,
+                             id_col=id_col, seed=seed)
+
+
+def upsample_epochs(df, repeats: dict[str, int], default_repeat: int = 1,
+                    key: str = "source", id_col: str = "doc_id"):
+    """Integer per-source upsampling — the "epochs per source" lever of
+    published data recipes (Llama's multi-epoch Wikipedia/Books, DoReMi
+    weight realization, Muennighoff et al. 2023 on repeating data):
+    every row of source s appears ``repeats.get(s, default_repeat)``
+    times, tagged ``copy_idx`` 0..k-1 (so downstream shuffling/packing
+    treats copies as distinct rows and a trainer can still trace the
+    original id). Zero shuffle: one map-side
+    ``explode(sequence(0, k-1))`` — row multiplication happens inside
+    the scan's own partitions, no skew beyond the chosen multipliers.
+    k=0 drops the source (a recipe's "exclude" entry)."""
+    from pyspark.sql import functions as F
+
+    k = F.lit(int(default_repeat))
+    for g, r in sorted(repeats.items()):
+        k = F.when(F.col(key) == g, F.lit(int(r))).otherwise(k)
+    return (
+        df.withColumn("_k", k)
+        .where(F.col("_k") > 0)
+        .withColumn("copy_idx",
+                    F.explode(F.sequence(F.lit(0), F.col("_k") - 1)))
+        .drop("_k")
+    )
+
+
 def pack_sequences(df, capacity: int, key: str = "source",
                    id_col: str = "doc_id", text_col: str = "text"):
     """Greedy sequential context-window packing (document-boundary): within
@@ -264,6 +334,50 @@ def duckdb_sample_sql(rates: dict[str, float], default_rate: float = 1.0,
     h = _duck_hash(id_col, seed)
     return (f"SELECT {id_col}, {key}, {h} AS mix_u, "
             f"({h}) < ({thr}) AS kept FROM {table}")
+
+
+def duckdb_temperature_sql(alpha: float, target_frac: float,
+                           key: str = "source", id_col: str = "doc_id",
+                           seed: int = 0, table: str = "documents") -> str:
+    """Mirror of :func:`temperature_sample`, rates computed IN SQL from
+    the same counts: thr_s = round(min(1, target·N·n^α/Σn^α/n)·10^6).
+    Both engines run the identical IEEE-double pow/div chain on the same
+    libm, so thresholds agree except on an exact-.5 micro-unit boundary
+    (measure-zero for pow outputs; the rehearsal would catch a flip)."""
+    h = _duck_hash(id_col, seed)
+    a, tf = float(alpha), float(target_frac)
+    return f"""
+WITH c AS (
+  SELECT {key} AS g, count(*)::BIGINT AS n,
+         pow(count(*)::DOUBLE, {a!r}) AS pw
+  FROM {table} GROUP BY 1
+),
+tot AS (SELECT sum(n)::DOUBLE AS N, sum(pw) AS z FROM c),
+r AS (
+  SELECT g, CAST(round(least(1.0,
+           {tf!r} * tot.N * (c.pw / tot.z) / c.n) * {_RES}) AS BIGINT)
+         AS thr
+  FROM c CROSS JOIN tot
+)
+SELECT t.{id_col}, t.{key}, {h.replace(id_col, f"t.{id_col}")} AS mix_u,
+       ({h.replace(id_col, f"t.{id_col}")}) < r.thr AS kept
+FROM {table} t JOIN r ON t.{key} = r.g"""
+
+
+def duckdb_upsample_sql(repeats: dict[str, int], default_repeat: int = 1,
+                        key: str = "source", id_col: str = "doc_id",
+                        table: str = "documents") -> str:
+    """Mirror of :func:`upsample_epochs`: per-source integer row
+    multiplication via generate_series, copy_idx 0..k-1."""
+    k = str(int(default_repeat))
+    for g, r in sorted(repeats.items()):
+        lit = g.replace("'", "''")
+        k = f"CASE WHEN {key} = '{lit}' THEN {int(r)} ELSE {k} END"
+    return f"""
+WITH t AS (SELECT {id_col}, {key}, ({k}) AS k FROM {table})
+SELECT {id_col}, {key}, gs.copy_idx::INT AS copy_idx
+FROM t, LATERAL (SELECT unnest(range(0, t.k)) AS copy_idx) gs
+WHERE t.k > 0"""
 
 
 def duckdb_split_sql(fractions: dict[str, float],

@@ -174,3 +174,62 @@ def test_split_is_partition_invariant(docs):
     b = {(r["doc_id"], r["split"]) for r in
          split_assign(docs.repartition(7), {"val": 0.3}, seed=9).collect()}
     assert a == b
+
+
+def test_temperature_rates_formula():
+    from polaris_spark.ops.mixing import temperature_rates
+
+    counts = {"a": 4, "b": 3, "c": 1}
+    # alpha=1 -> natural proportions: every source keeps target_frac
+    r1 = temperature_rates(counts, alpha=1.0, target_frac=0.5)
+    assert all(abs(v - 0.5) < 1e-12 for v in r1.values())
+    # alpha=0 -> uniform over sources: rate_s = target*N/(S*n_s)
+    r0 = temperature_rates(counts, alpha=0.0, target_frac=0.5)
+    assert abs(r0["a"] - 0.5 * 8 / (3 * 4)) < 1e-12
+    assert abs(r0["c"] - min(1.0, 0.5 * 8 / (3 * 1))) < 1e-12
+    # small source saturates at 1.0 (cap), bigger ones stay below
+    rs = temperature_rates(counts, alpha=0.0, target_frac=0.9)
+    assert rs["c"] == 1.0 and rs["a"] < 1.0
+    # alpha between: small sources get boosted relative to natural
+    rh = temperature_rates(counts, alpha=0.5, target_frac=0.5)
+    assert rh["c"] > rh["a"]
+    assert temperature_rates({}, 0.5, 0.5) == {}
+
+
+def test_temperature_sample_parity_and_shape(docs, con):
+    from polaris_spark.ops.mixing import (duckdb_temperature_sql,
+                                          temperature_sample)
+
+    got = {(r["doc_id"], r["mix_u"], r["kept"]) for r in
+           temperature_sample(docs, alpha=0.5, target_frac=0.6,
+                              seed=3).select(
+               "doc_id", "mix_u", "kept").collect()}
+    want = {(i, u, bool(k)) for i, _s, u, k in con.execute(
+        duckdb_temperature_sql(alpha=0.5, target_frac=0.6, seed=3,
+                               table="fixture")).fetchall()}
+    assert {(i, u, bool(k)) for i, u, k in got} == want
+    # partitioning invariance (the hash decides, not the layout)
+    again = {(r["doc_id"], r["kept"]) for r in
+             temperature_sample(docs.repartition(5), alpha=0.5,
+                                target_frac=0.6, seed=3)
+             .select("doc_id", "kept").collect()}
+    assert again == {(i, k) for i, _u, k in got}
+
+
+def test_upsample_epochs_semantics(docs, con):
+    from polaris_spark.ops.mixing import (duckdb_upsample_sql,
+                                          upsample_epochs)
+
+    rep = {"a": 2, "b": 0}
+    out = upsample_epochs(docs, rep, default_repeat=1).select(
+        "doc_id", "source", "copy_idx").collect()
+    rows = sorted((r["doc_id"], r["copy_idx"]) for r in out)
+    # a-docs twice (copy 0,1), b-docs gone, c-doc once
+    assert rows == [(0, 0), (0, 1), (1, 0), (1, 1), (2, 0), (2, 1),
+                    (3, 0), (3, 1), (7, 0)]
+    want = sorted(con.execute(
+        duckdb_upsample_sql(rep, default_repeat=1,
+                            table="fixture")).fetchall())
+    assert sorted((i, s, c) for i, s, c in
+                  ((r["doc_id"], r["source"], r["copy_idx"])
+                   for r in out)) == want
