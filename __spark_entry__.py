@@ -1179,6 +1179,16 @@ def _q_upsample(spark, sf_dir):
         .select("doc_id", "source", "copy_idx")
 
 
+def _q_pack_bins(spark, sf_dir):
+    """Materialized packing bins — the trainer-facing artifact: one row
+    per (source, bin) with concatenated text, member ids in pack order,
+    and document-boundary token offsets (attention-mask reset points).
+    Two exchanges at any scale: the pack window + one groupBy(bin)."""
+    from polaris_spark.ops.mixing import materialize_bins
+
+    return materialize_bins(_docs(spark, sf_dir), capacity=256)
+
+
 SPLIT_FRACS = {"val": 0.1, "test": 0.05}  # remaining 85% → train
 
 
@@ -2038,6 +2048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _q_mixture_sample,
         "temperature_sample": _q_temperature_sample,
         "upsample_epochs": _q_upsample,
+        "pack_bins": _q_pack_bins,
         "split_assign": _q_split_assign,
         "pack_sequences": _q_pack_sequences,
         "dedup_exact": _q_dedup_exact,
@@ -2169,7 +2180,8 @@ def oracle_sql() -> dict[str, str]:
     import polaris_spark.ops.analytics as _an
     from polaris_spark.ops.classifier import duckdb_nb_sql
     from polaris_spark.ops.curate import duckdb_curate_sql
-    from polaris_spark.ops.mixing import (duckdb_budget_sql,
+    from polaris_spark.ops.mixing import (duckdb_bins_sql,
+                                          duckdb_budget_sql,
                                           duckdb_pack_sql,
                                           duckdb_sample_sql,
                                           duckdb_shuffle_sql,
@@ -2326,6 +2338,7 @@ SELECT doc_id, lpad(lower(to_hex(val)), 4, '0') AS simhash16 FROM packed"""
                                                      seed=7),
         "upsample_epochs": duckdb_upsample_sql({"src1": 3, "src2": 0},
                                                default_repeat=1),
+        "pack_bins": duckdb_bins_sql(capacity=256),
         "token_budget": duckdb_budget_sql(MIX_BUDGETS, default_budget=900),
         "pack_sequences": duckdb_pack_sql(PACK_CAP),
         "dedup_exact": (

@@ -690,6 +690,11 @@ def main(argv: list[str] | None = None) -> int:
     mx.add_argument("--capacity", type=int, default=0,
                     help=">0: pack surviving docs into context-window bins "
                          "of this many whitespace tokens")
+    mx.add_argument("--materialize", action="store_true",
+                    help="with --capacity: write ONE ROW PER BIN (concat "
+                         "text, member doc_ids, document-boundary token "
+                         "offsets) — the trainer-facing sequences — "
+                         "instead of per-doc rows tagged bin_id")
 
     dc = sub.add_parser("decontam", help="benchmark decontamination: flag "
                         "or drop corpus docs sharing any word n-gram with "
@@ -1482,14 +1487,23 @@ def main(argv: list[str] | None = None) -> int:
                 .where("kept").drop("kept", "n_ws_tokens")
             summary["n_budget"] = df.count()
         if args.capacity > 0:
-            df = pack_sequences(df, args.capacity, key=args.key,
-                                id_col=args.doc_id_col,
-                                text_col=args.text_col)
+            if args.materialize:
+                from polaris_spark.ops.mixing import materialize_bins
+
+                df = materialize_bins(df, args.capacity, key=args.key,
+                                      id_col=args.doc_id_col,
+                                      text_col=args.text_col)
+            else:
+                df = pack_sequences(df, args.capacity, key=args.key,
+                                    id_col=args.doc_id_col,
+                                    text_col=args.text_col)
         df.write.mode("overwrite").parquet(args.output)
         out = spark.read.parquet(args.output)
         summary["n_out"] = out.count()
         if args.capacity > 0:
-            summary["n_bins"] = out.select(args.key, "bin_id").distinct().count()
+            summary["n_bins"] = (
+                out.count() if args.materialize
+                else out.select(args.key, "bin_id").distinct().count())
         print(json.dumps({"output": args.output, **summary}))
     elif args.cmd == "lm":
         from polaris_spark.ops.text import lm_score, train_bigram_lm

@@ -336,6 +336,99 @@ def duckdb_sample_sql(rates: dict[str, float], default_rate: float = 1.0,
             f"({h}) < ({thr}) AS kept FROM {table}")
 
 
+def materialize_bins(df, capacity: int, key: str = "source",
+                     id_col: str = "doc_id", text_col: str = "text",
+                     sep: str = " "):
+    """Realize :func:`pack_sequences`' bins into the TRAINER-facing
+    artifact: one row per (key, bin_id) with the concatenated text, the
+    member ids in pack order, and the token-boundary OFFSETS a collator
+    needs to reset attention masks / position ids at document boundaries
+    (the "document-boundary packing" convention — each bin is one
+    training sequence, offsets mark where each doc starts in tokens).
+
+    Spark shape: the same one window pack_sequences runs (per-key id
+    order: bin assignment + exclusive cumulative tokens), then ONE
+    groupBy (key, bin_id) building the sorted member structs with
+    ``sort_array(collect_list(struct))`` — two exchanges total at any
+    scale, rows out = number of bins. Offsets are bin-relative
+    (first = 0); ``n_tokens`` is the bin's whitespace-token total
+    (may exceed ``capacity`` by < its last doc's length — the straddle
+    rule)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .text import _ws_tokens_col
+
+    w = Window.partitionBy(key).orderBy(id_col) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    n = F.size(_ws_tokens_col(F.col(text_col)))
+    rows = (
+        df.withColumn("n_ws_tokens", n)
+        .withColumn("_excl_cum",
+                    F.coalesce(F.sum("n_ws_tokens").over(w), F.lit(0)))
+        .withColumn("bin_id",
+                    F.expr(f"_excl_cum div {int(capacity)}").cast("long"))
+    )
+    # bin-relative offset = global exclusive cum − the bin's first
+    # global exclusive cum (min over the bin — the pack order is id
+    # order, so min(_excl_cum) is the first member's)
+    members = F.sort_array(F.collect_list(F.struct(
+        F.col(id_col).alias("i"), F.col("_excl_cum").alias("c"),
+        F.col("n_ws_tokens").alias("n"), F.col(text_col).alias("t"))))
+    agg = (
+        rows.groupBy(key, "bin_id")
+        .agg(members.alias("m"))
+        .select(
+            key, "bin_id",
+            F.size("m").cast("int").alias("n_docs"),
+            F.aggregate("m", F.lit(0).cast("long"),
+                        lambda a, x: a + x["n"]).alias("n_tokens"),
+            F.transform("m", lambda x: x["i"]).alias("doc_ids"),
+            F.transform("m", lambda x: (x["c"] - F.element_at("m", 1)["c"])
+                        .cast("long")).alias("offsets"),
+            F.array_join(F.transform("m", lambda x: x["t"]), sep)
+             .alias(text_col),
+        )
+    )
+    return agg
+
+
+def duckdb_bins_sql(capacity: int, key: str = "source",
+                    id_col: str = "doc_id", text_col: str = "text",
+                    sep: str = " ", table: str = "documents") -> str:
+    """Mirror of :func:`materialize_bins` (window cum + ordered
+    aggregates)."""
+    from .text import duckdb_ws_tokens
+
+    n = f"len({duckdb_ws_tokens(text_col)})"
+    s = sep.replace("'", "''")
+    return f"""
+WITH t AS (
+  SELECT {id_col}, {key}, {text_col}, {n}::BIGINT AS n_ws_tokens
+  FROM {table}
+),
+c AS (
+  SELECT *, coalesce(sum(n_ws_tokens) OVER (PARTITION BY {key}
+    ORDER BY {id_col} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+    0) AS excl_cum
+  FROM t
+),
+b AS (
+  SELECT *, (excl_cum // {int(capacity)})::BIGINT AS bin_id,
+         (excl_cum - min(excl_cum) OVER (PARTITION BY {key},
+            excl_cum // {int(capacity)}))::BIGINT AS rel_off
+  FROM c
+)
+SELECT {key}, bin_id,
+       count(*)::INT AS n_docs,
+       sum(n_ws_tokens)::BIGINT AS n_tokens,
+       list({id_col} ORDER BY {id_col}) AS doc_ids,
+       list(rel_off ORDER BY {id_col}) AS offsets,
+       string_agg({text_col}, '{s}' ORDER BY {id_col}) AS {text_col}
+FROM b
+GROUP BY {key}, bin_id"""
+
+
 def duckdb_temperature_sql(alpha: float, target_frac: float,
                            key: str = "source", id_col: str = "doc_id",
                            seed: int = 0, table: str = "documents") -> str:

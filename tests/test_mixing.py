@@ -233,3 +233,36 @@ def test_upsample_epochs_semantics(docs, con):
     assert sorted((i, s, c) for i, s, c in
                   ((r["doc_id"], r["source"], r["copy_idx"])
                    for r in out)) == want
+
+
+def test_materialize_bins_semantics_and_parity(docs, con):
+    from polaris_spark.ops.mixing import (duckdb_bins_sql,
+                                          materialize_bins,
+                                          pack_sequences)
+
+    out = {(r["source"], r["bin_id"]):
+           (r["n_docs"], r["n_tokens"], tuple(r["doc_ids"]),
+            tuple(r["offsets"]), r["text"])
+           for r in materialize_bins(docs, capacity=6).collect()}
+    # consistency with pack_sequences' assignment
+    packed = pack_sequences(docs, capacity=6).collect()
+    want_members = {}
+    for r in sorted(packed, key=lambda r: r["doc_id"]):
+        want_members.setdefault((r["source"], r["bin_id"]),
+                                []).append(r["doc_id"])
+    assert {k: list(v[2]) for k, v in out.items()} == want_members
+    # offsets: first 0, strictly increasing by member token counts; the
+    # bin text is the member texts joined in id order
+    by_id = {d: t for d, _s, t in DOCS}
+    ntok = {d: len(t.split()) for d, t in by_id.items()}
+    for (_s, _b), (n_docs, n_tokens, ids, offs, text) in out.items():
+        assert offs[0] == 0 and n_docs == len(ids)
+        for j in range(1, len(ids)):
+            assert offs[j] == offs[j - 1] + ntok[ids[j - 1]]
+        assert n_tokens == sum(ntok[i] for i in ids)
+        assert text == " ".join(by_id[i] for i in ids)
+    # DuckDB mirror parity
+    want = {(s, b): (nd, nt, tuple(di), tuple(of), tx)
+            for s, b, nd, nt, di, of, tx in con.execute(
+                duckdb_bins_sql(capacity=6, table="fixture")).fetchall()}
+    assert out == want
