@@ -404,6 +404,12 @@ def main(argv: list[str] | None = None) -> int:
                         "exits 1 on any violation")
     ck.add_argument("--index", required=True)
 
+    cv = sub.add_parser("check-ivf", help="vector-index integrity "
+                        "verification: quantized sidecar row counts per "
+                        "centroid vs the float table, PQ/SQ shape checks, "
+                        "pending append marker; exits 1 on any violation")
+    cv.add_argument("--index", required=True, help="IVF index dir")
+
     ex = sub.add_parser("explain", help="per-term BM25 score breakdown for "
                         "one (query, doc) — the IndexSearcher.explain "
                         "analog")
@@ -1840,6 +1846,13 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = _session("polaris_spark_check")
         rep = check_index(spark, args.index)
+        print(json.dumps(rep, indent=1, sort_keys=True))
+        return 0 if rep["ok"] else 1
+    elif args.cmd == "check-ivf":
+        from polaris_spark.ops.similarity import check_ivf
+
+        spark = _session("polaris_spark_check_ivf")
+        rep = check_ivf(spark, args.index)
         print(json.dumps(rep, indent=1, sort_keys=True))
         return 0 if rep["ok"] else 1
     elif args.cmd == "explain":

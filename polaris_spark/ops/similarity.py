@@ -821,6 +821,68 @@ def _check_sidecars_consistent(fs, ivf_dir: str) -> None:
             "have verified the sidecars by other means).")
 
 
+def check_ivf(spark, ivf_dir: str) -> dict:
+    """CheckIndex analog for the vector index (the text side has
+    ``index/check.check_index``): verify the invariants every probe
+    relies on, distributed — per-centroid row counts of each quantized
+    sidecar equal the float table's (the crash-safety property
+    :func:`append_ivf`'s marker protects), every PQ code vector has
+    exactly m codes in [0, 2^nbits), every SQ row's qvec length equals
+    the float dim, and no append intent marker is pending. Returns
+    ``{"ok": bool, "violations": [...]}`` — each violation a dict naming
+    the check and the offending partition/count, never a driver-side
+    scan (aggregates only)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..fs import get_fs
+
+    fs = get_fs(spark, ivf_dir)
+    violations: list[dict] = []
+    if fs.exists(os.path.join(ivf_dir, "_append_pending.json")):
+        violations.append({"check": "append_pending",
+                           "detail": "intent marker present — run "
+                                     "rebuild_sidecars()"})
+    vecs = spark.read.parquet(os.path.join(ivf_dir, "vectors"))
+    base = {r["centroid_id"]: r["n"] for r in
+            vecs.groupBy("centroid_id").agg(F.count("*").alias("n"))
+                .collect()}
+    dim = vecs.select(F.size("embedding").alias("d")).first()["d"]
+    bad_dim = vecs.where(F.size("embedding") != dim).count()
+    if bad_dim:
+        violations.append({"check": "float_dim", "n_rows": int(bad_dim)})
+    for side, col, good in (("vectors_q", "qvec",
+                             F.size(F.col("qvec")) == dim),
+                            ("vectors_pq", "codes", None)):
+        p = os.path.join(ivf_dir, side)
+        if not fs.exists(p):
+            continue
+        sdf = spark.read.parquet(p)
+        if side == "vectors_pq":
+            meta = json.loads(
+                fs.read_text(os.path.join(ivf_dir, "_pq.json")))
+            m, ncodes = int(meta["m"]), 2 ** int(meta["nbits"])
+            good = ((F.size(F.col("codes")) == m)
+                    & F.forall(F.col("codes"),
+                               lambda c: (c >= 0) & (c < ncodes)))
+        n_bad = sdf.where(~good).count()
+        if n_bad:
+            violations.append({"check": f"{side}_shape",
+                               "n_rows": int(n_bad)})
+        side_counts = {r["centroid_id"]: r["n"] for r in
+                       sdf.groupBy("centroid_id")
+                          .agg(F.count("*").alias("n")).collect()}
+        for cid in sorted(set(base) | set(side_counts)):
+            if base.get(cid, 0) != side_counts.get(cid, 0):
+                violations.append({
+                    "check": f"{side}_count", "centroid_id": int(cid),
+                    "n_float": int(base.get(cid, 0)),
+                    "n_sidecar": int(side_counts.get(cid, 0))})
+    return {"ok": not violations, "violations": violations}
+
+
 def rebuild_sidecars(spark, ivf_dir: str) -> None:
     """Recovery + maintenance op: re-derive every quantized sidecar from
     the float ``vectors`` table with the STORED codebooks/scale spec

@@ -227,3 +227,48 @@ def test_append_pending_marker_blocks_probes(spark, emb, tmp_path):
     assert [(r["vec_id"], r["sim"]) for r in
             ivf_topk_pq(spark, d, q, k=10, nprobe=4,
                         window=None).collect()] == brute
+
+
+def test_check_ivf_clean_and_violations(spark, emb, tmp_path):
+    """check_ivf (vector-side CheckIndex): clean on a healthy SQ+PQ
+    index; flags a pending marker, a count mismatch after a simulated
+    partial append, and recovers to clean after rebuild_sidecars."""
+    import json
+    import os
+
+    from polaris_spark.ops.similarity import (
+        build_ivf,
+        build_ivf_pq,
+        build_ivf_quantized,
+        check_ivf,
+        kmeans_centroids,
+        rebuild_sidecars,
+    )
+
+    half_a = emb.where("vec_id < 250")
+    half_b = emb.where("vec_id >= 250")
+    d = str(tmp_path / "ivf_chk")
+    cents = kmeans_centroids(emb, n_centroids=4, seed=7, sample_n=200)
+    build_ivf(spark, half_a, d, centroids=cents)
+    build_ivf_quantized(spark, half_a, d, bits=8)
+    build_ivf_pq(spark, d, m=8, nbits=4, seed=7)
+    assert check_ivf(spark, d)["ok"]
+
+    # simulated crash: float rows appended, sidecars NOT (bypass
+    # append_ivf's own bracketing by writing directly)
+    from polaris_spark.ops.similarity import assign_centroids
+
+    (assign_centroids(half_b, cents).repartition("centroid_id")
+     .write.mode("append").partitionBy("centroid_id")
+     .parquet(os.path.join(d, "vectors")))
+    with open(os.path.join(d, "_append_pending.json"), "w") as f:
+        json.dump({"phase": "appending"}, f)
+
+    rep = check_ivf(spark, d)
+    assert not rep["ok"]
+    kinds = {v["check"] for v in rep["violations"]}
+    assert "append_pending" in kinds
+    assert any(k.endswith("_count") for k in kinds)
+
+    rebuild_sidecars(spark, d)
+    assert check_ivf(spark, d)["ok"]
