@@ -28,9 +28,10 @@ op is value-hash gated:
   exceeds the draw, else the default split. Zero shuffle; each split
   owns a contiguous hash interval (see the function docstring for the
   monotone-growth property).
-- token_budget: within each group (ordered by id) keep rows while the
-  INCLUSIVE running sum of whitespace-token counts stays ≤ budget — the
-  "first N tokens of each source" mixture rule. One window per group.
+- token_budget: within each group (ordered by id, tie-broken by
+  copy_idx when present) keep rows while the INCLUSIVE running sum of
+  whitespace-token counts stays ≤ budget — the "first N tokens of each
+  source" mixture rule.
 - pack:         within each group (ordered by id), bin = floor(exclusive
   running token sum / capacity) — contiguous chunking: a bin takes
   consecutive docs until their cumulative tokens cross the capacity, and
@@ -42,12 +43,12 @@ op is value-hash gated:
   single-pass, and window-expressible.
 
 Scale notes (100 TB): sampling is a pure map-side filter — zero shuffle,
-pushed predicates intact. Budget/pack need one hash-partition shuffle on
-the group key plus an in-partition sort — the same shape as sessionize;
-both specs are per-group sequential BY DEFINITION (the order defines the
-bins), so the unit of parallelism is the group. At petabyte scale the
-group key should be (source, shard-date) or similar so no single window
-partition exceeds executor memory; the op takes any key column.
+pushed predicates intact. Budget/pack specs are per-group sequential BY
+DEFINITION (the order defines the bins) — but the IMPLEMENTATION is not
+one-task-per-group: the running sums run as a two-pass range-exchange
+global cumsum (`_global_keyed_cumsum`, same shape as `shuffle_rows`), so
+a single source spans many partitions and parallelism ∝ partitions, not
+∝ |sources|. The driver sees only per-(partition, key) subtotal longs.
 """
 
 from __future__ import annotations
@@ -122,28 +123,124 @@ def split_assign(df, fractions: dict[str, float], default_split: str = "train",
     return df.withColumn("split_u", u).withColumn("split", split)
 
 
+def _order_cols(df, id_col: str, order_cols) -> list[str]:
+    """Resolve the per-group ordering identity for the cumulative mixers.
+
+    Default: ``[id_col]``, auto-extended with ``copy_idx`` when
+    :func:`upsample_epochs` ran upstream — the copies share ``id_col``,
+    so ordering by id alone would leave tie order (and therefore bin
+    assignment / budget ``kept`` flags) nondeterministic across runs and
+    partitionings. ``(id_col, copy_idx)`` restores a total order and the
+    module's determinism guarantee."""
+    if order_cols is not None:
+        return list(order_cols)
+    return [id_col] + (["copy_idx"] if "copy_idx" in df.columns else [])
+
+
+def _global_keyed_cumsum(slim, key: str, order_cols: list[str],
+                         val_col: str, cum_col: str, inclusive: bool):
+    """Scale-safe per-key running sum — the two-pass range-exchange
+    global-cumsum (same shape as :func:`shuffle_rows`), replacing
+    ``Window.partitionBy(key).orderBy(...)`` whose partition is ONE task:
+    at 100 TB with a handful of sources, each source's entire row stream
+    would serialize through a single executor thread.
+
+    Plan: (1) range-exchange the slim ``(key, *order_cols, val)`` frame
+    on ``(key, *order_cols)`` — Spark's ordinary global-sort shuffle, so
+    one source SPANS MANY partitions in order; (2) per-(partition, key)
+    subtotals (one long each — npart × |keys| rows, never row data) come
+    to the driver; (3) prefix offsets go back in the closure and each
+    partition numbers its own rows in ``mapInPandas`` (batches arrive in
+    stored order). The frame is localCheckpoint-pinned between the
+    passes so both see identical partition boundaries. Long arithmetic
+    throughout, so the result is bit-identical to the window form.
+
+    Requires ``(key, *order_cols)`` to be a non-null unique row identity
+    (callers join the cum column back on ``order_cols``).
+    """
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    spark = slim.sparkSession
+    npart = max(1, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    keyed = (
+        slim
+        .repartitionByRange(npart, key, *order_cols)
+        .sortWithinPartitions(key, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    sub = keyed.groupBy("_pid", key).agg(
+        F.sum(val_col).cast("long").alias("s")).collect()
+    offsets, totals = {}, {}
+    for r in sorted(sub, key=lambda r: int(r["_pid"])):
+        k = r[key]
+        offsets[(int(r["_pid"]), k)] = totals.get(k, 0)
+        totals[k] = totals.get(k, 0) + int(r["s"])
+
+    out_schema = T.StructType(
+        [f for f in keyed.schema.fields if f.name != "_pid"]
+        + [T.StructField(cum_col, T.LongType(), False)]
+    )
+
+    def _accumulate(batches):
+        carry, pid = {}, None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pid is None:
+                pid = int(pdf["_pid"].iloc[0])
+            vals = pdf[val_col].astype("int64")
+            incl = vals.groupby(pdf[key], sort=False, dropna=False) \
+                .cumsum().to_numpy()
+            base = np.fromiter(
+                (carry.get(k, offsets.get((pid, k), 0))
+                 for k in pdf[key]),
+                dtype=np.int64, count=len(pdf))
+            cum = incl + base
+            batch_sums = vals.groupby(
+                pdf[key], sort=False, dropna=False).sum()
+            for k, s in batch_sums.items():
+                carry[k] = carry.get(k, offsets.get((pid, k), 0)) + int(s)
+            pdf = pdf.drop(columns=["_pid"])
+            pdf[cum_col] = cum if inclusive else cum - vals.to_numpy()
+            yield pdf
+
+    return keyed.mapInPandas(_accumulate, out_schema)
+
+
 def token_budget(df, budgets: dict[str, int], default_budget: int,
                  key: str = "source", id_col: str = "doc_id",
-                 text_col: str = "text"):
-    """Per-group token-budget mixture: within each group (id order), keep
-    rows while the inclusive running whitespace-token sum ≤ the group's
-    budget. Returns rows + (n_ws_tokens, cum_tokens, kept).
+                 text_col: str = "text", order_cols=None):
+    """Per-group token-budget mixture: within each group (``order_cols``
+    order — ``(id)`` or ``(id, copy_idx)``, see :func:`_order_cols`),
+    keep rows while the inclusive running whitespace-token sum ≤ the
+    group's budget. Returns rows + (n_ws_tokens, cum_tokens, kept).
 
-    One shuffle: a window partitioned by ``key`` ordered by ``id_col``."""
-    from pyspark.sql import Window
+    Scale shape: NO per-source window (one task per source at 100 TB) —
+    the slim (key, order, n_tokens) frame takes one range exchange and a
+    driver-mediated prefix-offset pass (:func:`_global_keyed_cumsum`),
+    then the cum column joins back on the row identity. Cost ∝ corpus,
+    parallelism ∝ partitions, never ∝ |sources|."""
     from pyspark.sql import functions as F
 
     from .text import _ws_tokens_col
 
-    w = Window.partitionBy(key).orderBy(id_col) \
-        .rowsBetween(Window.unboundedPreceding, 0)
+    order_cols = _order_cols(df, id_col, order_cols)
     bud = F.lit(int(default_budget))
     for g, b in sorted(budgets.items()):
         bud = F.when(F.col(key) == g, F.lit(int(b))).otherwise(bud)
+    base = df.withColumn(
+        "n_ws_tokens", F.size(_ws_tokens_col(F.col(text_col))))
+    cums = _global_keyed_cumsum(
+        base.select(key, *order_cols, "n_ws_tokens"), key, order_cols,
+        "n_ws_tokens", "cum_tokens", inclusive=True,
+    ).select(*order_cols, "cum_tokens")
     return (
-        df.withColumn("n_ws_tokens", F.size(_ws_tokens_col(F.col(text_col))))
-        .withColumn("cum_tokens", F.sum("n_ws_tokens").over(w))
+        base.join(cums, order_cols)
         .withColumn("kept", F.col("cum_tokens") <= bud)
+        .select(*base.columns, "cum_tokens", "kept")
     )
 
 
@@ -173,22 +270,43 @@ def temperature_rates(counts: dict[str, int], alpha: float,
             for s in counts}
 
 
+def temperature_thresholds(counts: dict[str, int], alpha: float,
+                           target_frac: float) -> dict[str, int]:
+    """:func:`temperature_rates` quantized to integer micro-unit
+    thresholds with HALF-UP rounding (``floor(r·10⁶ + 0.5)``) — the rule
+    DuckDB's ``round()`` (half-away-from-zero, positive domain) also
+    implements, unlike Python's banker's ``round()``. Pinning the
+    rounding rule on both engines removes the one boundary where a
+    micro-unit tie could flip a row's ``kept`` between the Spark filter
+    and the SQL oracle."""
+    import math
+
+    rates = temperature_rates(counts, alpha, target_frac)
+    return {s: int(math.floor(r * _RES + 0.5)) for s, r in rates.items()}
+
+
 def temperature_sample(df, alpha: float, target_frac: float,
                        key: str = "source", id_col: str = "doc_id",
                        seed: int = 0):
     """Temperature-based mixture sampling (see :func:`temperature_rates`):
     ONE tiny per-source count aggregate (|sources| rows to the driver),
-    rates resolved to micro-unit thresholds, then the same zero-shuffle
+    rates resolved to half-up micro-unit thresholds
+    (:func:`temperature_thresholds`), then the same zero-shuffle
     deterministic hash filter as :func:`stratified_sample` — the whole op
     is one small agg + one map-side filter at any corpus size. Returns
-    rows + ``mix_u`` + ``kept`` (audit-friendly, like the other mixers)."""
+    rows + ``mix_u`` + ``kept`` (audit-friendly, like the other mixers).
+    Rows with a NULL ``key`` take the default threshold 0 (kept=false) —
+    mirrored by the oracle's LEFT JOIN + coalesce."""
     from pyspark.sql import functions as F
 
     counts = {r[key]: r["n"] for r in
               df.groupBy(key).agg(F.count("*").alias("n")).collect()}
-    rates = temperature_rates(counts, alpha, target_frac)
-    return stratified_sample(df, rates, default_rate=0.0, key=key,
-                             id_col=id_col, seed=seed)
+    thrs = temperature_thresholds(counts, alpha, target_frac)
+    u = sample_hash_col(id_col, seed)
+    thr = F.lit(0)
+    for g, t in sorted((g, t) for g, t in thrs.items() if g is not None):
+        thr = F.when(F.col(key) == g, F.lit(int(t))).otherwise(thr)
+    return df.withColumn("mix_u", u).withColumn("kept", F.col("mix_u") < thr)
 
 
 def upsample_epochs(df, repeats: dict[str, int], default_repeat: int = 1,
@@ -217,32 +335,44 @@ def upsample_epochs(df, repeats: dict[str, int], default_repeat: int = 1,
     )
 
 
-def pack_sequences(df, capacity: int, key: str = "source",
-                   id_col: str = "doc_id", text_col: str = "text"):
-    """Greedy sequential context-window packing (document-boundary): within
-    each group (id order), ``bin_id = floor(exclusive_cum_tokens /
-    capacity)`` — see the module spec for the straddle/overflow rule.
-    Returns rows + (n_ws_tokens, bin_id).
-
-    One shuffle (window partitioned by ``key``); downstream trainers
-    repartition by (key, bin_id) to materialize one sequence per bin."""
-    from pyspark.sql import Window
+def _with_bin_ids(df, capacity: int, key: str, id_col: str, text_col: str,
+                  order_cols):
+    """Shared pack stage: rows + (n_ws_tokens, _excl_cum, bin_id) via the
+    scale-safe global cumsum (no per-source window — see
+    :func:`_global_keyed_cumsum`)."""
     from pyspark.sql import functions as F
 
     from .text import _ws_tokens_col
 
-    w = Window.partitionBy(key).orderBy(id_col) \
-        .rowsBetween(Window.unboundedPreceding, -1)
-    n = F.size(_ws_tokens_col(F.col(text_col)))
+    order_cols = _order_cols(df, id_col, order_cols)
+    base = df.withColumn(
+        "n_ws_tokens", F.size(_ws_tokens_col(F.col(text_col))))
+    cums = _global_keyed_cumsum(
+        base.select(key, *order_cols, "n_ws_tokens"), key, order_cols,
+        "n_ws_tokens", "_excl_cum", inclusive=False,
+    ).select(*order_cols, "_excl_cum")
     return (
-        df.withColumn("n_ws_tokens", n)
-        .withColumn("_excl_cum",
-                    F.coalesce(F.sum("n_ws_tokens").over(w), F.lit(0)))
+        base.join(cums, order_cols)
         # integer DIV, not floor(double /): exact past 2^53 token streams
         .withColumn("bin_id",
                     F.expr(f"_excl_cum div {int(capacity)}").cast("long"))
-        .drop("_excl_cum")
+        .select(*base.columns, "_excl_cum", "bin_id")
     )
+
+
+def pack_sequences(df, capacity: int, key: str = "source",
+                   id_col: str = "doc_id", text_col: str = "text",
+                   order_cols=None):
+    """Greedy sequential context-window packing (document-boundary): within
+    each group (``order_cols`` order), ``bin_id = floor(exclusive_cum_tokens
+    / capacity)`` — see the module spec for the straddle/overflow rule.
+    Returns rows + (n_ws_tokens, bin_id).
+
+    Scale shape: same as :func:`token_budget` — range-exchange global
+    cumsum, never one-task-per-source; downstream trainers repartition
+    by (key, bin_id) to materialize one sequence per bin."""
+    return _with_bin_ids(df, capacity, key, id_col, text_col,
+                         order_cols).drop("_excl_cum")
 
 
 def shuffle_rows(df, seed: int = 0, id_col: str = "doc_id"):
@@ -338,7 +468,7 @@ def duckdb_sample_sql(rates: dict[str, float], default_rate: float = 1.0,
 
 def materialize_bins(df, capacity: int, key: str = "source",
                      id_col: str = "doc_id", text_col: str = "text",
-                     sep: str = " "):
+                     sep: str = " ", order_cols=None):
     """Realize :func:`pack_sequences`' bins into the TRAINER-facing
     artifact: one row per (key, bin_id) with the concatenated text, the
     member ids in pack order, and the token-boundary OFFSETS a collator
@@ -346,29 +476,17 @@ def materialize_bins(df, capacity: int, key: str = "source",
     (the "document-boundary packing" convention — each bin is one
     training sequence, offsets mark where each doc starts in tokens).
 
-    Spark shape: the same one window pack_sequences runs (per-key id
-    order: bin assignment + exclusive cumulative tokens), then ONE
-    groupBy (key, bin_id) building the sorted member structs with
-    ``sort_array(collect_list(struct))`` — two exchanges total at any
-    scale, rows out = number of bins. Offsets are bin-relative
-    (first = 0); ``n_tokens`` is the bin's whitespace-token total
-    (may exceed ``capacity`` by < its last doc's length — the straddle
-    rule)."""
-    from pyspark.sql import Window
+    Spark shape: the same scale-safe pack stage as
+    :func:`pack_sequences` (range-exchange global cumsum — NO
+    one-task-per-source window), then ONE groupBy (key, bin_id) building
+    the sorted member structs with ``sort_array(collect_list(struct))``
+    — bounded exchanges at any scale, rows out = number of bins. Offsets
+    are bin-relative (first = 0); ``n_tokens`` is the bin's
+    whitespace-token total (may exceed ``capacity`` by < its last doc's
+    length — the straddle rule)."""
     from pyspark.sql import functions as F
 
-    from .text import _ws_tokens_col
-
-    w = Window.partitionBy(key).orderBy(id_col) \
-        .rowsBetween(Window.unboundedPreceding, -1)
-    n = F.size(_ws_tokens_col(F.col(text_col)))
-    rows = (
-        df.withColumn("n_ws_tokens", n)
-        .withColumn("_excl_cum",
-                    F.coalesce(F.sum("n_ws_tokens").over(w), F.lit(0)))
-        .withColumn("bin_id",
-                    F.expr(f"_excl_cum div {int(capacity)}").cast("long"))
-    )
+    rows = _with_bin_ids(df, capacity, key, id_col, text_col, order_cols)
     # bin-relative offset = global exclusive cum − the bin's first
     # global exclusive cum (min over the bin — the pack order is id
     # order, so min(_excl_cum) is the first member's)
@@ -395,21 +513,24 @@ def materialize_bins(df, capacity: int, key: str = "source",
 
 def duckdb_bins_sql(capacity: int, key: str = "source",
                     id_col: str = "doc_id", text_col: str = "text",
-                    sep: str = " ", table: str = "documents") -> str:
+                    sep: str = " ", table: str = "documents",
+                    order_by=None) -> str:
     """Mirror of :func:`materialize_bins` (window cum + ordered
-    aggregates)."""
+    aggregates). ``order_by`` mirrors the Spark side's ``order_cols``."""
     from .text import duckdb_ws_tokens
 
+    order = ", ".join(order_by or (id_col,))
+    sel = ", ".join(dict.fromkeys((order_by or (id_col,))))
     n = f"len({duckdb_ws_tokens(text_col)})"
     s = sep.replace("'", "''")
     return f"""
 WITH t AS (
-  SELECT {id_col}, {key}, {text_col}, {n}::BIGINT AS n_ws_tokens
+  SELECT {sel}, {key}, {text_col}, {n}::BIGINT AS n_ws_tokens
   FROM {table}
 ),
 c AS (
   SELECT *, coalesce(sum(n_ws_tokens) OVER (PARTITION BY {key}
-    ORDER BY {id_col} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+    ORDER BY {order} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
     0) AS excl_cum
   FROM t
 ),
@@ -422,9 +543,9 @@ b AS (
 SELECT {key}, bin_id,
        count(*)::INT AS n_docs,
        sum(n_ws_tokens)::BIGINT AS n_tokens,
-       list({id_col} ORDER BY {id_col}) AS doc_ids,
-       list(rel_off ORDER BY {id_col}) AS offsets,
-       string_agg({text_col}, '{s}' ORDER BY {id_col}) AS {text_col}
+       list({id_col} ORDER BY {order}) AS doc_ids,
+       list(rel_off ORDER BY {order}) AS offsets,
+       string_agg({text_col}, '{s}' ORDER BY {order}) AS {text_col}
 FROM b
 GROUP BY {key}, bin_id"""
 
@@ -433,10 +554,14 @@ def duckdb_temperature_sql(alpha: float, target_frac: float,
                            key: str = "source", id_col: str = "doc_id",
                            seed: int = 0, table: str = "documents") -> str:
     """Mirror of :func:`temperature_sample`, rates computed IN SQL from
-    the same counts: thr_s = round(min(1, target·N·n^α/Σn^α/n)·10^6).
-    Both engines run the identical IEEE-double pow/div chain on the same
-    libm, so thresholds agree except on an exact-.5 micro-unit boundary
-    (measure-zero for pow outputs; the rehearsal would catch a flip)."""
+    the same counts, quantized with the SAME half-up rule
+    (``floor(x·10⁶ + 0.5)``) as :func:`temperature_thresholds` — the
+    rounding rule is pinned on both engines, so a micro-unit tie can no
+    longer flip a row. (Residual risk is a last-ulp pow() divergence
+    landing exactly on an integer boundary — measure-zero for pow
+    outputs; the rehearsal would catch a flip.) NULL-``key`` rows take
+    threshold 0 via LEFT JOIN + coalesce, matching the Spark side's
+    when/otherwise default."""
     h = _duck_hash(id_col, seed)
     a, tf = float(alpha), float(target_frac)
     return f"""
@@ -447,14 +572,14 @@ WITH c AS (
 ),
 tot AS (SELECT sum(n)::DOUBLE AS N, sum(pw) AS z FROM c),
 r AS (
-  SELECT g, CAST(round(least(1.0,
-           {tf!r} * tot.N * (c.pw / tot.z) / c.n) * {_RES}) AS BIGINT)
+  SELECT g, CAST(floor(least(1.0,
+           {tf!r} * tot.N * (c.pw / tot.z) / c.n) * {_RES} + 0.5) AS BIGINT)
          AS thr
   FROM c CROSS JOIN tot
 )
 SELECT t.{id_col}, t.{key}, {h.replace(id_col, f"t.{id_col}")} AS mix_u,
-       ({h.replace(id_col, f"t.{id_col}")}) < r.thr AS kept
-FROM {table} t JOIN r ON t.{key} = r.g"""
+       ({h.replace(id_col, f"t.{id_col}")}) < coalesce(r.thr, 0) AS kept
+FROM {table} t LEFT JOIN r ON t.{key} = r.g"""
 
 
 def duckdb_upsample_sql(repeats: dict[str, int], default_repeat: int = 1,
@@ -492,10 +617,15 @@ def duckdb_split_sql(fractions: dict[str, float],
 
 def duckdb_budget_sql(budgets: dict[str, int], default_budget: int,
                       key: str = "source", id_col: str = "doc_id",
-                      text_col: str = "text",
-                      table: str = "documents") -> str:
+                      text_col: str = "text", table: str = "documents",
+                      order_by=None) -> str:
+    """Mirror of :func:`token_budget`. ``order_by`` mirrors the Spark
+    side's ``order_cols`` (pass ``(id_col, "copy_idx")`` after an
+    upsample)."""
     from .text import duckdb_ws_tokens
 
+    order = ", ".join(order_by or (id_col,))
+    sel = ", ".join(dict.fromkeys((order_by or (id_col,))))
     bud = str(int(default_budget))
     for g, b in sorted(budgets.items()):
         lit = g.replace("'", "''")
@@ -503,35 +633,39 @@ def duckdb_budget_sql(budgets: dict[str, int], default_budget: int,
     n = f"len({duckdb_ws_tokens(text_col)})"
     return f"""
 WITH t AS (
-  SELECT {id_col}, {key}, {n}::BIGINT AS n_ws_tokens FROM {table}
+  SELECT {sel}, {key}, {n}::BIGINT AS n_ws_tokens FROM {table}
 ),
 c AS (
-  SELECT *, sum(n_ws_tokens) OVER (PARTITION BY {key} ORDER BY {id_col}
+  SELECT *, sum(n_ws_tokens) OVER (PARTITION BY {key} ORDER BY {order}
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
   FROM t
 )
-SELECT {id_col}, {key}, n_ws_tokens, cum_tokens::BIGINT AS cum_tokens,
+SELECT {sel}, {key}, n_ws_tokens, cum_tokens::BIGINT AS cum_tokens,
        cum_tokens <= ({bud}) AS kept
 FROM c"""
 
 
 def duckdb_pack_sql(capacity: int, key: str = "source",
                     id_col: str = "doc_id", text_col: str = "text",
-                    table: str = "documents") -> str:
+                    table: str = "documents", order_by=None) -> str:
+    """Mirror of :func:`pack_sequences`. ``order_by`` mirrors the Spark
+    side's ``order_cols``."""
     from .text import duckdb_ws_tokens
 
+    order = ", ".join(order_by or (id_col,))
+    sel = ", ".join(dict.fromkeys((order_by or (id_col,))))
     n = f"len({duckdb_ws_tokens(text_col)})"
     return f"""
 WITH t AS (
-  SELECT {id_col}, {key}, {n}::BIGINT AS n_ws_tokens FROM {table}
+  SELECT {sel}, {key}, {n}::BIGINT AS n_ws_tokens FROM {table}
 ),
 c AS (
   SELECT *, coalesce(sum(n_ws_tokens) OVER (PARTITION BY {key}
-    ORDER BY {id_col} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+    ORDER BY {order} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
     0) AS excl_cum
   FROM t
 )
-SELECT {id_col}, {key}, n_ws_tokens,
+SELECT {sel}, {key}, n_ws_tokens,
        (excl_cum // {int(capacity)})::BIGINT AS bin_id
 FROM c"""
 

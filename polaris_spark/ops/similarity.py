@@ -849,7 +849,14 @@ def check_ivf(spark, ivf_dir: str) -> dict:
     base = {r["centroid_id"]: r["n"] for r in
             vecs.groupBy("centroid_id").agg(F.count("*").alias("n"))
                 .collect()}
-    dim = vecs.select(F.size("embedding").alias("d")).first()["d"]
+    head = vecs.select(F.size("embedding").alias("d")).first()
+    if head is None:
+        # empty float table: an integrity checker degrades to a report,
+        # never an unhandled exception (check_index parity)
+        violations.append({"check": "empty_vectors", "detail":
+                           "float vectors table has zero rows"})
+        return {"ok": False, "violations": violations}
+    dim = head["d"]
     bad_dim = vecs.where(F.size("embedding") != dim).count()
     if bad_dim:
         violations.append({"check": "float_dim", "n_rows": int(bad_dim)})

@@ -266,3 +266,117 @@ def test_materialize_bins_semantics_and_parity(docs, con):
             for s, b, nd, nt, di, of, tx in con.execute(
                 duckdb_bins_sql(capacity=6, table="fixture")).fetchall()}
     assert out == want
+
+
+# ------------------------------------------- scale-safe cumsum (round 5)
+
+def test_budget_pack_partition_invariance_large_groups(spark, con):
+    """The two-pass global cumsum (`_global_keyed_cumsum`) must be a pure
+    function of the data — identical across input partitionings and
+    shuffle-partition counts, with each source SPANNING many partitions
+    (the 100×-scale shape a per-source window can't reach) — and equal
+    to the single-window DuckDB oracle."""
+    from polaris_spark.ops.mixing import pack_sequences, token_budget
+
+    rows = [(i, "s%d" % (i % 3), "w " * (1 + i % 7)) for i in range(300)]
+    big = spark.createDataFrame(
+        rows, "doc_id long, source string, text string")
+    con.execute("CREATE OR REPLACE TABLE big AS SELECT * FROM (VALUES %s)"
+                " t(doc_id, source, text)" % ",".join(
+                    "(%d, '%s', '%s')" % r for r in rows))
+    want_budget = {r[0]: (r[3], r[4]) for r in con.execute(
+        duckdb_budget_sql({"s0": 120}, 150, table="big")).fetchall()}
+    want_pack = {r[0]: r[3] for r in con.execute(
+        duckdb_pack_sql(40, table="big")).fetchall()}
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for npart, shuf in ((1, "5"), (7, "32"), (64, prev)):
+            spark.conf.set("spark.sql.shuffle.partitions", shuf)
+            df = big.repartition(npart)
+            got_b = {r["doc_id"]: (r["cum_tokens"], r["kept"]) for r in
+                     token_budget(df, {"s0": 120}, 150).collect()}
+            assert got_b == want_budget, (npart, shuf)
+            got_p = {r["doc_id"]: r["bin_id"] for r in
+                     pack_sequences(df, 40).collect()}
+            assert got_p == want_pack, (npart, shuf)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_copy_idx_tiebreak_determinism(spark, docs, con):
+    """After upsample_epochs, budget/pack order by (id, copy_idx) — the
+    tie order among copies is deterministic across partitionings and
+    mirrored by the order_by-extended DuckDB SQL (ADVICE r4 medium)."""
+    from polaris_spark.ops.mixing import (pack_sequences, token_budget,
+                                          upsample_epochs)
+
+    up = upsample_epochs(docs, {"a": 3, "b": 2}, default_repeat=1)
+    con.execute("CREATE OR REPLACE TABLE up AS SELECT f.doc_id, gs.copy_idx"
+                "::INT AS copy_idx, f.source, f.text FROM fixture f, "
+                "LATERAL (SELECT unnest(range(0, CASE WHEN f.source='a' "
+                "THEN 3 WHEN f.source='b' THEN 2 ELSE 1 END)) AS copy_idx)"
+                " gs")
+    want_b = {(r[0], r[1]): (r[4], r[5]) for r in con.execute(
+        duckdb_budget_sql({"a": 20}, 8, table="up",
+                          order_by=("doc_id", "copy_idx"))).fetchall()}
+    want_p = {(r[0], r[1]): r[4] for r in con.execute(
+        duckdb_pack_sql(6, table="up",
+                        order_by=("doc_id", "copy_idx"))).fetchall()}
+    for npart in (1, 7):
+        df = up.repartition(npart)
+        got_b = {(r["doc_id"], r["copy_idx"]): (r["cum_tokens"], r["kept"])
+                 for r in token_budget(df, {"a": 20}, 8).collect()}
+        assert got_b == want_b, npart
+        got_p = {(r["doc_id"], r["copy_idx"]): r["bin_id"]
+                 for r in pack_sequences(df, 6).collect()}
+        assert got_p == want_p, npart
+    # copies of one id take consecutive cum steps in copy order
+    cums = {(r["doc_id"], r["copy_idx"]): r["cum_tokens"]
+            for r in token_budget(up, {"a": 20}, 8).collect()}
+    assert cums[(0, 0)] < cums[(0, 1)] < cums[(0, 2)]
+
+
+def test_materialize_bins_with_copies_matches_oracle(spark, docs, con):
+    """materialize_bins after an upsample: member lists carry duplicate
+    ids in (id, copy) order; oracle via order_by-extended bins SQL."""
+    from polaris_spark.ops.mixing import (duckdb_bins_sql, materialize_bins,
+                                          upsample_epochs)
+
+    up = upsample_epochs(docs, {"a": 2}, default_repeat=1)
+    con.execute("CREATE OR REPLACE TABLE up2 AS SELECT f.doc_id, gs.copy_"
+                "idx::INT AS copy_idx, f.source, f.text FROM fixture f, "
+                "LATERAL (SELECT unnest(range(0, CASE WHEN f.source='a' "
+                "THEN 2 ELSE 1 END)) AS copy_idx) gs")
+    got = {(r["source"], r["bin_id"]): (tuple(r["doc_ids"]),
+                                        tuple(r["offsets"]), r["text"])
+           for r in materialize_bins(up, capacity=7).collect()}
+    want = {(s, b): (tuple(di), tuple(of), tx)
+            for s, b, _nd, _nt, di, of, tx in con.execute(
+                duckdb_bins_sql(capacity=7, table="up2",
+                                order_by=("doc_id", "copy_idx"))
+            ).fetchall()}
+    assert got == want
+
+
+def test_temperature_null_key_parity(spark, con):
+    """NULL-source rows: Spark keeps them with kept=false (default thr
+    0); the oracle's LEFT JOIN + coalesce now matches instead of
+    dropping them (ADVICE r4 low)."""
+    from polaris_spark.ops.mixing import (duckdb_temperature_sql,
+                                          temperature_sample)
+
+    rows = [(0, "a", "x"), (1, None, "y"), (2, "a", "z"), (3, None, "w")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string")
+    con.execute("CREATE OR REPLACE TABLE nt (doc_id BIGINT, source "
+                "VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO nt VALUES (?, ?, ?)", rows)
+    got = sorted((r["doc_id"], r["mix_u"], bool(r["kept"])) for r in
+                 temperature_sample(df, alpha=0.5, target_frac=1.0,
+                                    seed=2).select(
+                     "doc_id", "mix_u", "kept").collect())
+    want = sorted((i, u, bool(k)) for i, _s, u, k in con.execute(
+        duckdb_temperature_sql(alpha=0.5, target_frac=1.0, seed=2,
+                               table="nt")).fetchall())
+    assert got == want and len(got) == 4
+    assert all(not k for i, _u, k in got if i in (1, 3))

@@ -272,3 +272,19 @@ def test_check_ivf_clean_and_violations(spark, emb, tmp_path):
 
     rebuild_sidecars(spark, d)
     assert check_ivf(spark, d)["ok"]
+
+
+def test_check_ivf_empty_vectors_reports_not_crashes(spark, tmp_path):
+    """ADVICE r4: an empty float table degrades to an `empty_vectors`
+    violation, never a TypeError (checker parity with check_index)."""
+    import os
+
+    from polaris_spark.ops.similarity import check_ivf
+
+    d = str(tmp_path / "ivf_empty")
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, centroid_id int"
+    ).write.parquet(os.path.join(d, "vectors"))
+    rep = check_ivf(spark, d)
+    assert not rep["ok"]
+    assert any(v["check"] == "empty_vectors" for v in rep["violations"])
