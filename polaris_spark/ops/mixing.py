@@ -468,7 +468,7 @@ def duckdb_sample_sql(rates: dict[str, float], default_rate: float = 1.0,
 
 def materialize_bins(df, capacity: int, key: str = "source",
                      id_col: str = "doc_id", text_col: str = "text",
-                     sep: str = " ", order_cols=None):
+                     sep: str = " ", order_cols=None, label_col=None):
     """Realize :func:`pack_sequences`' bins into the TRAINER-facing
     artifact: one row per (key, bin_id) with the concatenated text, the
     member ids in pack order, and the token-boundary OFFSETS a collator
@@ -489,10 +489,15 @@ def materialize_bins(df, capacity: int, key: str = "source",
     rows = _with_bin_ids(df, capacity, key, id_col, text_col, order_cols)
     # bin-relative offset = global exclusive cum − the bin's first
     # global exclusive cum (min over the bin — the pack order is id
-    # order, so min(_excl_cum) is the first member's)
+    # order, so min(_excl_cum) is the first member's).
+    # ``label_col``: list THAT column in doc_ids (in pack order) instead
+    # of id_col — the recipe packs by shuffle ordinal but the trainer
+    # wants original row identity in the manifest.
     members = F.sort_array(F.collect_list(F.struct(
         F.col(id_col).alias("i"), F.col("_excl_cum").alias("c"),
-        F.col("n_ws_tokens").alias("n"), F.col(text_col).alias("t"))))
+        F.col("n_ws_tokens").alias("n"),
+        F.col(label_col or id_col).alias("l"),
+        F.col(text_col).alias("t"))))
     agg = (
         rows.groupBy(key, "bin_id")
         .agg(members.alias("m"))
@@ -501,7 +506,7 @@ def materialize_bins(df, capacity: int, key: str = "source",
             F.size("m").cast("int").alias("n_docs"),
             F.aggregate("m", F.lit(0).cast("long"),
                         lambda a, x: a + x["n"]).alias("n_tokens"),
-            F.transform("m", lambda x: x["i"]).alias("doc_ids"),
+            F.transform("m", lambda x: x["l"]).alias("doc_ids"),
             F.transform("m", lambda x: (x["c"] - F.element_at("m", 1)["c"])
                         .cast("long")).alias("offsets"),
             F.array_join(F.transform("m", lambda x: x["t"]), sep)

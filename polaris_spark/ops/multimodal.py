@@ -9,13 +9,17 @@ numpy-native right here (no external media libraries needed):
   :func:`encode_bmp` — header parse, row padding, bottom-up flip.
 - **PPM** (netpbm P6, 8-bit): :func:`decode_ppm` / :func:`encode_ppm` —
   ASCII token header with comments, raw interleaved RGB.
+- **PNG** (8-bit gray/RGB/palette/RGBA, non-interlaced):
+  :func:`decode_png` / :func:`encode_png` — the first COMPRESSED format
+  real in-container (round 5): stdlib zlib inflate + full filter
+  reconstruction (None/Sub/Up/Average/Paeth).
 - **WAV** (PCM 16/8-bit, RIFF): :func:`decode_wav` / :func:`encode_wav` —
   chunk walk, interleaved-channel reshape.
 
 Real kernels built on them: :func:`image_featurizer` (grayscale histogram),
 :func:`audio_featurizer` (8-band spectral energy via rfft),
 :func:`bmp_resizer` (nearest-neighbor resample). COMPRESSED codecs
-(png/jpeg/flac/mp4) remain import-gated on PIL/soundfile, which this
+(jpeg/flac/mp4) remain import-gated on PIL/soundfile, which this
 container lacks — :func:`media_featurizer` sniffs magic bytes and falls
 back to the deterministic byte-level stub for those, so the pipeline is
 total over arbitrary payloads. Swapping a codec only changes the per-batch
@@ -157,6 +161,131 @@ def encode_ppm(rgb: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Pure-numpy PNG decode — the first COMPRESSED format real
+    in-container (round 5): stdlib ``zlib`` inflate + per-row filter
+    reversal per the PNG spec. Supports 8-bit depth, non-interlaced,
+    color types 0 (grayscale → (H, W)), 2 (RGB → (H, W, 3)),
+    3 (palette → (H, W, 3)) and 6 (RGBA → (H, W, 4)). Filter
+    reconstruction: None/Up are pure vector ops, Sub is a per-channel
+    prefix sum (cumsum mod 256), Average/Paeth run the spec's sequential
+    recurrences. Raises ValueError on non-PNG / unsupported variants
+    (16-bit, interlace, gray+alpha)."""
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, plte = 8, None, [], None
+    while pos + 8 <= len(data):
+        ln, typ = struct.unpack_from(">I4s", data, pos)
+        chunk = data[pos + 8: pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            ihdr = chunk
+        elif typ == b"PLTE":
+            plte = chunk
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, ilace = struct.unpack(">IIBBBBB", ihdr)
+    ch = {0: 1, 2: 3, 3: 1, 6: 4}.get(ctype)
+    if depth != 8 or ilace != 0 or comp != 0 or filt != 0 or ch is None:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={ctype}, "
+            f"interlace={ilace})")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data truncated")
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    ftypes, filtered = rows[:, 0], rows[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), np.int32)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        f, cur = int(ftypes[y]), filtered[y]
+        if f == 0:
+            rec = cur.copy()
+        elif f == 1:  # Sub: recon[x] = raw[x] + recon[x-ch] → prefix sum
+            rec = (np.cumsum(cur.reshape(w, ch), axis=0, dtype=np.int64)
+                   % 256).astype(np.int32).reshape(stride)
+        elif f == 2:  # Up
+            rec = (cur + prev) % 256
+        elif f == 3:  # Average
+            rec = np.empty(stride, np.int32)
+            for i in range(stride):
+                left = rec[i - ch] if i >= ch else 0
+                rec[i] = (cur[i] + (left + prev[i]) // 2) % 256
+        elif f == 4:  # Paeth
+            rec = np.empty(stride, np.int32)
+            for i in range(stride):
+                a = rec[i - ch] if i >= ch else 0
+                b, c = prev[i], (prev[i - ch] if i >= ch else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc
+                                                          else c)
+                rec[i] = (cur[i] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = rec
+        prev = rec
+    arr = out.astype(np.uint8)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        return pal[arr.reshape(h, w)]
+    arr = arr.reshape(h, w, ch)
+    return arr[:, :, 0] if ctype == 0 else arr
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """uint8 (H, W) grayscale, (H, W, 3) RGB or (H, W, 4) RGBA → PNG
+    bytes (filter 0 rows, one zlib stream) — inverse of
+    :func:`decode_png` for these shapes."""
+    import zlib
+
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        ctype, ch = 0, 1
+        arr = arr[:, :, None]
+    elif arr.shape[2] == 3:
+        ctype, ch = 2, 3
+    elif arr.shape[2] == 4:
+        ctype, ch = 6, 4
+    else:
+        raise ValueError(f"unsupported channel count {arr.shape[2]}")
+    h, w = arr.shape[:2]
+    scan = np.zeros((h, w * ch + 1), np.uint8)
+    scan[:, 1:] = arr.reshape(h, w * ch)
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + typ + payload
+                + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scan.tobytes()))
+            + chunk(b"IEND", b""))
+
+
+def _decode_rgb(data: bytes) -> np.ndarray:
+    """Route a binary image payload to its real decoder (PNG/PPM/BMP) and
+    normalize to (H, W, 3) RGB."""
+    if data[:8] == _PNG_SIG:
+        a = decode_png(data)
+        if a.ndim == 2:
+            a = np.stack([a] * 3, axis=-1)
+        return a[:, :, :3]
+    return decode_ppm(data) if data[:2] == b"P6" else decode_bmp(data)
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """Decode a RIFF/WAVE PCM payload (16-bit signed or 8-bit unsigned) →
     (samples, sample_rate); samples are float64 in [-1, 1], shape
@@ -250,10 +379,11 @@ def stub_featurizer(data: bytes) -> list[float]:
 
 
 def image_featurizer(data: bytes) -> list[float]:
-    """REAL image featurizer over decoded pixels (BMP/PPM, numpy-native):
-    grayscale luminance histogram, FEATURE_DIM bins, L1-normalized — same
-    contract as :func:`stub_featurizer` (bytes → FEATURE_DIM floats)."""
-    rgb = decode_ppm(data) if data[:2] == b"P6" else decode_bmp(data)
+    """REAL image featurizer over decoded pixels (BMP/PPM/PNG,
+    numpy-native): grayscale luminance histogram, FEATURE_DIM bins,
+    L1-normalized — same contract as :func:`stub_featurizer`
+    (bytes → FEATURE_DIM floats)."""
+    rgb = _decode_rgb(data)
     gray = rgb @ np.array([0.299, 0.587, 0.114])
     hist = np.histogram(gray, bins=FEATURE_DIM, range=(0, 256))[0]
     total = hist.sum() or 1
@@ -284,7 +414,7 @@ def media_featurizer(data: bytes) -> list[float]:
     route png/jpeg through PIL stays :func:`decode_features`'s
     ``featurizer`` argument."""
     try:
-        if data[:2] in (b"BM", b"P6"):
+        if data[:2] in (b"BM", b"P6") or data[:8] == _PNG_SIG:
             return image_featurizer(data)
         if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
             return audio_featurizer(data)
@@ -294,10 +424,10 @@ def media_featurizer(data: bytes) -> list[float]:
 
 
 def bmp_resizer(data: bytes, width: int, height: int) -> bytes:
-    """REAL resize (BMP/PPM): decode, grayscale, nearest-neighbor resample
-    with numpy index maps → w×h luminance bytes — same contract as
-    :func:`stub_resizer` (bytes, w, h → width*height bytes)."""
-    rgb = decode_ppm(data) if data[:2] == b"P6" else decode_bmp(data)
+    """REAL resize (BMP/PPM/PNG): decode, grayscale, nearest-neighbor
+    resample with numpy index maps → w×h luminance bytes — same contract
+    as :func:`stub_resizer` (bytes, w, h → width*height bytes)."""
+    rgb = _decode_rgb(data)
     gray = (rgb @ np.array([0.299, 0.587, 0.114])).astype(np.uint8)
     h, w = gray.shape
     yi = (np.arange(height) * h) // height

@@ -260,3 +260,136 @@ def test_real_resize_over_spark(spark):
         assert rgb.shape == (r["meta"]["height"], r["meta"]["width"], 3)
         grad = np.frombuffer(out[r["asset_id"]], dtype=np.uint8).reshape(8, 8)
         assert grad[:, -1].mean() > grad[:, 0].mean()  # left→right gradient
+
+
+# ----------------------------------------------------- PNG (round 5)
+
+def test_png_roundtrip_all_shapes():
+    """encode_png → decode_png is the identity for gray/RGB/RGBA — the
+    first compressed format with a REAL in-container decoder (stdlib
+    zlib + filter reconstruction)."""
+    import numpy as np
+
+    from polaris_spark.ops.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, (13, 9), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (11, 17, 3), dtype=np.uint8)
+    rgba = rng.integers(0, 256, (5, 6, 4), dtype=np.uint8)
+    assert (decode_png(encode_png(gray)) == gray).all()
+    assert (decode_png(encode_png(rgb)) == rgb).all()
+    assert (decode_png(encode_png(rgba)) == rgba).all()
+
+
+def test_png_all_filter_types_reconstruct():
+    """Hand-assemble a PNG whose five rows use filters 0..4 (None, Sub,
+    Up, Average, Paeth per the spec's forward definitions) and check the
+    decoder reconstructs the original pixels."""
+    import struct as st
+    import zlib
+
+    import numpy as np
+
+    from polaris_spark.ops.multimodal import _PNG_SIG, decode_png
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    h, w, ch = img.shape
+    flat = img.reshape(h, w * ch).astype(np.int32)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    scan = bytearray()
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        scan.append(f)
+        for i in range(w * ch):
+            x = int(flat[y, i])
+            a = int(flat[y, i - ch]) if i >= ch else 0
+            b = int(flat[y - 1, i]) if y > 0 else 0
+            c = int(flat[y - 1, i - ch]) if (y > 0 and i >= ch) else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2,
+                    4: paeth(a, b, c)}[f]
+            scan.append((x - pred) % 256)
+
+    def chunk(typ, payload):
+        return (st.pack(">I", len(payload)) + typ + payload
+                + st.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF))
+
+    png = (_PNG_SIG
+           + chunk(b"IHDR", st.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(scan)))
+           + chunk(b"IEND", b""))
+    assert (decode_png(png) == img).all()
+
+
+def test_png_palette_decode():
+    import struct as st
+    import zlib
+
+    import numpy as np
+
+    from polaris_spark.ops.multimodal import _PNG_SIG, decode_png
+
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]],
+                   dtype=np.uint8)
+    idx = np.array([[0, 1, 2], [3, 2, 1]], dtype=np.uint8)
+    scan = b"".join(b"\x00" + row.tobytes() for row in idx)
+
+    def chunk(typ, payload):
+        return (st.pack(">I", len(payload)) + typ + payload
+                + st.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF))
+
+    png = (_PNG_SIG
+           + chunk(b"IHDR", st.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+           + chunk(b"PLTE", pal.tobytes())
+           + chunk(b"IDAT", zlib.compress(scan))
+           + chunk(b"IEND", b""))
+    assert (decode_png(png) == pal[idx]).all()
+
+
+def test_png_featurizer_and_resizer_parity_with_bmp():
+    """The SAME pixels as PNG and as BMP produce identical features and
+    identical resized bytes — the contract that makes the codec a
+    drop-in on the real pipeline path."""
+    import numpy as np
+
+    from polaris_spark.ops.multimodal import (bmp_resizer, encode_bmp,
+                                              encode_png,
+                                              image_featurizer,
+                                              media_featurizer)
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, (24, 16, 3), dtype=np.uint8)
+    png, bmp = encode_png(rgb), encode_bmp(rgb)
+    assert image_featurizer(png) == image_featurizer(bmp)
+    assert bmp_resizer(png, 8, 8) == bmp_resizer(bmp, 8, 8)
+    # media sniff routes PNG to the REAL path (≠ byte-level stub)
+    assert media_featurizer(png) == image_featurizer(png)
+
+
+def test_png_decode_over_spark_pipeline(spark):
+    """decode_features runs the REAL PNG path through the Arrow
+    mapInPandas plumbing end-to-end."""
+    import numpy as np
+
+    from polaris_spark.ops.multimodal import (decode_features, encode_png,
+                                              image_featurizer,
+                                              media_featurizer)
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(12):
+        rgb = rng.integers(0, 256, (10 + i, 8, 3), dtype=np.uint8)
+        rows.append((i, "image", bytearray(encode_png(rgb)),
+                     (8, 10 + i, None, None, "png")))
+    assets = spark.createDataFrame(
+        rows, "asset_id bigint, kind string, data binary, "
+        "meta struct<width:int, height:int, sample_rate:int, "
+        "duration_ms:int, format:string>")
+    out = {r["asset_id"]: r["features"] for r in
+           decode_features(assets, featurizer=media_featurizer).collect()}
+    want = {i: image_featurizer(bytes(d)) for i, _k, d, _m in rows}
+    assert out == want

@@ -1,0 +1,158 @@
+"""Serving replica scale-out demo (round 5, VERDICT r4 #4).
+
+Interactive (non-batched) serving throughput is fan-out-bound inside ONE
+daemon: a single request can't use the whole machine, so qps efficiency
+from local[2]→local[8] inside one JVM sits ~0.67 by design. The
+documented scale-out for interactive load is REPLICAS — N independent
+daemons over the same immutable index behind a trivial round-robin
+(exactly how the reference's devserver would be horizontally scaled,
+and how any stateless search tier scales: the index directory is
+read-only + generational, so replicas need no coordination).
+
+This script DEMONSTRATES that claim on one box: it launches 1, 2, then
+4 `serve` daemons (each a separate spark-submit process pinned to
+--cores-per-replica cores, so 4 replicas use the same total cores a
+single big daemon would), drives the same query mix through a
+round-robin client pool, and reports aggregate qps per replica count
+plus the replica-scaling efficiency qps_k / (k · qps_1).
+
+Run: python tools/replica_bench.py [--index .cache/bench_tridx_32]
+     [--replicas 1,2,4] [--cores-per-replica 8] [--n-queries 600]
+     [--concurrency 16]
+
+Prints ONE JSON line; paste the table into BENCH/BASELINE.md.
+"""
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# bench.py's FIXTURES §7 interactive mix (hot/mid/rare terms, identifiers,
+# tool names, case variants, misses) — same workload the scaling table uses
+from bench import QUERY_SET  # noqa: E402
+
+BASE_PORT = 8140
+
+
+def _post(port: int, path: str, body: dict, timeout: float = 60.0):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(body).encode(), method="POST",
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+def _wait_healthy(port: int, deadline: float = 180.0) -> None:
+    t0 = time.time()
+    while time.time() - t0 < deadline:
+        try:
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthz", timeout=5):
+                return
+        except Exception:
+            time.sleep(1.0)
+    raise RuntimeError(f"replica on port {port} never became healthy")
+
+
+def _launch(index: str, port: int, cores: int, pyzip: str):
+    cmd = ["spark-submit", "--master", f"local[{cores}]",
+           "--py-files", pyzip,
+           os.path.join(REPO, "cli_shim.py"), "serve",
+           "--index", index, "--port", str(port)]
+    return subprocess.Popen(cmd, stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL)
+
+
+def _drive(ports: list[int], queries: list[str], concurrency: int) -> float:
+    """Round-robin the query list across replicas from a client pool;
+    returns wall seconds. Each worker owns a contiguous slice so the
+    round-robin is deterministic."""
+    def one(i_q):
+        i, q = i_q
+        _post(ports[i % len(ports)], "/api/search",
+              {"query": q, "rankTo": 10, "payload": False})
+
+    t0 = time.time()
+    with ThreadPoolExecutor(max_workers=concurrency) as ex:
+        list(ex.map(one, enumerate(queries)))
+    return time.time() - t0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", default=os.path.join(
+        REPO, ".cache", "bench_tridx_32"))
+    ap.add_argument("--replicas", default="1,2,4")
+    ap.add_argument("--cores-per-replica", type=int, default=8)
+    ap.add_argument("--n-queries", type=int, default=600)
+    ap.add_argument("--concurrency", type=int, default=16)
+    args = ap.parse_args()
+
+    if not os.path.isdir(args.index):
+        raise SystemExit(f"index dir {args.index} missing — run "
+                         "`python bench.py` first (builds the sf0.1 "
+                         "transcripts index cache) or pass --index")
+
+    pyzip = "/tmp/polaris_spark_replica.zip"
+    if os.path.exists(pyzip):
+        os.unlink(pyzip)
+    shutil.make_archive(pyzip[:-4], "zip", REPO, "polaris_spark")
+
+    # real-query mix only (the empty-parse probe measures client overhead)
+    qs = [q for q in QUERY_SET if q != "!!! ;;;"]
+    queries = [qs[i % len(qs)] for i in range(args.n_queries)]
+
+    results = []
+    for k in [int(x) for x in args.replicas.split(",") if x]:
+        ports = [BASE_PORT + i for i in range(k)]
+        procs = [_launch(args.index, p, args.cores_per_replica, pyzip)
+                 for p in ports]
+        try:
+            for p in ports:
+                _wait_healthy(p)
+            # warm every replica identically (term-LRU + JVM codegen)
+            for p in ports:
+                for q in qs:
+                    _post(p, "/api/search",
+                          {"query": q, "rankTo": 10, "payload": False})
+            wall = _drive(ports, queries, args.concurrency)
+            qps = args.n_queries / wall
+            results.append({"replicas": k, "wall_s": round(wall, 2),
+                            "qps": round(qps, 1)})
+            print(f"replicas={k} wall={wall:.2f}s qps={qps:.1f}",
+                  file=sys.stderr)
+        finally:
+            for pr in procs:
+                pr.terminate()
+            for pr in procs:
+                try:
+                    pr.wait(timeout=30)
+                except subprocess.TimeoutExpired:
+                    pr.kill()
+        time.sleep(2.0)
+
+    base = results[0]["qps"]
+    for r in results:
+        r["efficiency_vs_1"] = round(r["qps"] / (r["replicas"] * base), 3)
+    print(json.dumps({
+        "metric": "interactive serving qps vs replica count",
+        "index": args.index,
+        "cores_per_replica": args.cores_per_replica,
+        "concurrency": args.concurrency,
+        "n_queries": args.n_queries,
+        "results": results,
+    }))
+
+
+if __name__ == "__main__":
+    main()
