@@ -702,6 +702,27 @@ def main(argv: list[str] | None = None) -> int:
                          "offsets) — the trainer-facing sequences — "
                          "instead of per-doc rows tagged bin_id")
 
+    rc = sub.add_parser("recipe", help="END-TO-END training-data recipe as "
+                        "ONE job: curate (quality+lang+decontam+dedup) → "
+                        "temperature mix → epoch upsample → global shuffle "
+                        "→ pack → trainer-facing bins (ops/recipe.py)")
+    rc.add_argument("--input", required=True, help="documents parquet")
+    rc.add_argument("--output", required=True, help="bins parquet")
+    rc.add_argument("--bench", default=None,
+                    help="benchmark parquet for the decontam stage")
+    rc.add_argument("--key", default="source")
+    rc.add_argument("--doc-id-col", default="doc_id")
+    rc.add_argument("--text-col", default="text")
+    rc.add_argument("--alpha", type=float, default=0.5,
+                    help="temperature mixing alpha")
+    rc.add_argument("--target-frac", type=float, default=0.7)
+    rc.add_argument("--epochs", default="",
+                    help="comma list grp=int-repeats (< --max-repeats)")
+    rc.add_argument("--default-epochs", type=int, default=1)
+    rc.add_argument("--max-repeats", type=int, default=8)
+    rc.add_argument("--capacity", type=int, default=512)
+    rc.add_argument("--seed", type=int, default=0)
+
     dc = sub.add_parser("decontam", help="benchmark decontamination: flag "
                         "or drop corpus docs sharing any word n-gram with "
                         "a benchmark/eval set (GPT-3 appendix-C rule)")
@@ -1511,6 +1532,34 @@ def main(argv: list[str] | None = None) -> int:
                 out.count() if args.materialize
                 else out.select(args.key, "bin_id").distinct().count())
         print(json.dumps({"output": args.output, **summary}))
+    elif args.cmd == "recipe":
+        from pyspark.sql import functions as F
+
+        from polaris_spark.ops.recipe import training_recipe
+
+        spark = _session("polaris_spark_recipe")
+        docs = spark.read.parquet(args.input)
+        bench = spark.read.parquet(args.bench) if args.bench else None
+        epochs = {}
+        for part in (p for p in args.epochs.split(",") if p):
+            k, _, v = part.partition("=")
+            epochs[k] = int(v)
+        bins = training_recipe(
+            docs, bench=bench, alpha=args.alpha,
+            target_frac=args.target_frac, repeats=epochs,
+            default_repeat=args.default_epochs, capacity=args.capacity,
+            seed=args.seed, max_repeats=args.max_repeats, key=args.key,
+            id_col=args.doc_id_col, text_col=args.text_col)
+        bins.write.mode("overwrite").parquet(args.output)
+        out = spark.read.parquet(args.output)
+        agg = out.agg(F.count("*").alias("n_bins"),
+                      F.sum("n_docs").alias("n_rows"),
+                      F.sum("n_tokens").alias("n_tokens")).collect()[0]
+        print(json.dumps({"output": args.output,
+                          "n_in": docs.count(),
+                          "n_bins": int(agg["n_bins"] or 0),
+                          "n_packed_rows": int(agg["n_rows"] or 0),
+                          "n_tokens": int(agg["n_tokens"] or 0)}))
     elif args.cmd == "lm":
         from polaris_spark.ops.text import lm_score, train_bigram_lm
 

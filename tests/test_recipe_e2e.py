@@ -63,3 +63,26 @@ def test_recipe_partition_invariance(spark, docs):
                   tuple(r["doc_ids"]), tuple(r["offsets"]), r["text"])
                  for r in b.collect()])
     assert ka == kb and len(ka) > 0
+
+
+def test_recipe_cli_smoke(spark, tmp_path):
+    """`recipe` subcommand end-to-end (in-process): bins parquet with the
+    trainer-manifest schema and conserved token mass."""
+    import json
+
+    from polaris_spark.cli import main
+
+    out = str(tmp_path / "bins.parquet")
+    rc = main(["recipe", "--input", f"{SF}/documents.parquet",
+               "--output", out, "--alpha", "0.7", "--target-frac", "0.5",
+               "--epochs", "src1=2", "--capacity", "256", "--seed", "1"])
+    assert rc in (0, None)
+    res = spark.read.parquet(out)
+    assert set(res.columns) == {"bin_id", "n_docs", "n_tokens", "doc_ids",
+                                "offsets", "text"}
+    rows = res.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n_docs"] == len(r["doc_ids"]) == len(r["offsets"])
+        assert r["offsets"][0] == 0
+        assert r["n_tokens"] == len(r["text"].split())

@@ -471,6 +471,27 @@ def main() -> None:
         cap(pre) + "\n" + cap(shuffle_rows(docs_pq, seed=13)),
     ))
 
+    from polaris_spark.ops.mixing import pack_sequences, token_budget
+
+    SECTIONS.append((
+        "mixing cumsums (range-exchange global cumsum — NO per-source "
+        "window)",
+        "Round 5: token_budget / pack_sequences / materialize_bins no "
+        "longer run Window.partitionBy(source) running sums (whose "
+        "partition is ONE task — with a handful of sources at 100 TB each "
+        "source's whole stream would serialize through one executor "
+        "thread). The plan now shows the shuffle_rows shape instead: one "
+        "Exchange rangepartitioning on (source, id) over the slim "
+        "(key, id, n_tokens) frame, MapInPandas numbering against "
+        "driver-computed per-(partition, key) prefix offsets (subtotal "
+        "longs only — no row data to the driver), then a join of the cum "
+        "column back on the row identity. There is NO `Window` operator "
+        "with partitionBy(source) anywhere in the plan; parallelism is "
+        "∝ partitions, never ∝ |sources|.",
+        cap(token_budget(docs_pq, {"src1": 1000}, 900))
+        + "\n" + cap(pack_sequences(docs_pq, 256)),
+    ))
+
     src_text = docs_pq.orderBy("doc_id").select("text").limit(1) \
         .collect()[0]["text"]
     SECTIONS.append((
