@@ -106,3 +106,25 @@ def test_rows_only_set_is_documented():
 def test_oracle_keys_subset_of_queries():
     stray = set(entry_mod.oracle_sql()) - set(entry_mod.queries())
     assert stray == set(), f"oracles without a queries() entry: {stray}"
+
+
+def test_round5_window_rotation():
+    """Round-5 window curation (VERDICT r4 #2): ≥30 of the 50 windowed
+    gates differ from round 4's driver-attested window, the §2 core stays
+    pinned at the head, and the new recipe composition gate rides inside
+    the window."""
+    import json
+    import os
+
+    names = list(entry_mod.queries())[:50]
+    core = ["tokenize_tf", "doc_stats", "dictionary", "bm25_scores",
+            "bm25_top10", "boolean_and", "boolean_not", "min_should_match",
+            "phrase_search", "phrase_slop", "bool_tree_search",
+            "search_after", "prefix_complete"]
+    assert names[:13] == core
+    assert "recipe_bins" in names
+    r04 = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "CORRECTNESS_r04.json")
+    if os.path.exists(r04):
+        prev = set(json.load(open(r04)))
+        assert len(set(names) - prev) >= 30
