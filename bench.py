@@ -397,6 +397,15 @@ def run_suite(cpus: int, sf_dir: str, n_turns: int) -> dict:
     }).count()
     times["percolate_scan"] = round(time.time() - t0, 3)
 
+    # end-to-end training recipe (round 5): curate → temperature mix →
+    # upsample → global shuffle → pack → bins, one composed job
+    from polaris_spark.ops.recipe import training_recipe
+
+    t0 = time.time()
+    _consume(training_recipe(docs, alpha=0.5, target_frac=0.7,
+                             repeats={"src1": 2}, capacity=512, seed=3))
+    times["recipe_pipeline"] = round(time.time() - t0, 3)
+
     # ---- 5. round-3 query-API surfaces over a rich documents index --------
     # (positions + field/attr cols + stored text: the serving-shaped build)
     rd = os.path.join(CACHE, f"bench_richidx_{cpus}")

@@ -135,9 +135,17 @@ def curate(docs, text_col="text", id_col="doc_id", min_quality: float = 0.55,
     fp = s1.select("doc_id", "text",
                    F.md5(F.col("text").cast("binary")).alias("fp"))
     keep_ids = fp.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    # pin the exact-dedup frame ONCE (lineage truncation): fp2 feeds
+    # three independent legs — the LSH candidate DAG, the Jaccard verify
+    # joins, and the final reason join — each of which would otherwise
+    # re-run the quality/langid scan + md5 shuffle from the source. One
+    # materialization of (id, text, fp, keep_id), read three times; the
+    # same persist-the-reused-frame rule the recipe applies to its
+    # survivor set.
     fp2 = fp.join(keep_ids, "fp").withColumn(
         "reason1",
-        F.when(F.col("doc_id") != F.col("keep_id"), F.lit("exact_dup")))
+        F.when(F.col("doc_id") != F.col("keep_id"), F.lit("exact_dup"))) \
+        .localCheckpoint()
     s2 = fp2.where(F.col("reason1").isNull()).select("doc_id", "text")
 
     cand = lsh_candidate_pairs(s2, k=k, bands=bands, n=n)

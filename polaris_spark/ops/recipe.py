@@ -63,9 +63,16 @@ def training_recipe(docs, bench=None, alpha: float = 0.5,
         and default_repeat < max_repeats, "repeats must stay < max_repeats"
 
     led = curate(docs, text_col=text_col, id_col=id_col, bench=bench)
+    # pin the survivor set ONCE: the curate ledger is the expensive stage
+    # (LSH bands, Jaccard verification, connected components) and three
+    # downstream actions re-trigger it otherwise — the temperature count
+    # aggregate, the shuffle-rank count pass, and the final bin job.
+    # localCheckpoint truncates the lineage so each reads the materialized
+    # survivors instead of re-running the dedup DAG (same pinning the
+    # two-pass rank itself uses).
     surv = docs.join(
         led.where(F.col("keep") == 1).select(F.col("doc_id").alias(id_col)),
-        id_col)
+        id_col).localCheckpoint()
     samp = temperature_sample(surv, alpha, target_frac, key=key,
                               id_col=id_col, seed=seed) \
         .where("kept").drop("mix_u", "kept")

@@ -380,3 +380,22 @@ def test_temperature_null_key_parity(spark, con):
                                table="nt")).fetchall())
     assert got == want and len(got) == 4
     assert all(not k for i, _u, k in got if i in (1, 3))
+
+
+def test_budget_null_key_group(spark, con):
+    """NULL-source rows form their own budget group (window semantics
+    preserved by the two-pass cumsum: pandas groupby(dropna=False) +
+    per-(partition, key) offsets keyed by None)."""
+    rows = [(0, None, "a b c"), (1, "s", "d e"), (2, None, "f g"),
+            (3, "s", "h")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: (r["cum_tokens"], r["kept"]) for r in
+           token_budget(df, {}, default_budget=4).collect()}
+    # null group cums: 3, 5 → kept, cut; s group: 2, 3 → kept, kept
+    assert out == {0: (3, True), 2: (5, False), 1: (2, True), 3: (3, True)}
+    con.execute("CREATE OR REPLACE TABLE nk (doc_id BIGINT, source "
+                "VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO nk VALUES (?, ?, ?)", rows)
+    want = {r[0]: (r[3], r[4]) for r in con.execute(
+        duckdb_budget_sql({}, 4, table="nk")).fetchall()}
+    assert want == out
