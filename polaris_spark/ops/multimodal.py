@@ -13,13 +13,18 @@ numpy-native right here (no external media libraries needed):
   :func:`decode_png` / :func:`encode_png` — the first COMPRESSED format
   real in-container (round 5): stdlib zlib inflate + full filter
   reconstruction (None/Sub/Up/Average/Paeth).
+- **JPEG** (baseline sequential DCT, gray + YCbCr 4:4:4/4:2:2/4:2:0,
+  restart markers): ``ops/jpeg.py`` — the second COMPRESSED format real
+  in-container (round 5): Huffman entropy layer, Annex K tables,
+  orthonormal numpy IDCT; decoder spec-verified against a hand-assembled
+  bitstream independent of the encoder.
 - **WAV** (PCM 16/8-bit, RIFF): :func:`decode_wav` / :func:`encode_wav` —
   chunk walk, interleaved-channel reshape.
 
 Real kernels built on them: :func:`image_featurizer` (grayscale histogram),
 :func:`audio_featurizer` (8-band spectral energy via rfft),
-:func:`bmp_resizer` (nearest-neighbor resample). COMPRESSED codecs
-(jpeg/flac/mp4) remain import-gated on PIL/soundfile, which this
+:func:`bmp_resizer` (nearest-neighbor resample). Remaining COMPRESSED
+codecs (flac/mp4) stay import-gated on PIL/soundfile, which this
 container lacks — :func:`media_featurizer` sniffs magic bytes and falls
 back to the deterministic byte-level stub for those, so the pipeline is
 total over arbitrary payloads. Swapping a codec only changes the per-batch
@@ -276,14 +281,21 @@ def encode_png(img: np.ndarray) -> bytes:
 
 
 def _decode_rgb(data: bytes) -> np.ndarray:
-    """Route a binary image payload to its real decoder (PNG/PPM/BMP) and
-    normalize to (H, W, 3) RGB."""
+    """Route a binary image payload to its real decoder
+    (PNG/JPEG/PPM/BMP) and normalize to (H, W, 3) RGB."""
     if data[:8] == _PNG_SIG:
         a = decode_png(data)
-        if a.ndim == 2:
-            a = np.stack([a] * 3, axis=-1)
-        return a[:, :, :3]
-    return decode_ppm(data) if data[:2] == b"P6" else decode_bmp(data)
+    elif data[:3] == b"\xff\xd8\xff":
+        from polaris_spark.ops.jpeg import decode_jpeg
+
+        a = decode_jpeg(data)
+    elif data[:2] == b"P6":
+        return decode_ppm(data)
+    else:
+        return decode_bmp(data)
+    if a.ndim == 2:
+        a = np.stack([a] * 3, axis=-1)
+    return a[:, :, :3]
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
@@ -414,7 +426,8 @@ def media_featurizer(data: bytes) -> list[float]:
     route png/jpeg through PIL stays :func:`decode_features`'s
     ``featurizer`` argument."""
     try:
-        if data[:2] in (b"BM", b"P6") or data[:8] == _PNG_SIG:
+        if (data[:2] in (b"BM", b"P6") or data[:8] == _PNG_SIG
+                or data[:3] == b"\xff\xd8\xff"):
             return image_featurizer(data)
         if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
             return audio_featurizer(data)
