@@ -273,10 +273,15 @@ def embedding_neardup_pairs(emb, threshold: float = 0.95,
     :func:`srp_candidate_pairs` candidates instead of the full cross join."""
     from pyspark.sql import functions as F
 
-    a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea"))
-    b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"))
+    # norms once per VECTOR (n aggregate folds), not once per PAIR
+    # (n² folds) — cos = dot/(na·nb) runs the identical double ops in the
+    # identical order as the inline form, so values are bit-equal
+    a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea"),
+                   _norm(F.col(vec_col)).alias("na"))
+    b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"),
+                   _norm(F.col(vec_col)).alias("nb"))
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         pairs.select("vec_a", "vec_b", F.round(cos, 6).alias("cos"))
         .where(F.col("cos") >= threshold)
@@ -307,8 +312,10 @@ def knn_join(emb, k: int = 3, vec_col: str = "embedding",
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    acols = [F.col(id_col).alias("vec_id"), F.col(vec_col).alias("ea")]
-    bcols = [F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("eb")]
+    acols = [F.col(id_col).alias("vec_id"), F.col(vec_col).alias("ea"),
+             _norm(F.col(vec_col)).alias("na")]
+    bcols = [F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("eb"),
+             _norm(F.col(vec_col)).alias("nb")]
     if anti_col is not None:
         acols.append(F.col(anti_col).alias("xa"))
         bcols.append(F.col(anti_col).alias("xb"))
@@ -317,12 +324,19 @@ def knn_join(emb, k: int = 3, vec_col: str = "embedding",
     if candidates is None:
         pairs = a.join(b, F.col("vec_id") != F.col("neighbor_id"))
     else:
-        # distinct: a duplicate candidate pair (e.g. caller passes an
-        # already-symmetrized set) must not occupy two ranks in the top-k
-        sym = candidates.select("vec_a", "vec_b").union(
-            candidates.select(F.col("vec_b").alias("vec_a"),
-                              F.col("vec_a").alias("vec_b"))).distinct()
-        keep = (["vec_id", "ea", "neighbor_id", "eb"]
+        # dedup BEFORE symmetrizing: orient every candidate to
+        # (min, max), distinct over half the rows, then emit both
+        # orientations — the same symmetric-distinct set as
+        # union-then-distinct (a duplicate pair must not occupy two
+        # ranks in the top-k), at half the distinct-shuffle volume
+        lo, hi = F.least("vec_a", "vec_b"), F.greatest("vec_a", "vec_b")
+        oriented = (candidates.select(lo.alias("vec_a"), hi.alias("vec_b"))
+                    .distinct())
+        sym = oriented.union(
+            oriented.where(F.col("vec_a") != F.col("vec_b"))
+            .select(F.col("vec_b").alias("vec_a"),
+                    F.col("vec_a").alias("vec_b")))
+        keep = (["vec_id", "ea", "na", "neighbor_id", "eb", "nb"]
                 + (["xa", "xb"] if anti_col is not None else []))
         pairs = (sym.join(a, sym["vec_a"] == a["vec_id"])
                     .join(b, sym["vec_b"] == b["neighbor_id"])
@@ -330,7 +344,9 @@ def knn_join(emb, k: int = 3, vec_col: str = "embedding",
     if anti_col is not None:
         # filter-then-rank: a same-group pair must never occupy a rank
         pairs = pairs.where(F.col("xa") != F.col("xb"))
-    cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    # norms once per VECTOR in the a/b projections (identical double op
+    # order as the old per-pair inline form — values bit-equal)
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     w = Window.partitionBy("vec_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -404,6 +420,12 @@ def srp_candidate_pairs(emb, n_bits: int = 16, seed: int = 42,
     # (L−1) unions collapse to one scan and one exchange — at 10^12
     # vectors that is the difference between L passes over the corpus
     # and one.
+    # (A "fused" variant carrying the vectors through the bucket explode
+    # and scoring at the join row was measured SLOWER at every testable
+    # scale — the wide-array sort-merge join and per-collision cosine
+    # cost more than the narrow id-pair distinct + payload joins this
+    # compositional form leaves to knn_join — so the id-only candidate
+    # contract stays.)
     sig_cols = []
     for _t in range(n_tables):
         planes = rng.standard_normal((n_bits, dim))

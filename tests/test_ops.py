@@ -416,6 +416,27 @@ def test_hard_negatives_bucketed_subset(spark):
         assert exact[(r["vec_id"], r["neighbor_id"])] == r["cos"]
 
 
+def test_knn_join_candidate_dedup_and_self_pair_semantics(spark):
+    """knn_join's candidates path (round 5: norms once per vector,
+    orient-to-(min,max)-then-distinct-then-symmetrize) must rank a
+    duplicated / already-symmetrized / reversed candidate pair exactly
+    once per direction — identical output however the caller spells the
+    same pair set."""
+    from polaris_spark.ops.similarity import knn_join, srp_candidate_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").where("vec_id < 80")
+    cand = srp_candidate_pairs(emb, n_bits=4, seed=3, n_tables=4)
+    want = sorted(map(tuple, knn_join(emb, k=3, candidates=cand).collect()))
+    from pyspark.sql import functions as F
+
+    # same pair set spelled redundantly: both orientations + a dup union
+    messy = (cand.select(F.col("vec_b").alias("vec_a"),
+                         F.col("vec_a").alias("vec_b"))
+             .union(cand).union(cand))
+    got = sorted(map(tuple, knn_join(emb, k=3, candidates=messy).collect()))
+    assert got == want
+
+
 def test_knn_srp_multitable_recall_dial(spark):
     """Multi-table SRP is the recall dial: recall@3 vs exact kNN rises
     with table count L (deterministic seeds — values pinned just under
