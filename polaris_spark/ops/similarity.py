@@ -54,11 +54,26 @@ def _norm(a):
     )
 
 
-def cosine_sim_col(vec_col, query: list[float]):
+def cosine_sim_col(vec_col, query: list[float], vec_norm=None):
+    """cos(vec, query) for a DRIVER-SIDE literal query. The query's norm
+    is computed here in Python — the same left-to-right ``0.0 + x²``
+    fold over the same float64 values as the ``_norm`` aggregate it
+    replaces, so the result is bit-identical while saving one
+    interpreted 2·dim-op lambda fold PER ROW (lambda aggregates over
+    literal arrays are not constant-folded by Catalyst). ``vec_norm``
+    optionally names an already-projected norm column so multi-query
+    callers (centroid assignment, MaxSim) fold the row's own norm once
+    instead of once per query."""
+    import math
+
     from pyspark.sql import functions as F
 
     q = F.array(*[F.lit(float(x)) for x in query])
-    return _dot(vec_col, q) / (_norm(vec_col) * _norm(q))
+    qn = 0.0
+    for x in query:
+        qn += float(x) * float(x)
+    nv = _norm(vec_col) if vec_norm is None else vec_norm
+    return _dot(vec_col, q) / (nv * F.lit(math.sqrt(qn)))
 
 
 def cosine_topk(emb, query: list[float], k: int = 10,
@@ -81,19 +96,38 @@ def assign_centroids(emb, centroids: list[list[float]],
                      vec_col: str = "embedding", id_col: str = "vec_id"):
     """(vec_id, centroid_id, embedding): nearest centroid by cosine
     (ties → lowest id). Centroids are a driver-side list (broadcast by
-    closure) — at scale they come from a sampled k-means job."""
+    closure) — at scale they come from a sampled k-means job.
+
+    Physical shape (round 5): argmax over an ARRAY of (sim, -cid)
+    structs — expression size LINEAR in K. The previous
+    when(sim > best)-chain re-embedded the running best twice per step,
+    doubling the tree per centroid (2^K nodes: fine at the K=8 default,
+    a driver OOM at the K=32 a real √n-centroid IVF needs). Semantics
+    are unchanged: Spark orders NaN greatest in BOTH forms (`>` with a
+    NaN operand inherits Spark's NaN-greatest total order, exactly like
+    struct comparison), and ties pick the LOWEST cid (strict `>` kept
+    the first winner; array_max on (sim, -cid) breaks sim ties by max
+    -cid = min cid). The row's own norm folds once via ``vec_norm``
+    instead of once per centroid."""
     from pyspark.sql import functions as F
 
-    best_id, best_sim = F.lit(0), cosine_sim_col(F.col(vec_col), centroids[0])
-    for cid in range(1, len(centroids)):
-        sim = cosine_sim_col(F.col(vec_col), centroids[cid])
-        improved = sim > best_sim
-        best_id = F.when(improved, F.lit(cid)).otherwise(best_id)
-        best_sim = F.when(improved, sim).otherwise(best_sim)
-    return emb.select(
+    base = emb.select(
         F.col(id_col).alias("vec_id"),
-        best_id.alias("centroid_id"),
         F.col(vec_col).alias("embedding"),
+        _norm(F.col(vec_col)).alias("_nv"),
+    )
+    packed = F.array(*[
+        F.struct(
+            cosine_sim_col(F.col("embedding"), centroids[cid],
+                           vec_norm=F.col("_nv")).alias("s"),
+            F.lit(-cid).alias("c"))
+        for cid in range(len(centroids))
+    ])
+    best = (-F.array_max(packed)["c"]).cast("int")
+    return base.select(
+        "vec_id",
+        best.alias("centroid_id"),
+        "embedding",
     )
 
 
@@ -243,18 +277,27 @@ def ivf_topk_many(spark, ivf_dir: str, queries: list[list[float]],
     centroids = json.loads(
         get_fs(spark, ivf_dir).read_text(os.path.join(ivf_dir, "_centroids.json"))
     )
+    import math
+
     rows = []
     for qid, q in enumerate(queries):
+        # query norm driver-side: same left-to-right 0.0 + x² fold over
+        # the same doubles as the _norm aggregate → bit-identical, and
+        # the per-joined-row lambda fold over qvec disappears
+        qn = 0.0
+        for x in q:
+            qn += float(x) * float(x)
         for c in _rank_centroids(centroids, q, nprobe):
-            rows.append((qid, int(c), [float(x) for x in q]))
+            rows.append((qid, int(c), [float(x) for x in q],
+                         math.sqrt(qn)))
     probes = spark.createDataFrame(
-        rows, "qid int, centroid_id int, qvec array<double>")
+        rows, "qid int, centroid_id int, qvec array<double>, qnorm double")
     union_ids = sorted({r[1] for r in rows})
     vecs = (spark.read.parquet(os.path.join(ivf_dir, "vectors"))
             .where(F.col("centroid_id").isin(union_ids)))
     sim = F.round(
         _dot(F.col("embedding"), F.col("qvec"))
-        / (_norm(F.col("embedding")) * _norm(F.col("qvec"))), 6)
+        / (_norm(F.col("embedding")) * F.col("qnorm")), 6)
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
         vecs.join(F.broadcast(probes), "centroid_id")
@@ -642,13 +685,17 @@ def semantic_dedup(emb, centroids: list[list[float]] | None = None,
     else:
         keyed = assigned
         join_keys = ["centroid_id"]
+    # norms once per vector in the side projections (identical double op
+    # order as the per-pair inline form — values bit-equal)
     a = keyed.select(F.col("vec_id").alias("vec_a"), *join_keys,
-                     F.col("embedding").alias("ea"))
+                     F.col("embedding").alias("ea"),
+                     _norm(F.col("embedding")).alias("na"))
     b = keyed.select(F.col("vec_id").alias("vec_b"), *join_keys,
-                     F.col("embedding").alias("eb"))
+                     F.col("embedding").alias("eb"),
+                     _norm(F.col("embedding")).alias("nb"))
     cos = F.round(
         _dot(F.col("ea"), F.col("eb"))
-        / (_norm(F.col("ea")) * _norm(F.col("eb"))), 6)
+        / (F.col("na") * F.col("nb")), 6)
     dup = (
         a.join(b, join_keys)
         .where(F.col("vec_a") > F.col("vec_b"))
@@ -1113,12 +1160,18 @@ def maxsim_topk(emb, queries: list[list[float]], k: int = 5,
 
     if not queries:
         raise ValueError("maxsim needs at least one query vector")
+    # the token vector's norm folds ONCE per row (projected column),
+    # not once per query token — bit-identical, |q|× less lambda work
+    base = emb.select(F.col(doc_col).alias("doc"),
+                      F.col(vec_col).alias("_v"),
+                      _norm(F.col(vec_col)).alias("_nv"))
     sims = [
-        cosine_sim_col(F.col(vec_col), [float(x) for x in q])
+        cosine_sim_col(F.col("_v"), [float(x) for x in q],
+                       vec_norm=F.col("_nv"))
         .alias(f"s{i}")
         for i, q in enumerate(queries)
     ]
-    g = (emb.select(F.col(doc_col).alias("doc"), *sims)
+    g = (base.select("doc", *sims)
          .groupBy("doc")
          .agg(*[F.max(f"s{i}").alias(f"m{i}")
                 for i in range(len(queries))]))
