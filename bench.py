@@ -470,6 +470,51 @@ def run_suite(cpus: int, sf_dir: str, n_turns: int) -> dict:
     return {"times": times, **extras}
 
 
+def host_calibration() -> dict:
+    """Deterministic host-speed probes emitted with every suite JSON so
+    cross-round comparisons can be normalized for VM-host drift (the
+    sandbox host's effective multi-core speed varies by BOOT, not just by
+    minute: round 5 measured the identical code path at 1.49 s on one
+    boot and 3.24 s on the next while single-thread speed was unchanged —
+    only a calibration constant in the same JSON makes such rounds
+    comparable).
+
+    - ``st_loop_s``: single-thread Python sum loop (10M iterations).
+    - ``mt_matmul_s``: mean per-process wall of 8 CONCURRENT 1000×1000
+      numpy matmul processes (5 reps each) — captures the multi-core /
+      memory-bandwidth contention that JVM shuffle stages feel first.
+    - ``mt_over_st``: the contention factor; ~1.0–1.3 on a healthy boot,
+      ≥1.5 marks a degraded window.
+    """
+    import statistics
+    import subprocess
+    import sys
+    import time
+
+    t0 = time.time()
+    s = 0
+    for i in range(10_000_000):
+        s += i
+    st = time.time() - t0
+
+    code = ("import time,numpy as np;"
+            "a=np.random.default_rng(0).random((1000,1000));"
+            "t0=time.time();\n"
+            "for _ in range(5): a@a\n"
+            "print(time.time()-t0)")
+    solo = float(subprocess.run([sys.executable, "-c", code],
+                                capture_output=True,
+                                text=True).stdout.strip() or "0")
+    procs = [subprocess.Popen([sys.executable, "-c", code],
+                              stdout=subprocess.PIPE, text=True)
+             for _ in range(8)]
+    per = [float(p.communicate()[0].strip() or "0") for p in procs]
+    mt = statistics.mean(per)
+    return {"st_loop_s": round(st, 3), "solo_matmul_s": round(solo, 3),
+            "mt_matmul_s": round(mt, 3),
+            "mt_over_st": round(mt / solo, 3) if solo else None}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int,
@@ -699,6 +744,7 @@ Per-stage walls (JSON below) show where time goes at each level.
                           "batch_qps_8": bqps8, "batch_qps_32": bqps32}))
         return
 
+    calib = host_calibration()
     res = run_suite(args.cpus, args.sf_dir, n_turns)
     total = round(sum(res["times"].values()), 3)
     out = {
@@ -716,6 +762,7 @@ Per-stage walls (JSON below) show where time goes at each level.
         "query_warm_p50_s": res.get("query_warm_p50_s"),
         "ivf_sq_recall10": res.get("ivf_sq_recall10"),
         "ivf_pq_recall10": res.get("ivf_pq_recall10"),
+        "host_calib": calib,
     }
     print(json.dumps(out))
 
