@@ -479,11 +479,12 @@ def _dht_segment(tc: int, th: int, spec) -> bytes:
 
 
 def encode_jpeg(img: np.ndarray, quality: int = 90,
-                subsample: bool = False, restart_interval: int = 0) -> bytes:
+                subsample=False, restart_interval: int = 0) -> bytes:
     """uint8 (H, W) grayscale or (H, W, 3) RGB → baseline JPEG bytes.
 
-    Color uses 4:4:4 by default; ``subsample=True`` emits 4:2:0 (chroma
-    2×2 box-averaged). ``restart_interval`` > 0 writes DRI and RSTn
+    Color uses 4:4:4 by default; ``subsample=True`` or ``"420"`` emits
+    4:2:0 (chroma 2×2 box-averaged), ``"422"`` emits 4:2:2 (chroma
+    halved horizontally). ``restart_interval`` > 0 writes DRI and RSTn
     markers every that many MCUs (exercises the decoder's restart path).
     """
     arr = np.asarray(img, dtype=np.float64)
@@ -501,13 +502,17 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        if subsample:
-            ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+        mode = {False: "444", True: "420"}.get(subsample, subsample)
+        if mode not in ("444", "420", "422"):
+            raise ValueError(f"unsupported subsample mode {subsample!r}")
+        if mode != "444":
+            fx, fy = (2, 2) if mode == "420" else (2, 1)
+            ph, pw = -(-h // fy) * fy, -(-w // fx) * fx
             cbp = _pad_to_blocks(cb, ph, pw)
             crp = _pad_to_blocks(cr, ph, pw)
-            cb = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-            cr = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-            sampling = [(2, 2), (1, 1), (1, 1)]
+            cb = cbp.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+            cr = crp.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+            sampling = [(fx, fy), (1, 1), (1, 1)]
         else:
             sampling = [(1, 1), (1, 1), (1, 1)]
         comps = [{"id": i + 1, "h": sh, "v": sv,

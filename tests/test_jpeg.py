@@ -58,6 +58,23 @@ def test_jpeg_rgb_420_subsampled_roundtrip():
     assert err.mean() < 5.0  # chroma is 2x2-averaged: looser bound
 
 
+def test_jpeg_rgb_422_subsampled_roundtrip():
+    """4:2:2 exercises asymmetric sampling factors (2×1 luma blocks per
+    MCU, horizontal-only chroma upsampling in the decoder)."""
+    rgb = _smooth_rgb(33, 47)
+    out = decode_jpeg(encode_jpeg(rgb, quality=95, subsample="422"))
+    err = np.abs(out.astype(int) - rgb.astype(int))
+    assert out.shape == rgb.shape
+    assert err.mean() < 4.0
+    # 4:2:2 halves only horizontal chroma -> error between 4:4:4 and 4:2:0
+    e444 = np.abs(decode_jpeg(encode_jpeg(rgb, quality=95)).astype(int)
+                  - rgb.astype(int)).mean()
+    e420 = np.abs(decode_jpeg(encode_jpeg(rgb, quality=95,
+                                          subsample="420")).astype(int)
+                  - rgb.astype(int)).mean()
+    assert e444 <= err.mean() <= e420 + 0.5
+
+
 def test_jpeg_restart_markers_identical_decode():
     """DRI/RSTn only re-frames the entropy stream (predictor resets +
     byte alignment); decoded pixels must equal the marker-free encode."""
