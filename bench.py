@@ -486,6 +486,7 @@ def host_calibration() -> dict:
     - ``mt_over_st``: the contention factor; ~1.0–1.3 on a healthy boot,
       ≥1.5 marks a degraded window.
     """
+    import os
     import statistics
     import subprocess
     import sys
@@ -497,22 +498,39 @@ def host_calibration() -> dict:
         s += i
     st = time.time() - t0
 
+    # pin BLAS to ONE thread per process: the probe must measure the
+    # host's per-core speed and cross-process memory contention, not the
+    # numpy build's threading behavior (a multithreaded BLAS would make
+    # the solo run saturate every core and mt_over_st measure thread
+    # oversubscription instead of boot health)
+    env = {**os.environ,
+           "OMP_NUM_THREADS": "1", "OPENBLAS_NUM_THREADS": "1",
+           "MKL_NUM_THREADS": "1", "VECLIB_MAXIMUM_THREADS": "1",
+           "NUMEXPR_NUM_THREADS": "1"}
     code = ("import time,numpy as np;"
             "a=np.random.default_rng(0).random((1000,1000));"
             "t0=time.time();\n"
             "for _ in range(5): a@a\n"
             "print(time.time()-t0)")
     solo = float(subprocess.run([sys.executable, "-c", code],
-                                capture_output=True,
+                                capture_output=True, env=env,
                                 text=True).stdout.strip() or "0")
-    procs = [subprocess.Popen([sys.executable, "-c", code],
-                              stdout=subprocess.PIPE, text=True)
-             for _ in range(8)]
-    per = [float(p.communicate()[0].strip() or "0") for p in procs]
-    mt = statistics.mean(per)
+
+    def fleet(n):
+        procs = [subprocess.Popen([sys.executable, "-c", code],
+                                  stdout=subprocess.PIPE, env=env,
+                                  text=True) for _ in range(n)]
+        return statistics.mean(
+            float(p.communicate()[0].strip() or "0") for p in procs)
+
+    mt = fleet(8)          # partial load: cross-process contention
+    sat = fleet(os.cpu_count() or 32)   # full saturation: what a
+    #                                     local[ncpus] Spark stage feels
     return {"st_loop_s": round(st, 3), "solo_matmul_s": round(solo, 3),
             "mt_matmul_s": round(mt, 3),
-            "mt_over_st": round(mt / solo, 3) if solo else None}
+            "mt_over_st": round(mt / solo, 3) if solo else None,
+            "sat_matmul_s": round(sat, 3),
+            "sat_over_st": round(sat / solo, 3) if solo else None}
 
 
 def main() -> None:

@@ -241,10 +241,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode a baseline JPEG → uint8 (H, W) grayscale or (H, W, 3) RGB.
 
     Supports SOF0/SOF1 (Huffman sequential), 8-bit precision, 1 or 3
-    components, any sampling factors, DRI/RSTn restarts. Raises
-    ValueError on progressive (SOF2), arithmetic coding, 12-bit, or
-    malformed streams.
+    components, any sampling factors, DRI/RSTn restarts, 0xFF fill bytes
+    before markers (T.81 B.1.1.2). Raises ValueError — and ONLY
+    ValueError, the codec-family contract ``media_featurizer``'s stub
+    fallback catches — on progressive (SOF2), arithmetic coding, 12-bit,
+    truncated, or otherwise malformed streams.
     """
+    try:
+        return _decode_jpeg(data)
+    except (struct.error, KeyError, IndexError) as e:
+        # malformed-but-magic-matching payload: normalize the parser's
+        # internal error class to the decoder contract
+        raise ValueError(f"malformed JPEG stream ({e!r})") from e
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}
@@ -255,9 +266,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
-        marker = data[pos + 1]
-        pos += 2
-        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+        while pos < len(data) and data[pos] == 0xFF:
+            pos += 1          # 0xFF fill bytes before a marker are legal
+        if pos >= len(data):
+            break
+        marker = data[pos]
+        pos += 1
+        if marker in (0x00, 0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
             continue
         seglen = struct.unpack_from(">H", data, pos)[0]
         seg = data[pos + 2: pos + seglen]
@@ -347,8 +362,12 @@ def _decode_scan(scan: bytes, frame, scan_tables, qt, huff,
         i += 1
     segments.append(bytes(cur))
 
-    planes = [np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), np.float64)
-              for c in comps]
+    # entropy pass: collect each component's DEQUANTIZED coefficient
+    # blocks in MCU traversal order; the IDCT then runs ONCE per
+    # component as a single einsum over the whole block stack (the
+    # per-block 8×8 matmul pair inside the bit loop was the decoder's
+    # numpy-call-overhead hot spot)
+    blocks = [[] for _ in comps]
     coef = np.zeros(64, np.int64)
     n_mcu = mcux * mcuy
     per_seg = restart if restart else n_mcu
@@ -357,42 +376,43 @@ def _decode_scan(scan: bytes, frame, scan_tables, qt, huff,
         rdr = _BitReader(seg)
         pred = [0] * len(comps)
         for _ in range(min(per_seg, n_mcu - mcu_idx)):
-            my, mx = divmod(mcu_idx, mcux)
             for ci, c in enumerate(comps):
                 dct, act = scan_tables[c["id"]]
                 dq = qt[c["tq"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        coef[:] = 0
-                        s = rdr.read_huffman(huff[(0, dct)])
-                        pred[ci] += _extend(rdr.read_bits(s), s)
-                        coef[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = rdr.read_huffman(huff[(1, act)])
-                            r, sz = rs >> 4, rs & 15
-                            if sz == 0:
-                                if r != 15:
-                                    break
-                                k += 16
-                                continue
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC index overflow")
-                            coef[ZIGZAG[k]] = _extend(rdr.read_bits(sz), sz)
-                            k += 1
-                        block = (coef * dq).reshape(8, 8).astype(np.float64)
-                        pix = _DCT.T @ block @ _DCT + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
+                for _blk in range(c["v"] * c["h"]):
+                    coef[:] = 0
+                    s = rdr.read_huffman(huff[(0, dct)])
+                    pred[ci] += _extend(rdr.read_bits(s), s)
+                    coef[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = rdr.read_huffman(huff[(1, act)])
+                        r, sz = rs >> 4, rs & 15
+                        if sz == 0:
+                            if r != 15:
+                                break
+                            k += 16
+                            continue
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC index overflow")
+                        coef[ZIGZAG[k]] = _extend(rdr.read_bits(sz), sz)
+                        k += 1
+                    blocks[ci].append(coef * dq)
             mcu_idx += 1
     if mcu_idx != n_mcu:
         raise ValueError(f"decoded {mcu_idx}/{n_mcu} MCUs")
 
     full = []
     for ci, c in enumerate(comps):
-        p = planes[ci]
+        stack = np.stack(blocks[ci]).reshape(-1, 8, 8).astype(np.float64)
+        pix = np.einsum("ji,njk,kl->nil", _DCT, stack, _DCT) + 128.0
+        # un-interleave MCU traversal order (mcu-major, then v, h within)
+        # back into the component plane
+        bh, bw = mcuy * c["v"], mcux * c["h"]
+        p = (pix.reshape(mcuy, mcux, c["v"], c["h"], 8, 8)
+             .transpose(0, 2, 4, 1, 3, 5)
+             .reshape(bh * 8, bw * 8))
         sy, sx = vmax // c["v"], hmax // c["h"]
         if sy > 1 or sx > 1:
             p = np.repeat(np.repeat(p, sy, axis=0), sx, axis=1)
@@ -420,14 +440,19 @@ def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
     return out[0], out[1]
 
 
-def _encode_blocks(wtr: _BitWriter, blocks: np.ndarray, dq: np.ndarray,
-                   dc_tab, ac_tab, pred: int) -> int:
-    """Quantize + entropy-encode a (n, 8, 8) stack of level-shifted
-    blocks sequentially; returns the updated DC predictor."""
+def _zigzag_rows(blocks: np.ndarray, dq: np.ndarray) -> np.ndarray:
+    """Forward-DCT + quantize + zigzag a component's ENTIRE (n, 8, 8)
+    level-shifted block stack in one einsum — (n, 64) int64 rows in
+    zigzag order, ready for the entropy loop."""
     coefs = np.einsum("ij,njk,lk->nil", _DCT, blocks, _DCT).reshape(-1, 64)
-    q = np.round(coefs / dq.reshape(8, 8).reshape(-1)
-                 .astype(np.float64)).astype(np.int64)
-    zz = q[:, ZIGZAG]
+    q = np.round(coefs / dq.astype(np.float64)).astype(np.int64)
+    return q[:, ZIGZAG]
+
+
+def _encode_rows(wtr: _BitWriter, zz: np.ndarray,
+                 dc_tab, ac_tab, pred: int) -> int:
+    """Entropy-encode precomputed zigzag coefficient rows sequentially;
+    returns the updated DC predictor."""
     for row in zz:
         diff = int(row[0]) - pred
         pred = int(row[0])
@@ -463,13 +488,6 @@ def _pad_to_blocks(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
     """Edge-replicate ``plane`` up to (bh, bw) multiples of 8."""
     h, w = plane.shape
     return np.pad(plane, ((0, bh - h), (0, bw - w)), mode="edge")
-
-
-def _tiles(plane: np.ndarray) -> np.ndarray:
-    """(H, W) with H, W % 8 == 0 → (H//8 * W//8, 8, 8) raster-order."""
-    h, w = plane.shape
-    return (plane.reshape(h // 8, 8, w // 8, 8)
-            .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
 
 
 def _dht_segment(tc: int, th: int, spec) -> bytes:
@@ -529,7 +547,9 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
     dc_chrom = _build_encode_table(*HUFF_DC_CHROM)
     ac_chrom = _build_encode_table(*HUFF_AC_CHROM)
 
-    # pre-tile each component into MCU-traversal block order
+    # pre-tile each component into MCU-traversal block order and run the
+    # DCT + quantize + zigzag for the WHOLE component in one einsum — the
+    # per-MCU entropy loop below only reads precomputed (n, 64) rows
     for c in comps:
         bh, bw = mcuy * 8 * c["v"], mcux * 8 * c["h"]
         p = _pad_to_blocks(c["plane"], bh, bw)
@@ -537,7 +557,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
         tiles = (p.reshape(mcuy, c["v"], 8, mcux, c["h"], 8)
                  .transpose(0, 3, 1, 4, 2, 5)
                  .reshape(-1, 8, 8))     # MCU-major, then v, h within MCU
-        c["tiles"] = tiles
+        c["zz"] = _zigzag_rows(tiles, qlum if c["tq"] == 0 else qchrom)
         c["per_mcu"] = c["v"] * c["h"]
 
     n_mcu = mcux * mcuy
@@ -579,10 +599,9 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
             pred = [0] * len(comps)
         for i, c in enumerate(comps):
             k = c["per_mcu"]
-            blocks = c["tiles"][m * k:(m + 1) * k]
             dct, act = (dc_lum, ac_lum) if i == 0 else (dc_chrom, ac_chrom)
-            dq = qlum if c["tq"] == 0 else qchrom
-            pred[i] = _encode_blocks(wtr, blocks, dq, dct, act, pred[i])
+            pred[i] = _encode_rows(wtr, c["zz"][m * k:(m + 1) * k],
+                                   dct, act, pred[i])
     wtr.flush()
     out += wtr.out
     out += b"\xff\xd9"                                  # EOI

@@ -117,6 +117,49 @@ def test_jpeg_rejects_non_baseline():
         decode_jpeg(prog)
 
 
+def test_jpeg_malformed_streams_raise_valueerror_only():
+    """The codec-family error contract: every malformed-but-magic-matching
+    payload raises ValueError (never struct.error/KeyError/IndexError),
+    so media_featurizer's `except ValueError` stub fallback keeps the
+    Spark pipeline total over arbitrary payloads."""
+    from polaris_spark.ops.multimodal import media_featurizer, stub_featurizer
+
+    img = np.full((8, 8), 120, np.uint8)
+    good = encode_jpeg(img, quality=90)
+    # strip the DHT segments out of a valid stream -> entropy tables missing
+    out, pos = bytearray(good[:2]), 2
+    while pos + 4 <= len(good):
+        marker = good[pos + 1]
+        if marker == 0xDA:
+            out += good[pos:]
+            break
+        ln = struct.unpack_from(">H", good, pos + 2)[0]
+        if marker != 0xC4:
+            out += good[pos:pos + 2 + ln]
+        pos += 2 + ln
+    bad_payloads = [
+        b"\xff\xd8\xff\xc0\x00\x20\x08",   # truncated SOF header
+        b"\xff\xd8\xff\xdb\x00\x02",       # truncated DQT
+        bytes(out),                        # missing DHT
+        good[:len(good) // 2],             # truncated entropy stream
+    ]
+    for bad in bad_payloads:
+        with pytest.raises(ValueError):
+            decode_jpeg(bad)
+        # featurizer must fall back to the byte-level stub, not crash
+        assert media_featurizer(bad) == stub_featurizer(bad)
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker —
+    a spec-legal stream with padding decodes identically."""
+    y, x = np.mgrid[0:16, 0:16]
+    img = (x * 8 + y).astype(np.uint8)
+    good = encode_jpeg(img, quality=95)
+    filled = good[:2] + b"\xff\xff" + good[2:]
+    assert (decode_jpeg(filled) == decode_jpeg(good)).all()
+
+
 def test_jpeg_media_featurizer_dispatch():
     """media_featurizer sniffs the JPEG magic and routes to the REAL
     pixel featurizer: flat image at quality 100 decodes exactly, so the
