@@ -516,21 +516,38 @@ def host_calibration() -> dict:
                                 capture_output=True, env=env,
                                 text=True).stdout.strip() or "0")
 
+    probe_errors = 0
+
     def fleet(n):
+        """Mean per-process wall over the SURVIVING fleet members — a
+        dead/empty subprocess must not average in as 0.0 (that would
+        deflate the mean and make a degraded boot read healthy, the
+        exact signal this probe exists to capture); failures are counted
+        in ``probe_errors`` instead."""
+        nonlocal probe_errors
         procs = [subprocess.Popen([sys.executable, "-c", code],
                                   stdout=subprocess.PIPE, env=env,
                                   text=True) for _ in range(n)]
-        return statistics.mean(
-            float(p.communicate()[0].strip() or "0") for p in procs)
+        vals = []
+        for p in procs:
+            out = p.communicate()[0].strip()
+            if p.returncode == 0 and out:
+                vals.append(float(out))
+            else:
+                probe_errors += 1
+        return statistics.mean(vals) if vals else None
 
     mt = fleet(8)          # partial load: cross-process contention
     sat = fleet(os.cpu_count() or 32)   # full saturation: what a
     #                                     local[ncpus] Spark stage feels
-    return {"st_loop_s": round(st, 3), "solo_matmul_s": round(solo, 3),
-            "mt_matmul_s": round(mt, 3),
-            "mt_over_st": round(mt / solo, 3) if solo else None,
-            "sat_matmul_s": round(sat, 3),
-            "sat_over_st": round(sat / solo, 3) if solo else None}
+    out = {"st_loop_s": round(st, 3), "solo_matmul_s": round(solo, 3),
+           "mt_matmul_s": round(mt, 3) if mt else None,
+           "mt_over_st": round(mt / solo, 3) if mt and solo else None,
+           "sat_matmul_s": round(sat, 3) if sat else None,
+           "sat_over_st": round(sat / solo, 3) if sat and solo else None}
+    if probe_errors:
+        out["probe_errors"] = probe_errors
+    return out
 
 
 def main() -> None:

@@ -10,10 +10,11 @@ here from the public spec.
   RSTn), multi-table DQT/DHT segments, APPn/COM skip. Huffman decode is
   canonical-code table walk; IDCT is the orthonormal 8×8 DCT-III as two
   matrix products per block (numpy einsum over all blocks at once).
-- :func:`encode_jpeg`: grayscale or color (4:4:4 by default, optional
-  4:2:0 via ``subsample=True``), Annex K quantization tables scaled by
-  the libjpeg-compatible quality curve, Annex K Huffman tables,
-  byte-stuffed entropy stream, optional restart intervals.
+- :func:`encode_jpeg`: grayscale or color — 4:4:4 by default,
+  ``subsample="420"``/``True`` for 4:2:0, ``"422"`` for 4:2:2 — Annex K
+  quantization tables scaled by the libjpeg-compatible quality curve,
+  Annex K Huffman tables, byte-stuffed entropy stream, optional restart
+  intervals.
 
 Design note for the Spark pipeline: this codec runs inside the
 ``mapInPandas`` media kernels (see ``ops/multimodal.py``), so it only ever
@@ -249,9 +250,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     """
     try:
         return _decode_jpeg(data)
-    except (struct.error, KeyError, IndexError) as e:
+    except (struct.error, KeyError, IndexError, OverflowError,
+            ZeroDivisionError) as e:
         # malformed-but-magic-matching payload: normalize the parser's
-        # internal error class to the decoder contract
+        # internal error class to the decoder contract (OverflowError:
+        # a corrupt DHT can yield a DC size symbol > 63 whose received
+        # value exceeds int64; ZeroDivisionError: a zero sampling factor
+        # in a corrupt SOF)
         raise ValueError(f"malformed JPEG stream ({e!r})") from e
 
 

@@ -54,6 +54,20 @@ def _norm(a):
     )
 
 
+def _py_norm(q) -> float:
+    """Driver-side norm of a literal query vector — the same
+    left-to-right ``0.0 + x²`` fold over the same float64 values as the
+    :func:`_norm` aggregate, so substituting it for a per-row `_norm`
+    of a literal array is BIT-identical (the op order is load-bearing:
+    do not rewrite with sum()/math.fsum/numpy)."""
+    import math
+
+    qn = 0.0
+    for x in q:
+        qn += float(x) * float(x)
+    return math.sqrt(qn)
+
+
 def cosine_sim_col(vec_col, query: list[float], vec_norm=None):
     """cos(vec, query) for a DRIVER-SIDE literal query. The query's norm
     is computed here in Python — the same left-to-right ``0.0 + x²``
@@ -64,16 +78,11 @@ def cosine_sim_col(vec_col, query: list[float], vec_norm=None):
     optionally names an already-projected norm column so multi-query
     callers (centroid assignment, MaxSim) fold the row's own norm once
     instead of once per query."""
-    import math
-
     from pyspark.sql import functions as F
 
     q = F.array(*[F.lit(float(x)) for x in query])
-    qn = 0.0
-    for x in query:
-        qn += float(x) * float(x)
     nv = _norm(vec_col) if vec_norm is None else vec_norm
-    return _dot(vec_col, q) / (nv * F.lit(math.sqrt(qn)))
+    return _dot(vec_col, q) / (nv * F.lit(_py_norm(query)))
 
 
 def cosine_topk(emb, query: list[float], k: int = 10,
@@ -277,19 +286,14 @@ def ivf_topk_many(spark, ivf_dir: str, queries: list[list[float]],
     centroids = json.loads(
         get_fs(spark, ivf_dir).read_text(os.path.join(ivf_dir, "_centroids.json"))
     )
-    import math
-
     rows = []
     for qid, q in enumerate(queries):
-        # query norm driver-side: same left-to-right 0.0 + x² fold over
-        # the same doubles as the _norm aggregate → bit-identical, and
-        # the per-joined-row lambda fold over qvec disappears
-        qn = 0.0
-        for x in q:
-            qn += float(x) * float(x)
+        # query norm driver-side (bit-identical to the _norm aggregate,
+        # see _py_norm): the per-joined-row lambda fold over qvec
+        # disappears
+        qn = _py_norm(q)
         for c in _rank_centroids(centroids, q, nprobe):
-            rows.append((qid, int(c), [float(x) for x in q],
-                         math.sqrt(qn)))
+            rows.append((qid, int(c), [float(x) for x in q], qn))
     probes = spark.createDataFrame(
         rows, "qid int, centroid_id int, qvec array<double>, qnorm double")
     union_ids = sorted({r[1] for r in rows})

@@ -137,11 +137,30 @@ def test_jpeg_malformed_streams_raise_valueerror_only():
         if marker != 0xC4:
             out += good[pos:pos + 2 + ln]
         pos += 2 + ln
+    # zero sampling factor in SOF (hmax=0 -> division in MCU geometry)
+    zs = bytearray(good)
+    sof_at = zs.find(b"\xff\xc0")
+    zs[sof_at + 2 + 2 + 6 + 1] = 0x00      # the component's (h<<4|v) byte
+    # corrupt DHT: DC size symbol 200 -> received value exceeds int64
+    soi = b"\xff\xd8"
+    dqt = (b"\xff\xdb" + struct.pack(">H", 67) + bytes([0])
+           + bytes([16] * 64))
+    sof = (b"\xff\xc0" + struct.pack(">H", 11)
+           + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    dht_dc = (b"\xff\xc4" + struct.pack(">H", 20) + bytes([0x00])
+              + bytes([1] + [0] * 15) + bytes([200]))
+    dht_ac = (b"\xff\xc4" + struct.pack(">H", 20) + bytes([0x10])
+              + bytes([1] + [0] * 15) + bytes([0x00]))
+    sos = b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    overflow = soi + dqt + sof + dht_dc + dht_ac + sos \
+        + bytes([0xAA] * 40) + b"\xff\xd9"
     bad_payloads = [
         b"\xff\xd8\xff\xc0\x00\x20\x08",   # truncated SOF header
         b"\xff\xd8\xff\xdb\x00\x02",       # truncated DQT
         bytes(out),                        # missing DHT
         good[:len(good) // 2],             # truncated entropy stream
+        bytes(zs),                         # zero sampling factor
+        overflow,                          # DC category > 63 (int64 blow)
     ]
     for bad in bad_payloads:
         with pytest.raises(ValueError):
