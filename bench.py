@@ -53,6 +53,16 @@ def make_session(cpus: int):
     # real cluster.
     local_dir = "/dev/shm/spark_local"
     os.makedirs(local_dir, exist_ok=True)
+    # ReservedCodeCacheSize: tested as the suspected cause of the round-4
+    # late-suite ANN noise ("accumulated JVM state") and RULED OUT by the
+    # jvm_health probes — measured peak across the full suite is ~125 MB of
+    # nmethods, well inside the JVM's 240 MB default, and a paired
+    # 240m-vs-512m A/B showed identical per-entry walls. The noise instead
+    # tracks host saturation drift (see the host_calib pre/post bracket:
+    # sat_over_st swung 1.4→2.1 between ADJACENT runs on the same boot).
+    # The raised default stays as free headroom for longer-lived JVMs
+    # (reserved, not committed); the knob exists for re-verification.
+    code_cache = os.environ.get("SPARK_GRAFT_CODE_CACHE", "512m")
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("polaris_spark_bench")
@@ -61,11 +71,37 @@ def make_session(cpus: int):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.extraJavaOptions",
+                f"-XX:ReservedCodeCacheSize={code_cache}")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+
+
+def jvm_health(spark) -> dict:
+    """JIT/heap occupancy snapshot via the JVM's own management beans.
+
+    Records the three CodeHeap pools (JIT-compiled method bodies live in
+    'profiled'/'non-profiled' nmethods) and heap usage, so a suite JSON
+    shows WHERE in the run the code cache saturated instead of leaving
+    late-entry slowdowns to forensic replay."""
+    out: dict = {}
+    try:
+        mf = spark.sparkContext._jvm.java.lang.management.ManagementFactory
+        for pool in mf.getMemoryPoolMXBeans():
+            name = pool.getName()
+            if "CodeHeap" in name or name == "Metaspace":
+                u = pool.getUsage()
+                key = (name.replace("CodeHeap '", "cc_").replace("'", "")
+                       .replace(" ", "_").replace("-", "_").lower())
+                out[f"{key}_mb"] = round(u.getUsed() / 1e6, 1)
+        heap = mf.getMemoryMXBean().getHeapMemoryUsage()
+        out["heap_used_mb"] = round(heap.getUsed() / 1e6, 1)
+    except Exception as exc:  # beans are diagnostics — never fail the bench
+        out["error"] = str(exc)[:120]
+    return out
 
 
 def transcripts_path(n_turns: int) -> str:
@@ -180,6 +216,8 @@ def run_suite(cpus: int, sf_dir: str, n_turns: int) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     times: dict[str, float] = {}
     extras: dict = {}
+    health: dict = {"start": jvm_health(spark)}
+    extras["jvm_health"] = health
 
     # ---- 1. index build over the sf documents table ----------------------
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -232,6 +270,7 @@ def run_suite(cpus: int, sf_dir: str, n_turns: int) -> dict:
     for p in ["ka", "ri", "to", "web", "sa"]:
         eng.complete(p, 20).collect()
     times["completion_probes"] = round(time.time() - t0, 3)
+    health["after_queries"] = jvm_health(spark)
 
     # ---- 4. pipeline ops over sf tables -----------------------------------
     def _consume(df):
@@ -256,6 +295,7 @@ def run_suite(cpus: int, sf_dir: str, n_turns: int) -> dict:
     duplicated_spans(docs, n=8, min_docs=2, hash_shingles=True).count()
     times["dedup_dup_spans"] = round(time.time() - t0, 3)
 
+    health["before_ann"] = jvm_health(spark)
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     qv = [float(x) for x in emb.where("vec_id = 0").collect()[0]["embedding"]]
     from polaris_spark.ops.similarity import cosine_topk
@@ -321,6 +361,7 @@ def run_suite(cpus: int, sf_dir: str, n_turns: int) -> dict:
     knn_join(emb, k=3, candidates=srp_candidate_pairs(
         emb, n_bits=4, n_tables=8)).count()  # the recall~0.7 dial setting
     times["knn_srp_top3"] = round(time.time() - t0, 3)
+    health["after_ann"] = jvm_health(spark)
 
     from polaris_spark.ops.dedup import decontaminate
 
@@ -465,6 +506,7 @@ def run_suite(cpus: int, sf_dir: str, n_turns: int) -> dict:
                 "filters": {"scan": "scan", "no_merge": "spark -merge"}},
     }, docs=docs)
     times["aggs_request"] = round(time.time() - t0, 3)
+    health["end"] = jvm_health(spark)
 
     spark.stop()
     return {"times": times, **extras}
@@ -781,6 +823,11 @@ Per-stage walls (JSON below) show where time goes at each level.
 
     calib = host_calibration()
     res = run_suite(args.cpus, args.sf_dir, n_turns)
+    # bracket the window: host health drifts in multi-minute cycles (two
+    # adjacent same-boot suites measured sat_over_st 2.10 then 1.41), so a
+    # single pre-run probe can misattribute mid-suite drift. Pre+post lets
+    # a reader reject a run whose window moved under it.
+    calib_post = host_calibration()
     total = round(sum(res["times"].values()), 3)
     out = {
         "metric": "headline suite wall (index build + BM25 query set + pipeline ops)",
@@ -798,6 +845,8 @@ Per-stage walls (JSON below) show where time goes at each level.
         "ivf_sq_recall10": res.get("ivf_sq_recall10"),
         "ivf_pq_recall10": res.get("ivf_pq_recall10"),
         "host_calib": calib,
+        "host_calib_post": calib_post,
+        "jvm_health": res.get("jvm_health"),
     }
     print(json.dumps(out))
 

@@ -73,6 +73,11 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "16g")
+        # code-cache headroom for 135 gates of codegen through one JVM
+        # (bench.py measured the full suite peaking ~125 MB — inside the
+        # 240 MB JVM default — so this is margin, not a fix)
+        .config("spark.driver.extraJavaOptions",
+                "-XX:ReservedCodeCacheSize=512m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
