@@ -427,7 +427,14 @@ def hard_negatives(emb, k: int = 5, label_col: str = "label",
 def srp_signature_col(vec_col, planes):
     """Signed-random-projection (SimHash-for-vectors) signature: bit i =
     sign(v · plane_i), packed into a bit string. ``planes`` is a seeded
-    numpy (n_bits, dim) matrix generated driver-side (deterministic)."""
+    numpy (n_bits, dim) matrix generated driver-side (deterministic).
+
+    This is the SPEC form — pure column expressions, kept as the parity
+    reference. The hot paths use :func:`srp_signatures_udf` instead: this
+    form costs n_bits × dim ``F.lit`` py4j round-trips PER PLANE to even
+    construct (measured 6.2 s of DRIVER time at 8 tables × 4 bits ×
+    dim 64 — 83% of the whole knn_srp bench entry), where the UDF builds
+    in milliseconds and computes the same fold Arrow-batched."""
     from pyspark.sql import functions as F
 
     bits = []
@@ -435,6 +442,48 @@ def srp_signature_col(vec_col, planes):
         d = _dot(vec_col, F.array(*[F.lit(float(x)) for x in p]))
         bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
+
+
+def srp_signatures_udf(planes_all, n_tables: int, n_bits: int):
+    """Vectorized SRP signatures: one pandas UDF returning the per-row
+    array of ``n_tables`` bucket strings (table t's string = the t-th
+    ``n_bits`` planes' sign bits, in draw order).
+
+    Bit-identical to ``n_tables`` :func:`srp_signature_col` columns: the
+    dot product is accumulated dimension-by-dimension in float64
+    (``acc += v_i · p_i`` — the exact left-fold order of :func:`_dot`,
+    which numpy's pairwise-summing ``dot``/``matmul`` would NOT
+    reproduce on knife-edge signs), and the sign rule is the same
+    ``>= 0 → '1'``. Planes travel in the closure (n_tables·n_bits·dim
+    doubles — KBs), so executors never see a literal-laden plan and the
+    driver never pays py4j expression construction."""
+    from functools import reduce
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.ascontiguousarray(planes_all, dtype=np.float64)  # (T*B, dim)
+    n_planes, dim = P.shape
+    assert n_planes == n_tables * n_bits
+
+    @pandas_udf("array<string>")
+    def _sigs(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        V = np.asarray(v.tolist(), dtype=np.float64)  # (rows, dim) exact widen
+        acc = np.zeros((V.shape[0], n_planes))
+        for i in range(dim):  # strict left fold, all rows/planes at once
+            acc += V[:, i:i + 1] * P[:, i]
+        bits = np.where(acc >= 0, "1", "0")  # (rows, T*B) '<U1'
+        tables = [
+            reduce(np.char.add,
+                   [bits[:, t * n_bits + j] for j in range(n_bits)])
+            for t in range(n_tables)
+        ]
+        return pd.Series([list(row) for row in zip(*tables)])
+
+    return _sigs
 
 
 def srp_candidate_pairs(emb, n_bits: int = 16, seed: int = 42,
@@ -473,13 +522,15 @@ def srp_candidate_pairs(emb, n_bits: int = 16, seed: int = 42,
     # cost more than the narrow id-pair distinct + payload joins this
     # compositional form leaves to knn_join — so the id-only candidate
     # contract stays.)
-    sig_cols = []
-    for _t in range(n_tables):
-        planes = rng.standard_normal((n_bits, dim))
-        sig_cols.append(srp_signature_col(F.col(vec_col), planes))
+    # All L tables' planes drawn sequentially (bucket values bit-identical
+    # to the old L expression columns), computed by ONE Arrow-batched UDF:
+    # the expression form spent 6.2 s of DRIVER time just CONSTRUCTING
+    # 2048 literal nodes over py4j at the bench's L=8 × 4 bits × dim 64.
+    planes_all = rng.standard_normal((n_tables * n_bits, dim))
+    sigs = srp_signatures_udf(planes_all, n_tables, n_bits)
     sig = emb.select(
         F.col(id_col).alias("vec_id"),
-        F.posexplode(F.array(*sig_cols)).alias("table", "bucket"),
+        F.posexplode(sigs(F.col(vec_col))).alias("table", "bucket"),
     )
     a, b = sig.alias("a"), sig.alias("b")
     return (
@@ -670,21 +721,15 @@ def semantic_dedup(emb, centroids: list[list[float]] | None = None,
         rng = np.random.default_rng(srp_seed)
         # all tables' signatures in ONE projection + explode — a per-table
         # union would re-evaluate the centroid assignment per branch (L×
-        # the work) and L× the codegen
-        sigs = F.array(*[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                srp_signature_col(
-                    F.col("embedding"),
-                    rng.standard_normal((srp_bits, dim))).alias("sbk"),
-            )
-            for t in range(srp_tables)
-        ])
+        # the work); the Arrow-batched UDF replaces the literal-laden
+        # expression columns (same sequential plane draw → same buckets)
+        sigs = srp_signatures_udf(
+            rng.standard_normal((srp_tables * srp_bits, dim)),
+            srp_tables, srp_bits)
         keyed = assigned.select(
             "vec_id", "centroid_id", "embedding",
-            F.explode(sigs).alias("_s"),
-        ).select("vec_id", "centroid_id", "embedding",
-                 F.col("_s.tbl").alias("tbl"), F.col("_s.sbk").alias("sbk"))
+            F.posexplode(sigs(F.col("embedding"))).alias("tbl", "sbk"),
+        )
         join_keys = ["centroid_id", "tbl", "sbk"]
     else:
         keyed = assigned

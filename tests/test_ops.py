@@ -769,3 +769,37 @@ def test_semantic_decontaminate(spark, con):
         bench_pred="vec_id % 40 = 7", threshold=0.95)).fetchall())
     with pytest.raises(ValueError, match="bench set is empty"):
         semantic_decontaminate(emb, emb.where("vec_id < 0"))
+
+
+def test_srp_signatures_udf_matches_expression_form(spark):
+    """The Arrow-batched SRP signature UDF (the hot path) must emit
+    buckets BIT-identical to the pure-expression spec form
+    (srp_signature_col) — the UDF replicates _dot's strict left-fold
+    accumulation order, so even knife-edge signs agree. Guards the
+    driver-side plan-build optimization (2048 py4j literal nodes → one
+    closure matrix) against silent drift."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from polaris_spark.ops.similarity import (srp_signature_col,
+                                              srp_signatures_udf)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").where("vec_id < 200")
+    dim = len(emb.select("embedding").first()[0])
+    n_bits, n_tables = 4, 8
+    rng = np.random.default_rng(42)
+    cols = [
+        srp_signature_col(F.col("embedding"),
+                          rng.standard_normal((n_bits, dim)))
+        for _ in range(n_tables)
+    ]
+    old = {r["vec_id"]: list(r["sigs"]) for r in
+           emb.select("vec_id", F.array(*cols).alias("sigs")).collect()}
+    # one (T*B, dim) draw == T sequential (B, dim) draws (row-major fill)
+    udf = srp_signatures_udf(
+        np.random.default_rng(42).standard_normal((n_tables * n_bits, dim)),
+        n_tables, n_bits)
+    new = {r["vec_id"]: list(r["sigs"]) for r in
+           emb.select("vec_id", udf(F.col("embedding")).alias("sigs"))
+           .collect()}
+    assert old == new
