@@ -27,8 +27,13 @@ import pandas as pd  # module-level: pandas_udf resolves 'pd.Series' hints
 # ADC LUT entries (m · 2^nbits) above which ivf_topk_pq switches from
 # literal-array codegen to the Arrow-batched numpy gather (ADVICE r3:
 # ~49k literals at m=96/nbits=8 would break Janino codegen); module-level
-# so tests can force the UDF path on small codebooks for parity checks
-_ADC_LUT_MAX = 2048
+# so tests can force the UDF path on small codebooks for parity checks.
+# Crossover measured on the bench codebook (m=16 x 64 codes = 1024
+# entries, warm JVM): literal build+exec 1.68 s vs Arrow 0.63 s — each
+# literal costs ~1.4 ms of driver py4j plan construction while the Arrow
+# path is a ~0.3 s constant, so the literal form only wins for genuinely
+# tiny LUTs.
+_ADC_LUT_MAX = 256
 
 
 def _dot(a, b):
