@@ -829,9 +829,15 @@ Per-stage walls (JSON below) show where time goes at each level.
     # a reader reject a run whose window moved under it.
     calib_post = host_calibration()
     total = round(sum(res["times"].values()), 3)
+    # recipe_pipeline is a round-5 addition: the ex-recipe subtotal is the
+    # like-for-like comparison against BENCH_r04 and earlier (same 30
+    # entries), so cross-round readers don't misread the new entry's ~20 s
+    # as a regression of the shared suite
+    ex_recipe = round(total - res["times"].get("recipe_pipeline", 0.0), 3)
     out = {
         "metric": "headline suite wall (index build + BM25 query set + pipeline ops)",
         "value": total,
+        "value_ex_recipe": ex_recipe,
         "unit": "sec",
         "queries": res["times"],
         "sf": sf,
