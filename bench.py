@@ -810,8 +810,20 @@ Per-stage walls (JSON below) show where time goes at each level.
 ```
 """
         os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-            f.write(md)
+        # BENCH/BASELINE.md carries hand-written evidence sections
+        # (consolidated N→4N, corpus growth, replicas, host calibration,
+        # suite snapshots) below a preservation marker — a --scaling rerun
+        # must refresh only the generated study above it, not clobber them
+        bp = os.path.join(REPO, "BENCH", "BASELINE.md")
+        marker = ("<!-- MANUAL SECTIONS BELOW — preserved across "
+                  "--scaling rewrites -->")
+        tail = ""
+        if os.path.exists(bp):
+            prev = open(bp).read()
+            if marker in prev:
+                tail = "\n" + marker + prev.split(marker, 1)[1]
+        with open(bp, "w") as f:
+            f.write(md + tail)
         print(json.dumps({"scaling_efficiency": eff,
                           "core_scaling_efficiency": ceff,
                           "query_scaling_efficiency": qeff,
