@@ -771,7 +771,11 @@ def test_semantic_decontaminate(spark, con):
         semantic_decontaminate(emb, emb.where("vec_id < 0"))
 
 
-def test_srp_signatures_udf_matches_expression_form(spark):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("n_bits,n_tables", [(4, 8), (1, 1), (16, 1), (1, 6)])
+def test_srp_signatures_udf_matches_expression_form(spark, n_bits, n_tables):
     """The Arrow-batched SRP signature UDF (the hot path) must emit
     buckets BIT-identical to the pure-expression spec form
     (srp_signature_col) — the UDF replicates _dot's strict left-fold
@@ -786,7 +790,6 @@ def test_srp_signatures_udf_matches_expression_form(spark):
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet").where("vec_id < 200")
     dim = len(emb.select("embedding").first()[0])
-    n_bits, n_tables = 4, 8
     rng = np.random.default_rng(42)
     cols = [
         srp_signature_col(F.col("embedding"),
