@@ -18,6 +18,11 @@ numpy-native right here (no external media libraries needed):
   in-container (round 5): Huffman entropy layer, Annex K tables,
   orthonormal numpy IDCT; decoder spec-verified against a hand-assembled
   bitstream independent of the encoder.
+- **GIF** (89a/87a, global+local color tables, interlace):
+  :func:`decode_gif` / :func:`encode_gif` — the third COMPRESSED format
+  real in-container (round 5): full variable-width LZW with CLEAR/EOI
+  and 4096-entry table reset; decoder spec-verified against a
+  hand-packed bitstream independent of the encoder.
 - **WAV** (PCM 16/8-bit, RIFF): :func:`decode_wav` / :func:`encode_wav` —
   chunk walk, interleaved-channel reshape.
 
@@ -280,15 +285,200 @@ def encode_png(img: np.ndarray) -> bytes:
             + chunk(b"IEND", b""))
 
 
+def _gif_lzw_decode(data: bytes, mcs: int) -> bytes:
+    """GIF-flavor LZW decompress (variable code width ``mcs+1``..12,
+    LSB-first bit packing, CLEAR/EOI control codes, early width change
+    when the table reaches ``2^width``) → raw palette indices."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table, width = list(base), mcs + 1
+    out, prev = bytearray(), None
+    bitbuf = nbits = pos = 0
+    n = len(data)
+    while True:
+        while nbits < width and pos < n:
+            bitbuf |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        if nbits < width:
+            break  # stream ended without EOI: tolerate, like most readers
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        nbits -= width
+        if code == clear:
+            table, width, prev = list(base), mcs + 1, None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad GIF LZW stream (first code)")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            if len(table) < 4096:
+                table.append(entry)
+        else:
+            raise ValueError("bad GIF LZW code")
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        out += entry
+        prev = entry
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """Pure-numpy GIF decode — the third COMPRESSED image format real
+    in-container (round 5): full LZW decompression (variable code width,
+    CLEAR/EOI, 4096-entry table) per the GIF89a spec. Returns the FIRST
+    image block as (H, W, 3) RGB via its (local-over-global) color
+    table; supports interlaced row order; extensions (GCE/comment/
+    application) are skipped — transparency renders as its palette
+    color. Raises ValueError on non-GIF payloads."""
+    if data[:6] not in (b"GIF87a", b"GIF89a") or len(data) < 14:
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos, gct = 13, None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data[pos: pos + 3 * n], np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        _l, _t, w, h, ipack = struct.unpack_from("<HHHHB", data, pos)
+        pos += 9
+        pal = gct
+        if ipack & 0x80:  # local color table wins
+            n = 2 << (ipack & 0x07)
+            pal = np.frombuffer(data[pos: pos + 3 * n],
+                                np.uint8).reshape(-1, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image has no color table")
+        mcs = data[pos]
+        pos += 1
+        if not 2 <= mcs <= 8:
+            raise ValueError(f"bad GIF LZW min code size {mcs}")
+        sub = bytearray()
+        while data[pos]:
+            ln = data[pos]
+            sub += data[pos + 1: pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = np.frombuffer(_gif_lzw_decode(bytes(sub), mcs)[: w * h],
+                            np.uint8)
+        if len(idx) < w * h:
+            raise ValueError("GIF pixel data truncated")
+        grid = idx.reshape(h, w)
+        if ipack & 0x40:  # interlaced: 4-pass row order
+            rows = np.concatenate([np.arange(o, h, s)
+                                   for o, s in ((0, 8), (4, 8),
+                                                (2, 4), (1, 2))])
+            deinter = np.empty_like(grid)
+            deinter[rows] = grid
+            grid = deinter
+        if int(grid.max(initial=0)) >= len(pal):
+            raise ValueError("GIF index outside color table")
+        return pal[grid]
+    raise ValueError("GIF contains no image block")
+
+
+def encode_gif(rgb: np.ndarray) -> bytes:
+    """uint8 (H, W, 3) RGB or (H, W) grayscale → single-frame GIF89a
+    bytes (global color table + LZW, CLEAR emitted on table overflow) —
+    inverse of :func:`decode_gif`. GIF is palette-indexed, so the image
+    must use ≤256 distinct colors (raises ValueError otherwise — a
+    quantization stage upstream is the lossy production path)."""
+    arr = np.asarray(rgb, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    h, w, _ = arr.shape
+    flat = arr.reshape(-1, 3)
+    pal, inv = np.unique(flat, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ValueError(f"GIF needs <=256 colors, image has {len(pal)}")
+    mcs = max(2, int(np.ceil(np.log2(max(len(pal), 2)))))
+    table_n = 1 << mcs  # color table size must be a power of two
+    pal_bytes = np.zeros((table_n, 3), np.uint8)
+    pal_bytes[: len(pal)] = pal
+    clear, eoi = table_n, table_n + 1
+
+    out = bytearray()
+    bitbuf = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    codes: dict[tuple[int, int], int] = {}
+    width, next_code = mcs + 1, eoi + 1
+    idx = inv.astype(np.int32).ravel()
+    emit(clear, width)
+    cur = int(idx[0])
+    for sym in map(int, idx[1:]):
+        key = (cur, sym)
+        hit = codes.get(key)
+        if hit is not None:
+            cur = hit
+            continue
+        emit(cur, width)
+        if next_code == 4096:  # table full: reset both sides
+            emit(clear, width)
+            codes.clear()
+            width, next_code = mcs + 1, eoi + 1
+        else:
+            codes[key] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        cur = sym
+    emit(cur, width)
+    emit(eoi, width)
+    if nbits:
+        out.append(bitbuf & 0xFF)
+
+    head = (b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | (mcs - 1), 0, 0)
+            + pal_bytes.tobytes()
+            + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+            + bytes([mcs]))
+    body = bytearray()
+    for i in range(0, len(out), 255):
+        chunk = out[i: i + 255]
+        body += bytes([len(chunk)]) + chunk
+    return bytes(head) + bytes(body) + b"\x00\x3b"
+
+
 def _decode_rgb(data: bytes) -> np.ndarray:
     """Route a binary image payload to its real decoder
-    (PNG/JPEG/PPM/BMP) and normalize to (H, W, 3) RGB."""
+    (PNG/JPEG/GIF/PPM/BMP) and normalize to (H, W, 3) RGB."""
     if data[:8] == _PNG_SIG:
         a = decode_png(data)
     elif data[:3] == b"\xff\xd8\xff":
         from polaris_spark.ops.jpeg import decode_jpeg
 
         a = decode_jpeg(data)
+    elif data[:6] in (b"GIF87a", b"GIF89a"):
+        a = decode_gif(data)
     elif data[:2] == b"P6":
         return decode_ppm(data)
     else:
@@ -391,7 +581,7 @@ def stub_featurizer(data: bytes) -> list[float]:
 
 
 def image_featurizer(data: bytes) -> list[float]:
-    """REAL image featurizer over decoded pixels (BMP/PPM/PNG,
+    """REAL image featurizer over decoded pixels (BMP/PPM/PNG/JPEG/GIF,
     numpy-native): grayscale luminance histogram, FEATURE_DIM bins,
     L1-normalized — same contract as :func:`stub_featurizer`
     (bytes → FEATURE_DIM floats)."""
@@ -427,7 +617,8 @@ def media_featurizer(data: bytes) -> list[float]:
     ``featurizer`` argument."""
     try:
         if (data[:2] in (b"BM", b"P6") or data[:8] == _PNG_SIG
-                or data[:3] == b"\xff\xd8\xff"):
+                or data[:3] == b"\xff\xd8\xff"
+                or data[:6] in (b"GIF87a", b"GIF89a")):
             return image_featurizer(data)
         if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
             return audio_featurizer(data)
@@ -437,7 +628,8 @@ def media_featurizer(data: bytes) -> list[float]:
 
 
 def bmp_resizer(data: bytes, width: int, height: int) -> bytes:
-    """REAL resize (BMP/PPM/PNG): decode, grayscale, nearest-neighbor
+    """REAL resize (BMP/PPM/PNG/JPEG/GIF): decode, grayscale,
+    nearest-neighbor
     resample with numpy index maps → w×h luminance bytes — same contract
     as :func:`stub_resizer` (bytes, w, h → width*height bytes)."""
     rgb = _decode_rgb(data)
