@@ -398,13 +398,64 @@ def decode_gif(data: bytes) -> np.ndarray:
     raise ValueError("GIF contains no image block")
 
 
-def encode_gif(rgb: np.ndarray) -> bytes:
+def quantize_colors(rgb: np.ndarray, n_colors: int = 256) -> np.ndarray:
+    """Median-cut palette quantization (Heckbert 1982), pure numpy:
+    reduce an RGB image to ≤ ``n_colors`` distinct colors. Works on the
+    UNIQUE colors weighted by pixel counts: repeatedly split the
+    most-populous splittable box along its widest channel at the
+    pixel-weighted median, then paint each box with its weighted mean
+    color. Images already within the budget pass through UNCHANGED
+    (exact identity — no palette snap). Deterministic."""
+    arr = np.asarray(rgb, dtype=np.uint8)
+    gray = arr.ndim == 2
+    if gray:
+        arr = np.stack([arr] * 3, axis=-1)
+    h, w, _ = arr.shape
+    uniq, inv, cnt = np.unique(arr.reshape(-1, 3), axis=0,
+                               return_inverse=True, return_counts=True)
+    if len(uniq) > n_colors:
+        u = uniq.astype(np.int32)
+        boxes = [np.arange(len(u))]  # index sets over unique colors
+        while len(boxes) < n_colors:
+            # most-populous box that still has >1 unique color
+            pick, best = -1, 0
+            for bi, idx in enumerate(boxes):
+                if len(idx) > 1 and int(cnt[idx].sum()) > best:
+                    pick, best = bi, int(cnt[idx].sum())
+            if pick < 0:
+                break
+            idx = boxes[pick]
+            ch = int(np.argmax(u[idx].max(0) - u[idx].min(0)))
+            order = idx[np.argsort(u[idx, ch], kind="stable")]
+            csum = np.cumsum(cnt[order])
+            # weighted median split point, clamped so both halves are
+            # non-empty even when one color holds most of the mass
+            cut = int(np.searchsorted(csum, csum[-1] / 2)) + 1
+            cut = min(max(cut, 1), len(order) - 1)
+            boxes[pick] = order[:cut]
+            boxes.append(order[cut:])
+        pal = np.empty((len(boxes), 3), np.uint8)
+        box_of = np.empty(len(u), np.int64)
+        for bi, idx in enumerate(boxes):
+            wsum = cnt[idx].astype(np.float64)
+            pal[bi] = np.floor(
+                (u[idx] * wsum[:, None]).sum(0) / wsum.sum() + 0.5)
+            box_of[idx] = bi
+        arr = pal[box_of[inv]].reshape(h, w, 3)
+    return arr[:, :, 0] if gray else arr
+
+
+def encode_gif(rgb: np.ndarray, quantize: bool = False) -> bytes:
     """uint8 (H, W, 3) RGB or (H, W) grayscale → single-frame GIF89a
     bytes (global color table + LZW, CLEAR emitted on table overflow) —
     inverse of :func:`decode_gif`. GIF is palette-indexed, so the image
-    must use ≤256 distinct colors (raises ValueError otherwise — a
-    quantization stage upstream is the lossy production path)."""
+    must use ≤256 distinct colors; pass ``quantize=True`` to apply
+    median-cut (:func:`quantize_colors`) first — the explicit lossy
+    production path — else >256 colors raises ValueError (lossy
+    behavior is never silent)."""
     arr = np.asarray(rgb, dtype=np.uint8)
+    if quantize:
+        arr = quantize_colors(arr, 256)
     if arr.ndim == 2:
         arr = np.stack([arr] * 3, axis=-1)
     h, w, _ = arr.shape

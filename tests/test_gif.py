@@ -139,3 +139,40 @@ def test_featurizer_routes_gif_same_as_bmp():
 def test_decode_rgb_dispatch():
     img = _img(10, 11, colors=4, seed=6)
     np.testing.assert_array_equal(_decode_rgb(encode_gif(img)), img)
+
+
+def test_quantize_identity_within_budget():
+    from polaris_spark.ops.multimodal import quantize_colors
+    img = _img(15, 15, colors=12, seed=7)
+    np.testing.assert_array_equal(quantize_colors(img, 256), img)
+
+
+def test_quantize_true_color_to_budget_and_deterministic():
+    from polaris_spark.ops.multimodal import quantize_colors
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+    q1, q2 = quantize_colors(img, 64), quantize_colors(img, 64)
+    np.testing.assert_array_equal(q1, q2)
+    assert len(np.unique(q1.reshape(-1, 3), axis=0)) <= 64
+    # quantized image should be closer to the original than a constant
+    err = np.abs(q1.astype(int) - img.astype(int)).mean()
+    base = np.abs(img.astype(int) - img.reshape(-1, 3).mean(0)).mean()
+    assert err < base
+
+
+def test_quantize_grayscale_shape():
+    from polaris_spark.ops.multimodal import quantize_colors
+    g = np.arange(0, 255, 0.25).astype(np.uint8).reshape(30, 34)
+    q = quantize_colors(g, 16)
+    assert q.shape == g.shape and len(np.unique(q)) <= 16
+
+
+def test_encode_gif_quantize_path_roundtrips_exactly():
+    from polaris_spark.ops.multimodal import quantize_colors
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    data = encode_gif(img, quantize=True)
+    # lossy vs the original, but the DECODE is exact vs the quantized image
+    np.testing.assert_array_equal(decode_gif(data), quantize_colors(img, 256))
+    with pytest.raises(ValueError, match="256"):
+        encode_gif(img)  # lossiness is never silent
