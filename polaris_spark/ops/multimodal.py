@@ -25,11 +25,16 @@ numpy-native right here (no external media libraries needed):
   hand-packed bitstream independent of the encoder.
 - **WAV** (PCM 16/8-bit, RIFF): :func:`decode_wav` / :func:`encode_wav` —
   chunk walk, interleaved-channel reshape.
+- **FLAC** (RFC 9639 subset): ``ops/flac.py`` — the first COMPRESSED
+  audio format real in-container (round 5): CONSTANT/VERBATIM/FIXED/LPC
+  subframes, Rice residuals with partitions + escape, all four stereo
+  decorrelations, CRC-8/CRC-16 verification; decoder spec-verified
+  against a hand-packed bitstream independent of the encoder.
 
 Real kernels built on them: :func:`image_featurizer` (grayscale histogram),
 :func:`audio_featurizer` (8-band spectral energy via rfft),
 :func:`bmp_resizer` (nearest-neighbor resample). Remaining COMPRESSED
-codecs (flac/mp4) stay import-gated on PIL/soundfile, which this
+codecs (mp3/mp4) stay import-gated on PIL/soundfile, which this
 container lacks — :func:`media_featurizer` sniffs magic bytes and falls
 back to the deterministic byte-level stub for those, so the pipeline is
 total over arbitrary payloads. Swapping a codec only changes the per-batch
@@ -643,11 +648,25 @@ def image_featurizer(data: bytes) -> list[float]:
     return (hist / total).round(6).tolist()
 
 
+def _decode_audio(data: bytes) -> tuple[np.ndarray, int]:
+    """Route a binary audio payload to its real decoder (WAV/FLAC) and
+    return float64 samples in [-1, 1] — the audio analog of
+    :func:`_decode_rgb` (FLAC's integer PCM is normalized to match
+    :func:`decode_wav`'s contract)."""
+    if data[:4] == b"fLaC":
+        from polaris_spark.ops.flac import decode_flac
+
+        s, rate = decode_flac(data)
+        full = 32768.0 if s.dtype == np.int16 else 2147483648.0
+        return s.astype(np.float64) / full, rate
+    return decode_wav(data)
+
+
 def audio_featurizer(data: bytes) -> list[float]:
-    """REAL audio featurizer over decoded samples (WAV/PCM path):
+    """REAL audio featurizer over decoded samples (WAV/FLAC):
     FEATURE_DIM log-spaced spectral-band energies (rfft power, L1-norm) —
     same contract as :func:`stub_featurizer`."""
-    s, _rate = decode_wav(data)
+    s, _rate = _decode_audio(data)
     if s.ndim > 1:
         s = s.mean(axis=1)
     if not len(s):
@@ -671,7 +690,8 @@ def media_featurizer(data: bytes) -> list[float]:
                 or data[:3] == b"\xff\xd8\xff"
                 or data[:6] in (b"GIF87a", b"GIF89a")):
             return image_featurizer(data)
-        if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        if (data[:4] == b"RIFF" and data[8:12] == b"WAVE") \
+                or data[:4] == b"fLaC":
             return audio_featurizer(data)
     except ValueError:
         pass  # malformed header: fall through to the byte-level stub
