@@ -504,6 +504,24 @@ def main(argv: list[str] | None = None) -> int:
     ch.add_argument("--stride", type=int, default=384,
                     help="window advance (overlap = size - stride)")
 
+    md = sub.add_parser("media", help="multimodal feature extraction: "
+                        "decode binary media payloads with the REAL "
+                        "in-container codecs (BMP/PPM/PNG/JPEG/GIF images, "
+                        "WAV/FLAC audio) via Arrow mapInPandas and emit "
+                        "per-asset feature vectors; unknown formats fall "
+                        "back to the deterministic byte-level stub")
+    md.add_argument("--input", required=True,
+                    help="assets parquet (asset_id, kind, data, meta)")
+    md.add_argument("--output", required=True,
+                    help="output parquet (asset_id, kind, n_bytes, "
+                         "features)")
+    md.add_argument("--resize", default=None, metavar="WxH",
+                    help="also write WxH luminance thumbnails of the "
+                         "image assets to OUTPUT_resized")
+    md.add_argument("--stub", action="store_true",
+                    help="force the byte-level stub featurizer "
+                         "(plumbing contract check)")
+
     pc = sub.add_parser("percolate", help="percolator (Lucene Monitor "
                         "analog): match a registry of saved queries "
                         "against documents — batch parquet, or a landing "
@@ -1627,6 +1645,29 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"output": args.output, "n_docs": docs.count(),
                           "n_chunks": n, "size": args.size,
                           "stride": args.stride}))
+    elif args.cmd == "media":
+        from polaris_spark.ops.multimodal import (decode_features,
+                                                  media_featurizer,
+                                                  media_resizer,
+                                                  resize_images,
+                                                  stub_featurizer)
+
+        spark = _session("polaris_spark_media")
+        assets = spark.read.parquet(args.input)
+        feats = decode_features(
+            assets,
+            featurizer=stub_featurizer if args.stub else media_featurizer)
+        feats.write.mode("overwrite").parquet(args.output)
+        res = {"output": args.output, "n_assets": assets.count(),
+               "n_features": spark.read.parquet(args.output).count()}
+        if args.resize:
+            w, h = (int(x) for x in args.resize.lower().split("x"))
+            resize_images(assets, width=w, height=h,
+                          resizer=media_resizer) \
+                .write.mode("overwrite").parquet(args.output + "_resized")
+            res["n_resized"] = spark.read.parquet(
+                args.output + "_resized").count()
+        print(json.dumps(res))
     elif args.cmd == "percolate":
         import os as _os
 

@@ -711,6 +711,16 @@ def bmp_resizer(data: bytes, width: int, height: int) -> bytes:
     return gray[np.ix_(yi, xi)].tobytes()
 
 
+def media_resizer(data: bytes, width: int, height: int) -> bytes:
+    """Total resizer: real decode-and-resample for the in-container
+    image codecs (BMP/PPM/PNG/JPEG/GIF), deterministic byte-level stub
+    for anything else — the resize analog of :func:`media_featurizer`."""
+    try:
+        return bmp_resizer(data, width, height)
+    except Exception:
+        return stub_resizer(data, width, height)
+
+
 def pil_featurizer(data: bytes) -> list[float]:
     """Real image featurizer — import-gated; raises in this container.
     Contract: identical signature/shape as :func:`stub_featurizer`, so the

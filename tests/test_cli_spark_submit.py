@@ -154,3 +154,81 @@ def test_spark_submit_pipeline_ops(tmp_path):
     ).columns
     assert {"gopher_pass", "stop_hits", "bullet_ratio"} <= set(cols)
     assert out["n_docs"] == 500
+
+
+def test_spark_submit_media(tmp_path):
+    """`media` CLI: mixed real-codec payloads (GIF/PNG/BMP images,
+    WAV/FLAC audio, opaque video blobs) through the Arrow feature
+    kernel + real resizer over spark-submit; per-asset features must
+    equal the local real-decoder kernels bit-for-bit."""
+    import duckdb
+    import numpy as np
+
+    from polaris_spark.ops.flac import encode_flac
+    from polaris_spark.ops.multimodal import (FEATURE_DIM, encode_bmp,
+                                              encode_gif, encode_png,
+                                              encode_wav, media_featurizer)
+
+    tmp = str(tmp_path)
+    zp = _zip_pkg(tmp)
+    env = {**os.environ, "PYSPARK_PYTHON": sys.executable,
+           "PYSPARK_DRIVER_PYTHON": sys.executable}
+
+    rng = np.random.default_rng(17)
+    rows, payloads = [], {}
+    for i in range(9):
+        kind = ["image", "audio", "video"][i % 3]
+        if kind == "image":
+            pal = rng.integers(0, 256, (6, 3), dtype=np.uint8)
+            img = pal[rng.integers(0, 6, (12, 12))]
+            data = [encode_gif, encode_png, encode_bmp][(i // 3) % 3](img)
+        elif kind == "audio":
+            t = np.arange(1200) / 8000
+            s = np.sin(2 * np.pi * (250 + 50 * i) * t) * 0.4
+            data = (encode_flac((s * 32767).astype(np.int16), 8000)
+                    if (i // 3) % 2 else encode_wav(s, 8000))
+        else:
+            data = bytes(rng.integers(0, 256, 300, dtype=np.uint8))
+        payloads[i] = bytes(data)
+        rows.append((i, kind, payloads[i]))
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    apath = os.path.join(tmp, "assets.parquet")
+    meta = [{"width": None, "height": None, "sample_rate": None,
+             "duration_ms": None, "format": "x"}] * len(rows)
+    tbl = pa.table({
+        "asset_id": pa.array([r[0] for r in rows], pa.int64()),
+        "kind": pa.array([r[1] for r in rows]),
+        "data": pa.array([r[2] for r in rows], pa.binary()),
+        "meta": pa.array(meta),
+    })
+    pq.write_table(tbl, apath)
+
+    cmd = [SPARK_SUBMIT, "--master", "local[4]",
+           "--conf", "spark.ui.enabled=false",
+           "--py-files", zp, os.path.join(REPO, "cli_shim.py"),
+           "media", "--input", apath,
+           "--output", os.path.join(tmp, "feats.parquet"),
+           "--resize", "6x6"]
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                       timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["n_assets"] == 9 and out["n_features"] == 9
+    assert out["n_resized"] == 3
+
+    got = duckdb.sql(
+        f"SELECT asset_id, features FROM "
+        f"'{os.path.join(tmp, 'feats.parquet', '*.parquet')}' ORDER BY 1"
+    ).fetchall()
+    for aid, feats in got:
+        assert len(feats) == FEATURE_DIM
+        assert list(feats) == media_featurizer(payloads[aid])
+    thumbs = duckdb.sql(
+        f"SELECT min(octet_length(resized)), max(octet_length(resized)) "
+        f"FROM '{os.path.join(tmp, 'feats.parquet_resized', '*.parquet')}'"
+    ).fetchone()
+    assert thumbs == (36, 36)
