@@ -313,7 +313,8 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
         got += take
     if got < total:
         raise ValueError("FLAC stream ended early")
-    out = np.stack([np.concatenate(c) for c in chans], axis=-1)
+    out = np.stack([np.concatenate(c) if c else np.zeros(0, np.int64)
+                    for c in chans], axis=-1)
     dt = np.int16 if bps <= 16 else np.int32
     out = out.astype(dt)
     return (out[:, 0] if ch == 1 else out), rate

@@ -238,3 +238,19 @@ def test_featurizer_routes_flac_same_as_wav():
 def test_encode_rejects_float():
     with pytest.raises(ValueError, match="int8/int16"):
         encode_flac(np.zeros(10, np.float64))
+
+
+def test_empty_and_multiframe_edges():
+    """Zero-sample streams decode to the right empty shape; >127 frames
+    exercises the multi-byte UTF-8 frame-number path; extreme
+    alternating samples stress the max FIXED-residual magnitudes."""
+    rng = np.random.default_rng(7)
+    out, rate = decode_flac(encode_flac(np.zeros(0, np.int16), 8000))
+    assert out.shape == (0,) and rate == 8000
+    out2, _ = decode_flac(encode_flac(np.zeros((0, 2), np.int16), 8000))
+    assert out2.shape == (0, 2)
+    big = rng.integers(-300, 300, 4096 * 130).astype(np.int16)
+    np.testing.assert_array_equal(decode_flac(encode_flac(big, 8000))[0], big)
+    alt = np.empty(4000, np.int16)
+    alt[0::2], alt[1::2] = 32767, -32768
+    np.testing.assert_array_equal(decode_flac(encode_flac(alt, 8000))[0], alt)
