@@ -464,6 +464,8 @@ def encode_gif(rgb: np.ndarray, quantize: bool = False) -> bytes:
     if arr.ndim == 2:
         arr = np.stack([arr] * 3, axis=-1)
     h, w, _ = arr.shape
+    if not (0 < w <= 0xFFFF and 0 < h <= 0xFFFF):
+        raise ValueError(f"GIF dimensions must be 1..65535, got {w}x{h}")
     flat = arr.reshape(-1, 3)
     pal, inv = np.unique(flat, axis=0, return_inverse=True)
     if len(pal) > 256:

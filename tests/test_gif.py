@@ -176,3 +176,10 @@ def test_encode_gif_quantize_path_roundtrips_exactly():
     np.testing.assert_array_equal(decode_gif(data), quantize_colors(img, 256))
     with pytest.raises(ValueError, match="256"):
         encode_gif(img)  # lossiness is never silent
+
+
+def test_encode_rejects_degenerate_dimensions():
+    for bad in (np.zeros((0, 0, 3), np.uint8), np.zeros((1, 0, 3), np.uint8),
+                np.zeros((1, 70000, 3), np.uint8)):
+        with pytest.raises(ValueError, match="65535"):
+            encode_gif(bad)
