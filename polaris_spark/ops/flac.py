@@ -407,6 +407,8 @@ def encode_flac(samples: np.ndarray, rate: int = 16000,
     if s.ndim == 1:
         s = s[:, None]
     n, ch = s.shape
+    if not 1 <= ch <= 8:
+        raise ValueError(f"FLAC supports 1-8 channels, got {ch}")
     if ch > 2 and stereo_mode != "independent":
         raise ValueError("decorrelation is a stereo-only mode")
 

@@ -254,3 +254,12 @@ def test_empty_and_multiframe_edges():
     alt = np.empty(4000, np.int16)
     alt[0::2], alt[1::2] = 32767, -32768
     np.testing.assert_array_equal(decode_flac(encode_flac(alt, 8000))[0], alt)
+
+
+def test_multichannel_roundtrip_and_limit():
+    rng = np.random.default_rng(11)
+    for ch in (3, 8):
+        x = rng.integers(-2000, 2000, (1500, ch)).astype(np.int16)
+        np.testing.assert_array_equal(decode_flac(encode_flac(x, 8000))[0], x)
+    with pytest.raises(ValueError, match="1-8 channels"):
+        encode_flac(np.zeros((10, 9), np.int16), 8000)
