@@ -30,12 +30,17 @@ numpy-native right here (no external media libraries needed):
   subframes, Rice residuals with partitions + escape, all four stereo
   decorrelations, CRC-8/CRC-16 verification; decoder spec-verified
   against a hand-packed bitstream independent of the encoder.
+- **MJPEG/AVI** (RIFF container, MJPG stream): :func:`encode_mjpeg_avi`
+  / :func:`decode_mjpeg_avi` — the VIDEO modality made real (round 5):
+  container walk (movi/rec lists, word alignment, junk skipping) over
+  per-frame baseline JPEGs; :func:`sample_frames` extracts REAL
+  standalone frames from it, and video features = first-frame pixels.
 
 Real kernels built on them: :func:`image_featurizer` (grayscale histogram),
 :func:`audio_featurizer` (8-band spectral energy via rfft),
-:func:`bmp_resizer` (nearest-neighbor resample). Remaining COMPRESSED
-codecs (mp3/mp4) stay import-gated on PIL/soundfile, which this
-container lacks — :func:`media_featurizer` sniffs magic bytes and falls
+:func:`bmp_resizer` (nearest-neighbor resample). The remaining opaque
+codecs (mp3, ISO-BMFF mp4) stay import-gated on PIL/soundfile, which
+this container lacks — :func:`media_featurizer` sniffs magic bytes and falls
 back to the deterministic byte-level stub for those, so the pipeline is
 total over arbitrary payloads. Swapping a codec only changes the per-batch
 kernel body; schema, batch shape and partitioning stay.
@@ -526,6 +531,97 @@ def encode_gif(rgb: np.ndarray, quantize: bool = False) -> bytes:
     return bytes(head) + bytes(body) + b"\x00\x3b"
 
 
+_AVI_MAGIC = (b"RIFF", b"AVI ")
+
+
+def _is_avi(data: bytes) -> bool:
+    return data[:4] == _AVI_MAGIC[0] and data[8:12] == _AVI_MAGIC[1]
+
+
+def _avi_frame_payloads(data: bytes) -> list[bytes]:
+    """RIFF/AVI container walk (same chunk discipline as the WAV
+    parser): collect the video-frame chunks (``??dc``/``??db``) inside
+    ``movi`` lists, recursing through ``rec `` groupings; header lists
+    are skipped — each returned payload is one standalone encoded
+    frame."""
+    if not _is_avi(data):
+        raise ValueError("not an AVI payload")
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid = data[pos: pos + 4]
+            sz = struct.unpack_from("<I", data, pos + 4)[0]
+            body = pos + 8
+            if cid == b"LIST" and data[body: body + 4] in (b"movi", b"rec "):
+                walk(body + 4, min(body + sz, len(data)))
+            elif cid[2:4] in (b"dc", b"db") and sz:
+                frames.append(data[body: body + sz])
+            pos = body + sz + (sz & 1)  # chunks are word-aligned
+
+    walk(12, len(data))
+    return frames
+
+
+def encode_mjpeg_avi(frames, fps: int = 10, quality: int = 90) -> bytes:
+    """Frames (list of uint8 (H, W[, 3]) arrays, or one (N, H, W, 3)
+    array) → a minimal RIFF/AVI container with an MJPG video stream —
+    every frame its own baseline JPEG (``ops/jpeg.py``), so the result
+    is a REAL video payload decodable frame-independently. Writes
+    avih/strh/strf headers and a keyframe idx1 (every MJPEG frame is a
+    keyframe)."""
+    from polaris_spark.ops.jpeg import encode_jpeg
+
+    frames = [np.asarray(f, np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("AVI needs at least one frame")
+    h, w = frames[0].shape[:2]
+    payloads = [encode_jpeg(f, quality=quality) for f in frames]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (cid + struct.pack("<I", len(body)) + body
+                + (b"\x00" if len(body) & 1 else b""))
+
+    def lst(typ: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", typ + body)
+
+    n = len(frames)
+    avih = struct.pack("<14I", 1_000_000 // max(1, fps), 0, 0, 0x10, n,
+                       0, 1, 0, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG"
+            + struct.pack("<IHHIIIIIIII4H", 0, 0, 0, 0, 1, max(1, fps),
+                          0, n, 0, 0, 0, 0, 0, w, h))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body, idx, off = b"", b"", 4
+    for p in payloads:
+        movi_body += chunk(b"00dc", p)
+        idx += b"00dc" + struct.pack("<III", 0x10, off, len(p))
+        off += 8 + len(p) + (len(p) & 1)
+    riff = b"AVI " + hdrl + lst(b"movi", movi_body) + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def decode_mjpeg_avi(data: bytes) -> np.ndarray:
+    """MJPEG/AVI → (n_frames, H, W, 3) uint8 RGB via the in-container
+    JPEG decoder — the video analog of :func:`_decode_rgb`. Raises
+    ValueError on non-AVI payloads or an AVI with no video frames."""
+    from polaris_spark.ops.jpeg import decode_jpeg
+
+    payloads = _avi_frame_payloads(data)
+    if not payloads:
+        raise ValueError("AVI contains no video frames")
+    out = []
+    for p in payloads:
+        a = decode_jpeg(p)
+        if a.ndim == 2:
+            a = np.stack([a] * 3, axis=-1)
+        out.append(a[:, :, :3])
+    return np.stack(out)
+
+
 def _decode_rgb(data: bytes) -> np.ndarray:
     """Route a binary image payload to its real decoder
     (PNG/JPEG/GIF/PPM/BMP) and normalize to (H, W, 3) RGB."""
@@ -695,6 +791,10 @@ def media_featurizer(data: bytes) -> list[float]:
         if (data[:4] == b"RIFF" and data[8:12] == b"WAVE") \
                 or data[:4] == b"fLaC":
             return audio_featurizer(data)
+        if _is_avi(data):
+            frames = _avi_frame_payloads(data)
+            if frames:  # video features = first-frame pixel histogram
+                return image_featurizer(frames[0])
     except ValueError:
         pass  # malformed header: fall through to the byte-level stub
     return stub_featurizer(data)
@@ -756,21 +856,39 @@ def decode_features(assets, featurizer=stub_featurizer):
     return assets.select("asset_id", "kind", "data").mapInPandas(kernel, FEATURES_SCHEMA)
 
 
-def sample_frames(assets, n_frames: int = 4):
+def media_frame_extractor(data: bytes, n_frames: int) -> list[bytes]:
+    """Total frame extractor: REAL equal-spaced frames for MJPEG/AVI
+    payloads (each returned bytes is one standalone decodable JPEG),
+    the deterministic byte-slice stub for opaque containers this box
+    can't decode (mp4) — the frame analog of :func:`media_featurizer`."""
+    if _is_avi(data):
+        try:
+            payloads = _avi_frame_payloads(data)
+        except ValueError:
+            payloads = []
+        if payloads:
+            return [payloads[(f * len(payloads)) // n_frames]
+                    for f in range(n_frames)]
+    step = max(1, len(data) // n_frames)
+    return [data[f * step:(f + 1) * step] for f in range(n_frames)]
+
+
+def sample_frames(assets, n_frames: int = 4,
+                  extractor=media_frame_extractor):
     """Per-video frame sampling: explode each video asset into n_frames
-    equal-spaced byte slices (stub for real frame extraction; the explode /
-    row-multiplication plumbing is the real part)."""
+    rows. ``extractor`` (bytes, n → n payloads) is the swap point:
+    the default pulls REAL frames out of MJPEG/AVI containers and falls
+    back to equal-spaced byte slices for opaque formats; the explode /
+    row-multiplication plumbing is format-independent."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_id, out_idx, out_data = [], [], []
             for aid, b in zip(pdf["asset_id"], pdf["data"]):
-                raw = bytes(b)
-                step = max(1, len(raw) // n_frames)
-                for f in range(n_frames):
+                for f, payload in enumerate(extractor(bytes(b), n_frames)):
                     out_id.append(aid)
                     out_idx.append(f)
-                    out_data.append(raw[f * step:(f + 1) * step])
+                    out_data.append(payload)
             yield pd.DataFrame(
                 {"asset_id": out_id, "frame_idx": out_idx, "frame_data": out_data}
             )
